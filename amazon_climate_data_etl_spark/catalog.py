@@ -1,0 +1,81 @@
+"""Table catalog over a directory of parquet files.
+
+The driver's testdata layout is ``<sf_dir>/<table>.parquet`` (TESTDATA.md).
+``load_tables`` reads them lazily and optionally registers temp views so the
+same workload can be written in the DataFrame API or ``spark.sql``.
+
+Scale note: ``spark.read.parquet`` gives Catalyst the parquet footer stats,
+so filters land as ``PushedFilters`` and projections prune columns at the
+scan (SURVEY.md §4 — the reference's hand-written clip/column-open logic,
+``process_climate_amazon_annual.py:229-266``, is subsumed entirely).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata; Spark reads them as
+# int64 nanos (session.py sets nanosAsLong) and we truncate to microseconds,
+# matching DuckDB's ns→us handling.
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table, with timestamp normalization."""
+    if name in _NANO_TS_COLUMNS:
+        # runtime-settable SQL conf; required to read TIMESTAMP(NANOS)
+        # parquet even on sessions not built by session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and field.dataType.simpleString() == "bigint":
+            # integer division: double division would lose precision at 1e18 ns
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load all tables in ``names`` that exist under ``sf_dir``.
+
+    With ``register_views=True`` each is also exposed as a temp view named
+    after the table, enabling ``spark.sql`` over the same data.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,140 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+Large-scale training-data pipeline primitives (language ID, quality scoring,
+token counting, fingerprinting), all as native Column expressions so they run
+JVM-side inside whole-stage codegen — no Python in the hot path. Each has an
+ANSI-SQL twin (``*_sql``) so the DuckDB oracle can verify the exact same
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Tokenization
+# --------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization to array<string>; empty text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_sql(expr: str) -> str:
+    # DuckDB: len(string_split_regex(trim(x), '\s+')); guard empty strings.
+    return (
+        f"(CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: cheap, deterministic heuristics of the kind used to filter
+# web-scraped corpora (length, punctuation density, stopword ratio).
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic.
+
+    0.4 * length_ok (64 <= n_chars <= 100000)
+    + 0.3 * min(1, stopword_hits / 8)
+    + 0.3 * (1 - punct_ratio)  where punct_ratio = non-alnum-nonspace / chars
+    """
+    n = F.length(text)
+    length_ok = F.when((n >= 64) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    toks = tokens(F.lower(text))
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOPWORDS])))
+    stop_ratio = F.least(F.lit(1.0), hits.cast("double") / F.lit(8.0))
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    punct_ratio = F.when(n == 0, F.lit(1.0)).otherwise(F.length(stripped).cast("double") / n)
+    return F.round(
+        F.lit(0.4) * length_ok + F.lit(0.3) * stop_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        4,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""round(
+      0.4 * (CASE WHEN length({expr}) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * least(1.0, len(list_intersect(list_distinct(string_split_regex(trim(lower({expr})), '\\s+')), [{stop_list}])) / 8.0)
+      + 0.3 * (1.0 - (CASE WHEN length({expr}) = 0 THEN 1.0
+                      ELSE length(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length({expr}) END)),
+      4)"""
+
+
+# --------------------------------------------------------------------------
+# Language ID: marker-word counting heuristic (n-gram-free variant that is
+# portable to ANSI SQL; a real deployment would swap in fastText via a pandas
+# UDF — see sources/multimodal.py for the UDF plumbing pattern).
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over marker-hit counts; 'und' (undetermined) when all zero.
+
+    Ties break by fixed language order en > de > fr > es (deterministic).
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+    scores = {lang: _marker_hits(toks, m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(_LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_guess_sql(expr: str) -> str:
+    toks = f"list_distinct(string_split_regex(trim(lower({expr})), '\\s+'))"
+    scores = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(m) for m in markers)}]))"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    branches = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in _LANG_MARKERS
+    )
+    return f"(CASE WHEN {best} = 0 THEN 'und' {branches} ELSE 'und' END)"
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 is content-addressed and engine-portable (identical in DuckDB),
+    unlike ``xxhash64``/``hash`` which are Spark-specific.
+    """
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,67 @@
+"""Vector (embedding) column expressions over ``array<float>`` columns.
+
+Built on ``F.zip_with`` / ``F.aggregate`` higher-order functions: the math
+runs JVM-side per-row with no shuffle and no Python. All accumulation is in
+DOUBLE for cross-engine numeric stability (the storage type is float32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ANSI-SQL (DuckDB) twins -------------------------------------------------
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    return f"list_cosine_similarity({a}, {b})"
+
+
+def sign_bucket(a: Column, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
+    """Deterministic LSH-style bucket id from the signs of selected dims.
+
+    A random-hyperplane LSH with axis-aligned planes: partitions the space
+    into 2^len(dims) buckets. Used to restrict ANN candidate generation to
+    same-bucket pairs (operators/similarity.py). ``dims`` are 1-based to
+    match SQL array indexing.
+    """
+    out = F.lit(0)
+    for i, d in enumerate(dims):
+        bit = F.when(F.element_at(a, d) >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + bit * F.lit(2**i)
+    return out
+
+
+def sign_bucket_sql(a: str, dims: tuple[int, ...] = (1, 2, 3, 4)) -> str:
+    terms = [
+        f"(CASE WHEN {a}[{d}] >= 0 THEN 1 ELSE 0 END) * {2**i}"
+        for i, d in enumerate(dims)
+    ]
+    return "(" + " + ".join(terms) + ")"

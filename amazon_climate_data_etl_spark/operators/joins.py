@@ -1,0 +1,242 @@
+"""Join family (SURVEY.md §2.3): broadcast dimension enrichment, the
+grid-snap nearest-neighbor join (the reference's core join, J-NN), its
+general top-1-by-distance fallback, and semi/anti joins (the error-reporting
+path P8).
+
+Scale posture: every dimension here (customer/supplier/nation/region) is
+broadcast — the fact table (lineitem/events) never shuffles for a join; the
+only exchange in these plans is the final groupBy. That is the 100 TB-safe
+shape: a shuffle of a 100 TB fact on join keys would dominate the job, a
+broadcast of a few-MB dim is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.climate import grid_snap, grid_snap_sql
+from amazon_climate_data_etl_spark.operators._portable import dsum, dsum_sql, stable_round
+
+
+def join_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment join chain (J3: attach NM_MUN/UF to aggregates,
+    process_climate_amazon_annual.py:464-467): revenue per nation via
+    lineitem ⋈ supplier ⋈ nation ⋈ region, all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # exact decimal revenue: order-independent sum (_portable.py)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_ENRICH_SQL = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join with group + top-k (TPC-H Q3 shape):
+    customer(filtered, broadcast) ⋈ orders ⋈ lineitem."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("o_orderdate") < F.lit("2000-01-01"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one high-priority order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all — the reference's
+    skip-and-report error path (P8, process_climate_amazon_annual.py:465-471)
+    expressed relationally."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor joins (J-NN, process_climate_amazon_annual.py:256-277)
+# ---------------------------------------------------------------------------
+
+
+def grid_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core join on a regular grid, generalized.
+
+    xarray's ``sel(lon=…, lat=…, method='nearest')`` against a regular 0.25°
+    grid is deterministic arithmetic: snap the probe coordinate to the
+    nearest grid multiple on the (small) dimension side, then broadcast
+    equi-join — the fact side never shuffles. Here: events carry a 1-D
+    "grid" coordinate (value snapped to 25-unit cells); customers are probes
+    at c_acctbal/100 (not grid-aligned).
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    fact = e.select(
+        "event_id",
+        "value",
+        grid_snap(F.col("value"), 25.0).alias("grid_cell"),
+    )
+    probes = c.select(
+        "c_custkey",
+        grid_snap(F.col("c_acctbal") / 100.0, 25.0).alias("grid_cell"),
+    )
+    return (
+        fact.join(F.broadcast(probes), "grid_cell")
+        .groupBy("c_custkey", "grid_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(dsum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+GRID_SNAP_SQL = f"""
+SELECT c_custkey, grid_cell,
+       count(*) AS n_events,
+       round({dsum_sql('value')}, 2) AS sum_value
+FROM (SELECT event_id, value, {grid_snap_sql('value', 25.0)} AS grid_cell FROM events) f
+JOIN (SELECT c_custkey, {grid_snap_sql('c_acctbal / 100.0', 25.0)} AS grid_cell FROM customer) p
+USING (grid_cell)
+GROUP BY c_custkey, grid_cell
+ORDER BY c_custkey
+"""
+
+
+def nn_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General nearest-neighbor fallback for irregular grids: cross-join the
+    probe set against the candidate set, rank by distance with a
+    deterministic tie-break, keep rank 1 (SURVEY.md §2 J-NN "exact-general
+    fallback"). Candidates are broadcast; ranking is per-probe.
+
+    Each customer finds its nearest supplier in acctbal space."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    dist = F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    w = Window.partitionBy("c_custkey").orderBy(
+        dist.asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            stable_round(dist, 2).alias("dist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+NN_GENERAL_SQL = """
+SELECT c_custkey, s_suppkey, round(abs(c_acctbal - s_acctbal), 2) AS dist
+FROM (
+  SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY abs(c_acctbal - s_acctbal), s_suppkey) AS rn
+  FROM customer CROSS JOIN supplier
+)
+WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "join_enrich_revenue": join_enrich_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "grid_snap_join": grid_snap_join,
+    "nn_join_general": nn_join_general,
+}
+
+ORACLE = {
+    "join_enrich_revenue": JOIN_ENRICH_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "semi_join_customers": SEMI_SQL,
+    "anti_join_customers": ANTI_SQL,
+    "grid_snap_join": GRID_SNAP_SQL,
+    "nn_join_general": NN_GENERAL_SQL,
+}

@@ -1,0 +1,552 @@
+"""Core relational operators (SURVEY.md §2.1–§2.8) as named queries.
+
+Every reference dataflow operator — scans, IN/equality/range filters,
+projections, hash aggregation with mixed agg dicts, count-distinct, min/max,
+describe-style summaries, multi-key sorts, union-all, scalar functions
+(compound math, date parts, rounding, substring, literal maps) — expressed
+as stock DataFrame operations so Catalyst plans them (pushdown, pruning,
+partial aggregation, broadcast selection; SURVEY.md §4).
+
+Window functions and rollups are not in the reference (§2.5) but complete
+the generic operator surface (§7 phase 4).
+
+Reference citations per query are in the builder docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.operators._portable import (
+    davg,
+    davg_sql,
+    dstddev,
+    dstddev_sql,
+    dsum,
+    dsum_sql,
+    stable_round,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregation spine: scan → filter → group → mixed aggs → round → sort.
+# This is the reference's annual pipeline shape (A1/F2/F3/O1,
+# process_climate_amazon_annual.py:345-357,500-506) on the lineitem fact.
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the engine's flagship query.
+
+    Plan shape at scale: parquet scan with shipdate predicate pushed to
+    row-group stats, 2-phase hash agg (map-side partial combine — the
+    reference's manual per-municipality partials, A3, are automatic here),
+    single shuffle on the 6-group key space, tiny result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact decimal arithmetic from base columns: associative, so the sum is
+    # order-independent and bit-identical across engines (_portable.py)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            stable_round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            stable_round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            stable_round(davg(F.col("l_quantity")), 2).alias("avg_qty"),
+            stable_round(davg(F.col("l_extendedprice")), 2).alias("avg_price"),
+            stable_round(davg(F.col("l_discount")), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE), 2) AS sum_charge,
+       round({davg_sql('l_quantity')}, 2) AS avg_qty,
+       round({davg_sql('l_extendedprice')}, 2) AS avg_price,
+       round({davg_sql('l_discount')}, 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key calendar bucketing (A2/F2: monthly groupby,
+    process_climate_amazon_monthly.py:312-327): orders revenue by (year, month)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(
+            stable_round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+MONTHLY_AGG_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
+       round({dsum_sql('o_totalprice')}, 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY year, month
+"""
+
+
+def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(year, month): the annual+monthly pipelines from ONE scan.
+
+    The reference runs two full passes over the grids for annual vs monthly
+    (two scripts); a rollup computes both granularities plus the grand total
+    in a single shuffle (SURVEY.md §2.4 note, §7 phase 3).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_totalprice",
+        )
+        .rollup("year", "month")
+        .agg(
+            stable_round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("year").asc_nulls_first(),
+            F.col("month").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT year, month,
+       round({dsum_sql('o_totalprice')}, 2) AS revenue,
+       count(*) AS n_orders,
+       GROUPING(year) * 2 + GROUPING(month) AS gid
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS year,
+             CAST(month(o_orderdate) AS INT) AS month,
+             o_totalprice
+      FROM orders)
+GROUP BY ROLLUP(year, month)
+ORDER BY gid, year ASC NULLS FIRST, month ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (P1–P8) + scalar functions (F3–F6)
+# ---------------------------------------------------------------------------
+
+
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list filter (P1: the 7-state filter,
+    process_climate_amazon_annual.py:155) + projection/reorder (P6)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+FILTER_IN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY c_custkey
+"""
+
+
+def filter_range_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive 2-D range predicate (P5: the lat/lon box clip,
+    process_climate_amazon_annual.py:229-251) on events(value, ts).
+
+    Both predicates reach the parquet scan as PushedFilters — the manual
+    direction-aware slice logic in the reference is subsumed by pushdown.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("value").between(50.0, 150.0)
+            & F.col("ts").between(F.lit("2024-01-05"), F.lit("2024-01-20"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+FILTER_BOX_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE value BETWEEN 50.0 AND 150.0
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY event_id
+"""
+
+
+def case_bucket_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery: substring on a cast key (F4), literal dict
+    map (F5: the IBGE-prefix→UF map, process_climate_amazon_annual.py:146-152),
+    CASE bucketing, rounding (F3)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_code = F.create_map(
+        F.lit("BUILDING"), F.lit("B"),
+        F.lit("MACHINERY"), F.lit("M"),
+        F.lit("AUTOMOBILE"), F.lit("A"),
+        F.lit("HOUSEHOLD"), F.lit("H"),
+        F.lit("FURNITURE"), F.lit("F"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.substring(F.col("c_custkey").cast("string"), 1, 2).alias("key_prefix"),
+            seg_code[F.col("c_mktsegment")].alias("seg_code"),
+            F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+            .when(F.col("c_acctbal") < 2500, F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("bal_bucket"),
+            stable_round(F.col("c_acctbal") / 1000.0, 2).alias("bal_k"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CASE_BUCKET_SQL = """
+SELECT c_custkey,
+       substr(CAST(c_custkey AS VARCHAR), 1, 2) AS key_prefix,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+            WHEN 'AUTOMOBILE' THEN 'A' WHEN 'HOUSEHOLD' THEN 'H'
+            WHEN 'FURNITURE' THEN 'F' END AS seg_code,
+       CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 2500 THEN 'low'
+            ELSE 'high' END AS bal_bucket,
+       round(c_acctbal / 1000.0, 2) AS bal_k
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simple aggregates / observability (A4–A7: the reference's end-of-run
+# invariant prints, process_climate_amazon_annual.py:513-522)
+# ---------------------------------------------------------------------------
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct + counts per group (A4/A6,
+    split_by_state.py:64-71)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/count (A5/A6: year-range prints,
+    process_climate_amazon_annual.py:513-515)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+MINMAX_SQL = """
+SELECT min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style summary (A7, process_climate_amazon_annual.py:522):
+    count/mean/stddev/min/max per measure, as one row per measure.
+
+    Quartiles are served by ``quantiles`` below; stddev uses the exact
+    decimal-sum formulation for cross-engine determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(col: str):
+        c = F.col(col)
+        return [
+            F.count(c).alias("count"),
+            stable_round(davg(c), 2).alias("mean"),
+            stable_round(dstddev(c), 2).alias("stddev"),
+            stable_round(F.min(c), 2).alias("min"),
+            stable_round(F.max(c), 2).alias("max"),
+        ]
+
+    rows = [
+        li.agg(F.lit(col).alias("measure"), *stats(col))
+        for col in ("l_quantity", "l_extendedprice", "l_discount")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("measure")
+
+
+SUMMARY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{col}' AS measure, count({col}) AS count,
+       round({davg_sql(col)}, 2) AS mean,
+       round({dstddev_sql(col)}, 2) AS stddev,
+       round(min({col}), 2) AS min, round(max({col}), 2) AS max
+FROM lineitem"""
+    for col in ("l_quantity", "l_extendedprice", "l_discount")
+) + "\nORDER BY measure"
+
+
+def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (the quartile rows of describe(), A7). At 100 TB
+    the scalable swap-in is approx_percentile; exact is used here because
+    the oracle must match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        stable_round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("q25"),
+        stable_round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("q50"),
+        stable_round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("q75"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT round(quantile_cont(l_quantity, 0.25), 2) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 2) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 2) AS q75
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1/O2) and set ops (U1)
+# ---------------------------------------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tie-break. Spark plans this as
+    TakeOrderedAndProject — per-partition top-k then a single-driver merge,
+    no global sort shuffle; exactly what you want at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (O1: sort_values(['CD_MUN','year','month']),
+    process_climate_amazon_monthly.py:458). Range-partitioned sort in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .filter(F.col("l_quantity") > 45)
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+MULTIKEY_SORT_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_quantity > 45
+ORDER BY l_shipdate, l_orderkey, l_linenumber
+"""
+
+
+def union_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of heterogeneous filters (U1: pd.concat of per-municipality
+    frames, process_climate_amazon_annual.py:491) — plus distinct projection."""
+    p = load_table(spark, sf_dir, "part")
+    cheap = p.filter(F.col("p_retailprice") < 950).select(
+        "p_partkey", "p_brand", F.lit("cheap").alias("tier")
+    )
+    big = p.filter(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand", F.lit("big").alias("tier")
+    )
+    return cheap.unionByName(big).distinct().orderBy("p_partkey", "tier")
+
+
+UNION_SQL = """
+SELECT DISTINCT * FROM (
+  SELECT p_partkey, p_brand, 'cheap' AS tier FROM part WHERE p_retailprice < 950
+  UNION ALL
+  SELECT p_partkey, p_brand, 'big' AS tier FROM part WHERE p_size >= 40
+)
+ORDER BY p_partkey, tier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.5 — absent from the reference, required for
+# the generic surface; the top-1-per-group form is also the general
+# nearest-neighbor join fallback, §2 J-NN)
+# ---------------------------------------------------------------------------
+
+
+def window_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() top-1-per-group: each customer's largest order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+WINDOW_TOP1_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): order-to-order revenue delta per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            stable_round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice - lag(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec: rolling 3-order average per customer (ROWS BETWEEN)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # exact decimal rolling sum / count for cross-engine determinism
+    rolling_sum = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+    rolling_n = F.count(F.lit(1)).over(w)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            stable_round(rolling_sum / rolling_n, 2).alias("rolling_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / count(*) OVER w, 2) AS rolling_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "monthly_agg": monthly_agg,
+    "rollup_year_month": rollup_year_month,
+    "filter_in_list": filter_in_list,
+    "filter_range_box": filter_range_box,
+    "case_bucket_map": case_bucket_map,
+    "distinct_counts": distinct_counts,
+    "minmax_range": minmax_range,
+    "summary_stats": summary_stats,
+    "quantiles": quantiles,
+    "topk_orders": topk_orders,
+    "multikey_sort": multikey_sort,
+    "union_all_parts": union_all_parts,
+    "window_top1_per_group": window_top1_per_group,
+    "window_lag_delta": window_lag_delta,
+    "window_rolling_avg": window_rolling_avg,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "monthly_agg": MONTHLY_AGG_SQL,
+    "rollup_year_month": ROLLUP_SQL,
+    "filter_in_list": FILTER_IN_SQL,
+    "filter_range_box": FILTER_BOX_SQL,
+    "case_bucket_map": CASE_BUCKET_SQL,
+    "distinct_counts": DISTINCT_COUNTS_SQL,
+    "minmax_range": MINMAX_SQL,
+    "summary_stats": SUMMARY_SQL,
+    "quantiles": QUANTILES_SQL,
+    "topk_orders": TOPK_SQL,
+    "multikey_sort": MULTIKEY_SORT_SQL,
+    "union_all_parts": UNION_SQL,
+    "window_top1_per_group": WINDOW_TOP1_SQL,
+    "window_lag_delta": WINDOW_LAG_SQL,
+    "window_rolling_avg": WINDOW_ROLLING_SQL,
+}
