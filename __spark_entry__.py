@@ -13,10 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amazon_climate_data_etl_spark.operators import joins, relational
+from amazon_climate_data_etl_spark.operators import climate, joins, relational
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
 
-_MODULES = (relational, joins)
+_MODULES = (relational, joins, climate)
 
 
 def entry(spark: SparkSession) -> DataFrame:

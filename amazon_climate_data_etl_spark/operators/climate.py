@@ -1,0 +1,326 @@
+"""The climate pipeline (reference parity), as composable Spark operators.
+
+Reference: ``/root/reference/scripts/process_climate_amazon_annual.py`` and
+``process_climate_amazon_monthly.py``. Their per-municipality loop —
+nearest-cell extraction (J-NN), 7-way series assembly (J2), VPD (F1),
+year/month grouping (A1/A2), literal key attachment (J3/F6) — dissolves into
+one declarative plan:
+
+    grid_daily ⋈(broadcast, grid-snap) municipalities
+      → withColumn(VPD)                      # BEFORE aggregation (F1 note)
+      → groupBy(cd_mun, …, year[, month])
+      → {sum: pr/ETo/Rs, mean: Tmax/Tmin/RH/VPD/u2}
+      → round(2)                             # AFTER aggregation (F3)
+      → orderBy                              # monthly only (O1/O3)
+
+Scale: the fact table never shuffles for the join (450-row dim broadcast);
+the single shuffle is the final groupBy. The annual+monthly pair shares one
+scan via ROLLUP. At 100 TB (imagine hourly global 0.01° grids) the same plan
+holds: partition parquet by year, snap keys prune nothing but join stays
+broadcast, AQE coalesces the small aggregate output.
+
+The ``queries()`` entries derive a deterministic grid_daily/municipalities
+pair from the driver's testdata (lineitem/nation) with engine-portable
+arithmetic, so the DuckDB oracle exercises the exact pipeline semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.climate import grid_snap, vpd_column
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+
+MEASURES_SUM = ("pr", "ETo", "Rs")
+MEASURES_MEAN = ("Tmax", "Tmin", "RH", "VPD", "u2")
+OUTPUT_ORDER_ANNUAL = [
+    "CD_MUN", "NM_MUN", "UF", "year",
+    "pr", "ETo", "Tmax", "Tmin", "RH", "VPD", "u2", "Rs",
+]
+OUTPUT_ORDER_MONTHLY = OUTPUT_ORDER_ANNUAL[:4] + ["month"] + OUTPUT_ORDER_ANNUAL[4:]
+
+
+def daily_enriched(
+    grid_daily: DataFrame, municipalities: DataFrame, step: float = 0.25
+) -> DataFrame:
+    """Grid-snap broadcast join + daily VPD.
+
+    Mirrors process_climate_amazon_annual.py:256-343: nearest-cell selection
+    (sel method='nearest' → snap arithmetic on the dim side), 7-measure
+    assembly (already wide here), and VPD on daily rows.
+    """
+    dim = municipalities.select(
+        "CD_MUN",
+        "NM_MUN",
+        "UF",
+        grid_snap(F.col("lat"), step).alias("grid_lat"),
+        grid_snap(F.col("lon"), step).alias("grid_lon"),
+    )
+    fact = grid_daily.withColumnsRenamed({"lat": "grid_lat", "lon": "grid_lon"})
+    return fact.join(F.broadcast(dim), ["grid_lat", "grid_lon"]).withColumn(
+        "VPD", vpd_column(F.col("Tmax"), F.col("Tmin"), F.col("RH"))
+    )
+
+
+def _agg_exprs() -> list:
+    """The reference's agg dict (process_climate_amazon_annual.py:345-355):
+    sum for pr/ETo/Rs, mean for the rest; round(2) after aggregation
+    (:500-503). Aggregation goes through exact decimals so results are
+    order-independent (bit-identical on any partitioning — see _portable)."""
+    exprs = []
+    for m in MEASURES_SUM:
+        exprs.append(
+            stable_round(F.sum(F.col(m).cast("decimal(24,8)")).cast("double"), 2).alias(m)
+        )
+    for m in MEASURES_MEAN:
+        exprs.append(
+            stable_round(
+                F.sum(F.col(m).cast("decimal(24,8)")).cast("double") / F.count(F.col(m)),
+                2,
+            ).alias(m)
+        )
+    return exprs
+
+
+def annual_pipeline(daily: DataFrame) -> DataFrame:
+    """Annual aggregate (process_climate_amazon_annual.py:336-357,494-503).
+
+    The reference leaves annual row order nondeterministic (as_completed
+    order, O3); we sort deterministically — consumers get stable output."""
+    return (
+        daily.withColumn("year", F.year("date"))
+        .groupBy("CD_MUN", "NM_MUN", "UF", "year")
+        .agg(*_agg_exprs())
+        .select(*OUTPUT_ORDER_ANNUAL)
+        .orderBy("CD_MUN", "year")
+    )
+
+
+def monthly_pipeline(daily: DataFrame) -> DataFrame:
+    """Monthly aggregate + mandated sort (process_climate_amazon_monthly.py:
+    312-327,446-458)."""
+    return (
+        daily.withColumn("year", F.year("date"))
+        .withColumn("month", F.month("date"))
+        .groupBy("CD_MUN", "NM_MUN", "UF", "year", "month")
+        .agg(*_agg_exprs())
+        .select(*OUTPUT_ORDER_MONTHLY)
+        .orderBy("CD_MUN", "year", "month")
+    )
+
+
+def annual_monthly_rollup(daily: DataFrame) -> DataFrame:
+    """Both granularities from ONE scan/shuffle via ROLLUP(year, month):
+    gid=0 rows are the monthly table, gid=1 rows the annual table
+    (SURVEY.md §2.4: the two reference scripts are a manual rollup)."""
+    return (
+        daily.withColumn("year", F.year("date"))
+        .withColumn("month", F.month("date"))
+        .rollup("CD_MUN", "NM_MUN", "UF", "year", "month")
+        .agg(*_agg_exprs(), F.grouping_id().alias("gid"))
+        .filter(F.col("gid").isin(0, 1))  # monthly / annual levels only
+        .orderBy("gid", "CD_MUN", "year", F.col("month").asc_nulls_first())
+    )
+
+
+def state_split_metrics(output: DataFrame) -> DataFrame:
+    """Per-state record count + distinct municipalities — the metrics the
+    partitioned writer prints (split_by_state.py:64-71). The write itself is
+    sources.sinks.write_partitioned (one partitionBy call replaces the
+    reference's 7-iteration filter loop)."""
+    return (
+        output.groupBy("UF")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("CD_MUN").alias("n_municipalities"),
+            F.min("year").alias("year_min"),
+            F.max("year").alias("year_max"),
+        )
+        .orderBy("UF")
+    )
+
+
+def spot_check(output: DataFrame, cd_mun: str, year: int) -> DataFrame:
+    """Point lookup (notebook cell 2: CD_MUN == code AND year == 2015)."""
+    return output.filter((F.col("CD_MUN") == cd_mun) & (F.col("year") == year))
+
+
+# ---------------------------------------------------------------------------
+# Driver-testdata derivation: a deterministic synthetic grid_daily (from
+# lineitem) and municipalities (from nation) with engine-portable arithmetic,
+# so the full pipeline is oracle-checkable on the provided tables.
+# ---------------------------------------------------------------------------
+
+_UF_CASE = (
+    "CASE n_regionkey WHEN 0 THEN 'AC' WHEN 1 THEN 'AM' WHEN 2 THEN 'PA' "
+    "WHEN 3 THEN 'RO' ELSE 'TO' END"
+)
+
+GRID_DAILY_SQL = """
+  SELECT CAST(l_shipdate AS DATE) AS date,
+         (l_partkey % 21) * 0.25 - 10.0 AS lat,
+         (l_suppkey % 21) * 0.25 - 65.0 AS lon,
+         28.0 + (l_orderkey % 80) / 10.0 AS Tmax,
+         18.0 + (l_linenumber % 60) / 10.0 AS Tmin,
+         (CAST(floor(l_quantity) AS INTEGER) % 20) * 1.5 AS pr,
+         50.0 + (l_partkey % 50) AS RH,
+         2.0 + (l_suppkey % 40) / 10.0 AS ETo,
+         (l_orderkey % 30) / 10.0 AS u2,
+         10.0 + (l_partkey % 150) / 10.0 AS Rs
+  FROM lineitem
+"""
+
+MUNICIPALITIES_SQL = f"""
+  SELECT CAST(1100015 + n_nationkey AS STRING) AS CD_MUN,
+         n_name AS NM_MUN,
+         {_UF_CASE} AS UF,
+         -10.0 + (n_nationkey % 21) * 0.25 + 0.07 AS lat,
+         -65.0 + (n_nationkey * 4 % 21) * 0.25 - 0.09 AS lon
+  FROM nation
+"""
+
+
+def synthetic_grid_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(GRID_DAILY_SQL)
+
+
+def synthetic_municipalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation")
+    return spark.sql(MUNICIPALITIES_SQL)
+
+
+def climate_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    return annual_pipeline(daily)
+
+
+def climate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    return monthly_pipeline(daily)
+
+
+def climate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    return annual_monthly_rollup(daily)
+
+
+def climate_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return state_split_metrics(climate_annual(spark, sf_dir))
+
+
+def climate_spot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spot_check(climate_annual(spark, sf_dir), "1100016", 1999)
+
+
+# --- oracle SQL ------------------------------------------------------------
+
+_VPD_SQL = (
+    "(0.6108 * exp(17.27 * ((Tmax + Tmin) / 2) / (((Tmax + Tmin) / 2) + 237.3))"
+    " * (1 - RH / 100))"
+)
+
+_SNAP = "(round(({c}) * 4.0, 0) / 4.0)"
+
+_DAILY_CTE = f"""
+WITH grid_daily AS ({GRID_DAILY_SQL}),
+municipalities AS ({MUNICIPALITIES_SQL}),
+dim AS (
+  SELECT CD_MUN, NM_MUN, UF,
+         {_SNAP.format(c='lat')} AS grid_lat,
+         {_SNAP.format(c='lon')} AS grid_lon
+  FROM municipalities
+),
+daily AS (
+  SELECT d.*, g.date, g.Tmax, g.Tmin, g.pr, g.RH, g.ETo, g.u2, g.Rs,
+         {_VPD_SQL} AS VPD,
+         CAST(year(g.date) AS INT) AS year,
+         CAST(month(g.date) AS INT) AS month
+  FROM grid_daily g
+  JOIN dim d ON g.lat = d.grid_lat AND g.lon = d.grid_lon
+)
+"""
+
+# exact-decimal aggregation, mirroring _agg_exprs
+_AGG_SQL = """
+       round(CAST(sum(CAST(pr AS DECIMAL(24,8))) AS DOUBLE), 2) AS pr,
+       round(CAST(sum(CAST(ETo AS DECIMAL(24,8))) AS DOUBLE), 2) AS ETo,
+       round(CAST(sum(CAST(Tmax AS DECIMAL(24,8))) AS DOUBLE) / count(Tmax), 2) AS Tmax,
+       round(CAST(sum(CAST(Tmin AS DECIMAL(24,8))) AS DOUBLE) / count(Tmin), 2) AS Tmin,
+       round(CAST(sum(CAST(RH AS DECIMAL(24,8))) AS DOUBLE) / count(RH), 2) AS RH,
+       round(CAST(sum(CAST(VPD AS DECIMAL(24,8))) AS DOUBLE) / count(VPD), 2) AS VPD,
+       round(CAST(sum(CAST(u2 AS DECIMAL(24,8))) AS DOUBLE) / count(u2), 2) AS u2,
+       round(CAST(sum(CAST(Rs AS DECIMAL(24,8))) AS DOUBLE), 2) AS Rs
+"""
+
+CLIMATE_ANNUAL_SQL = f"""{_DAILY_CTE}
+SELECT CD_MUN, NM_MUN, UF, year, {_AGG_SQL}
+FROM daily
+GROUP BY CD_MUN, NM_MUN, UF, year
+ORDER BY CD_MUN, year
+"""
+
+CLIMATE_MONTHLY_SQL = f"""{_DAILY_CTE}
+SELECT CD_MUN, NM_MUN, UF, year, month, {_AGG_SQL}
+FROM daily
+GROUP BY CD_MUN, NM_MUN, UF, year, month
+ORDER BY CD_MUN, year, month
+"""
+
+CLIMATE_ROLLUP_SQL = f"""{_DAILY_CTE}
+SELECT * FROM (
+  SELECT CD_MUN, NM_MUN, UF, year, month, {_AGG_SQL},
+         GROUPING(CD_MUN) * 16 + GROUPING(NM_MUN) * 8 + GROUPING(UF) * 4
+         + GROUPING(year) * 2 + GROUPING(month) AS gid
+  FROM daily
+  GROUP BY ROLLUP(CD_MUN, NM_MUN, UF, year, month)
+)
+WHERE gid IN (0, 1)
+ORDER BY gid, CD_MUN, year, month ASC NULLS FIRST
+"""
+
+CLIMATE_STATE_METRICS_SQL = f"""{_DAILY_CTE},
+annual AS (
+  SELECT CD_MUN, UF, year FROM daily GROUP BY CD_MUN, NM_MUN, UF, year
+)
+SELECT UF, count(*) AS n_records, count(DISTINCT CD_MUN) AS n_municipalities,
+       min(year) AS year_min, max(year) AS year_max
+FROM annual
+GROUP BY UF
+ORDER BY UF
+"""
+
+CLIMATE_SPOT_SQL = f"""{_DAILY_CTE}
+SELECT CD_MUN, NM_MUN, UF, year, {_AGG_SQL}
+FROM daily
+WHERE CD_MUN = '1100016' AND year = 1999
+GROUP BY CD_MUN, NM_MUN, UF, year
+ORDER BY CD_MUN, year
+"""
+
+
+QUERIES = {
+    "climate_annual": climate_annual,
+    "climate_monthly": climate_monthly,
+    "climate_rollup": climate_rollup,
+    "climate_state_metrics": climate_state_metrics,
+    "climate_spot_check": climate_spot_check,
+}
+
+ORACLE = {
+    "climate_annual": CLIMATE_ANNUAL_SQL,
+    "climate_monthly": CLIMATE_MONTHLY_SQL,
+    "climate_rollup": CLIMATE_ROLLUP_SQL,
+    "climate_state_metrics": CLIMATE_STATE_METRICS_SQL,
+    "climate_spot_check": CLIMATE_SPOT_SQL,
+}

@@ -69,3 +69,29 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers.
+
+    Required before any mapInPandas/pandas-UDF operator whose function lives
+    in this package: workers are separate processes that import UDFs by
+    module reference, and the driver's sys.path does not propagate. Zips the
+    package once per session and distributes via ``addPyFile`` (the runtime
+    equivalent of ``spark-submit --py-files``)."""
+    key = id(spark)
+    if key in _PYFILES_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="spark_graft_pyfiles_")
+    zip_base = os.path.join(tmp, "amazon_climate_data_etl_spark")
+    shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                        os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _PYFILES_SHIPPED.add(key)

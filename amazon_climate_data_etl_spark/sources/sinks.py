@@ -1,0 +1,48 @@
+"""Output sinks (SURVEY.md §2.1 S4/S5).
+
+The reference writes single CSV files with a UTF-8 BOM (annual.py:506) and
+a per-state split via a 7-iteration filter loop (split_by_state.py:39-75).
+Spark-first: a header CSV writer, and ``partitionBy`` replacing the loop —
+one call, one pass, any number of partitions, works at 100 TB (each state's
+files written by the tasks that own its rows; no driver collect)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "UF") -> None:
+    """S5: the by-state split. df.write.partitionBy — the idiomatic form of
+    the reference's per-state filter loop."""
+    df.write.partitionBy(partition_col).mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+def write_single_csv(df: DataFrame, path: str, bom: bool = True) -> None:
+    """S4: single-file CSV with optional UTF-8 BOM (utf-8-sig parity).
+
+    ``coalesce(1)`` is correct ONLY for small aggregate outputs (the
+    reference's outputs are ≤126k rows); large tables should use
+    ``write_partitioned``. The BOM is prepended by renaming the part file —
+    a writer detail, not query semantics."""
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    with open(path, "wb") as out:
+        if bom:
+            out.write(b"\xef\xbb\xbf")
+        with open(part, "rb") as src:
+            shutil.copyfileobj(src, out)
+    shutil.rmtree(tmp)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("year",)
+) -> None:
+    """Standard analytical sink: Parquet partitioned by pruning columns."""
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)

@@ -1,0 +1,51 @@
+"""Sink parity: partitioned by-state CSV (S5), single CSV with BOM (S4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.sources.sinks import (
+    write_partitioned,
+    write_single_csv,
+)
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [("1100015", "AM", 2001, 12.5), ("1500012", "PA", 2001, 9.25),
+         ("1100016", "AM", 2002, 3.75)],
+        ["CD_MUN", "UF", "year", "pr"],
+    )
+
+
+def test_write_partitioned_by_state(small_df, tmp_path):
+    out = str(tmp_path / "by_state")
+    write_partitioned(small_df, out, "UF")
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/UF=*"))
+    assert parts == ["UF=AM", "UF=PA"]
+    am_files = glob.glob(f"{out}/UF=AM/*.csv")
+    content = "".join(open(f).read() for f in am_files)
+    assert "1100015" in content and "1100016" in content and "1500012" not in content
+
+
+def test_write_single_csv_bom(small_df, tmp_path):
+    path = str(tmp_path / "out.csv")
+    write_single_csv(small_df.orderBy("CD_MUN"), path, bom=True)
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig parity (annual.py:506)
+    text = raw.decode("utf-8-sig")
+    assert text.splitlines()[0] == "CD_MUN,UF,year,pr"
+    assert len(text.splitlines()) == 4
+
+
+def test_roundtrip_partitioned_read(small_df, tmp_path, spark):
+    out = str(tmp_path / "by_state2")
+    write_partitioned(small_df, out, "UF")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 3
+    assert set(back.select("UF").distinct().toPandas()["UF"]) == {"AM", "PA"}
