@@ -13,10 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amazon_climate_data_etl_spark.operators import climate, joins, relational
+from amazon_climate_data_etl_spark.operators import (
+    climate,
+    dedup,
+    events,
+    joins,
+    relational,
+    similarity,
+    textops,
+)
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
 
-_MODULES = (relational, joins, climate)
+_MODULES = (relational, joins, climate, textops, dedup, similarity, events)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,321 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7
+phase 4): exact, MinHash+LSH, n-gram Jaccard verification, SimHash.
+
+Scale design:
+- Exact dedup is a hash groupBy on the content fingerprint — one shuffle on
+  a high-cardinality key, the cheapest possible form.
+- MinHash LSH is the shingle→minhash→band→bucket-join pipeline: candidate
+  generation shuffles on (band, signature) — tiny keys — NEVER on document
+  pairs; the quadratic blowup is confined to within-bucket joins. This is
+  the standard 100 TB near-dedup shape (the same plan Spark ML's MinHashLSH
+  lowers to, expressed openly so the oracle can check it).
+- SimHash packs a document into a 16-bit fingerprint (portable variant of
+  the usual 64-bit); near-dup candidates join on fingerprint bands and
+  verify by Hamming distance.
+
+All hashing is md5-based (engine-portable), not Spark's xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    tokens,
+)
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+
+N_BANDS = 4  # one minhash per band (banded LSH; tune bands×rows for recall)
+SHINGLE_K = 3
+
+
+def _shingles(text_col) -> "F.Column":
+    """3-token shingles as array<string>; [] for docs with <3 tokens."""
+    toks = tokens(F.trim(text_col))
+    n = F.size(toks)
+    return F.when(
+        n >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+_TOKS_SQL = "string_split_regex(trim(trim(text)), '\\s+')"
+
+
+def _minhash_sigs(df: DataFrame) -> DataFrame:
+    """doc_id → one min-md5 signature per band (banded MinHash)."""
+    sh = df.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+
+    # NB: the lambda must take exactly one parameter — pyspark treats a
+    # 2-arg transform lambda as (element, index)
+    def salted(band: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{band}|"), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("shingles"), salted(b))).alias(f"sig_{b}")
+        for b in range(N_BANDS)
+    ]
+    return sh.select("doc_id", *sigs).filter(F.size("shingles") > 0)
+
+
+def _minhash_sigs_sql() -> str:
+    toks = _TOKS_SQL
+    sh = _SHINGLES_SQL.format(t="toks")
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}|' || s))) AS sig_{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+  SELECT doc_id, {sig_cols}
+  FROM (SELECT doc_id, {sh} AS sh
+        FROM (SELECT doc_id, {toks} AS toks FROM documents))
+  WHERE len(sh) > 0
+"""
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: normalized-content fingerprint → keeper (min
+    doc_id) + duplicate count. Returning groups (not the filtered corpus)
+    keeps the operator composable and the oracle small."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT {doc_fingerprint_sql('text')} AS fp,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keeper_doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs: docs sharing any band signature.
+
+    Plan: per-doc signatures (map-only) → explode to (band, sig) → self
+    equi-join on the band signature → distinct pairs. The shuffle key is the
+    signature, so co-candidates land on one partition and nothing quadratic
+    crosses the wire."""
+    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
+    long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH sigs AS ({_minhash_sigs_sql()}),
+long AS (
+  SELECT doc_id, band, sig FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
+  )
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by true shingle-set Jaccard ≥ 0.12 — the
+    verify stage of candidate-generation→verification near-dedup. Only
+    candidate pairs (not all pairs) pay the set-intersection cost."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", stable_round(jac, 4))
+        .filter(F.col("jaccard") >= 0.12)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sigs AS ({_minhash_sigs_sql()}),
+long AS (
+  SELECT doc_id, band, sig FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+  FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
+             JOIN sh sb ON pairs.doc_b = sb.doc_id
+  WHERE len(sa.s) > 0 AND len(sb.s) > 0
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.12
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit portable variant)
+# ---------------------------------------------------------------------------
+
+_N_BITS = 16
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Bit j of md5(token) is taken from hex digit j (high bit of the nibble:
+    digit >= '8'); tokens vote ±1 per bit; the fingerprint takes the sign.
+    Distinct tokens only (set semantics) so the vote is portable. At 64 bits
+    you'd swap md5 nibbles for xxhash64 bit tests — same plan shape: explode
+    → 16 conditional sums → pack. One shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(_N_BITS)
+    ]
+    packed = None
+    agg = tok.groupBy("doc_id").agg(*votes)
+    for j in range(_N_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h
+  FROM (SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN substr(h, {j+1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}" for j in range(_N_BITS))}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(_N_BITS))} AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates: Hamming distance ≤ 3 on the 16-bit prints.
+
+    Candidates here come from an all-pairs join (fine at oracle scale); the
+    100 TB path joins on byte-bands of the fingerprint first (same
+    band-join shape as MinHash LSH) so only probable pairs meet."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL.replace("ORDER BY doc_id", "")})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_corpus(documents: DataFrame) -> DataFrame:
+    """End-to-end exact dedup: keep the lowest-doc_id copy of each
+    normalized fingerprint. (Library form used by tests; the driver queries
+    expose the group view above.)"""
+    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_pairs": simhash_near_pairs,
+}
+
+ORACLE = {
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "simhash_fingerprints": SIMHASH_SQL,
+    "simhash_near_pairs": SIMHASH_PAIRS_SQL,
+}

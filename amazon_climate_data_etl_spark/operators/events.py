@@ -1,0 +1,205 @@
+"""Event-stream analytics over ``events`` (SURVEY.md §7 phase 4).
+
+The reference is pure batch (§2.9); these operators define the engine's
+time-windowing surface with *batch-checkable* semantics — each has a DuckDB
+oracle — and ``streaming/jobs.py`` runs the same logic as Structured
+Streaming (readStream → window/watermark → writeStream), asserted
+equivalent in tests.
+
+Scale: window aggregation shuffles on (window, key) — bounded keyspace;
+sessionization shuffles on user_id once and sorts within partitions
+(window functions), the same shape Spark's native session_window lowers to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.operators._portable import dsum_sql, stable_round
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type (F.window, the Structured
+    Streaming windowing primitive, run in batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n_events,
+       round({dsum_sql('value')}, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+        .orderBy("win_start")
+    )
+
+
+# oracle: explode the 4 slide offsets per event; window start =
+# floor(epoch/900)*900 - k*900 (epoch-aligned like Spark's window())
+SLIDING_SQL = """
+WITH exploded AS (
+  SELECT e.event_id,
+         to_timestamp((CAST(floor(epoch(e.ts) / 900) AS BIGINT) - k.k) * 900)
+           AT TIME ZONE 'UTC' AS win_start
+  FROM events e, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT CAST(win_start AS TIMESTAMP) AS win_start, count(*) AS n_events
+FROM exploded
+GROUP BY 1
+ORDER BY win_start
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user:
+    lag → new-session flag → running sum = session id; then per-session
+    bounds/counts. This is the composable form of
+    ``F.session_window`` (used in streaming/jobs.py) with oracle parity."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("new_s", new_session)
+        .withColumn("session_id", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — deterministic
+    ``dropDuplicates`` (the streaming twin uses watermarked dropDuplicates;
+    plain dropDuplicates keeps an arbitrary row, so rank explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+EVENT_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing of the props column (semi-structured payloads):
+    extract $.k, bucket it, aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            stable_round(
+                F.sum(F.col("k").cast("decimal(18,0)")).cast("double") / F.count("k"),
+                2,
+            ).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k, min(k) AS k_min, max(k) AS k_max,
+       round(CAST(sum(CAST(k AS DECIMAL(18,0))) AS DOUBLE) / count(k), 2) AS k_avg
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "tumbling_hourly": tumbling_hourly,
+    "sliding_windows": sliding_windows,
+    "session_windows": session_windows,
+    "event_dedup_first": event_dedup_first,
+    "json_props_stats": json_props_stats,
+}
+
+ORACLE = {
+    "tumbling_hourly": TUMBLING_SQL,
+    "sliding_windows": SLIDING_SQL,
+    "session_windows": SESSION_SQL,
+    "event_dedup_first": EVENT_DEDUP_SQL,
+    "json_props_stats": JSON_PROPS_SQL,
+}

@@ -1,0 +1,201 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- Brute-force cosine top-k: the exactness baseline. Candidates broadcast
+  against queries; per-query ranking via row_number. At 100 TB the
+  broadcast side is the (small) query set and the fact side streams —
+  no shuffle of the corpus.
+- Sign-bucket LSH top-k: the scale path — candidate generation restricted
+  to same-bucket vectors (axis-aligned random-hyperplane LSH), turning the
+  cross join into a bucket equi-join.
+
+Numeric portability: all folds run left-to-right in double (zip_with +
+aggregate on the Spark side, list_transform + list_sum on the DuckDB side),
+which makes scores bit-identical — DuckDB's builtin list_cosine_similarity
+accumulates in float32 and is deliberately NOT used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.vectors import (
+    cosine_similarity,
+    sign_bucket,
+    sign_bucket_sql,
+)
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 3
+
+# DuckDB: double-precision left-fold cosine (matches Spark's aggregate fold)
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each probe vector (self-excluded)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            stable_round(F.col("cos"), 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {_cosine_sql('qe', 'ce')} AS cos
+  FROM c CROSS JOIN q
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's sign bucket.
+
+    The 2^4-bucket axis-aligned LSH cuts candidate volume ~16×; recall is
+    approximate by design (the oracle checks the same approximation). At
+    scale: bucket is the shuffle/join key; multi-probe (flip one bit) is
+    the standard recall knob."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            stable_round(F.col("cos"), 6).alias("cosine"),
+            "bucket",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding AS ce, bucket FROM b),
+scored AS (
+  SELECT query_id, cand_id, q.bucket AS bucket, {_cosine_sql('qe', 'ce')} AS cos
+  FROM c JOIN q USING (bucket)
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, bucket, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cosine, bucket
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics: count + mean L2 norm — the sanity
+    profile step before any similarity work."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return (
+        e.select("label", F.sqrt(norm_sq).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            stable_round(
+                F.sum(F.col("norm").cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_STATS_SQL = f"""
+SELECT label, count(*) AS n_vectors,
+       round(CAST(sum(CAST({_NORM.format(a='embedding')} AS DECIMAL(24,12))) AS DOUBLE)
+             / count(*), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_label_stats": embedding_label_stats,
+}
+
+ORACLE = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "embedding_label_stats": EMBEDDING_STATS_SQL,
+}

@@ -1,0 +1,139 @@
+"""Text analysis over the ``documents`` table (SURVEY.md §7 phase 4):
+token counting, quality scoring, language ID, fingerprinting.
+
+All hot-path expressions are native Columns (functions/text.py) — no Python
+in the loop; at 100 TB these run inside whole-stage codegen at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_guess,
+    lang_guess_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc count, token/char volume."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            stable_round(
+                F.sum(toks).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_TOKEN_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       sum({token_count_sql('text')}) AS total_tokens,
+       round(CAST(sum({token_count_sql('text')}) AS DOUBLE) / count(*), 2) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic + keep/drop verdict — the filter step
+    of a training-data pipeline. At scale this is a pure map: no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            q.alias("quality"),
+            (q >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       {token_count_sql('text')} AS n_tokens,
+       {quality_score_sql('text')} AS quality,
+       {quality_score_sql('text')} >= 0.5 AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID vs the stored label: confusion counts.
+    (The heuristic is deliberately SQL-portable; a fastText-style model
+    would slot in as a pandas UDF with the multimodal plumbing pattern.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_guess(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT lang, {lang_guess_sql('text')} AS lang_pred, count(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed fingerprints: md5 of normalized text + a rolling
+    prefix fingerprint (first-64-chars hash) for locality-sensitive grouping."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            doc_fingerprint(F.col("text")).alias("fp"),
+            F.md5(F.substring(F.trim(F.col("text")), 1, 64)).alias("fp_prefix64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {doc_fingerprint_sql('text')} AS fp,
+       md5(substr(trim(text), 1, 64)) AS fp_prefix64
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_scores": doc_quality_scores,
+    "lang_id_confusion": lang_id_confusion,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLE = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality_scores": DOC_QUALITY_SQL,
+    "lang_id_confusion": LANG_ID_SQL,
+    "doc_fingerprints": DOC_FINGERPRINT_SQL,
+}

@@ -1,0 +1,107 @@
+"""Structured Streaming forms of the event operators (operators/events.py).
+
+The reference has no streaming (SURVEY.md §2.9); this is the engine's
+capability extension mapped onto Spark's native streaming model:
+``readStream`` → event-time windows + watermarks → ``writeStream``. Each
+job takes an already-constructed streaming DataFrame with the events schema
+(event_id, ts, user_id, event_type, value, props), so sources are
+pluggable: file source in tests, Kafka in production (same code — swap
+``spark.readStream.format``).
+
+Semantics notes (asserted in tests/test_streaming.py):
+- Watermarks bound state: aggregates drop state for windows older than the
+  watermark; late events beyond it are dropped — the knob that makes
+  infinite streams finite-memory at 100 TB/day rates.
+- ``dropDuplicatesWithinWatermark`` is the streaming twin of the batch
+  event_dedup_first query.
+- ``session_window`` is the native form of the batch lag+cumsum
+  sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+DEFAULT_WATERMARK = "2 hours"
+
+
+def stream_from_json_dir(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of JSON event lines (test/dev source; production
+    swaps in Kafka with the same downstream plan).
+
+    ``max_files_per_trigger=1`` replays file-by-file in separate
+    micro-batches — needed to observe watermark advancement (the watermark
+    only moves between batches)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of operators.events.tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of operators.events.sliding_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Native session windows (twin of the batch lag+cumsum form)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Watermarked exact-once dedup on event_id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drive a streaming query into an in-memory table until the source
+    drains; returns the StreamingQuery (caller reads ``spark.table(name)``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,131 @@
+"""Structured Streaming semantics: the streaming jobs must agree with their
+batch twins on the same data, and watermarks must drop late events."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.streaming.jobs import (
+    dedup_stream,
+    run_to_memory_sink,
+    session_counts,
+    sliding_counts,
+    stream_from_json_dir,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, tmp_path_factory):
+    """Events table exported as JSON lines, ordered by ts (arrival order =
+    event-time order, so the file-source replay is watermark-friendly)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    pdf = load_table(spark, SF, "events").orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].astype(str)
+    with open(d / "part-0.json", "w") as f:
+        for rec in pdf.to_dict("records"):
+            f.write(json.dumps(rec) + "\n")
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_json_dir):
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_to_memory_sink(tumbling_counts(stream), "t_tumbling", mode="complete")
+    got = (
+        spark.table("t_tumbling")
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    assert (got["n_events"].values == want["n_events"].values).all()
+
+
+def test_streaming_sliding_equals_batch(spark, events_json_dir):
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_to_memory_sink(sliding_counts(stream), "t_sliding", mode="complete")
+    got = spark.table("t_sliding").agg(F.sum("n_events")).collect()[0][0]
+    n = load_table(spark, SF, "events").count()
+    assert got == 4 * n  # every event lands in exactly 4 sliding windows
+
+
+def test_streaming_sessions_match_batch_session_count(spark, events_json_dir):
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_to_memory_sink(session_counts(stream), "t_sessions", mode="complete")
+    got = spark.table("t_sessions")
+    from amazon_climate_data_etl_spark.operators.events import session_windows
+
+    want = session_windows(spark, SF)
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("n_events")).collect()[0][0]
+        == want.agg(F.sum("n_events")).collect()[0][0]
+    )
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_json_dir, tmp_path):
+    # duplicate every event: same event_id appears twice in the stream
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    src = open(os.path.join(events_json_dir, "part-0.json")).read()
+    with open(os.path.join(dup_dir, "part-0.json"), "w") as f:
+        f.write(src)
+        f.write(src)
+    stream = stream_from_json_dir(spark, dup_dir)
+    run_to_memory_sink(dedup_stream(stream), "t_dedup")
+    n_unique = load_table(spark, SF, "events").count()
+    assert spark.table("t_dedup").count() == n_unique
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """A 5:30 event arriving after the watermark passed 11:00 must be
+    dropped. NB: the operative filter watermark lags one micro-batch (it is
+    committed at batch end), so the late file is the THIRD batch — observed
+    via numRowsDroppedByWatermark and the absence of the 05:00 window."""
+    import time
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+
+    def ev(i, ts):
+        return {"event_id": i, "ts": ts, "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": "{}"}
+
+    def write(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("a.json", [ev(i, f"2024-01-01 {10 + i}:00:00") for i in range(4)])
+    time.sleep(1.05)  # file source orders batches by mtime
+    write("b.json", [ev(50, "2024-01-01 14:00:00")])
+    time.sleep(1.05)
+    write("c.json", [ev(99, "2024-01-01 05:30:00")])  # late: wm is 11:00 now
+    stream = stream_from_json_dir(spark, d, max_files_per_trigger=1)
+    q = run_to_memory_sink(tumbling_counts(stream, watermark="2 hours"), "t_late")
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    wins = {
+        r["win_start"].strftime("%H:%M"): r["n_events"]
+        for r in spark.table("t_late").collect()
+    }
+    assert "05:00" not in wins
+    assert wins.get("10:00") == 1
