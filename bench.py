@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at one scale factor.
+
+Prints exactly ONE JSON line:
+    {"metric": "total_query_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Env knobs (driver contract):
+    SPARK_GRAFT_SF_DIR  parquet dir, default /root/testdata/sf0.1
+    SPARK_GRAFT_CPUS    local[] core count, default 32
+    BENCH_QUERIES       comma-separated subset (iteration aid)
+    BENCH_REPEAT        timed repetitions per query, report min (default 1)
+
+Each query is executed to completion with a ``noop``-format write: the full
+physical plan runs (scan → shuffle → agg/join) but no rows are shipped to
+the driver, so timings reflect engine throughput, not driver materialization
+— the honest proxy for cluster-scale behavior.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from amazon_climate_data_etl_spark.session import get_spark  # noqa: E402
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_to_completion(df) -> None:
+    # noop sink: executes every stage, discards rows executor-side.
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+
+    entry = _load_entry()
+    queries = entry.queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",")}
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the plan,
+    # not first-touch class loading.
+    _run_to_completion(
+        next(iter(queries.values()))(spark, sf_dir) if queries else None
+    )
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        best = float("inf")
+        for _ in range(max(1, repeat)):
+            t0 = time.perf_counter()
+            _run_to_completion(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
