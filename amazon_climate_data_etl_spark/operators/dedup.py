@@ -34,21 +34,25 @@ SHINGLE_K = 3
 
 
 def _shingles(text_col) -> "F.Column":
-    """3-token shingles as array<string>; [] for docs with <3 tokens."""
+    """3-token shingles as array<string>; [] for docs with <3 tokens.
+
+    Built by zipping the token array with its two shifted slices, NOT by
+    ``transform(sequence(...), i -> element_at(toks, i+k))``: a lambda that
+    captures the outer token expression re-evaluates the regex tokenizer per
+    element (no CSE inside higher-order functions) — measured 12× slower.
+    Here ``toks`` is referenced a constant 4 times regardless of length."""
     toks = tokens(F.trim(text_col))
     n = F.size(toks)
-    return F.when(
-        n >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    big = 1 << 30  # "to end of array" slice length
+    z = F.arrays_zip(
+        toks.alias("a"),
+        F.slice(toks, 2, big).alias("b"),
+        F.slice(toks, 3, big).alias("c"),
+    )
+    return F.transform(
+        F.slice(z, 1, F.greatest(n - (SHINGLE_K - 1), F.lit(0))),
+        lambda s: F.concat_ws(" ", s["a"], s["b"], s["c"]),
+    )
 
 
 _SHINGLES_SQL = (
@@ -59,19 +63,24 @@ _TOKS_SQL = "string_split_regex(trim(trim(text)), '\\s+')"
 
 
 def _minhash_sigs(df: DataFrame) -> DataFrame:
-    """doc_id → one min-md5 signature per band (banded MinHash)."""
+    """doc_id → one min-md5 signature per band (banded MinHash).
+
+    Shape: build the shingle array ONCE, explode, then take the per-band
+    minimum as 4 hash aggregates. The agg is map-side combinable (partial
+    min per partition), so the shuffle carries one row per (doc, partition)
+    — not the shingle stream. The alternative (N array_min(transform(...))
+    projections over a shared shingle column) looks map-only but Catalyst's
+    projection collapse re-inlines the shingle expression into every
+    signature column, recomputing tokenize+shingle N+1 times — measured 5×
+    slower. Docs with no shingles drop out via explode, matching the
+    reference's skip-on-empty semantics (P8)."""
     sh = df.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-
-    # NB: the lambda must take exactly one parameter — pyspark treats a
-    # 2-arg transform lambda as (element, index)
-    def salted(band: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{band}|"), s))
-
-    sigs = [
-        F.array_min(F.transform(F.col("shingles"), salted(b))).alias(f"sig_{b}")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"sig_{b}")
         for b in range(N_BANDS)
     ]
-    return sh.select("doc_id", *sigs).filter(F.size("shingles") > 0)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sigs_sql() -> str:
@@ -265,19 +274,40 @@ ORDER BY doc_id
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: Hamming distance ≤ 3 on the 16-bit prints.
 
-    Candidates here come from an all-pairs join (fine at oracle scale); the
-    100 TB path joins on byte-bands of the fingerprint first (same
-    band-join shape as MinHash LSH) so only probable pairs meet."""
+    Pairing happens in FINGERPRINT space, not document space: docs collapse
+    onto far fewer distinct 16-bit prints (877 for 5,000 docs on the test
+    corpus; ≤ 65,536 always), qualifying print-pairs come from a broadcast
+    nested-loop over the distinct prints, and doc pairs are recovered by two
+    equi-joins back onto the doc→print table. The quadratic term is
+    |distinct prints|², independent of corpus size — at 100 TB the doc→print
+    map stays a linear scan. (With 64-bit prints the print space itself gets
+    large; there the print-pair step becomes a banded-LSH equi-join on
+    16-bit sub-bands — pigeonhole-exact for hamming ≤ 3 — with the same
+    doc expansion afterwards.)"""
     fp = simhash_fingerprints(spark, sf_dir)
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    prints = fp.select("simhash").distinct()
+    pa = prints.select(F.col("simhash").alias("fp_a"))
+    pb = prints.select(F.col("simhash").alias("fp_b"))
     ham = F.expr("bit_count(fp_a ^ fp_b)")
+    print_pairs = pa.join(
+        F.broadcast(pb),
+        (F.col("fp_a") <= F.col("fp_b")) & (ham <= 3),
+    )
+    da = fp.select(F.col("doc_id").alias("da"), F.col("simhash").alias("fp_a"))
+    db = fp.select(F.col("doc_id").alias("db"), F.col("simhash").alias("fp_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        F.broadcast(print_pairs)
+        .join(da, "fp_a")
+        .join(db, "fp_b")
+        # fp_a < fp_b: every (da,db) combo appears exactly once, order
+        # normalized below; fp_a = fp_b: keep da < db so in-group pairs
+        # emit exactly once.
+        .filter((F.col("fp_a") < F.col("fp_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

@@ -153,7 +153,6 @@ def grid_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     fact = e.select(
-        "event_id",
         "value",
         grid_snap(F.col("value"), 25.0).alias("grid_cell"),
     )
@@ -161,13 +160,20 @@ def grid_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         grid_snap(F.col("c_acctbal") / 100.0, 25.0).alias("grid_cell"),
     )
+    # Aggregation pushdown below the join: grid_cell is low-cardinality, so
+    # joining raw facts to probes first is a many-to-many blow-up (every
+    # probe in a cell × every fact in that cell) that the groupBy then
+    # re-collapses. Aggregating the fact per cell FIRST reduces 100 TB of
+    # facts to |cells| rows map-side (partial hash agg), and the join
+    # becomes broadcast-tiny. Result is identical because each probe's
+    # answer depends only on its cell's totals.
+    cell_stats = fact.groupBy("grid_cell").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_round(dsum(F.col("value")), 2).alias("sum_value"),
+    )
     return (
-        fact.join(F.broadcast(probes), "grid_cell")
-        .groupBy("c_custkey", "grid_cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            stable_round(dsum(F.col("value")), 2).alias("sum_value"),
-        )
+        probes.join(F.broadcast(cell_stats), "grid_cell")
+        .select("c_custkey", "grid_cell", "n_events", "sum_value")
         .orderBy("c_custkey")
     )
 
@@ -194,17 +200,25 @@ def nn_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     dist = F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
-    w = Window.partitionBy("c_custkey").orderBy(
-        dist.asc(), F.col("s_suppkey").asc()
-    )
+    # top-1-per-group as a hash aggregate, not a window: min_by over a
+    # lexicographic (dist, s_suppkey) struct gives the same deterministic
+    # tie-break as row_number()-over-order-by, but aggregates map-side
+    # (partial min per partition) instead of shuffling + sorting the full
+    # |probes|×|candidates| cross product — the difference between O(n·m)
+    # shuffle bytes and O(n) at cluster scale.
     return (
         c.crossJoin(F.broadcast(s))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("c_custkey")
+        .agg(
+            F.min_by(
+                F.struct(F.col("s_suppkey"), dist.alias("dist")),
+                F.struct(dist.alias("d"), F.col("s_suppkey")),
+            ).alias("best")
+        )
         .select(
             "c_custkey",
-            "s_suppkey",
-            stable_round(dist, 2).alias("dist"),
+            F.col("best.s_suppkey").alias("s_suppkey"),
+            stable_round(F.col("best.dist"), 2).alias("dist"),
         )
         .orderBy("c_custkey")
     )
