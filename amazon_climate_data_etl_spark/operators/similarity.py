@@ -188,14 +188,62 @@ ORDER BY label
 """
 
 
+NEARDUP_COS = 0.45  # synthetic corpus is near-orthogonal; production ~0.95
+
+
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector member of the dedup
+    family, alongside exact/minhash/simhash in operators.dedup).
+
+    Candidate generation is the sign-bucket LSH equi-join — two vectors can
+    only be near-duplicates if they land in the same hyperplane bucket, so
+    the all-pairs cross join never materializes; the cosine filter then
+    verifies. Same candidate→verify shape as MinHash LSH: the shuffle key is
+    the bucket, the quadratic cost is confined within buckets. At 100 TB you
+    widen to multi-probe buckets for recall and keep this exact plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("eb"))
+    return (
+        b.join(rhs, "bucket")
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .withColumn("cosine", stable_round(cos, 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select(F.col("vec_id").alias("vec_a"), "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         round({_cosine_sql('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_label_stats": embedding_label_stats,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLE = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_label_stats": EMBEDDING_STATS_SQL,
+    "embedding_cosine_neardup": EMBEDDING_NEARDUP_SQL,
 }
