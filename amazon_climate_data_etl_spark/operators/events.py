@@ -188,12 +188,75 @@ ORDER BY event_type
 """
 
 
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the user's most recent click at or
+    before it (an operator Spark lacks natively; pandas merge_asof /
+    kdb aj / QuestDB ASOF JOIN semantics).
+
+    Implemented as the sort-based union form: both sides interleave in one
+    stream ordered by (ts, side, id) within each user; a running
+    ``last(click_ts, ignorenulls)`` window carries the most recent click
+    forward onto every purchase row. One shuffle on the join key, no
+    range-correlated subquery, no per-key blow-up — the plan a dedicated
+    as-of join operator would produce, expressed with stock exchanges. At
+    100 TB both sides stream through a single sort-merge pass per key
+    partition; skewed users split fine because the state is one value."""
+    e = load_table(spark, sf_dir, "events")
+    sub = e.filter(F.col("event_type").isin("click", "purchase"))
+    # clicks sort before purchases at equal ts => at-or-before semantics
+    side = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), side, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        sub.withColumn(
+            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
+                "gap_us"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH sub AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+j AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_ts
+  FROM sub
+)
+SELECT event_id, user_id, ts, last_click_ts,
+       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+FROM j
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "tumbling_hourly": tumbling_hourly,
     "sliding_windows": sliding_windows,
     "session_windows": session_windows,
     "event_dedup_first": event_dedup_first,
     "json_props_stats": json_props_stats,
+    "asof_join_purchases": asof_join_purchases,
 }
 
 ORACLE = {
@@ -202,4 +265,5 @@ ORACLE = {
     "session_windows": SESSION_SQL,
     "event_dedup_first": EVENT_DEDUP_SQL,
     "json_props_stats": JSON_PROPS_SQL,
+    "asof_join_purchases": ASOF_SQL,
 }
