@@ -91,6 +91,47 @@ def test_streaming_dedup_drops_duplicates(spark, events_json_dir, tmp_path):
     assert spark.table("t_dedup").count() == n_unique
 
 
+def test_stateful_running_totals_across_batches(spark, events_json_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    replaying the corpus split in two files (one per batch) must end at the
+    same totals as the batch groupBy, and users present in both halves must
+    show monotonically growing counts (proof state actually persisted)."""
+    import time
+
+    from amazon_climate_data_etl_spark.streaming.jobs import running_user_totals
+
+    d = str(tmp_path / "split")
+    os.makedirs(d)
+    lines = open(os.path.join(events_json_dir, "part-0.json")).read().splitlines()
+    half = len(lines) // 2
+    with open(os.path.join(d, "a.json"), "w") as f:
+        f.write("\n".join(lines[:half]))
+    time.sleep(1.05)  # file source orders batches by mtime
+    with open(os.path.join(d, "b.json"), "w") as f:
+        f.write("\n".join(lines[half:]))
+
+    stream = stream_from_json_dir(spark, d, max_files_per_trigger=1)
+    run_to_memory_sink(running_user_totals(stream), "t_state", mode="update")
+    got = spark.table("t_state").toPandas()
+
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    final = got.loc[got.groupby("user_id")["n_events"].idxmax()].set_index("user_id")
+    wanted = want.set_index("user_id")
+    assert (final["n_events"].sort_index() == wanted["n_events"].sort_index()).all()
+    assert (
+        (final["total_value"].sort_index() - wanted["total_value"].sort_index()).abs()
+        < 1e-6
+    ).all()
+    # at least one user appears in both batches with growing state
+    multi = got.groupby("user_id").size()
+    assert (multi == 2).any()
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """A 5:30 event arriving after the watermark passed 11:00 must be
     dropped. NB: the operative filter watermark lags one micro-batch (it is
