@@ -84,18 +84,25 @@ def _agg_exprs() -> list:
     return exprs
 
 
-def annual_pipeline(daily: DataFrame) -> DataFrame:
-    """Annual aggregate (process_climate_amazon_annual.py:336-357,494-503).
-
-    The reference leaves annual row order nondeterministic (as_completed
-    order, O3); we sort deterministically — consumers get stable output."""
+def _annual_frame(daily: DataFrame) -> DataFrame:
+    """Annual aggregate without the output sort — the form downstream
+    operators (state metrics, spot checks) compose over, so the range
+    exchange for ordering is paid only by queries that actually emit
+    ordered output."""
     return (
         daily.withColumn("year", F.year("date"))
         .groupBy("CD_MUN", "NM_MUN", "UF", "year")
         .agg(*_agg_exprs())
         .select(*OUTPUT_ORDER_ANNUAL)
-        .orderBy("CD_MUN", "year")
     )
+
+
+def annual_pipeline(daily: DataFrame) -> DataFrame:
+    """Annual aggregate (process_climate_amazon_annual.py:336-357,494-503).
+
+    The reference leaves annual row order nondeterministic (as_completed
+    order, O3); we sort deterministically — consumers get stable output."""
+    return _annual_frame(daily).orderBy("CD_MUN", "year")
 
 
 def monthly_pipeline(daily: DataFrame) -> DataFrame:
@@ -215,12 +222,21 @@ def climate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annual_monthly_rollup(daily)
 
 
+def _annual_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _annual_frame(
+        daily_enriched(
+            synthetic_grid_daily(spark, sf_dir),
+            synthetic_municipalities(spark, sf_dir),
+        )
+    )
+
+
 def climate_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return state_split_metrics(climate_annual(spark, sf_dir))
+    return state_split_metrics(_annual_unsorted(spark, sf_dir))
 
 
 def climate_spot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spot_check(climate_annual(spark, sf_dir), "1100016", 1999)
+    return spot_check(_annual_unsorted(spark, sf_dir), "1100016", 1999)
 
 
 # --- oracle SQL ------------------------------------------------------------
