@@ -226,8 +226,8 @@ ORDER BY doc_a, doc_b
 _N_BITS = 16
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document.
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 16-bit SimHash, unsorted (composable form).
 
     Bit j of md5(token) is taken from hex digit j (high bit of the nibble:
     digit >= '8'); tokens vote ±1 per bit; the fingerprint takes the sign.
@@ -249,7 +249,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_N_BITS):
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
-    return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (see _simhash_frame), ordered output."""
+    return _simhash_frame(spark, sf_dir).orderBy("doc_id")
 
 
 SIMHASH_SQL = f"""
@@ -283,22 +288,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map stays a linear scan. (With 64-bit prints the print space itself gets
     large; there the print-pair step becomes a banded-LSH equi-join on
     16-bit sub-bands — pigeonhole-exact for hamming ≤ 3 — with the same
-    doc expansion afterwards.)"""
-    fp = simhash_fingerprints(spark, sf_dir)
-    prints = fp.select("simhash").distinct()
-    pa = prints.select(F.col("simhash").alias("fp_a"))
-    pb = prints.select(F.col("simhash").alias("fp_b"))
-    ham = F.expr("bit_count(fp_a ^ fp_b)")
-    print_pairs = pa.join(
-        F.broadcast(pb),
-        (F.col("fp_a") <= F.col("fp_b")) & (ham <= 3),
+    doc expansion afterwards.)
+
+    The doc lists ride THROUGH the print-pair join as collect_list arrays,
+    so the fingerprint aggregation subtree is evaluated once — not once per
+    re-join of the fingerprint table (measured 3× the cost)."""
+    groups = (
+        _simhash_frame(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("docs"))
     )
-    da = fp.select(F.col("doc_id").alias("da"), F.col("simhash").alias("fp_a"))
-    db = fp.select(F.col("doc_id").alias("db"), F.col("simhash").alias("fp_b"))
+    a = groups.select(F.col("simhash").alias("fp_a"), F.col("docs").alias("docs_a"))
+    b = groups.select(F.col("simhash").alias("fp_b"), F.col("docs").alias("docs_b"))
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
     return (
-        F.broadcast(print_pairs)
-        .join(da, "fp_a")
-        .join(db, "fp_b")
+        a.join(F.broadcast(b), (F.col("fp_a") <= F.col("fp_b")) & (ham <= 3))
+        .select("fp_a", "fp_b", F.explode("docs_a").alias("da"), "docs_b")
+        .select("fp_a", "fp_b", "da", F.explode("docs_b").alias("db"))
         # fp_a < fp_b: every (da,db) combo appears exactly once, order
         # normalized below; fp_a = fp_b: keep da < db so in-group pairs
         # emit exactly once.
@@ -308,7 +314,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("da", "db").alias("doc_b"),
             F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
         )
-        .orderBy("doc_a", "doc_b")
+        # No global sort: the pair stream is the large output here (7.4M
+        # rows at sf0.1 — quadratic in cluster sizes); a candidate stream
+        # feeds a downstream verify/group stage that re-shuffles anyway.
     )
 
 

