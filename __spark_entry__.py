@@ -23,8 +23,9 @@ from amazon_climate_data_etl_spark.operators import (
     textops,
 )
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
+from amazon_climate_data_etl_spark.sources import multimodal
 
-_MODULES = (relational, joins, climate, textops, dedup, similarity, events)
+_MODULES = (relational, joins, climate, textops, dedup, similarity, events, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

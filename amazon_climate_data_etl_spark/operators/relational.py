@@ -513,8 +513,27 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable variant of A4 (countDistinct, SURVEY.md §2.4): HyperLogLog++
+    sketch via ``approx_count_distinct`` beside the exact count. At 100 TB
+    the exact form shuffles every distinct key; the sketch is fixed-size
+    per group and merges map-side. Registered WITHOUT a SQL oracle — HLL
+    implementations differ across engines, so the driver records the
+    rows-only check; the test suite bounds the sketch error vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "approx_distinct_users": approx_distinct_users,
     "monthly_agg": monthly_agg,
     "rollup_year_month": rollup_year_month,
     "filter_in_list": filter_in_list,

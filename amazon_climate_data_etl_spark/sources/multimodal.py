@@ -116,6 +116,22 @@ def media_summary(features: DataFrame) -> DataFrame:
     )
 
 
+def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: full multimodal chain — synthesize binary
+    media, Arrow-batched decode/feature-extract (mapInPandas), typed
+    metadata aggregation. Deterministic output; registered WITHOUT a SQL
+    oracle (the decode kernel is not SQL-expressible) so the driver records
+    the rows-only check. ``sf_dir`` is unused: media is synthesized, the
+    operator surface (schema, batch shape, shuffle profile) is the thing
+    under test."""
+    media = synthetic_media(spark, n=96)
+    return media_summary(extract_features(media))
+
+
+QUERIES = {"media_feature_summary": media_feature_summary}
+ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
+
+
 def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench (binary payloads of
     varying size and compressibility)."""
