@@ -124,13 +124,15 @@ ORDER BY keeper_doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH candidate pairs: docs sharing any band signature.
+def _minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted banded-LSH candidate pairs (composable form).
 
     Plan: per-doc signatures (map-only) → explode to (band, sig) → self
     equi-join on the band signature → distinct pairs. The shuffle key is the
     signature, so co-candidates land on one partition and nothing quadratic
-    crosses the wire."""
+    crosses the wire. No global sort here: the pair stream is the LARGE
+    intermediate, and every downstream consumer (Jaccard verify, group
+    assembly) re-shuffles it anyway."""
     sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
     long = sigs.select(
         "doc_id",
@@ -150,8 +152,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs (see _minhash_pairs_frame),
+    ordered output for the driver contract."""
+    return _minhash_pairs_frame(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 MINHASH_PAIRS_SQL = f"""
@@ -175,7 +182,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
     ).filter(F.size("sh") > 0)
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_frame(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

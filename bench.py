@@ -65,9 +65,17 @@ def main() -> None:
 
     # Warm the JVM/codegen paths once so per-query numbers measure the plan,
     # not first-touch class loading.
-    _run_to_completion(
-        next(iter(queries.values()))(spark, sf_dir) if queries else None
+    if queries:
+        _run_to_completion(next(iter(queries.values()))(spark, sf_dir))
+    # Also warm the Python-worker boundary (daemon fork, pandas/numpy import,
+    # --py-files package ship): otherwise the alphabetically-first pandas-UDF
+    # query absorbs ~15 s of one-time pool startup that is not its plan cost.
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        extract_features,
+        synthetic_media,
     )
+
+    _run_to_completion(extract_features(synthetic_media(spark, n=32)))
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
