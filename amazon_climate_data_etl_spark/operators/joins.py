@@ -95,6 +95,64 @@ LIMIT 10
 """
 
 
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join pipeline (TPC-H Q5 shape): local-supplier revenue per
+    nation — customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with
+    the extra c_nationkey = s_nationkey locality predicate.
+
+    Plan shape at scale: region/nation/supplier broadcast (no fact shuffle
+    for the dim edges); the only exchanges are the orders⋈lineitem equi-join
+    on orderkey and the final 5-group agg. The date range is pushed to the
+    orders scan and the region filter prunes the broadcast side before it
+    ships."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI: customers that have at least one high-priority order."""
     c = load_table(spark, sf_dir, "customer")
@@ -294,6 +352,7 @@ def nn_join_sorted_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_enrich_revenue": join_enrich_revenue,
     "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
     "semi_join_customers": semi_join_customers,
     "anti_join_customers": anti_join_customers,
     "grid_snap_join": grid_snap_join,
@@ -304,6 +363,7 @@ QUERIES = {
 ORACLE = {
     "join_enrich_revenue": JOIN_ENRICH_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "q5_supplier_volume": Q5_SQL,
     "semi_join_customers": SEMI_SQL,
     "anti_join_customers": ANTI_SQL,
     "grid_snap_join": GRID_SNAP_SQL,

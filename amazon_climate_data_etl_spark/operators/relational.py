@@ -513,6 +513,119 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-customer trailing-30-day order
+    revenue. The frame is value-based (all orders within 30 days), not
+    row-based — same-day peer rows aggregate together in both engines.
+    Spark's rangeBetween needs a numeric sort key, so order time becomes
+    days-since-epoch; at scale this is a single window shuffle on
+    o_custkey, no self-join (the naive form is a range self-join that
+    re-scans the fact per row)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    trailing = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            stable_round(trailing, 2).alias("rev_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 2) AS rev_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping-set combinations of the
+    orders roll — per cell, per status, per priority, grand total — in one
+    shuffle (the expand is map-side; each row fans out 4× before the
+    partial agg, not after)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            stable_round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       round({dsum_sql('o_totalprice')}, 2) AS revenue,
+       count(*) AS n_orders,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation: lineitem grouped by
+    l_returnflag — 3 distinct values over the whole fact, the canonical
+    pathological skew key (every row of a 100 TB table lands on 3 reducers
+    in the naive plan).
+
+    Stage 1 salts the key with a deterministic hash of l_orderkey (64
+    buckets) and computes partial sums per (key, salt) — map-side
+    combinable, uniformly spread. Stage 2 re-aggregates the ≤ 3×64 partial
+    rows. Decimal partials keep the two-stage sum bit-identical to the
+    direct form, so the oracle is the PLAIN group-by: salting must be
+    invisible in the result. (Spark's AQE skew handling covers joins, not
+    aggregations — agg salting stays a hand pattern.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(64))
+    partial = (
+        li.groupBy("l_returnflag", salt.alias("salt"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("p_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("p_price"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            stable_round(
+                F.sum("p_price").cast("double") / F.sum("p_n"), 2
+            ).alias("avg_price"),
+            F.sum("p_n").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALTED_AGG_SQL = f"""
+SELECT l_returnflag,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       round({davg_sql('l_extendedprice')}, 2) AS avg_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable variant of A4 (countDistinct, SURVEY.md §2.4): HyperLogLog++
     sketch via ``approx_count_distinct`` beside the exact count. At 100 TB
@@ -549,6 +662,9 @@ QUERIES = {
     "window_top1_per_group": window_top1_per_group,
     "window_lag_delta": window_lag_delta,
     "window_rolling_avg": window_rolling_avg,
+    "window_range_30d": window_range_30d,
+    "cube_status_priority": cube_status_priority,
+    "salted_group_agg": salted_group_agg,
 }
 
 ORACLE = {
@@ -568,4 +684,7 @@ ORACLE = {
     "window_top1_per_group": WINDOW_TOP1_SQL,
     "window_lag_delta": WINDOW_LAG_SQL,
     "window_rolling_avg": WINDOW_ROLLING_SQL,
+    "window_range_30d": WINDOW_RANGE_SQL,
+    "cube_status_priority": CUBE_SQL,
+    "salted_group_agg": SALTED_AGG_SQL,
 }

@@ -48,6 +48,15 @@ _PLAN_BOUNDS = {
     # band signatures shuffle on (band, sig), docs never pair across the wire
     "minhash_lsh_pairs": (3, 1),
     "exact_dedup": (2, 0),
+    # 6-table chain: 3 dims broadcast; orderkey join + agg + sort bound the
+    # exchanges (at dim scale the orderkey join broadcasts too)
+    "q5_supplier_volume": (3, 3),
+    # expand fans out map-side BEFORE the single agg shuffle; + final sort
+    "cube_status_priority": (2, 0),
+    # salt shuffle (key,salt) + final shuffle (key) + sort — and never more
+    "salted_group_agg": (3, 0),
+    # one window shuffle on o_custkey + final sort; no self-join
+    "window_range_30d": (2, 0),
 }
 
 
