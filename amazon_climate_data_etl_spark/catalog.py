@@ -58,6 +58,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across cores before a SUPER-LINEAR operator.
+
+    Parallelism of a map/cross-join/explode stage equals the stream side's
+    partition count, and a parquet file is splittable only at row-group
+    boundaries — a small table (or one written as a single row group)
+    arrives as ONE task, serializing the downstream O(n²)/O(n·m) work on a
+    single core. When the scan has fewer splits than the session's
+    parallelism, shuffle the LINEAR side once (cheap by definition — it's
+    the small pre-blowup stream) so the quadratic stage fans out. No-op on
+    well-split inputs, which is what a 100 TB table's scan looks like.
+
+    Use before cross products, within-bucket pair joins, and large explodes.
+    Do NOT use on linear scan→agg spines: there the extra exchange is pure
+    loss and Spark's partial aggregation already minimizes the shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

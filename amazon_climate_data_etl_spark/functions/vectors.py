@@ -31,6 +31,11 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # NOTE: unrolling the fold into an explicit a[1]*b[1] + … + a[64]*b[64]
+    # chain was measured ~2× SLOWER than the HOF fold on the pair stream —
+    # 64 element_at calls (each with null+bounds branches) blow past the
+    # codegen method-size limit and fall back to interpreted eval. Keep the
+    # fold; fix pair-stream cost with parallelism, not expression shape.
 
 
 # ANSI-SQL (DuckDB) twins -------------------------------------------------

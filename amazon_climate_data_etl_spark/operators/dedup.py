@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.text import (
     doc_fingerprint,
     doc_fingerprint_sql,
@@ -73,8 +73,11 @@ def _minhash_sigs(df: DataFrame) -> DataFrame:
     projection collapse re-inlines the shingle expression into every
     signature column, recomputing tokenize+shingle N+1 times — measured 5×
     slower. Docs with no shingles drop out via explode, matching the
-    reference's skip-on-empty semantics (P8)."""
-    sh = df.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    reference's skip-on-empty semantics (P8). The tokenize→shingle→md5
+    explode is the expensive stage: rebalance the doc scan so it fans out."""
+    sh = rebalance_for_compute(df).select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"sig_{b}")
@@ -178,7 +181,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard ≥ 0.12 — the
     verify stage of candidate-generation→verification near-dedup. Only
     candidate pairs (not all pairs) pay the set-intersection cost."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -241,7 +244,7 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct tokens only (set semantics) so the vote is portable. At 64 bits
     you'd swap md5 nibbles for xxhash64 bit tests — same plan shape: explode
     → 16 conditional sums → pack. One shuffle on doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
     ).withColumn("h", F.md5("tok"))

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.climate import grid_snap, grid_snap_sql
 from amazon_climate_data_etl_spark.operators._portable import dsum, dsum_sql, stable_round
 
@@ -272,6 +272,10 @@ def nn_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(dist * 100).cast("long")
     packed = cents * F.lit(10_000_000) + F.col("s_suppkey")
     best = F.min(packed).alias("best")
+    # the |probes|×|candidates| blowup parallelizes with the probe side's
+    # splits; rebalance the (linear) probe scan so one input file doesn't
+    # serialize the whole cross product on a single core
+    c = rebalance_for_compute(c)
     return (
         c.crossJoin(F.broadcast(s))
         .groupBy("c_custkey")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.vectors import (
     cosine_similarity,
     sign_bucket,
@@ -219,6 +219,10 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / F.sqrt(norm_sq)
         ).alias("en"),
     )
+    # within-bucket pair scoring parallelizes with the stream side's
+    # partitioning (the other side broadcasts); rebalance so one input
+    # split doesn't serialize the O(n²/B) stage on a single core
+    normed = rebalance_for_compute(normed)
     rhs = normed.select(
         F.col("vec_id").alias("vec_b"), F.col("en").alias("ebn"), "bucket"
     )

@@ -41,12 +41,15 @@ _PLAN_BOUNDS = {
     "climate_annual": (2, 1),
     "climate_monthly": (2, 1),
     "climate_rollup": (2, 1),
-    # cross product aggregated map-side, never sorted
-    "nn_join_general": (2, 1),
+    # cross product aggregated map-side, never sorted; +1 exchange from the
+    # probe-side rebalance (catalog.rebalance_for_compute)
+    "nn_join_general": (3, 1),
     "semi_join_customers": (1, 1),
     "anti_join_customers": (1, 1),
-    # band signatures shuffle on (band, sig), docs never pair across the wire
-    "minhash_lsh_pairs": (3, 1),
+    # band signatures shuffle on (band, sig), docs never pair across the
+    # wire; both self-join sides print their sig-pipeline exchanges in the
+    # static plan (2× rebalance + 2× doc_id agg) + final sort = 5
+    "minhash_lsh_pairs": (5, 1),
     "exact_dedup": (2, 0),
     # 6-table chain: 3 dims broadcast; orderkey join + agg + sort bound the
     # exchanges (at dim scale the orderkey join broadcasts too)
