@@ -126,6 +126,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small) dimension
+    table on user_id. The static side is broadcast per micro-batch — no
+    stream state, no watermark needed (only stream-stream joins hold join
+    state). This is the streaming form of the batch J3 dimension
+    enrichment; at production rates the dim refreshes by swapping the
+    DataFrame between restarts, or a Delta table picks up updates live."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def click_purchase_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a preceding
+    click by the same user within ``within``.
+
+    Both sides carry watermarks AND the join condition bounds event-time
+    distance — together they let Spark expire join state (a click's state
+    can drop once the watermark passes click_ts + within). Without the
+    interval bound the state store grows without limit; this is the
+    canonical shape for attribution joins on unbounded streams."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query into an in-memory table until the source
     drains; returns the StreamingQuery (caller reads ``spark.table(name)``)."""

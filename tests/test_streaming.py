@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.streaming.jobs import (
+    click_purchase_join,
     dedup_stream,
+    enrich_with_static_dim,
     run_to_memory_sink,
     session_counts,
     sliding_counts,
@@ -130,6 +132,56 @@ def test_stateful_running_totals_across_batches(spark, events_json_dir, tmp_path
     # at least one user appears in both batches with growing state
     multi = got.groupby("user_id").size()
     assert (multi == 2).any()
+
+
+def test_stream_static_join_equals_batch(spark, events_json_dir):
+    """Stream-static enrichment must match the batch join row-for-row, and
+    users missing from the dim must survive (left join semantics)."""
+    events = load_table(spark, SF, "events")
+    dim = (
+        events.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have a dim row
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_to_memory_sink(enrich_with_static_dim(stream, dim), "t_enrich")
+    got = spark.table("t_enrich")
+    assert got.count() == events.count()  # left join: nothing dropped
+    want_gold = (
+        events.join(dim, "user_id").filter(F.col("tier") == "gold").count()
+    )
+    assert got.filter(F.col("tier") == "gold").count() == want_gold
+
+
+def test_stream_stream_join_equals_batch(spark, events_json_dir):
+    """The streaming interval join must produce exactly the pairs the batch
+    form of the same predicate produces on the same data."""
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_to_memory_sink(click_purchase_join(stream), "t_ssj")
+    got = spark.table("t_ssj")
+
+    e = load_table(spark, SF, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0  # the corpus actually exercises the join
+    got_pairs = {(r.click_id, r.purchase_id) for r in got.collect()}
+    want_pairs = {(r.click_id, r.purchase_id) for r in want.collect()}
+    assert got_pairs == want_pairs
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
