@@ -250,8 +250,43 @@ ORDER BY event_id
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-day event counts, one column per event type
+    (the inverse of the reference's 7-way series assembly J2 — there the
+    wide frame is built from per-variable series; here from a long stream).
+
+    The pivot VALUES are passed explicitly: without them Spark runs an
+    extra distinct-collection job over the whole fact to discover the
+    column set — at 100 TB that is a full scan spent inferring what the
+    schema should have declared."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+    # pivot leaves NULL where a (day, type) cell had no rows; a count is 0
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES = {
     "tumbling_hourly": tumbling_hourly,
+    "pivot_daily_activity": pivot_daily_activity,
     "sliding_windows": sliding_windows,
     "session_windows": session_windows,
     "event_dedup_first": event_dedup_first,
@@ -261,6 +296,7 @@ QUERIES = {
 
 ORACLE = {
     "tumbling_hourly": TUMBLING_SQL,
+    "pivot_daily_activity": PIVOT_SQL,
     "sliding_windows": SLIDING_SQL,
     "session_windows": SESSION_SQL,
     "event_dedup_first": EVENT_DEDUP_SQL,

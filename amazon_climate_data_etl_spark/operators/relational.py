@@ -513,6 +513,43 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers who placed BOTH an urgent and a
+    finished order. Completes the set-op family (U1 union is the only one
+    the reference uses, §2.7). Lowers to a left-semi hash join over
+    deduplicated sides — one shuffle per side on the compared key."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(finished).orderBy("o_custkey")
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): urgent-order customers who never completed an
+    order — the relational complement of the P8 skip-and-report path."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll is the bag-semantics variant)
+    return urgent.subtract(finished).orderBy("o_custkey")
+
+
+EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
 def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: per-customer trailing-30-day order
     revenue. The frame is value-based (all orders within 30 days), not
@@ -665,6 +702,8 @@ QUERIES = {
     "window_range_30d": window_range_30d,
     "cube_status_priority": cube_status_priority,
     "salted_group_agg": salted_group_agg,
+    "intersect_custkeys": intersect_custkeys,
+    "except_custkeys": except_custkeys,
 }
 
 ORACLE = {
@@ -687,4 +726,6 @@ ORACLE = {
     "window_range_30d": WINDOW_RANGE_SQL,
     "cube_status_priority": CUBE_SQL,
     "salted_group_agg": SALTED_AGG_SQL,
+    "intersect_custkeys": INTERSECT_SQL,
+    "except_custkeys": EXCEPT_SQL,
 }
