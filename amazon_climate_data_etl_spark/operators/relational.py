@@ -27,6 +27,7 @@ from amazon_climate_data_etl_spark.operators._portable import (
     dsum,
     dsum_sql,
     stable_round,
+    stable_round_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -550,6 +551,132 @@ ORDER BY o_custkey
 """
 
 
+def left_join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched build-side rows: every customer
+    with their urgent-order count/spend, customers without urgent orders
+    kept with zeros. The reference never needs outer joins (its J-NN lookup
+    always matches a grid cell), but P8's skip-and-report semantics are the
+    outer join's null path in disguise.
+
+    Scale shape: aggregate orders FIRST (one shuffle on o_custkey with
+    map-side partial combine), then join the small per-customer aggregate —
+    never outer-join the raw fact and aggregate after, which would shuffle
+    every order row through the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            stable_round(dsum(F.col("o_totalprice")), 2).alias("spent"),
+        )
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("cnt", F.lit(0)).alias("urgent_orders"),
+            F.coalesce("spent", F.lit(0.0)).alias("urgent_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+LEFT_JOIN_GAPS_SQL = f"""
+SELECT c_custkey, c_mktsegment,
+       coalesce(cnt, 0) AS urgent_orders,
+       coalesce(spent, 0.0) AS urgent_spent
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt,
+         {stable_round_sql(dsum_sql('o_totalprice'), 2)} AS spent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+) ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def full_outer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-customer aggregates (urgent vs finished
+    order counts): rows survive from either side, missing side nulled to 0.
+    Both inputs share their shuffle key, so after the two aggregations the
+    join reuses the hash partitioning — one exchange per side total, and
+    AQE can pick a shuffled-hash join since both sides are post-agg small."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("cust_u"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("cust_f"))
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+    )
+    return (
+        urgent.join(finished, urgent["cust_u"] == finished["cust_f"], "full_outer")
+        .select(
+            F.coalesce("cust_u", "cust_f").alias("o_custkey"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT coalesce(cust_u, cust_f) AS o_custkey,
+       coalesce(n_urgent, 0) AS n_urgent,
+       coalesce(n_finished, 0) AS n_finished
+FROM (SELECT o_custkey AS cust_u, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u
+FULL OUTER JOIN
+     (SELECT o_custkey AS cust_f, count(*) AS n_finished
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+ON cust_u = cust_f
+ORDER BY o_custkey
+"""
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of pivot_daily_activity, and the
+    long-format half of the reference's J2 wide/long duality): lineitem's 4
+    measure columns melt to (measure, value) rows, then aggregate per
+    measure. ``unpivot`` is a map-only expand (Catalyst Expand node — no
+    shuffle, no UDF); the only exchange is the 4-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=list(_UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            stable_round(dsum(F.col("value")), 2).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+UNPIVOT_SQL = f"""
+SELECT measure, count(*) AS n_values,
+       {stable_round_sql(dsum_sql('value'), 2)} AS total
+FROM (
+  {" UNION ALL ".join(f"SELECT l_orderkey, '{m}' AS measure, {m} AS value FROM lineitem" for m in _UNPIVOT_MEASURES)}
+)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: per-customer trailing-30-day order
     revenue. The frame is value-based (all orders within 30 days), not
@@ -704,6 +831,9 @@ QUERIES = {
     "salted_group_agg": salted_group_agg,
     "intersect_custkeys": intersect_custkeys,
     "except_custkeys": except_custkeys,
+    "left_join_order_gaps": left_join_order_gaps,
+    "full_outer_order_profile": full_outer_order_profile,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
 }
 
 ORACLE = {
@@ -728,4 +858,7 @@ ORACLE = {
     "salted_group_agg": SALTED_AGG_SQL,
     "intersect_custkeys": INTERSECT_SQL,
     "except_custkeys": EXCEPT_SQL,
+    "left_join_order_gaps": LEFT_JOIN_GAPS_SQL,
+    "full_outer_order_profile": FULL_OUTER_SQL,
+    "unpivot_lineitem_measures": UNPIVOT_SQL,
 }

@@ -72,13 +72,29 @@ def test_shuffle_and_broadcast_bounds(spark, sf_dir, name):
     assert I.broadcast_join_count(plan) >= min_bcast, plan
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# Full outer equi-joins cannot broadcast in Spark (both sides must be
+# preserved, BroadcastHashJoin supports only one); the shuffle join is the
+# correct plan at every scale, and both inputs are post-aggregation frames
+# already hash-partitioned on the join key, so the join adds no exchange.
+_SMJ_EXEMPT = {"full_outer_order_profile"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SMJ_EXEMPT))
 def test_no_sort_merge_join_at_dim_scale(spark, sf_dir, name):
     """Every join in the suite has a broadcastable side at test scale; a
     SortMergeJoin appearing means a broadcast hint was lost and the fact
     table would shuffle on the join key at 100 TB."""
     df = QUERIES[name](spark, sf_dir)
     assert I.sort_merge_join_count(df) == 0
+
+
+def test_full_outer_join_reuses_agg_partitioning(spark, sf_dir):
+    """The full-outer join's two exchanges belong to the aggregations; the
+    join itself must piggyback on that partitioning (3 total incl. the
+    final sort, never 4+)."""
+    df = QUERIES["full_outer_order_profile"](spark, sf_dir)
+    plan = I.plan_string(df, "simple")
+    assert I.shuffle_count(plan) <= 3, plan
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
