@@ -29,6 +29,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern (BPE-ish token counting): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs. The
+# upstream pattern's trailing-whitespace branch uses a lookahead, which RE2
+# (the DuckDB oracle's engine) lacks — here leftover whitespace simply goes
+# unmatched, which is correct for *counting*. Alternation kept to ASCII
+# classes so Java regex and RE2 agree byte-for-byte (verified in tests).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count as a single JVM-side regexp_count — the
+    pre-tokenizer piece count upper-bounds (and tracks) real BPE vocab
+    counts without shipping a tokenizer model to executors."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def token_count_sql(expr: str) -> str:
     # DuckDB: len(string_split_regex(trim(x), '\s+')); guard empty strings.
     return (

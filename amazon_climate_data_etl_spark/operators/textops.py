@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
     doc_fingerprint,
     doc_fingerprint_sql,
     lang_guess,
@@ -124,8 +126,42 @@ ORDER BY doc_id
 """
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per language: the budgeting query
+    a training pipeline runs before tokenizing 100 TB for real. Both
+    counters are native regex expressions — the whole query is one scan +
+    one tiny-key aggregate, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = token_count(F.col("text"))
+    bpe = bpe_token_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            stable_round(
+                F.sum(bpe).cast("double") / F.sum(ws), 4
+            ).alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT lang,
+       sum({token_count_sql('text')}) AS ws_tokens,
+       sum({bpe_token_count_sql('text')}) AS bpe_tokens,
+       round(CAST(sum({bpe_token_count_sql('text')}) AS DOUBLE)
+             / sum({token_count_sql('text')}), 4) AS bpe_per_ws
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "bpe_token_stats": bpe_token_stats,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
@@ -133,6 +169,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
