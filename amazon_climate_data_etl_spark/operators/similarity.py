@@ -48,6 +48,14 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+# L2-normalized copy of the embedding column (double precision)
+_NORMED = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / {n})".format(
+        n=_NORM.format(a="embedding")
+    )
+)
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each probe vector (self-excluded)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -154,6 +162,149 @@ ORDER BY query_id, rank
 """
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _dot(a, b) -> "F.Column":
+    """Left-to-right double fold — bit-identical to the oracle's list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into N_CENTROIDS cells,
+    search only each query's N_PROBE closest cells. The centroid table is
+    an offline-training input in a real IVF index; here it is seeded
+    deterministically as the first N_CENTROIDS vectors so the oracle can
+    reproduce it.
+
+    Scale shape — the part that matters at 100 TB:
+    - Cell assignment is a PURE MAP: the centroid set collapses to a
+      single-row array (collect_list), broadcasts, and each corpus vector
+      takes argmax-cosine over that array with one transform+array_max —
+      the corpus is never shuffled, and there is no per-vector join or
+      window. (The naive corpus×centroids row_number() form shuffles every
+      vector through a window exchange.)
+    - Vectors are L2-normalized once on the linear side, so every
+      centroid/candidate comparison is a single dot fold.
+    - Probing joins the tiny (query, cell) probe set broadcast against the
+      cell-assigned corpus: shuffle-free candidate generation; the only
+      exchange is the per-query top-k window over candidates.
+    Tie-breaks are pinned (max cos, then min centroid id — the struct packs
+    -cid so array_max resolves ties identically to the oracle's
+    ORDER BY cos DESC, cid ASC)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(norm_sq)).alias(
+            "en"
+        ),
+    )
+    cents = (
+        n.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.struct(F.col("vec_id").alias("cid"), F.col("en").alias("cv")).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    # per-vector scores against every centroid, packed (cos, -cid) so both
+    # argmax (array_max) and top-probe (sorted slice) break ties toward the
+    # smaller centroid id
+    def cell_scores():
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _dot(F.col("en"), c["cv"]).alias("cos"), (-c["cid"]).alias("ncid")
+            ),
+        )
+
+    assign = n.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("en").alias("ce"),
+        (-F.array_max(cell_scores())["ncid"]).alias("cell"),
+    )
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("en").alias("qe"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(cell_scores())), 1, N_PROBE)
+            ).alias("p"),
+        )
+        .select("query_id", "qe", (-F.col("p")["ncid"]).alias("cell"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qe"), F.col("ce")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            stable_round(F.col("cos"), 6).alias("cosine"),
+            "cell",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_DOT_EN = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+ANN_IVF_SQL = f"""
+WITH n AS (SELECT vec_id, {_NORMED} AS en FROM embeddings),
+cents AS (SELECT vec_id AS cid, en AS cv FROM n WHERE vec_id < {N_CENTROIDS}),
+ascore AS (
+  SELECT n.vec_id, cents.cid, {_DOT_EN.format(a='n.en', b='cents.cv')} AS cos
+  FROM n CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id AS cand_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cscore AS (
+  SELECT p.query_id, a.cand_id, p.cell,
+         {_DOT_EN.format(a='q.en', b='c.en')} AS cos
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.cand_id <> p.query_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n c ON c.vec_id = a.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cell, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM cscore
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cosine, cell
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: count + mean L2 norm — the sanity
     profile step before any similarity work."""
@@ -241,12 +392,6 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORMED = (
-    "list_transform(embedding, x -> CAST(x AS DOUBLE) / {n})".format(
-        n=_NORM.format(a="embedding")
-    )
-)
-
 EMBEDDING_NEARDUP_SQL = f"""
 WITH b AS (
   SELECT vec_id, {sign_bucket_sql('embedding')} AS bucket, {_NORMED} AS en
@@ -267,11 +412,13 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_stats": embedding_label_stats,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLE = {
+    "ann_ivf_topk": ANN_IVF_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_label_stats": EMBEDDING_STATS_SQL,
