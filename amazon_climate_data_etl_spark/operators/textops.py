@@ -159,9 +159,76 @@ ORDER BY lang
 """
 
 
+# Deterministic sampling: md5(doc_id) prefix compared lexicographically —
+# two hex chars give 256 uniform buckets, thresholds 0xcc/0xe6 ≈ 80/10/10.
+# Content-hash sampling is how a 100 TB corpus gets REPRODUCIBLE splits:
+# no RNG state, no seed coordination across executors, stable under
+# re-partitioning and re-runs (rand()-based sampling is none of these).
+_SPLIT_TRAIN, _SPLIT_VAL = "cc", "e6"
+
+
+def _split_col() -> "F.Column":
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        F.when(h2 < _SPLIT_TRAIN, "train")
+        .when(h2 < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL_EXPR = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL}' THEN 'val'
+            ELSE 'test' END"""
+
+
+def sample_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split profile per language: doc and token volumes.
+    The split column is a pure map expression — assignment costs one md5
+    per row inside the scan, and the only exchange is the 15-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = token_count(F.col("text"))
+    return (
+        d.select("lang", _split_col().alias("split"), ws.alias("ws"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ws").alias("ws_tokens"))
+        .orderBy("lang", "split")
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+SELECT lang, {_SPLIT_SQL_EXPR} AS split,
+       count(*) AS n_docs, sum({token_count_sql('text')}) AS ws_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+def val_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level membership of the deterministic val split — the query a
+    pipeline runs to materialize (and re-materialize, identically) a
+    held-out set. Pure filter: pushdown-friendly, no shuffle but the sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", _split_col().alias("split"))
+        .filter(F.col("split") == "val")
+        .orderBy("doc_id")
+    )
+
+
+VAL_SPLIT_SQL = f"""
+SELECT doc_id, lang, split FROM (
+  SELECT doc_id, lang, {_SPLIT_SQL_EXPR} AS split FROM documents
+) WHERE split = 'val'
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
+    "sample_split_stats": sample_split_stats,
+    "val_split_docs": val_split_docs,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
@@ -170,6 +237,8 @@ QUERIES = {
 ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
+    "sample_split_stats": SAMPLE_SPLIT_SQL,
+    "val_split_docs": VAL_SPLIT_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,

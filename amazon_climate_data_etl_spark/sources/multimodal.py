@@ -102,6 +102,100 @@ def extract_features(
     return media.mapInPandas(worker, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 32, out_h: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image resize stage: images only, aspect metadata carried through,
+    payload replaced by the resized encoding. Same plumbing rules as
+    extract_features — Arrow-batched mapInPandas, map-only (the
+    kind-filter prunes non-images BEFORE Python so audio/video bytes never
+    cross the Arrow boundary). The fake kernel emits a deterministic
+    out_w*out_h-byte payload derived from the content hash; a real kernel
+    (PIL thumbnail→encode) drops into the same signature."""
+    spark = media.sparkSession
+    ship_package_to_workers(spark)
+    if not fake:
+        _decode_real(b"", "image")  # raises NotImplementedError with context
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                h = hashlib.sha256(bytes(c)).digest()
+                out.append(bytes((h * ((out_w * out_h) // len(h) + 1))[: out_w * out_h]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": out,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        worker, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp — the
+    flatMap-shaped member of the multimodal family (output cardinality
+    sum(duration_ms // every_ms + 1) > input). mapInPandas is the right
+    surface exactly because the 1→N fan-out stays inside the Arrow batch:
+    no explode of pre-materialized arrays, no shuffle; downstream stages
+    see ordinary rows. The fake kernel derives each frame's bytes from
+    sha256(content || frame_idx); a real kernel (ffmpeg seek+decode) has
+    the same signature and schema."""
+    spark = media.sparkSession
+    ship_package_to_workers(spark)
+    if not fake:
+        _decode_real(b"", "video")
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, dur, c in zip(pdf["media_id"], pdf["duration_ms"], pdf["content"]):
+                content = bytes(c)
+                for i in range(int(dur) // every_ms + 1):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(
+                        hashlib.sha256(content + i.to_bytes(4, "little")).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        worker, schema=FRAMES_SCHEMA
+    )
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Typed-metadata aggregation over extracted features (pure JVM)."""
     return (
@@ -128,7 +222,39 @@ def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_summary(extract_features(media))
 
 
-QUERIES = {"media_feature_summary": media_feature_summary}
+def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the resize + frame-sample stages: per-stage
+    row/byte profile over the synthesized media table. Rows-only check (the
+    kernels are not SQL-expressible); determinism and cardinality law
+    (frames = duration//step + 1) are pinned in tests. ``sf_dir`` unused —
+    media is synthesized."""
+    media = synthetic_media(spark, n=96)
+    frames = sample_frames(media).select(
+        F.lit("frames").alias("stage"),
+        F.col("media_id"),
+        F.length("frame").alias("n_bytes"),
+    )
+    resized = resize_images(media).select(
+        F.lit("resize").alias("stage"),
+        F.col("media_id"),
+        F.length("resized").alias("n_bytes"),
+    )
+    return (
+        frames.unionByName(resized)
+        .groupBy("stage")
+        .agg(
+            F.countDistinct("media_id").alias("n_items"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("stage")
+    )
+
+
+QUERIES = {
+    "media_feature_summary": media_feature_summary,
+    "media_frame_pipeline": media_frame_pipeline,
+}
 ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 
 
