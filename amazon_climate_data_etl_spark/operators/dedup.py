@@ -352,8 +352,111 @@ def dedup_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph: every
+    doc in a near-dup cluster labeled with the cluster's minimum doc_id —
+    the step that turns PAIRS into KEEP/DROP decisions (keep the label row,
+    drop the rest). Docs that pair with nothing are not emitted (they need
+    no decision), which keeps the state linear in |pairs|, not |corpus|.
+
+    Iterative min-label propagation with pointer jumping: each round (a)
+    every node takes the min of its neighbors' labels (edge step), then
+    (b) every node takes its label's label (pointer-jump step). The edge
+    step alone needs graph-diameter rounds — LSH pair graphs form long
+    chains (doc A↔B on band 0, B↔C on band 1, …), so diameter is NOT
+    small; the jump step compresses label paths by half each round,
+    giving O(log diameter) convergence (the same contraction idea as
+    large-star/small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Each round is two join+min-aggregate pairs,
+    all shuffling on node id; lineage is truncated per round with an eager
+    localCheckpoint (iterative plans otherwise grow exponentially and
+    planning itself OOMs).
+
+    Not SQL-expressible as one query? It IS — via a recursive CTE (the
+    oracle below) — but only because DuckDB evaluates the recursion to the
+    same fixpoint; Spark SQL has no recursive CTE, which is exactly why
+    the driver-loop form exists."""
+    pairs = _minhash_pairs_frame(spark, sf_dir)
+    # localCheckpoint (eager) rather than persist: iterative plans embed the
+    # previous round's logical plan twice per round (join + union), so
+    # lineage grows exponentially and planning itself OOMs by round ~8;
+    # checkpointing truncates the plan to the materialized partitions.
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    # init: each node's label = min(itself, its neighbors)
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mind"))
+        .select("node", F.least("node", "mind").alias("label"))
+        .localCheckpoint()
+    )
+    for it in range(50):  # O(log diameter) with the jump step; 50 ≫ enough
+        # (a) edge step: min over neighbors' labels
+        prop = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .union(labels)
+        )
+        m1 = prop.groupBy("node").agg(F.min("label").alias("label"))
+
+        # (b) pointer jump ×2: label := label(label) — each application
+        # halves label-chain depth, two quarter it; the label table is the
+        # small side of these joins, so extra jumps are cheap relative to
+        # saved rounds (each round pays fixed scheduling + checkpoint cost)
+        def _jump(df: DataFrame) -> DataFrame:
+            lk = df.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+            return df.join(lk, df["label"] == lk["jn"], "left").select(
+                "node", F.least("label", F.coalesce("jl", "label")).alias("label")
+            )
+
+        new_labels = _jump(_jump(m1)).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError("dedup_components did not converge in 50 rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE sigs AS ({_minhash_sigs_sql()}),
+long AS (
+  SELECT doc_id, band, sig FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT src, least(src, min(dst)) FROM sym GROUP BY src
+  UNION
+  SELECT s.dst, least(s.dst, cc.label) FROM sym s JOIN cc ON s.src = cc.node
+)
+SELECT node AS doc_id, min(label) AS component_id
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "dedup_components": dedup_components,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -362,6 +465,7 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup": EXACT_DEDUP_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,

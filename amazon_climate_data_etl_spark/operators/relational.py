@@ -640,6 +640,117 @@ ORDER BY o_custkey
 """
 
 
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking windows: ntile(4) + percent_rank + cume_dist of
+    order value within each priority class. Partitioned by priority so no
+    partition is global; a truly global quantile assignment at 100 TB is a
+    range-partitioned sort or percentile_approx cutoffs instead (see
+    ``quantiles``), never a single-partition window. Output thinned to a
+    deterministic 1-in-50 keyspace sample AFTER the window (ranks are
+    computed over the full partition, the sample only bounds the result)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderkey")
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, quartile, pct_rank, cume
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE o_orderkey % 50 = 0
+ORDER BY o_orderkey
+"""
+
+
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + fill-forward: daily revenue per priority on a
+    dense calendar, missing days carried forward (the gap-filling /
+    interpolation operator of a time-series engine; the reference's only
+    calendar handling is its 2024 truncation, README.md:168).
+
+    Plan: aggregate first (shuffle carries one row per (priority, day)),
+    build the dense spine as sequence(min,max) exploded against the tiny
+    dim, LEFT join aggregates onto the spine, then one fill-forward window
+    per priority. The spine explode is map-side; at scale the window
+    shuffles only the resampled series (days × dims), never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", F.col("o_orderdate").alias("day")).agg(
+        stable_round(dsum(F.col("o_totalprice")), 2).alias("rev")
+    )
+    span = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority",
+            "day",
+            F.col("rev").isNull().alias("is_filled"),
+            F.coalesce(
+                F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("rev_filled"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate AS day,
+         {stable_round_sql(dsum_sql('o_totalprice'), 2)} AS rev
+  FROM orders GROUP BY 1, 2
+),
+span AS (SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders),
+spine AS (
+  SELECT p.o_orderpriority, CAST(gs.d AS DATE) AS day
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+  CROSS JOIN span
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY)) AS d) gs
+)
+SELECT s.o_orderpriority, s.day,
+       (d.rev IS NULL) AS is_filled,
+       coalesce(last_value(d.rev IGNORE NULLS) OVER (
+           PARTITION BY s.o_orderpriority ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_filled
+FROM spine s LEFT JOIN daily d
+  ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day
+ORDER BY s.o_orderpriority, s.day
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -834,6 +945,8 @@ QUERIES = {
     "left_join_order_gaps": left_join_order_gaps,
     "full_outer_order_profile": full_outer_order_profile,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "window_ntile_quartiles": window_ntile_quartiles,
+    "gap_fill_daily_revenue": gap_fill_daily_revenue,
 }
 
 ORACLE = {
@@ -861,4 +974,6 @@ ORACLE = {
     "left_join_order_gaps": LEFT_JOIN_GAPS_SQL,
     "full_outer_order_profile": FULL_OUTER_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
+    "window_ntile_quartiles": WINDOW_NTILE_SQL,
+    "gap_fill_daily_revenue": GAP_FILL_SQL,
 }
