@@ -353,8 +353,61 @@ def nn_join_sorted_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated large×large equi-join: lineitem ⋈ orders on orderkey,
+    with the fact side salted and the build side replicated N_SALT×.
+
+    When BOTH join sides are too big to broadcast and a handful of keys
+    are hot, the plain shuffle join lands every hot-key row on one reducer.
+    Salting spreads them: the fact adds salt = pmod(hash(tuple-local col),
+    N_SALT), the build side explodes each row against sequence(0, N-1),
+    and the join key becomes (orderkey, salt) — hot keys now occupy N_SALT
+    reducers. The salt derives from data (l_linenumber), not rand(), so the
+    result is deterministic and provably identical to the unsalted join —
+    which is exactly what the oracle checks (plain JOIN, no salt). AQE's
+    skewedJoin optimization is the automatic form of the same rewrite; the
+    manual form composes with any operator and does not depend on runtime
+    stats being fresh. Aggregation after the join keeps the output small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_SALT)).cast("int")
+    )
+    build = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    return (
+        fact.join(
+            build,
+            (fact["l_orderkey"] == build["o_orderkey"])
+            & (fact["salt"] == build["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       {dsum_sql('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_enrich_revenue": join_enrich_revenue,
+    "salted_skew_join": salted_skew_join,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
     "semi_join_customers": semi_join_customers,
@@ -373,4 +426,5 @@ ORACLE = {
     "grid_snap_join": GRID_SNAP_SQL,
     "nn_join_general": NN_GENERAL_SQL,
     "nn_join_sorted_1d": NN_GENERAL_SQL,
+    "salted_skew_join": SALTED_JOIN_SQL,
 }
