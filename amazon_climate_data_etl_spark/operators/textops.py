@@ -7,6 +7,7 @@ in the loop; at 100 TB these run inside whole-stage codegen at scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -224,11 +225,78 @@ ORDER BY doc_id
 """
 
 
+# Rabin-Karp rolling hash: K-char windows, polynomial base B mod M. The
+# window dot-product uses mod-reduced powers so int64 never overflows
+# (max codepoint 0x10FFFF × 2^31 × K ≈ 2e16 < 2^63).
+_RK_K, _RK_B, _RK_M = 8, 257, (1 << 31) - 1
+_RK_POWS = [pow(_RK_B, _RK_K - 1 - j, _RK_M) for j in range(_RK_K)]
+
+
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (Rabin-Karp over 8-char windows):
+    per-doc window count, winnowed minimum hash, and distinct-hash count —
+    the content-defined fingerprint family (winnowing/MOSS-style), distinct
+    from the whole-document md5 of ``doc_fingerprints``.
+
+    The per-window hash stream is inherently O(len) sequential per row, so
+    this is a legitimate Pandas-UDF hot path (SURVEY.md §2.10): numpy
+    computes all windows of an Arrow batch as one strided matrix-vector
+    product — no per-character Python. Exact int64 modular arithmetic makes
+    the result engine-portable (the oracle runs the same polynomial in SQL).
+    Pure map + tiny sort: nothing shuffles but the ordered output."""
+    # bind as locals so the closure is self-contained (workers need no
+    # package import, only numpy/pandas)
+    pows, k, m = _RK_POWS, _RK_K, _RK_M
+
+    @F.pandas_udf("struct<n_windows: long, min_hash: long, n_distinct: long>")
+    def rk(texts: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        p = _np.array(pows, dtype=_np.int64)
+        n, mn, nd = [], [], []
+        for t in texts:
+            codes = _np.array([ord(c) for c in t], dtype=_np.int64)
+            w = _np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = (w @ p) % m
+            n.append(len(h))
+            mn.append(int(h.min()))
+            nd.append(len(_np.unique(h)))
+        return _pd.DataFrame({"n_windows": n, "min_hash": mn, "n_distinct": nd})
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.length("text") >= _RK_K)
+        .select("doc_id", rk(F.col("text")).alias("fp"))
+        .select("doc_id", "fp.n_windows", "fp.min_hash", "fp.n_distinct")
+        .orderBy("doc_id")
+    )
+
+
+_RK_TERMS = " + ".join(
+    f"CAST(unicode(substr(text, i + {j}, 1)) AS BIGINT) * {_RK_POWS[j]}"
+    for j in range(_RK_K)
+)
+
+ROLLING_FP_SQL = f"""
+SELECT doc_id, len(hs) AS n_windows, list_min(hs) AS min_hash,
+       len(list_distinct(hs)) AS n_distinct
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_RK_K} + 2),
+                        i -> ({_RK_TERMS}) % {_RK_M}) AS hs
+  FROM documents WHERE length(text) >= {_RK_K}
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
     "sample_split_stats": sample_split_stats,
     "val_split_docs": val_split_docs,
+    "doc_rolling_fingerprints": doc_rolling_fingerprints,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
@@ -239,6 +307,7 @@ ORACLE = {
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "sample_split_stats": SAMPLE_SPLIT_SQL,
     "val_split_docs": VAL_SPLIT_SQL,
+    "doc_rolling_fingerprints": ROLLING_FP_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
