@@ -291,12 +291,81 @@ ORDER BY doc_id
 """
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 50-char width-bucket histogram of document
+    length per language — the distribution check run before setting length
+    filters in a training-data pipeline.
+
+    Pure integer arithmetic (floor-div bucket) inside whole-stage codegen;
+    the groupBy is map-side combined down to |langs|×|buckets| rows, so the
+    shuffle is O(distinct buckets) regardless of corpus size — the same plan
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / F.lit(50)) * 50).alias("len_bucket")
+    return (
+        d.groupBy("lang", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT lang, (length(text) // 50) * 50 AS len_bucket, count(*) AS n_docs,
+       min(length(text)) AS min_len, max(length(text)) AS max_len
+FROM documents
+GROUP BY lang, len_bucket
+ORDER BY lang, len_bucket
+"""
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-25 terms by document frequency and total
+    occurrence count — vocabulary/boilerplate inspection over the whole
+    corpus.
+
+    explode(split) stays JVM-side (generator inside codegen, no Python);
+    the count aggregate is map-side combined so the shuffle carries one row
+    per distinct term per task, not one per token occurrence. The final
+    top-k is a TakeOrdered over |vocab| rows — no global sort of the token
+    stream. Deterministic tie-break on the term itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), "term")
+        .limit(25)
+    )
+
+
+TOP_TERMS_SQL = """
+SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY occurrences DESC, term
+LIMIT 25
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
     "sample_split_stats": sample_split_stats,
     "val_split_docs": val_split_docs,
     "doc_rolling_fingerprints": doc_rolling_fingerprints,
+    "doc_length_histogram": doc_length_histogram,
+    "top_terms": top_terms,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
@@ -308,6 +377,8 @@ ORACLE = {
     "sample_split_stats": SAMPLE_SPLIT_SQL,
     "val_split_docs": VAL_SPLIT_SQL,
     "doc_rolling_fingerprints": ROLLING_FP_SQL,
+    "doc_length_histogram": DOC_LENGTH_HIST_SQL,
+    "top_terms": TOP_TERMS_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
