@@ -47,9 +47,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_TOKEN_STATS_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       sum({token_count_sql('text')}) AS total_tokens,
+       CAST(sum({token_count_sql('text')}) AS BIGINT) AS total_tokens,
        round(CAST(sum({token_count_sql('text')}) AS DOUBLE) / count(*), 2) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -150,8 +150,8 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_TOKEN_STATS_SQL = f"""
 SELECT lang,
-       sum({token_count_sql('text')}) AS ws_tokens,
-       sum({bpe_token_count_sql('text')}) AS bpe_tokens,
+       CAST(sum({token_count_sql('text')}) AS BIGINT) AS ws_tokens,
+       CAST(sum({bpe_token_count_sql('text')}) AS BIGINT) AS bpe_tokens,
        round(CAST(sum({bpe_token_count_sql('text')}) AS DOUBLE)
              / sum({token_count_sql('text')}), 4) AS bpe_per_ws
 FROM documents
@@ -198,7 +198,7 @@ def sample_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_SPLIT_SQL = f"""
 SELECT lang, {_SPLIT_SQL_EXPR} AS split,
-       count(*) AS n_docs, sum({token_count_sql('text')}) AS ws_tokens
+       count(*) AS n_docs, CAST(sum({token_count_sql('text')}) AS BIGINT) AS ws_tokens
 FROM documents
 GROUP BY 1, 2
 ORDER BY lang, split

@@ -42,6 +42,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype family. The driver's gate hashes raw values, so an int64
+    Spark column against a float64 oracle column (DuckDB sum(BIGINT) →
+    HUGEINT → float64) hash-mismatches even when every value is numerically
+    equal — exactly the failure mode this classifier surfaces locally."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -52,6 +68,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
         problems.append(
             f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
         )
+        return problems
+    # dtype-family strictness BEFORE value comparison: mirror the driver's
+    # hash gate, which does not forgive int-vs-float even at equal values
+    for c in sorted(spark_pdf.columns):
+        ca, cb = _dtype_class(spark_pdf[c]), _dtype_class(oracle_pdf[c])
+        if ca != cb:
+            problems.append(
+                f"{name}.{c}: dtype family mismatch: spark {spark_pdf[c].dtype}"
+                f" ({ca}) vs oracle {oracle_pdf[c].dtype} ({cb})"
+            )
+    if problems:
         return problems
     a, b = _normalize(spark_pdf.copy()), _normalize(oracle_pdf.copy())
     for c in a.columns:
