@@ -25,7 +25,13 @@ from amazon_climate_data_etl_spark.operators import (
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
 from amazon_climate_data_etl_spark.sources import multimodal
 
-_MODULES = (relational, joins, climate, textops, dedup, similarity, events, multimodal)
+# Registry order is load-bearing: the driver's correctness gate checks the
+# FIRST 50 registered queries. Rounds 1-2 verified relational/joins/climate
+# (two rounds of green driver rows); round 3 front-loads the families that
+# have never been through the driver's hash gate — dedup, similarity,
+# events, multimodal — so they get CORRECTNESS rows, with the longest-green
+# relational family absorbing the tail cut.
+_MODULES = (dedup, similarity, events, multimodal, textops, climate, joins, relational)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.text import (
@@ -62,23 +63,33 @@ _SHINGLES_SQL = (
 _TOKS_SQL = "string_split_regex(trim(trim(text)), '\\s+')"
 
 
-def _minhash_sigs(df: DataFrame) -> DataFrame:
-    """doc_id → one min-md5 signature per band (banded MinHash).
+def _shingle_frame(df: DataFrame) -> DataFrame:
+    """doc_id → DISTINCT shingle set, non-empty docs only — the one
+    tokenize→shingle pass, shared by signature generation and Jaccard
+    verification (min-md5 over the distinct set equals min over the
+    multiset, so signatures are unchanged by the dedup). Docs with no
+    shingles are dropped, matching the reference's skip-on-empty semantics
+    (P8). Tokenize+shingle is the expensive stage: rebalance the doc scan
+    so it fans out."""
+    return (
+        rebalance_for_compute(df)
+        .select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
 
-    Shape: build the shingle array ONCE, explode, then take the per-band
-    minimum as 4 hash aggregates. The agg is map-side combinable (partial
-    min per partition), so the shuffle carries one row per (doc, partition)
-    — not the shingle stream. The alternative (N array_min(transform(...))
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """shingle frame → one min-md5 signature per band (banded MinHash).
+
+    Shape: explode the shingle array, then take the per-band minimum as 4
+    hash aggregates. The agg is map-side combinable (partial min per
+    partition), so the shuffle carries one row per (doc, partition) — not
+    the shingle stream. The alternative (N array_min(transform(...))
     projections over a shared shingle column) looks map-only but Catalyst's
     projection collapse re-inlines the shingle expression into every
     signature column, recomputing tokenize+shingle N+1 times — measured 5×
-    slower. Docs with no shingles drop out via explode, matching the
-    reference's skip-on-empty semantics (P8). The tokenize→shingle→md5
-    explode is the expensive stage: rebalance the doc scan so it fans out."""
-    sh = rebalance_for_compute(df).select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
-    )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    slower."""
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"sig_{b}")
         for b in range(N_BANDS)
@@ -127,16 +138,15 @@ ORDER BY keeper_doc_id
 """
 
 
-def _minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsorted banded-LSH candidate pairs (composable form).
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Signatures → unsorted banded-LSH candidate pairs (composable form).
 
-    Plan: per-doc signatures (map-only) → explode to (band, sig) → self
-    equi-join on the band signature → distinct pairs. The shuffle key is the
-    signature, so co-candidates land on one partition and nothing quadratic
-    crosses the wire. No global sort here: the pair stream is the LARGE
-    intermediate, and every downstream consumer (Jaccard verify, group
-    assembly) re-shuffles it anyway."""
-    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
+    Plan: explode signatures to (band, sig) → self equi-join on the band
+    signature → distinct pairs. The shuffle key is the signature, so
+    co-candidates land on one partition and nothing quadratic crosses the
+    wire. No global sort here: the pair stream is the LARGE intermediate,
+    and every downstream consumer (Jaccard verify, group assembly)
+    re-shuffles it anyway."""
     long = sigs.select(
         "doc_id",
         F.explode(
@@ -155,6 +165,14 @@ def _minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def _minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs from the documents table (one-shot form:
+    shingle → signature → bucket-join)."""
+    return _pairs_from_sigs(
+        _minhash_sigs(_shingle_frame(load_table(spark, sf_dir, "documents")))
     )
 
 
@@ -180,12 +198,19 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard ≥ 0.12 — the
     verify stage of candidate-generation→verification near-dedup. Only
-    candidate pairs (not all pairs) pay the set-intersection cost."""
-    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
-    pairs = _minhash_pairs_frame(spark, sf_dir)
+    candidate pairs (not all pairs) pay the set-intersection cost.
+
+    The shingle frame is built ONCE and persisted: signature generation
+    (candidate side) and set-intersection (verify side) both read it, so
+    the corpus pays one tokenize→shingle pass instead of two full scans
+    (Catalyst does not CSE across join branches; without the persist the
+    plan re-inlines the shingle pipeline three times — asserted in
+    test_plan_quality). MEMORY_AND_DISK: at 100 TB the shingle frame spills
+    rather than recomputes; eviction only costs a partition recompute."""
+    sh = _shingle_frame(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = _pairs_from_sigs(_minhash_sigs(sh))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

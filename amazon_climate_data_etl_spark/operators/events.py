@@ -263,8 +263,13 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     column set — at 100 TB that is a full scan spent inferring what the
     schema should have declared."""
     e = load_table(spark, sf_dir, "events")
+    # day is emitted as midnight TIMESTAMP, not DATE: Spark DateType crosses
+    # Arrow as python ``date`` objects (pandas dtype=object) while DuckDB's
+    # DATE materializes as datetime64 — a representation gap the value-hash
+    # correctness gate would flag even at equal values. TIMESTAMP is the one
+    # type both engines round-trip identically.
     pivoted = (
-        e.groupBy(F.to_date("ts").alias("day"))
+        e.groupBy(F.to_date("ts").cast("timestamp").alias("day"))
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
         .orderBy("day")
@@ -276,7 +281,7 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIVOT_SQL = f"""
-SELECT CAST(ts AS DATE) AS day,
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
        {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
 FROM events
 GROUP BY 1

@@ -302,6 +302,10 @@ ORDER BY c_custkey
 """
 
 
+# max distinct candidate values the sorted-1D path may collect driver-side
+SORTED_1D_DIM_CAP = 2_000_000
+
+
 def nn_join_sorted_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D nearest neighbor, scale path: binary search into the sorted
     candidate set instead of a cross product.
@@ -317,14 +321,25 @@ def nn_join_sorted_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same float64 arithmetic, same (dist, suppkey) tie-break)."""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
+    # the collect is broadcast-equivalent data movement but unbounded by
+    # construction — cap it so a mis-sized candidate side fails loudly
+    # instead of OOMing the driver (at the cap: ~32 MB of value/key pairs)
     rows = (
         s.groupBy("s_acctbal")
         .agg(F.min("s_suppkey").alias("k"))
-        .orderBy("s_acctbal")
+        .limit(SORTED_1D_DIM_CAP + 1)
         .collect()
     )
+    if len(rows) > SORTED_1D_DIM_CAP:
+        raise ValueError(
+            f"nn_join_sorted_1d: candidate dim has more than {SORTED_1D_DIM_CAP}"
+            " distinct values — too large to ship in a UDF closure; use"
+            " nn_join_general (shuffle path) or raise SORTED_1D_DIM_CAP"
+        )
     vals = np.array([r["s_acctbal"] for r in rows], dtype=np.float64)
     keys = np.array([r["k"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, keys = vals[order], keys[order]
 
     @F.pandas_udf("s_suppkey long, dist double")
     def nearest(acct: pd.Series) -> pd.DataFrame:
@@ -356,6 +371,16 @@ def nn_join_sorted_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SALT = 8
 
 
+def skew_salt_col() -> F.Column:
+    """Deterministic fact-side salt in [0, N_SALT): hash of the tuple-local
+    triple so every hot join key spreads across all N_SALT reducers (a
+    single low-cardinality column would cap the spread at its own
+    cardinality — the anti-pattern this helper exists to avoid)."""
+    return F.pmod(
+        F.xxhash64("l_linenumber", "l_partkey", "l_suppkey"), F.lit(N_SALT)
+    ).cast("int")
+
+
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated large×large equi-join: lineitem ⋈ orders on orderkey,
     with the fact side salted and the build side replicated N_SALT×.
@@ -365,17 +390,20 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Salting spreads them: the fact adds salt = pmod(hash(tuple-local col),
     N_SALT), the build side explodes each row against sequence(0, N-1),
     and the join key becomes (orderkey, salt) — hot keys now occupy N_SALT
-    reducers. The salt derives from data (l_linenumber), not rand(), so the
-    result is deterministic and provably identical to the unsalted join —
-    which is exactly what the oracle checks (plain JOIN, no salt). AQE's
+    reducers. The salt derives from data, not rand(), so the result is
+    deterministic and provably identical to the unsalted join — which is
+    exactly what the oracle checks (plain JOIN, no salt). It hashes the
+    full tuple-local triple (l_linenumber, l_partkey, l_suppkey) — a single
+    low-cardinality column (l_linenumber alone has 7 distinct values) would
+    cap a hot key's spread at that cardinality no matter how large N_SALT
+    is; the triple is effectively unique per row, so a hot orderkey spreads
+    across all N_SALT reducers (asserted in test_plan_quality). AQE's
     skewedJoin optimization is the automatic form of the same rewrite; the
     manual form composes with any operator and does not depend on runtime
     stats being fresh. Aggregation after the join keeps the output small."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    fact = li.withColumn(
-        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_SALT)).cast("int")
-    )
+    fact = li.withColumn("salt", skew_salt_col())
     build = o.select(
         "o_orderkey",
         "o_orderpriority",

@@ -13,6 +13,8 @@ partitioning) is real and tested.
 from __future__ import annotations
 
 import hashlib
+import math
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -210,15 +212,26 @@ def media_summary(features: DataFrame) -> DataFrame:
     )
 
 
+def media_count_for(sf_dir: str) -> int:
+    """Media-table size for a test-data dir: 96 items at sf0.001, scaling
+    linearly with the scale factor (so bench timings mean something —
+    a fixed count would measure constant work at every sf)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        return 96
+    return max(96, int(round(96 * sf / 0.001)))
+
+
 def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: full multimodal chain — synthesize binary
     media, Arrow-batched decode/feature-extract (mapInPandas), typed
     metadata aggregation. Deterministic output; registered WITHOUT a SQL
     oracle (the decode kernel is not SQL-expressible) so the driver records
-    the rows-only check. ``sf_dir`` is unused: media is synthesized, the
-    operator surface (schema, batch shape, shuffle profile) is the thing
-    under test."""
-    media = synthetic_media(spark, n=96)
+    the rows-only check. Media is synthesized executor-side, with the item
+    count scaled to ``sf_dir``'s scale factor (96 at sf0.001)."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir))
     return media_summary(extract_features(media))
 
 
@@ -226,9 +239,9 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the resize + frame-sample stages: per-stage
     row/byte profile over the synthesized media table. Rows-only check (the
     kernels are not SQL-expressible); determinism and cardinality law
-    (frames = duration//step + 1) are pinned in tests. ``sf_dir`` unused —
-    media is synthesized."""
-    media = synthetic_media(spark, n=96)
+    (frames = duration//step + 1) are pinned in tests. Item count scales
+    with ``sf_dir``'s scale factor."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir))
     frames = sample_frames(media).select(
         F.lit("frames").alias("stage"),
         F.col("media_id"),
@@ -258,29 +271,58 @@ QUERIES = {
 ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 
 
-def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+_MEDIA_KINDS = ("image", "audio", "video")
+_MEDIA_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 64, seed: int = 42, rows_per_partition: int = 4096
+) -> DataFrame:
     """Deterministic fake media table for tests/bench (binary payloads of
-    varying size and compressibility)."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        kind = kinds[i % 3]
-        size = 256 + int(rng.integers(0, 1024))
-        payload = (
-            rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-            if i % 2
-            else bytes([i % 256]) * size  # highly compressible half
-        )
-        rows.append(
-            (
-                i,
-                kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 512 if kind == "image" else None,
-                64 + (i * 7) % 512 if kind == "image" else None,
-                1000 + i * 33 if kind != "image" else None,
-                payload,
+    varying size and compressibility).
+
+    Generated EXECUTOR-side: the driver ships only (n, seed) and each
+    payload derives from ``default_rng([seed, media_id])``, so the table is
+    identical under any partitioning and never materializes on the driver —
+    the shape a real 100 TB media table has (parquet on executors), unlike
+    a driver-built createDataFrame list."""
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(spark)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, mimes, widths, heights, durs, payloads = (
+                [], [], [], [], [], [], []
             )
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                kind = _MEDIA_KINDS[i % 3]
+                size = 256 + int(rng.integers(0, 1024))
+                payload = (
+                    rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+                    if i % 2
+                    else bytes([i % 256]) * size  # highly compressible half
+                )
+                ids.append(i)
+                kinds.append(kind)
+                mimes.append(_MEDIA_MIMES[kind])
+                widths.append(64 + i % 512 if kind == "image" else None)
+                heights.append(64 + (i * 7) % 512 if kind == "image" else None)
+                durs.append(1000 + i * 33 if kind != "image" else None)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "mime": mimes,
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": durs,
+                    "content": payloads,
+                }
+            )
+
+    num_parts = max(1, math.ceil(n / rows_per_partition))
+    return spark.range(0, n, 1, num_parts).mapInPandas(worker, schema=MEDIA_SCHEMA)

@@ -9,7 +9,10 @@ Env knobs (driver contract):
     SPARK_GRAFT_SF_DIR  parquet dir, default /root/testdata/sf0.1
     SPARK_GRAFT_CPUS    local[] core count, default 32
     BENCH_QUERIES       comma-separated subset (iteration aid)
-    BENCH_REPEAT        timed repetitions per query, report min (default 1)
+    BENCH_REPEAT        timed repetitions per query, report MEDIAN (default 3;
+                        every query also gets one untimed warm-up run first,
+                        so round-over-round deltas are attributable signal,
+                        not single-shot scheduler noise)
 
 Each query is executed to completion with a ``noop``-format write: the full
 physical plan runs (scan → shuffle → agg/join) but no rows are shipped to
@@ -22,6 +25,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -51,7 +55,7 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
 
     entry = _load_entry()
     queries = entry.queries()
@@ -79,12 +83,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        best = float("inf")
-        for _ in range(max(1, repeat)):
+        # per-query warm-up: populates codegen/broadcast/file-listing caches
+        # so the timed runs measure steady-state plan cost
+        _run_to_completion(queries[name](spark, sf_dir))
+        samples = []
+        for _ in range(repeat):
             t0 = time.perf_counter()
             _run_to_completion(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     print(
         json.dumps(
@@ -94,6 +101,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": repeat,
+                "stat": "median",
             }
         )
     )

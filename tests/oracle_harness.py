@@ -4,6 +4,7 @@ order-insensitive values (floats with tight tolerance)."""
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 
 import duckdb
@@ -38,7 +39,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            non_null = df[c].dropna()
+            if len(non_null) and all(
+                isinstance(v, (dt.date, dt.datetime)) for v in non_null
+            ):
+                # canonicalize date/datetime objects the same way as
+                # datetime64 columns so "2024-01-01" == "2024-01-01 00:00:00"
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]").astype(str)
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -55,6 +64,12 @@ def _dtype_class(s: pd.Series) -> str:
         return "int"
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
+    if s.dtype == object:
+        # Spark DateType arrives in pandas as object-of-datetime.date; that
+        # is the datetime family, same as DuckDB's DATE → datetime64[us]
+        non_null = s.dropna()
+        if len(non_null) and all(isinstance(v, (dt.date, dt.datetime)) for v in non_null):
+            return "datetime"
     return "other"
 
 

@@ -133,3 +133,55 @@ def test_grid_snap_scan_pruned(spark, sf_dir):
 def test_filter_in_list_pushed(spark, sf_dir):
     plan = I.plan_string(QUERIES["filter_in_list"](spark, sf_dir))
     assert any("c_mktsegment" in p for p in I.pushed_filters(plan)), plan
+
+
+def test_ngram_jaccard_single_corpus_pass(spark, sf_dir):
+    """ngram_jaccard_pairs must read the corpus through the shared persisted
+    shingle frame: every consumer (LSH signature self-join sides, both
+    Jaccard-verify sides) reads InMemoryTableScan, and no direct parquet
+    scan of documents survives in the plan — one tokenize→shingle pass over
+    the corpus, not three (Catalyst does not CSE across join branches)."""
+    plan = I.plan_string(QUERIES["ngram_jaccard_pairs"](spark, sf_dir), "simple")
+    cached_reads = plan.count("InMemoryTableScan")
+    assert cached_reads >= 3, plan
+    # explain prints each cached consumer's InMemoryRelation subtree (which
+    # contains the one real FileScan); a FileScan count above the relation
+    # count means a branch bypassed the cache and re-scans the corpus
+    assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+
+
+def test_skew_salt_spreads_hot_keys(spark, sf_dir):
+    """The skew salt must NOT be a function of any single low-cardinality
+    column: a hot join key has to reach all N_SALT reducers. l_linenumber
+    has only 7 distinct values, so a salt derived from it alone would cap
+    every hot key's spread at ≤7 — here we assert each linenumber class
+    fans out to the full salt range, i.e. the salt really mixes the
+    row-local triple."""
+    from pyspark.sql import functions as F
+
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators.joins import N_SALT, skew_salt_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_linenumber = (
+        li.select("l_linenumber", skew_salt_col().alias("salt"))
+        .groupBy("l_linenumber")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    )
+    assert per_linenumber, "no lineitem rows"
+    for row in per_linenumber:
+        assert row["n_salts"] == N_SALT, (
+            f"l_linenumber={row['l_linenumber']} reaches only "
+            f"{row['n_salts']}/{N_SALT} salt buckets"
+        )
+
+
+def test_nn_join_sorted_1d_dim_cap(spark, sf_dir, monkeypatch):
+    """The sorted-1D NN path collects the candidate dim driver-side; the
+    cap must fail loudly when the dim exceeds it."""
+    from amazon_climate_data_etl_spark.operators import joins
+
+    monkeypatch.setattr(joins, "SORTED_1D_DIM_CAP", 3)
+    with pytest.raises(ValueError, match="candidate dim"):
+        joins.nn_join_sorted_1d(spark, sf_dir)
