@@ -289,7 +289,58 @@ ORDER BY day
 """
 
 
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → click → purchase): per-stage user
+    counts where each stage's FIRST occurrence follows the previous
+    stage's first occurrence — the product-analytics query every event
+    pipeline answers.
+
+    Shape: one hash agg keyed by user_id turns each user's history into
+    three first-occurrence timestamps (conditional min — map-side
+    combinable, so the shuffle carries 3 timestamps per user per
+    partition, never the event stream), then a single global agg counts
+    stage completions. Two shuffles total, second over one row per user;
+    no self-joins, no windows — at 100 TB the user-keyed agg is the only
+    real cost and it partitions cleanly."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_click") > F.col("t_signup")
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(reached_click, F.lit(1))).alias("n_signup_click"),
+        F.count(F.when(reached_purchase, F.lit(1))).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_click,
+       count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END)
+         AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
+    "user_funnel_conversion": user_funnel_conversion,
     "tumbling_hourly": tumbling_hourly,
     "pivot_daily_activity": pivot_daily_activity,
     "sliding_windows": sliding_windows,
@@ -300,6 +351,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "user_funnel_conversion": FUNNEL_SQL,
     "tumbling_hourly": TUMBLING_SQL,
     "pivot_daily_activity": PIVOT_SQL,
     "sliding_windows": SLIDING_SQL,

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.climate import grid_snap, grid_snap_sql
-from amazon_climate_data_etl_spark.operators._portable import dsum, dsum_sql, stable_round
+from amazon_climate_data_etl_spark.operators._portable import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    stable_round,
+)
 
 
 def join_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +439,62 @@ ORDER BY o_orderpriority
 """
 
 
+PRICE_BANDS = (
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 45_000.0),
+    ("premium", 45_000.0, 80_000.0),
+    ("luxury", 80_000.0, 1e18),
+)
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: fact rows matched to a band dimension on
+    lo <= value < hi — the general form of bucketing against arbitrary,
+    possibly overlapping intervals (the degenerate non-overlapping case
+    could compile to a CASE expression; the join form is what survives
+    when intervals come from a table).
+
+    Scale: the band side is tiny and broadcast, so the non-equi predicate
+    evaluates as a BroadcastNestedLoopJoin — a pure map over the fact
+    stream (each row tests 4 intervals in codegen), no shuffle until the
+    band aggregation. A large×large interval join would instead bucketize
+    both sides to a common grid and equi-join on bucket — the same
+    candidates→verify shape as grid_snap_join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), schema="band string, lo double, hi double"
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_round(davg(F.col("l_extendedprice")), 2).alias("avg_price"),
+            stable_round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_BAND_SQL = f"""
+SELECT band, count(*) AS n_items,
+       round({davg_sql('l_extendedprice')}, 2) AS avg_price,
+       round({dsum_sql('l_quantity')}, 2) AS sum_qty
+FROM lineitem
+JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+     AS bands(band, lo, hi)
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 QUERIES = {
+    "range_band_join": range_band_join,
     "join_enrich_revenue": join_enrich_revenue,
     "salted_skew_join": salted_skew_join,
     "q3_shipping_priority": q3_shipping_priority,
@@ -446,6 +507,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "range_band_join": RANGE_BAND_SQL,
     "join_enrich_revenue": JOIN_ENRICH_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_supplier_volume": Q5_SQL,

@@ -23,6 +23,7 @@ from amazon_climate_data_etl_spark.functions.text import (
     quality_score_sql,
     token_count,
     token_count_sql,
+    tokens,
 )
 from amazon_climate_data_etl_spark.operators._portable import stable_round
 
@@ -358,7 +359,125 @@ LIMIT 25
 """
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile — the Gopher-style "repetitive
+    content" quality signals (duplicate-token and duplicate-bigram
+    fractions) used to filter boilerplate/spam out of web corpora.
+
+    Pure map: every measure is an array expression over the token list
+    (size vs size(array_distinct)), so at 100 TB this runs inside
+    whole-stage codegen at scan speed with ZERO shuffles except the output
+    sort. No explode, no per-term aggregation — the per-doc array form is
+    the scale-correct shape for doc-level signals (corpus-level term stats
+    are tfidf_top_terms' job)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    big = 1 << 30
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, big).alias("b"))
+    bigrams = F.transform(
+        F.slice(z, 1, F.greatest(n - 1, F.lit(0))),
+        lambda s: F.concat_ws(" ", s["a"], s["b"]),
+    )
+    n2 = F.size(bigrams)
+    dup_tok = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+    dup_big = F.when(n2 == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n2
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stable_round(dup_tok, 4).alias("dup_token_ratio"),
+        stable_round(dup_big, 4).alias("dup_bigram_ratio"),
+        ((stable_round(dup_tok, 4) <= 0.6) & (stable_round(dup_big, 4) <= 0.3)).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")
+
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_BIGRAMS = f"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END) AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, {_BIGRAMS} AS bigrams FROM t
+),
+scored AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 4)
+           AS dup_token_ratio,
+         round(CASE WHEN len(bigrams) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) END, 4)
+           AS dup_bigram_ratio
+  FROM b
+)
+SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+       (dup_token_ratio <= 0.6 AND dup_bigram_ratio <= 0.3) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: total term frequency × ln(N/df),
+    top 20. The inverted-index statistics every retrieval / data-curation
+    stack needs over its corpus.
+
+    Shape: explode tokens → one hash agg keyed by term computes BOTH tf
+    (count) and df (distinct docs) — partial map-side combine keeps the
+    shuffle at one row per (term, partition) — then a 1-row broadcast of
+    the corpus size N, score, and TakeOrdered top-k (no global sort). The
+    ln() argument N/df is an exact small-int ratio, so both engines
+    round-trip it identically (verified bit-exact by the oracle gate)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    stats = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    score = stable_round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        4,
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select("term", "tf", "df", score.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(20)
+    )
+
+
+TFIDF_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+stats AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, tf, df,
+       round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, term
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "doc_repetition_scores": doc_repetition_scores,
+    "tfidf_top_terms": tfidf_top_terms,
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
     "sample_split_stats": sample_split_stats,
@@ -372,6 +491,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_repetition_scores": DOC_REPETITION_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "sample_split_stats": SAMPLE_SPLIT_SQL,

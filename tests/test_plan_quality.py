@@ -27,6 +27,17 @@ _spec.loader.exec_module(entry_mod)
 
 QUERIES = entry_mod.queries()
 
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan assertions must see each query's standalone plan: a shingle
+    frame persisted by an earlier query would otherwise be substituted
+    (CacheManager) into any later plan sharing the subtree, shifting the
+    textual shuffle/scan counts these tests pin (semantics-preserving, but
+    order-dependent)."""
+    spark.catalog.clearCache()
+    yield
+
 # name -> (max shuffles, min broadcast joins)
 _PLAN_BOUNDS = {
     # spine: scan -> filter -> 2-phase agg (1 shuffle) -> sort (1 shuffle)
@@ -60,6 +71,14 @@ _PLAN_BOUNDS = {
     "salted_group_agg": (3, 0),
     # one window shuffle on o_custkey + final sort; no self-join
     "window_range_30d": (2, 0),
+    # band dim broadcast (BNLJ, map over the fact) + band agg + sort
+    "range_band_join": (2, 1),
+    # user-keyed conditional-min agg + single-row global agg; no joins
+    "user_funnel_conversion": (2, 0),
+    # map-only array expressions; the output sort is the only exchange
+    "doc_repetition_scores": (1, 0),
+    # term agg w/ count-distinct (2-phase) + scalar N broadcast + top-k
+    "tfidf_top_terms": (3, 1),
 }
 
 
