@@ -418,6 +418,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.least("node", "mind").alias("label"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     for it in range(50):  # O(log diameter) with the jump step; 50 ≫ enough
         # (a) edge step: min over neighbors' labels
         prop = (
@@ -438,13 +439,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         new_labels = _jump(_jump(m1)).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        # convergence check: labels only ever DECREASE (every step is a
+        # min), so sum(label) is unchanged iff no label moved — one
+        # map-side-combinable agg over the label table instead of a
+        # join+filter+count (saves a shuffle and a job per round)
+        new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        converged = new_sum == prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     else:  # pragma: no cover
         raise RuntimeError("dedup_components did not converge in 50 rounds")
