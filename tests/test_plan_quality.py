@@ -79,7 +79,80 @@ _PLAN_BOUNDS = {
     "doc_repetition_scores": (1, 0),
     # term agg w/ count-distinct (2-phase) + scalar N broadcast + top-k
     "tfidf_top_terms": (3, 1),
+    # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
+    # count appearing means the query silently grew an exchange) ---
+    "ann_bruteforce_topk": (2, 1),
+    "ann_ivf_topk": (4, 3),
+    "ann_lsh_topk": (2, 1),
+    "approx_distinct_users": (3, 0),
+    "asof_join_purchases": (2, 0),
+    "bpe_token_stats": (2, 0),
+    "case_bucket_map": (1, 0),
+    "climate_spot_check": (1, 1),
+    "climate_state_metrics": (4, 1),
+    # final labels are checkpointed, so the returned plan is scan+sort
+    "dedup_components": (1, 0),
+    "distinct_counts": (3, 0),
+    "doc_fingerprints": (1, 0),
+    "doc_length_histogram": (2, 0),
+    "doc_quality_scores": (1, 0),
+    "doc_rolling_fingerprints": (1, 0),
+    "doc_token_stats": (2, 0),
+    "embedding_cosine_neardup": (3, 1),
+    "embedding_label_stats": (2, 0),
+    "event_dedup_first": (2, 0),
+    "except_custkeys": (2, 1),
+    "filter_in_list": (1, 0),
+    "filter_range_box": (1, 0),
+    # the one sanctioned SortMergeJoin (see _SMJ_EXEMPT)
+    "full_outer_order_profile": (3, 0),
+    "gap_fill_daily_revenue": (4, 2),
+    "intersect_custkeys": (2, 1),
+    "json_props_stats": (2, 0),
+    "lang_id_confusion": (2, 0),
+    "left_join_order_gaps": (2, 1),
+    # mapInPandas over spark.range: no exchange at all
+    "media_feature_summary": (0, 0),
+    "media_frame_pipeline": (0, 0),
+    "minmax_range": (1, 0),
+    "monthly_agg": (2, 0),
+    "multikey_sort": (1, 0),
+    # textual count includes the cached shingle subtree reprinted per
+    # consumer (see test_ngram_jaccard_single_corpus_pass)
+    "ngram_jaccard_pairs": (7, 3),
+    "nn_join_sorted_1d": (1, 0),
+    "pivot_daily_activity": (3, 0),
+    "quantiles": (1, 0),
+    "rollup_year_month": (2, 0),
+    # build side broadcasts at fixture scale; (3, 0) allows the salted
+    # shuffle join this operator exists to demonstrate at skew scale
+    "salted_skew_join": (3, 0),
+    "sample_split_stats": (2, 0),
+    "session_windows": (2, 0),
+    "simhash_fingerprints": (3, 0),
+    "simhash_near_pairs": (6, 1),
+    "sliding_windows": (2, 0),
+    "summary_stats": (3, 0),
+    "top_terms": (2, 0),
+    # TakeOrderedAndProject: per-partition top-k, no sort shuffle
+    "topk_orders": (0, 0),
+    "tumbling_hourly": (2, 0),
+    "union_all_parts": (2, 0),
+    "unpivot_lineitem_measures": (2, 0),
+    "val_split_docs": (1, 0),
+    "window_lag_delta": (2, 0),
+    "window_ntile_quartiles": (2, 0),
+    "window_rolling_avg": (2, 0),
+    "window_top1_per_group": (2, 0),
 }
+
+# every registered query must carry a plan bound (coverage is asserted so a
+# new query cannot land without one)
+_UNBOUNDED = set(QUERIES) - set(_PLAN_BOUNDS)
+
+
+def test_plan_bounds_cover_all_queries():
+    assert not _UNBOUNDED, f"queries missing plan bounds: {sorted(_UNBOUNDED)}"
 
 
 @pytest.mark.parametrize("name", sorted(_PLAN_BOUNDS))
