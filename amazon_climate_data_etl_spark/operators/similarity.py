@@ -409,8 +409,84 @@ ORDER BY vec_a, vec_b
 """
 
 
+LEXICAL_JACCARD = 0.9  # distinct-token Jaccard that confirms a semantic pair
+
+
+def semantic_lexical_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dedup: semantic candidates (embedding sign-bucket
+    LSH + cosine ≥ NEARDUP_COS) cross-checked against the document TEXT by
+    distinct-token Jaccard — the SemDeDup-style compose where the embedding
+    stage proposes and the cheap lexical stage adjudicates
+    paraphrase-vs-copy. Joins the two modalities on doc_id = vec_id.
+
+    Scale shape: the candidate pair stream (already bucket-bounded, never
+    all-pairs) joins the token frame twice on doc id — standard key joins
+    that partition cleanly; the token arrays are computed map-side in the
+    same pass as the scan. Every stage is native Columns."""
+    from amazon_climate_data_etl_spark.functions.text import tokens
+
+    cand = embedding_cosine_neardup(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tk")
+    )
+    a = d.select(F.col("doc_id").alias("vec_a"), F.col("tk").alias("tk_a"))
+    b = d.select(F.col("doc_id").alias("vec_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    union = F.size("tk_a") + F.size("tk_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("jaccard", stable_round(jac, 4))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            "jaccard",
+            (F.col("jaccard") >= LEXICAL_JACCARD).alias("lexical_match"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_TK_SQL = (
+    "(CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE list_distinct(string_split_regex(trim(text), '\\s+')) END)"
+)
+
+SEMANTIC_LEXICAL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, {sign_bucket_sql('embedding')} AS bucket, {_NORMED} AS en
+  FROM embeddings
+),
+cand AS (
+  SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.en) + 1),
+                                         i -> a.en[i] * c.en[i])), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  ) WHERE cosine >= {NEARDUP_COS}
+),
+tk AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+scored AS (
+  SELECT vec_a, vec_b, cosine,
+         round(CASE WHEN len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) = 0
+               THEN 0.0
+               ELSE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                    / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
+               END, 4) AS jaccard
+  FROM cand JOIN tk ta ON cand.vec_a = ta.doc_id
+            JOIN tk tb ON cand.vec_b = tb.doc_id
+)
+SELECT vec_a, vec_b, cosine, jaccard, jaccard >= {LEXICAL_JACCARD} AS lexical_match
+FROM scored
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "semantic_lexical_neardup": semantic_lexical_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_stats": embedding_label_stats,
@@ -418,6 +494,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "semantic_lexical_neardup": SEMANTIC_LEXICAL_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,

@@ -46,3 +46,21 @@ def write_parquet_partitioned(
 ) -> None:
     """Standard analytical sink: Parquet partitioned by pruning columns."""
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-Lines sink — the interchange format of most LLM training-data
+    tooling (one JSON object per line, splittable, append-friendly). Spark's
+    json writer IS jsonl: one object per line, one file per task."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan. Always pass an explicit schema in production: with
+    ``schema=None`` Spark runs a full inference pass over the data first —
+    at 100 TB that is an extra read of the entire corpus before the real
+    scan (schema-on-read is a convenience for exploration only)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -79,6 +79,8 @@ _PLAN_BOUNDS = {
     "doc_repetition_scores": (1, 0),
     # term agg w/ count-distinct (2-phase) + scalar N broadcast + top-k
     "tfidf_top_terms": (3, 1),
+    # bucket equi-join candidates + two doc-keyed token joins + sort
+    "semantic_lexical_neardup": (3, 3),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),

@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.sources.sinks import (
+    read_jsonl,
+    write_jsonl,
     write_partitioned,
     write_single_csv,
 )
@@ -41,6 +43,25 @@ def test_write_single_csv_bom(small_df, tmp_path):
     text = raw.decode("utf-8-sig")
     assert text.splitlines()[0] == "CD_MUN,UF,year,pr"
     assert len(text.splitlines()) == 4
+
+
+def test_jsonl_roundtrip(small_df, tmp_path, spark):
+    """JSONL round-trip with explicit schema: values, types, and row count
+    survive; each line is a standalone JSON object."""
+    import json
+
+    out = str(tmp_path / "docs.jsonl")
+    write_jsonl(small_df, out)
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        lines += [l for l in open(f).read().splitlines() if l]
+    assert len(lines) == 3
+    assert all(isinstance(json.loads(l), dict) for l in lines)
+    back = read_jsonl(spark, out, schema=small_df.schema)
+    assert back.schema == small_df.schema
+    got = sorted(back.collect(), key=lambda r: r["CD_MUN"])
+    want = sorted(small_df.collect(), key=lambda r: r["CD_MUN"])
+    assert got == want
 
 
 def test_roundtrip_partitioned_read(small_df, tmp_path, spark):
