@@ -48,6 +48,28 @@ def write_parquet_partitioned(
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: tuple[str, ...], n_files: int = 4
+) -> None:
+    """Layout-optimized Parquet: range-repartition on the sort keys, then
+    sort within each partition before writing.
+
+    This is the 1-D form of Z-ordering: every file (and every row group
+    inside it) covers a narrow, near-disjoint key range, so parquet
+    min/max footer stats let a pushed-down predicate skip whole row groups
+    — at 100 TB the difference between scanning one file and scanning the
+    table. ``repartitionByRange`` gives files disjoint key ranges;
+    ``sortWithinPartitions`` makes row-group stats tight within each file.
+    (True multi-column Z-order interleaving needs a lakehouse layer; for a
+    single dominant predicate column this achieves the same skipping.)"""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-Lines sink — the interchange format of most LLM training-data
     tooling (one JSON object per line, splittable, append-friendly). Spark's
