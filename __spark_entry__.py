@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from amazon_climate_data_etl_spark.operators import (
     climate,
+    curation,
     dedup,
     events,
     joins,
@@ -25,13 +26,56 @@ from amazon_climate_data_etl_spark.operators import (
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
 from amazon_climate_data_etl_spark.sources import multimodal
 
+_MODULES = (
+    dedup,
+    similarity,
+    events,
+    multimodal,
+    curation,
+    textops,
+    climate,
+    joins,
+    relational,
+)
+
 # Registry order is load-bearing: the driver's correctness gate checks the
-# FIRST 50 registered queries. Rounds 1-2 verified relational/joins/climate
-# (two rounds of green driver rows); round 3 front-loads the families that
-# have never been through the driver's hash gate — dedup, similarity,
-# events, multimodal — so they get CORRECTNESS rows, with the longest-green
-# relational family absorbing the tail cut.
-_MODULES = (dedup, similarity, events, multimodal, textops, climate, joins, relational)
+# FIRST 50 registered queries. _PRIORITY front-loads (a) every query that has
+# never been through the driver's hash gate — the dedup/similarity/events/
+# multimodal families plus the queries added after the round-2 snapshot —
+# then (b) the climate + joins families (reference-parity core), then (c) a
+# representative relational slice. Families with two rounds of green driver
+# history (most of relational, the older textops entries) absorb the tail
+# cut; all of them remain covered by the local DuckDB-parity suite.
+_PRIORITY = (
+    # never driver-checked: dedup
+    "exact_dedup", "dedup_components", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
+    # never driver-checked: similarity
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_label_stats", "embedding_cosine_neardup",
+    "semantic_lexical_neardup",
+    # never driver-checked: events
+    "tumbling_hourly", "sliding_windows", "session_windows",
+    "event_dedup_first", "json_props_stats", "asof_join_purchases",
+    "pivot_daily_activity", "user_funnel_conversion",
+    # never driver-checked: multimodal (rows-only)
+    "media_feature_summary", "media_frame_pipeline",
+    # new this round: curation
+    "contamination_overlap", "pack_sequences", "stratified_sample_stats",
+    "source_mixture_plan", "source_domain_divergence",
+    # never driver-checked: round-2-tail textops/joins additions
+    "doc_repetition_scores", "tfidf_top_terms", "doc_fingerprints",
+    "range_band_join",
+    # reference-parity core with green history: climate + joins
+    "climate_annual", "climate_monthly", "climate_rollup",
+    "climate_state_metrics", "climate_spot_check",
+    "grid_snap_join", "nn_join_general", "nn_join_sorted_1d",
+    "join_enrich_revenue", "salted_skew_join", "q3_shipping_priority",
+    "q5_supplier_volume", "semi_join_customers", "anti_join_customers",
+    # relational representatives (flagship + distinctive plan shapes)
+    "q1_pricing_summary", "salted_group_agg", "window_range_30d",
+    "gap_fill_daily_revenue", "cube_status_priority",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,17 +85,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
+def _ordered(merged: dict) -> dict:
+    """Priority names first (driver gate window), then the rest in module
+    order. Names absent from ``merged`` are skipped (the oracle map lacks
+    the rows-only queries)."""
+    out = {n: merged[n] for n in _PRIORITY if n in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        merged.update(mod.QUERIES)
+    missing = [n for n in _PRIORITY if n not in merged]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    return _ordered(merged)
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for mod in _MODULES:
         # rewrite round(x, n) into the decimal-stable form so the DuckDB
         # oracle rounds bit-identically to the Spark side (_portable.py)
-        out.update({k: portable_sql_rounds(v) for k, v in mod.ORACLE.items()})
-    return out
+        merged.update({k: portable_sql_rounds(v) for k, v in mod.ORACLE.items()})
+    return _ordered({k: v for k, v in merged.items()})

@@ -1,0 +1,407 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, sequence packing, stratified sampling, mixture planning,
+and domain-divergence scoring.
+
+These extend the reference's relational surface (SURVEY.md §7 phase 4) with
+the curation stages a 100 TB pretraining pipeline runs between "raw corpus"
+and "tokenized batches". Scale design notes per operator:
+
+- ``contamination_overlap``: eval↔train shingle overlap shuffles on the
+  SHINGLE HASH (high-cardinality, uniform), never on document pairs — the
+  same candidate-keyed shape as the dedup family.
+- ``pack_sequences``: running token cumsum partitioned BY SOURCE, so packing
+  parallelizes across sources; a single-stream corpus would use the
+  two-phase prefix-sum form (per-partition partials + broadcast offsets).
+- ``stratified_sample_stats``: per-stratum rates from exact group counts,
+  membership by content hash — reproducible with no RNG state, stable under
+  repartitioning (same contract as textops' split sampling).
+- ``source_mixture_plan``: per-source token shares vs target mixture
+  weights — the whole reduction is one tiny-key agg plus a scalar broadcast.
+- ``source_domain_divergence``: per-source KL(source‖corpus) over unigram
+  distributions — one term-keyed agg (map-side combined) joined to corpus
+  term stats on the term key; nothing quadratic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.functions.text import (
+    token_count,
+    token_count_sql,
+    tokens,
+)
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+from amazon_climate_data_etl_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _shingle_frame,
+)
+from amazon_climate_data_etl_spark.operators.textops import (
+    _SPLIT_SQL_EXPR,
+    _split_col,
+)
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap between held-out and train splits
+# --------------------------------------------------------------------------
+
+_CONTAM_THRESHOLD = 0.2
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per held-out document: fraction of its 3-token shingles that also
+    occur anywhere in the train split — the GPT-3-style n-gram
+    decontamination check run before trusting any benchmark number.
+
+    Shape: one shingle pass over the corpus (shared ``_shingle_frame``),
+    split assignment by content hash, distinct train-shingle set via hash
+    agg, then a left join of eval shingles against it KEYED ON THE SHINGLE —
+    the contamination state is O(|distinct train shingles|) and the shuffle
+    key is uniform, so no document pair and no skewed key ever crosses the
+    wire. At 100 TB the train side would also carry a bloom filter pushed
+    to the eval scan; the join shape is already the scalable one."""
+    sh = _shingle_frame(load_table(spark, sf_dir, "documents"))
+    ex = sh.select(
+        "doc_id", F.explode("sh").alias("shingle"), _split_col().alias("split")
+    )
+    train = ex.filter(F.col("split") == "train").select("shingle").distinct()
+    eva = ex.filter(F.col("split") != "train")
+    hit = eva.join(
+        train.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return (
+        hit.groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            "n_shingles",
+            "n_contaminated",
+            stable_round(ratio, 4).alias("contamination"),
+            (stable_round(ratio, 4) >= _CONTAM_THRESHOLD).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+ex AS (
+  SELECT doc_id, unnest(s) AS shingle, {_SPLIT_SQL_EXPR} AS split
+  FROM sh WHERE len(s) > 0
+),
+train AS (SELECT DISTINCT shingle FROM ex WHERE split = 'train'),
+ev AS (SELECT * FROM ex WHERE split <> 'train'),
+agg AS (
+  SELECT ev.doc_id, ev.split,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM ev LEFT JOIN train t ON ev.shingle = t.shingle
+  GROUP BY ev.doc_id, ev.split
+)
+SELECT doc_id, split, n_shingles, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / n_shingles, 4) AS contamination,
+       round(CAST(n_contaminated AS DOUBLE) / n_shingles, 4) >= {_CONTAM_THRESHOLD}
+         AS flagged
+FROM agg
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: fill fixed token-budget training sequences
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: documents are laid end-to-end in
+    deterministic (source, doc_id) order and cut into training sequences of
+    ``_PACK_BUDGET`` tokens; each doc is assigned to the sequence where it
+    STARTS. Output is the per-sequence fill profile (doc count, token count,
+    utilization) — the packing-efficiency query run before materializing
+    tokenized batches.
+
+    The running cumsum is a window PARTITIONED BY SOURCE, so packing
+    parallelizes across sources and no global single-reducer sort exists.
+    A corpus with one giant source would switch to the two-phase prefix-sum
+    form (per-partition partial sums + a broadcast offset join) — same
+    outputs, still no global window."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("source", "doc_id", token_count(F.col("text")).alias("n_tok"))
+    cum = toks.withColumn("cum", F.sum("n_tok").over(w))
+    seq = cum.withColumn(
+        "seq_id", F.expr(f"(cum - n_tok) DIV {_PACK_BUDGET}")
+    )
+    return (
+        seq.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .withColumn(
+            "utilization",
+            stable_round(F.col("seq_tokens") / F.lit(float(_PACK_BUDGET)), 4),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, {token_count_sql('text')} AS n_tok FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT source, CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       round(CAST(sum(n_tok) AS BIGINT) / {float(_PACK_BUDGET)}, 4) AS utilization
+FROM cum
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: equal-size per-language sample, content-hash membership
+# --------------------------------------------------------------------------
+
+_STRATA_TARGET = 60  # target docs per language stratum
+
+
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample profile: each stratum gets rate
+    ``target/n`` derived from its EXACT group count, and membership is
+    decided by comparing a 16-bit content-hash prefix against the rate
+    threshold — deterministic, seedless, stable under repartitioning (the
+    same reproducibility contract as the textops content-hash splits, which
+    ``rand()``/``TABLESAMPLE`` cannot give).
+
+    Shape: one tiny-key count agg, broadcast of the |langs|-row threshold
+    dim back onto the scan, then a second tiny-key agg. The threshold is
+    integer arithmetic (``target*65536 DIV n`` rendered as 4 hex digits) so
+    both engines draw the identical cut line."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        # clamp to 0xffff: a stratum smaller than the target keeps ~all rows
+        # (a 5-hex-digit threshold would break the 4-digit string compare)
+        .withColumn(
+            "thr",
+            F.least(
+                F.expr(f"CAST({_STRATA_TARGET * 65536} AS BIGINT) DIV n_docs"),
+                F.lit(65535).cast("bigint"),
+            ),
+        )
+        .withColumn("thr_hex", F.format_string("%04x", F.col("thr")))
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("thr_hex")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.sum(keep.cast("int")).alias("n_kept"),
+            stable_round(
+                F.first("thr").cast("double") / F.lit(65536.0), 4
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs,
+         least(CAST({_STRATA_TARGET * 65536} AS BIGINT) // count(*), 65535) AS thr
+  FROM documents GROUP BY lang
+),
+marked AS (
+  SELECT d.lang, c.n_docs, c.thr,
+         (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', c.thr))
+           AS keep
+  FROM documents d JOIN counts c ON d.lang = c.lang
+)
+SELECT lang,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(max(thr) AS DOUBLE) / 65536.0, 4) AS sample_rate
+FROM marked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture planning: token shares vs target mixture weights per source
+# --------------------------------------------------------------------------
+
+# Target mixture: upweight the first five sources 2:1 (stand-in for "high
+# quality" domains), normalized to sum to 1. Literal doubles so both engines
+# parse the identical values.
+_MIX_WEIGHTS = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
+_MIX_TOTAL = sum(_MIX_WEIGHTS.values())
+_TARGET_SHARES = {s: w / _MIX_TOTAL for s, w in _MIX_WEIGHTS.items()}
+
+
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan: actual token share vs target mixture weight
+    → the sampling-rate multiplier ("epochs") each source needs so the
+    training stream matches the target mixture. This is the static data-mix
+    planning step (the DoReMi/Pile-style weighted-mixture setup) expressed
+    as one aggregation.
+
+    Shape: tiny-key agg (|sources| rows) + scalar broadcast of the corpus
+    total; everything before the 20-row result is map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("src_tokens"),
+    )
+    total = per_src.select(F.sum("src_tokens").alias("total_tokens"))
+    target = F.create_map(
+        *[F.lit(x) for kv in _TARGET_SHARES.items() for x in kv]
+    )[F.col("source")]
+    share = F.col("src_tokens").cast("double") / F.col("total_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            stable_round(share, 6).alias("token_share"),
+            target.alias("target_share"),
+            stable_round(target / share, 4).alias("sample_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {v!r}" for s, v in _TARGET_SHARES.items()
+) + " ELSE NULL END"
+
+SOURCE_MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({token_count_sql('text')}) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per_src)
+SELECT source, n_docs, src_tokens,
+       round(CAST(src_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       {_MIX_CASE} AS target_share,
+       round(({_MIX_CASE}) / (CAST(src_tokens AS DOUBLE) / total_tokens), 4)
+         AS sample_epochs
+FROM per_src, total
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Domain divergence: KL(source unigram distribution ‖ corpus distribution)
+# --------------------------------------------------------------------------
+
+
+def source_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the corpus distribution — the domain-similarity score used for
+    data-selection (Moore-Lewis style): low KL = looks like the corpus,
+    high KL = distributional outlier.
+
+    Shape: explode tokens once; ONE agg keyed by (source, term) and one by
+    term — both map-side combined so the shuffle carries distinct keys, not
+    token occurrences; per-source totals broadcast back (|sources| rows);
+    the join aligning source terms with corpus terms shuffles on the TERM
+    key (uniform, high-cardinality). Per-term contributions are rounded to
+    10 dp and summed as exact decimals, making the float reduction
+    order-independent — bit-identical across engines and run-to-run at any
+    partitioning (see _portable.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf_st"))
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf_t"))
+    tot_s = ex.groupBy("source").agg(F.count(F.lit(1)).alias("src_tokens"))
+    tot_c = ex.select(F.count(F.lit(1)).alias("corpus_tokens"))
+    p = F.col("tf_st").cast("double") / F.col("src_tokens")
+    q = F.col("tf_t").cast("double") / F.col("corpus_tokens")
+    contrib = stable_round(p * F.log(p / q), 10).cast("decimal(28,12)")
+    return (
+        st.join(ct, "term")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot_c))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.first("src_tokens").alias("src_tokens"),
+            stable_round(F.sum(contrib).cast("double"), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH ex AS (
+  SELECT source, unnest({_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+st AS (SELECT source, term, count(*) AS tf_st FROM ex GROUP BY source, term),
+ct AS (SELECT term, count(*) AS tf_t FROM ex GROUP BY term),
+tot_s AS (SELECT source, count(*) AS src_tokens FROM ex GROUP BY source),
+tot_c AS (SELECT count(*) AS corpus_tokens FROM ex),
+scored AS (
+  SELECT st.source, st.term, tot_s.src_tokens,
+         CAST(round(CAST((CAST(tf_st AS DOUBLE) / src_tokens)
+               * ln((CAST(tf_st AS DOUBLE) / src_tokens)
+                    / (CAST(tf_t AS DOUBLE) / corpus_tokens)) AS DECIMAL(24,10)), 10)
+              AS DECIMAL(28,12)) AS contrib
+  FROM st JOIN ct ON st.term = ct.term
+          JOIN tot_s ON st.source = tot_s.source, tot_c
+)
+SELECT source, count(*) AS n_terms,
+       CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+       round(CAST(sum(contrib) AS DOUBLE), 6) AS kl_divergence
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "contamination_overlap": contamination_overlap,
+    "pack_sequences": pack_sequences,
+    "stratified_sample_stats": stratified_sample_stats,
+    "source_mixture_plan": source_mixture_plan,
+    "source_domain_divergence": source_domain_divergence,
+}
+
+ORACLE = {
+    "contamination_overlap": CONTAMINATION_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "stratified_sample_stats": STRATIFIED_SQL,
+    "source_mixture_plan": SOURCE_MIXTURE_SQL,
+    "source_domain_divergence": SOURCE_DIVERGENCE_SQL,
+}

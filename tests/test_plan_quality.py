@@ -79,6 +79,18 @@ _PLAN_BOUNDS = {
     "doc_repetition_scores": (1, 0),
     # term agg w/ count-distinct (2-phase) + scalar N broadcast + top-k
     "tfidf_top_terms": (3, 1),
+    # shingle rebalance + train-distinct agg + eval join on the shingle key
+    # + doc agg + sort; train side broadcasts at dim scale
+    "contamination_overlap": (5, 1),
+    # source-partitioned window + seq agg; no global sort shuffle beyond it
+    "pack_sequences": (2, 0),
+    # lang-count agg broadcast back onto the scan + final lang agg + sort
+    "stratified_sample_stats": (3, 1),
+    # per-source agg (reused for the scalar total) + scalar broadcast + sort
+    "source_mixture_plan": (4, 1),
+    # (source,term) agg + term agg + term-keyed join + source totals
+    # broadcast + final agg/sort; never more
+    "source_domain_divergence": (6, 3),
     # bucket equi-join candidates + two doc-keyed token joins + sort
     "semantic_lexical_neardup": (3, 3),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
