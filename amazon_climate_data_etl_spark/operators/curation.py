@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
@@ -332,20 +333,26 @@ def source_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-selection (Moore-Lewis style): low KL = looks like the corpus,
     high KL = distributional outlier.
 
-    Shape: explode tokens once; ONE agg keyed by (source, term) and one by
-    term — both map-side combined so the shuffle carries distinct keys, not
-    token occurrences; per-source totals broadcast back (|sources| rows);
-    the join aligning source terms with corpus terms shuffles on the TERM
-    key (uniform, high-cardinality). Per-term contributions are rounded to
-    10 dp and summed as exact decimals, making the float reduction
-    order-independent — bit-identical across engines and run-to-run at any
-    partitioning (see _portable.py)."""
+    Shape: the corpus pays ONE explode→(source,term) agg pass (map-side
+    combined, so the shuffle carries distinct keys, not token occurrences);
+    the term totals, per-source totals, and corpus total are all exact
+    integer re-aggregations of that much smaller (source,term) frame, which
+    is persisted so its consumers share the single corpus scan (Catalyst
+    does not CSE across join branches). The join aligning source terms with
+    corpus terms shuffles on the TERM key (uniform, high-cardinality).
+    Per-term contributions are rounded to 10 dp and summed as exact
+    decimals, making the float reduction order-independent — bit-identical
+    across engines and run-to-run at any partitioning (see _portable.py)."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
-    st = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf_st"))
-    ct = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf_t"))
-    tot_s = ex.groupBy("source").agg(F.count(F.lit(1)).alias("src_tokens"))
-    tot_c = ex.select(F.count(F.lit(1)).alias("corpus_tokens"))
+    st = (
+        ex.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ct = st.groupBy("term").agg(F.sum("tf_st").alias("tf_t"))
+    tot_s = st.groupBy("source").agg(F.sum("tf_st").alias("src_tokens"))
+    tot_c = st.select(F.sum("tf_st").alias("corpus_tokens"))
     p = F.col("tf_st").cast("double") / F.col("src_tokens")
     q = F.col("tf_t").cast("double") / F.col("corpus_tokens")
     contrib = stable_round(p * F.log(p / q), 10).cast("decimal(28,12)")

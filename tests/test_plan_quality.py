@@ -88,9 +88,10 @@ _PLAN_BOUNDS = {
     "stratified_sample_stats": (3, 1),
     # per-source agg (reused for the scalar total) + scalar broadcast + sort
     "source_mixture_plan": (4, 1),
-    # (source,term) agg + term agg + term-keyed join + source totals
-    # broadcast + final agg/sort; never more
-    "source_domain_divergence": (6, 3),
+    # one explode→(source,term) agg over the corpus, persisted; term/source/
+    # corpus totals re-aggregate the cached frame (textual count reprints
+    # the cached subtree's exchange once per consumer, cf. ngram_jaccard)
+    "source_domain_divergence": (9, 3),
     # bucket equi-join candidates + two doc-keyed token joins + sort
     "semantic_lexical_neardup": (3, 3),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
@@ -253,6 +254,17 @@ def test_ngram_jaccard_single_corpus_pass(spark, sf_dir):
     # explain prints each cached consumer's InMemoryRelation subtree (which
     # contains the one real FileScan); a FileScan count above the relation
     # count means a branch bypassed the cache and re-scans the corpus
+    assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+
+
+def test_domain_divergence_single_corpus_pass(spark, sf_dir):
+    """source_domain_divergence must derive term totals, per-source totals,
+    and the corpus total from the persisted (source, term) frame — one
+    explode pass over the corpus, not four. Every consumer reads
+    InMemoryTableScan; a FileScan count above the InMemoryRelation count
+    means a branch bypassed the cache and re-explodes the corpus."""
+    plan = I.plan_string(QUERIES["source_domain_divergence"](spark, sf_dir), "simple")
+    assert plan.count("InMemoryTableScan") >= 4, plan
     assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
 
 
