@@ -70,6 +70,39 @@ def write_sorted_parquet(
     )
 
 
+def compact_parquet(
+    spark, path: str, out_path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes``. Returns the output file count.
+
+    The operational counterpart of every streaming/partitioned sink here:
+    a watermark-triggered writer or an over-parallel job leaves thousands
+    of KB-sized files, and at 100 TB the NameNode/listing cost plus
+    per-file open overhead dominates scan time long before the bytes do.
+    Target size comes from the REAL on-disk byte total (Hadoop
+    ``ContentSummary``, so it works on HDFS/S3A/local alike), not a row
+    heuristic; the rewrite is one shuffle to exactly the file count that
+    matches ``spark.sql.files.maxPartitionBytes``-sized scans afterwards.
+    Output goes to a new directory — an atomic-rename/catalog-swap layer
+    (or a table format) owns the in-place swap at production scale."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # flat layout: size only the data files (checksum/_SUCCESS markers would
+    # skew small-file math); partitioned layouts fall back to the recursive
+    # ContentSummary, where marker overhead is negligible
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path, "*.parquet"))
+    if statuses:
+        total_bytes = sum(s.getLen() for s in statuses)
+    else:
+        total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-Lines sink — the interchange format of most LLM training-data
     tooling (one JSON object per line, splittable, append-friendly). Spark's

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.sources.sinks import (
+    compact_parquet,
     read_jsonl,
     write_jsonl,
     write_partitioned,
@@ -81,6 +82,26 @@ def test_sorted_parquet_enables_row_group_skipping(tmp_path, spark):
     # is reflected in the scan's output row count being filter-selective)
     got = spark.read.parquet(out).filter(F.col("day") == 17).count()
     assert got == 10_000 // 365 + (1 if 17 < 10_000 % 365 else 0)
+
+
+def test_compact_parquet_shrinks_file_count(tmp_path, spark):
+    """64 tiny files must compact into the byte-derived target count with
+    all rows and values preserved."""
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 20_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{src}/part-*.parquet"))
+    # target a quarter of the total → 4 output files
+    n = compact_parquet(spark, src, out, target_file_bytes=total // 4 + 1)
+    got_files = glob.glob(f"{out}/part-*.parquet")
+    assert n == 4 and len(got_files) == 4
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(20_000))
 
 
 def test_jsonl_roundtrip(small_df, tmp_path, spark):
