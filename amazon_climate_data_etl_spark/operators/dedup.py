@@ -297,7 +297,10 @@ WITH tok AS (
   SELECT doc_id, md5(t) AS h
   FROM (SELECT doc_id,
                unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
-        FROM documents)
+        FROM documents
+        -- token guard: string_split_regex('') yields [''] in DuckDB, which
+        -- would give empty docs a fingerprint; Spark's tokens() drops them
+        WHERE length(trim(text)) > 0)
 ),
 votes AS (
   SELECT doc_id,

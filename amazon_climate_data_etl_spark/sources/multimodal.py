@@ -310,7 +310,10 @@ def synthetic_media(
                 mimes.append(_MEDIA_MIMES[kind])
                 widths.append(64 + i % 512 if kind == "image" else None)
                 heights.append(64 + (i * 7) % 512 if kind == "image" else None)
-                durs.append(1000 + i * 33 if kind != "image" else None)
+                # bounded duration (1-11 s): total frame fan-out stays LINEAR
+                # in the table size (an unbounded i*33 made it quadratic);
+                # i % 300 == i below 300, so small-sf fixtures are unchanged
+                durs.append(1000 + (i % 300) * 33 if kind != "image" else None)
                 payloads.append(payload)
             yield pd.DataFrame(
                 {
@@ -324,5 +327,12 @@ def synthetic_media(
                 }
             )
 
-    num_parts = max(1, math.ceil(n / rows_per_partition))
+    # at least one split per core (the downstream decode/frame stages are
+    # compute-bound Python; 3 fat partitions would idle 29 of 32 cores), at
+    # most one row per partition
+    num_parts = max(
+        1,
+        min(n, max(math.ceil(n / rows_per_partition),
+                   spark.sparkContext.defaultParallelism)),
+    )
     return spark.range(0, n, 1, num_parts).mapInPandas(worker, schema=MEDIA_SCHEMA)

@@ -1,0 +1,106 @@
+"""Adversarial corpus parity: every documents-family query (textops, dedup,
+curation) runs against a crafted edge-case corpus — empty and
+whitespace-only texts, sub-shingle-length docs, unicode, exact duplicates,
+pathological repetition — and must still match the DuckDB oracle bit-exactly.
+
+The driver's synthetic corpus is well-behaved; engine divergence hides in
+the degenerate paths (empty-array guards, regex splits on '', unicode code
+points, zero-denominator ratios). This suite pins those semantics.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_harness import TABLES, compare_frames, duckdb_conn, exact_float_mismatches
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+# documents-only query families (no events/embeddings/tpch dependencies)
+_DOC_QUERIES = [
+    # textops
+    "doc_token_stats", "bpe_token_stats", "doc_quality_scores",
+    "lang_id_confusion", "doc_fingerprints", "doc_rolling_fingerprints",
+    "doc_length_histogram", "top_terms", "doc_repetition_scores",
+    "tfidf_top_terms", "sample_split_stats", "val_split_docs",
+    # dedup
+    "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
+    # curation
+    "contamination_overlap", "pack_sequences", "stratified_sample_stats",
+    "source_mixture_plan", "source_domain_divergence",
+]
+
+_EDGE_TEXTS = [
+    "",                                   # empty
+    "   ",                                # whitespace only
+    "\t\n  \n",                           # mixed whitespace only
+    "word",                               # single token (< shingle k)
+    "two words",                          # two tokens (< shingle k)
+    "a b c",                              # exactly shingle k tokens
+    "  leading and trailing spaces  ",    # trim semantics
+    "a a a a a a a a",                    # maximal token repetition
+    "the the the and and of",             # stopword-only
+    "café naïve 你好 мир αβγ",             # non-ASCII code points
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup
+    "one two three four five six seven eight nine ten " * 12,  # long doc
+    "x" * 7,                              # just under rolling-hash window K=8
+    "y" * 8,                              # exactly the rolling-hash window
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    """A full testdata layout whose documents table is the edge corpus;
+    the other nine tables are borrowed from sf0.001 (the oracle harness
+    registers views for all of them)."""
+    d = tmp_path_factory.mktemp("edge_corpus")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    langs = ["en", "de", "fr", "es", "zh"]
+    sources = ["src0", "src1", "src7", "src19"]
+    rows = {
+        "doc_id": list(range(len(_EDGE_TEXTS))),
+        "text": _EDGE_TEXTS,
+        "lang": [langs[i % len(langs)] for i in range(len(_EDGE_TEXTS))],
+        "source": [sources[i % len(sources)] for i in range(len(_EDGE_TEXTS))],
+        "n_chars": [len(t) for t in _EDGE_TEXTS],
+    }
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.table(rows, schema=schema), d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_edge_corpus_parity(spark, edge_dir, name):
+    spark.catalog.clearCache()
+    sdf = QUERIES[name](spark, edge_dir).toPandas()
+    with duckdb_conn(edge_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
