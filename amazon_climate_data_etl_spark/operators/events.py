@@ -161,7 +161,9 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON parsing of the props column (semi-structured payloads):
     extract $.k, bucket it, aggregate."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: ANSI mode (Spark 4 default) makes plain CAST throw on
+    # non-numeric payloads like {"k": "abc"}; the contract is NULL
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -178,11 +180,18 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid + TRY_CAST mirror Spark's defensive semantics: get_json_object
+# returns NULL on malformed JSON and CAST(string AS INT) returns NULL on
+# non-numeric strings (ANSI off) — DuckDB would raise on both without the
+# guards. Identical results on well-formed numeric payloads.
 JSON_PROPS_SQL = """
 SELECT event_type,
        count(k) AS n_with_k, min(k) AS k_min, max(k) AS k_max,
        round(CAST(sum(CAST(k AS DECIMAL(18,0))) AS DOUBLE) / count(k), 2) AS k_avg
-FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+FROM (SELECT event_type,
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END AS INT) AS k
+      FROM events)
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -1,0 +1,140 @@
+"""Adversarial event-stream parity: the events-family queries run against a
+crafted stream of boundary cases — equal-timestamp ties, session gaps
+exactly at the threshold, window-boundary and sub-microsecond timestamps,
+malformed/missing JSON payloads, out-of-order funnels — and must match the
+DuckDB oracle bit-exactly.
+
+The driver's synthetic stream is uniform; windowing/as-of/dedup semantics
+diverge precisely at ties and boundaries, so this suite pins them.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_harness import TABLES, compare_frames, duckdb_conn, exact_float_mismatches
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+_EVENT_QUERIES = [
+    "tumbling_hourly", "sliding_windows", "session_windows",
+    "event_dedup_first", "json_props_stats", "asof_join_purchases",
+    "pivot_daily_activity", "user_funnel_conversion",
+]
+
+
+def _ns(s: str) -> int:
+    return pd.Timestamp(s).value
+
+
+_ROWS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # u1: click & purchase at the SAME timestamp (at-or-before as-of tie),
+    # plus an earlier purchase with NO prior click (null as-of match)
+    (1, _ns("2024-03-01 09:00:00"), 1, "purchase", 10.0, '{"k": 5}'),
+    (2, _ns("2024-03-01 10:00:00"), 1, "click", 1.5, '{"k": 2}'),
+    (3, _ns("2024-03-01 10:00:00"), 1, "purchase", 20.0, '{"k": 3}'),
+    # duplicate (user, type, ts) with distinct ids: dedup tie-break on id
+    (4, _ns("2024-03-01 10:00:00"), 1, "click", 0.0, "{}"),
+    # u2: session gap EXACTLY 30 min (same session, strict >), then 30 min
+    # + 1 s (new session)
+    (5, _ns("2024-03-01 08:00:00"), 2, "view", -1.5, "{}"),
+    (6, _ns("2024-03-01 08:30:00"), 2, "view", 2.25, '{"k": null}'),
+    (7, _ns("2024-03-01 09:00:01"), 2, "view", 1e6, '{"k": -3}'),
+    # u3: funnel strictly in order
+    (8, _ns("2024-03-01 11:00:00"), 3, "signup", 0.5, '{"k": 7}'),
+    (9, _ns("2024-03-01 11:05:00"), 3, "click", 0.5, '{"k": "7"}'),
+    (10, _ns("2024-03-01 11:10:00"), 3, "purchase", 99.99, '{"k": "abc"}'),
+    # u4: funnel out of order (purchase before click before signup)
+    (11, _ns("2024-03-01 12:00:00"), 4, "purchase", 1.0, "not json"),
+    (12, _ns("2024-03-01 12:05:00"), 4, "click", 1.0, ""),
+    (13, _ns("2024-03-01 12:10:00"), 4, "signup", 1.0, None),
+    # u5: signup + click at the SAME ts (strict > means funnel not reached)
+    (14, _ns("2024-03-01 13:00:00"), 5, "signup", 3.125, '{"k": 11}'),
+    (15, _ns("2024-03-01 13:00:00"), 5, "click", 3.125, '{"k": 13}'),
+    # window boundaries: exactly on the hour, 1 ns before the hour
+    # (truncates to :59:59.999999 µs → previous hour in BOTH engines),
+    # sub-microsecond component
+    (16, _ns("2024-03-01 14:00:00"), 6, "error", 0.0, "{"),
+    (17, _ns("2024-03-01 13:59:59.999999999"), 6, "view", 4.5, '{"k": 1}'),
+    (18, _ns("2024-03-01 14:15:30.123456789"), 6, "click", 7.75, '{"k": 9}'),
+    # next-day row for the pivot day boundary (midnight itself)
+    (19, _ns("2024-03-02 00:00:00"), 6, "view", 2.5, '{"k": 4}'),
+    # lone user with only an error event
+    (20, _ns("2024-03-01 15:30:00"), 7, "error", -0.25, "[1, 2]"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    """Testdata layout whose events table is the edge stream (stored as
+    TIMESTAMP(NANOS) like the driver's parquet); other tables borrowed
+    from sf0.001."""
+    d = tmp_path_factory.mktemp("edge_events")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    cols = list(zip(*_ROWS))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("ns")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_edge_events_parity(spark, edge_events_dir, name):
+    spark.catalog.clearCache()
+    sdf = QUERIES[name](spark, edge_events_dir).toPandas()
+    with duckdb_conn(edge_events_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
+
+
+def test_edge_events_fixture_semantics(spark, edge_events_dir):
+    """Spot-pin the boundary decisions themselves (not just parity):
+    30-min gap stays in-session, same-ts click satisfies at-or-before,
+    1 ns before the hour lands in the earlier window."""
+    sessions = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in QUERIES["session_windows"](spark, edge_events_dir).collect()
+    }
+    # u2: events at 08:00, 08:30 share a session; 09:00:01 starts a new one
+    assert sessions[(2, 1)] == 2 and sessions[(2, 2)] == 1
+
+    asof = {
+        r["event_id"]: r["gap_us"]
+        for r in QUERIES["asof_join_purchases"](spark, edge_events_dir).collect()
+    }
+    assert asof[1] is None          # purchase with no prior click
+    assert asof[3] == 0             # same-ts click counts (at-or-before)
+
+    tumbling = QUERIES["tumbling_hourly"](spark, edge_events_dir).collect()
+    by_win = {(str(r["win_start"]), r["event_type"]): r["n_events"] for r in tumbling}
+    # 13:59:59.999999999 truncates to µs inside hour 13
+    assert by_win[("2024-03-01 13:00:00", "view")] == 1
+    assert by_win[("2024-03-01 14:00:00", "error")] == 1
