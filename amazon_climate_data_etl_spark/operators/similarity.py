@@ -55,10 +55,32 @@ _NORMED = (
     )
 )
 
+# Zero-vector contract: a vector with no direction has no cosine to anything
+# (0/0 → NaN, whose comparison/sort semantics then differ by engine), so
+# every similarity operator EXCLUDES zero vectors up front — the same
+# validation FAISS-style ANN systems apply before indexing. Profiling
+# queries (embedding_label_stats) still see them.
+_NONZERO_SQL = (
+    "list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
+)
+
+
+def _norm_sq() -> "F.Column":
+    return F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+
+
+def _nonzero(e: DataFrame) -> DataFrame:
+    return e.filter(_norm_sq() > 0)
+
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each probe vector (self-excluded)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -84,8 +106,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_BRUTEFORCE_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings WHERE {_NONZERO_SQL}),
 scored AS (
   SELECT query_id, cand_id, {_cosine_sql('qe', 'ce')} AS cos
   FROM c CROSS JOIN q
@@ -109,7 +132,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate by design (the oracle checks the same approximation). At
     scale: bucket is the shuffle/join key; multi-probe (flip one bit) is
     the standard recall knob."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
     )
@@ -142,7 +165,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_LSH_SQL = f"""
 WITH b AS (
-  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE {_NONZERO_SQL}
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS cand_id, embedding AS ce, bucket FROM b),
@@ -195,12 +219,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-breaks are pinned (max cos, then min centroid id — the struct packs
     -cid so array_max resolves ties identically to the oracle's
     ORDER BY cos DESC, cid ASC)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    norm_sq = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    norm_sq = _norm_sq()
     n = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.sqrt(norm_sq)).alias(
@@ -266,7 +286,7 @@ _DOT_EN = (
 )
 
 ANN_IVF_SQL = f"""
-WITH n AS (SELECT vec_id, {_NORMED} AS en FROM embeddings),
+WITH n AS (SELECT vec_id, {_NORMED} AS en FROM embeddings WHERE {_NONZERO_SQL}),
 cents AS (SELECT vec_id AS cid, en AS cv FROM n WHERE vec_id < {N_CENTROIDS}),
 ascore AS (
   SELECT n.vec_id, cents.cid, {_DOT_EN.format(a='n.en', b='cents.cv')} AS cos
@@ -357,12 +377,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair costs a single 64-element fold (the dot product) instead
     of dot + two norms — the amortization every ANN system does, measured
     ~2× here."""
-    e = load_table(spark, sf_dir, "embeddings")
-    norm_sq = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    norm_sq = _norm_sq()
     normed = e.select(
         "vec_id",
         sign_bucket(F.col("embedding")).alias("bucket"),
@@ -395,7 +411,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_NEARDUP_SQL = f"""
 WITH b AS (
   SELECT vec_id, {sign_bucket_sql('embedding')} AS bucket, {_NORMED} AS en
-  FROM embeddings
+  FROM embeddings WHERE {_NONZERO_SQL}
 ),
 scored AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -457,7 +473,7 @@ _TK_SQL = (
 SEMANTIC_LEXICAL_SQL = f"""
 WITH b AS (
   SELECT vec_id, {sign_bucket_sql('embedding')} AS bucket, {_NORMED} AS en
-  FROM embeddings
+  FROM embeddings WHERE {_NONZERO_SQL}
 ),
 cand AS (
   SELECT vec_a, vec_b, cosine FROM (

@@ -1,0 +1,129 @@
+"""Adversarial embeddings parity: the similarity-family queries run against
+a crafted vector table — zero vectors, empty and NULL embeddings, exact
+duplicates and scaled copies (cosine-1.0 rank ties), duplicate IVF
+centroids, components exactly 0.0 in the sign-bucket dims, tiny magnitudes —
+and must match the DuckDB oracle bit-exactly.
+
+The driver's synthetic embeddings are dense and well-behaved; cosine math
+diverges precisely at degenerate norms (0/0 → NaN with engine-specific
+comparison semantics) and at ties, so this suite pins the zero-vector
+exclusion contract (similarity.py) and the tie-break order.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_harness import TABLES, compare_frames, duckdb_conn, exact_float_mismatches
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+_SIM_QUERIES = [
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_cosine_neardup", "semantic_lexical_neardup",
+    "embedding_label_stats",
+]
+
+# (vec_id, embedding, label) — 8-d float32. vec_id < 5 are probes; nonzero
+# vec_id < 16 become IVF centroids (three of them colinear: duplicate-cell
+# tie-breaks).
+_VECS = [
+    (0, [1, 0, 0, 0, 0, 0, 0, 0], 0),            # probe; axis vector
+    (1, [1, 0, 0, 0, 0, 0, 0, 0], 0),            # probe; EXACT duplicate of 0
+    (2, [0, 0, 0, 0, 0, 0, 0, 0], 0),            # probe that is a ZERO vector
+    (3, [-1, 0, 0, 0, 0, 0, 0, 0], 1),           # probe; exact negation of 0
+    (4, [2.5, 0, 0, 0, 0, 0, 0, 0], 1),          # probe; scaled copy of 0
+    (5, [1e-20] * 8, 1),                          # tiny but nonzero: kept
+    (6, [0, 0, 0, 0, 1, 0, 0, 0], 2),            # all sign-bucket dims exactly 0.0
+    (7, [0, 0, 0, 0, 0, 0, 0, 0], 2),            # zero vector in the corpus
+    (8, [0.5, -0.5, 0.5, -0.5, 0.1, 0.2, 0.3, 0.4], 2),
+    (9, [0.5, -0.5, 0.5, -0.5, 0.1, 0.2, 0.3, 0.5], 2),   # near-dup of 8
+    (10, [-0.5, 0.5, -0.5, 0.5, -0.1, -0.2, -0.3, -0.4], 0),  # negation of 8
+    (11, [], 0),                                  # EMPTY embedding array
+    (12, None, 1),                                # NULL embedding
+    (13, [0.6, -0.6, 0.6, -0.6, 0.12, 0.24, 0.36, 0.48], 2),  # 1.2 × vec 8
+    (14, [1, 1, 1, 1, 1, 1, 1, 1], 0),
+    (15, [1, 2, 3, 4, 5, 6, 7, 8], 1),
+    (16, [-1e-8, 1, 1, 1, 1, 1, 1, 1], 2),       # sign flip on a tiny dim-1
+    (17, [3, 1, 4, 1, 5, 9, 2, 6], 0),
+    (18, [2, 7, 1, 8, 2, 8, 1, 8], 1),
+    (19, [1, -1, 1, -1, 1, -1, 1, -1], 2),
+]
+
+_DEGENERATE = {2, 7, 11, 12}  # zero / empty / NULL: excluded by contract
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    """Testdata layout whose embeddings table is the edge vector set; other
+    tables borrowed from sf0.001 (semantic_lexical joins doc_id=vec_id, so
+    vec_ids stay within the sf0.001 documents id range)."""
+    d = tmp_path_factory.mktemp("edge_embeddings")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    table = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in _VECS], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in _VECS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in _VECS], pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _SIM_QUERIES)
+def test_edge_embeddings_parity(spark, edge_emb_dir, name):
+    spark.catalog.clearCache()
+    sdf = QUERIES[name](spark, edge_emb_dir).toPandas()
+    with duckdb_conn(edge_emb_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
+
+
+def test_edge_embeddings_fixture_semantics(spark, edge_emb_dir):
+    """Pin the contract decisions themselves (not just parity)."""
+    bf = QUERIES["ann_bruteforce_topk"](spark, edge_emb_dir).collect()
+    # zero/empty/NULL vectors appear neither as probes nor as candidates
+    assert not {r["query_id"] for r in bf} & _DEGENERATE
+    assert not {r["cand_id"] for r in bf} & _DEGENERATE
+    # probe 0: duplicates (1) and scaled copies (4) score exactly 1.0 and
+    # tie-break toward the smaller cand_id
+    top0 = sorted((r for r in bf if r["query_id"] == 0), key=lambda r: r["rank"])
+    assert [(r["cand_id"], r["cosine"]) for r in top0[:2]] == [(1, 1.0), (4, 1.0)]
+    # probe 3 (negation of 0) scores exactly -1.0 against 0/1
+    cos3 = {r["cand_id"]: r["cosine"] for r in bf if r["query_id"] == 3}
+    assert all(c != 1.0 or k not in (0, 1, 4) for k, c in cos3.items())
+
+    # label stats still PROFILE the degenerate vectors (contract: excluded
+    # from similarity, visible to profiling)
+    stats = {r["label"]: r["n_vectors"] for r in
+             QUERIES["embedding_label_stats"](spark, edge_emb_dir).collect()}
+    assert stats == {0: 7, 1: 6, 2: 7}
+
+    # near-dup: colinear pair (8, 13) is found at cosine exactly 1.0; the
+    # sign-flipped twin (14, 16) is NOT a candidate (different LSH bucket)
+    # even though its true cosine is ~0.93 — the documented recall trade
+    nd = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in
+          QUERIES["embedding_cosine_neardup"](spark, edge_emb_dir).collect()}
+    assert nd[(8, 13)] == 1.0
+    assert (14, 16) not in nd

@@ -126,9 +126,11 @@ _PLAN_BOUNDS = {
     "json_props_stats": (2, 0),
     "lang_id_confusion": (2, 0),
     "left_join_order_gaps": (2, 1),
-    # mapInPandas over spark.range: no exchange at all
-    "media_feature_summary": (0, 0),
-    "media_frame_pipeline": (0, 0),
+    # media synthesizes one split per core (the decode stage is compute-bound
+    # Python); the 3 exchanges sit DOWNSTREAM of extract_features and carry
+    # only per-item feature rows / final aggregates, never the binary payloads
+    "media_feature_summary": (3, 0),
+    "media_frame_pipeline": (3, 0),
     "minmax_range": (1, 0),
     "monthly_agg": (2, 0),
     "multikey_sort": (1, 0),
