@@ -240,8 +240,15 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     row/byte profile over the synthesized media table. Rows-only check (the
     kernels are not SQL-expressible); determinism and cardinality law
     (frames = duration//step + 1) are pinned in tests. Item count scales
-    with ``sf_dir``'s scale factor."""
-    media = synthetic_media(spark, n=media_count_for(sf_dir))
+    with ``sf_dir``'s scale factor.
+
+    The media frame feeds TWO downstream branches (frames + resize). An
+    unpersisted branch point re-runs the upstream mapInPandas per branch,
+    and every extra Python eval in the chain costs a runner round-trip per
+    task — so the branch point is persisted, the same DAG-branch
+    materialization you'd do before fanning a decoded media scan out to
+    multiple extractors on a cluster."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir)).persist()
     frames = sample_frames(media).select(
         F.lit("frames").alias("stage"),
         F.col("media_id"),
