@@ -37,9 +37,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as TIMESTAMP(NANOS) in the testdata; Spark reads them as
-# int64 nanos (session.py sets nanosAsLong) and we truncate to microseconds,
-# matching DuckDB's ns→us handling.
+# Timestamp columns whose physical parquet type has varied across testdata
+# generations: TIMESTAMP(NANOS) (read as int64 via nanosAsLong, truncated to
+# micros) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+# Both are normalized to plain TimestampType: the session timezone is pinned
+# to UTC (session.py), so the NTZ→TZ cast is wall-clock-preserving and matches
+# DuckDB's naive-timestamp reading of the same files. Without the cast,
+# NTZ-rejecting expressions (unix_micros) fail and driver-side hashes drift.
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
@@ -52,9 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLUMNS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
-        if field is not None and field.dataType.simpleString() == "bigint":
+        if field is None:
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             # integer division: double division would lose precision at 1e18 ns
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
