@@ -60,9 +60,11 @@ _PRIORITY = (
     "pivot_daily_activity", "user_funnel_conversion",
     # never driver-checked: multimodal (rows-only)
     "media_feature_summary", "media_frame_pipeline",
-    # new this round: curation
+    # new this round: curation + quality/vocab/clustering/retention
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
+    "unigram_logprob_quality", "vocab_coverage", "kmeans_cluster_profile",
+    "user_retention_cohorts",
     # never driver-checked: round-2-tail textops/joins additions
     "doc_repetition_scores", "tfidf_top_terms", "doc_fingerprints",
     "range_band_join",
@@ -72,9 +74,8 @@ _PRIORITY = (
     "grid_snap_join", "nn_join_general", "nn_join_sorted_1d",
     "join_enrich_revenue", "salted_skew_join", "q3_shipping_priority",
     "q5_supplier_volume", "semi_join_customers", "anti_join_customers",
-    # relational representatives (flagship + distinctive plan shapes)
-    "q1_pricing_summary", "salted_group_agg", "window_range_30d",
-    "gap_fill_daily_revenue", "cube_status_priority",
+    # relational representative (flagship)
+    "q1_pricing_summary",
 )
 
 

@@ -397,8 +397,96 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram log-prob quality proxy: the cheapest "LM-based" quality filter
+# --------------------------------------------------------------------------
+
+_LOGPROB_KEEP_THRESHOLD = -3.45
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus unigram
+    distribution — the degenerate (order-0) case of the KenLM perplexity
+    filter used by CCNet/LLaMA-style pipelines: documents whose tokens are
+    atypical for the corpus score low and get dropped.
+
+    Shape: one explode→(doc,term) agg pass over the corpus (map-side
+    combined), term totals re-aggregated from that frame (shared via
+    persist — Catalyst does not CSE across join branches), then a join
+    aligning doc terms with corpus term frequencies ON THE TERM KEY
+    (uniform, high-cardinality; a real deployment would broadcast the
+    top-V vocab and bucket the tail). Per-term log-probs are rounded to
+    10 dp and summed as exact decimals weighted by term count, making the
+    float reduction order-independent — bit-identical across engines and
+    partitionings (same contract as ``source_domain_divergence``)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dt = (
+        ex.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ct = dt.groupBy("term").agg(F.sum("n_dt").alias("tf"))
+    tot = dt.select(F.sum("n_dt").alias("corpus_tokens"))
+    # operand precisions chosen so the product is EXACT in both engines:
+    # (18,12)×(10,0) → (29,12) stays under decimal128's 38-digit cap; a
+    # wider logp type would overflow it and Spark silently REDUCES SCALE
+    # on overflow (per-term rounding → 1-ulp drift vs the oracle).
+    logp = stable_round(
+        F.log(F.col("tf").cast("double") / F.col("corpus_tokens")), 10
+    ).cast("decimal(18,12)")
+    contrib = logp * F.col("n_dt").cast("decimal(10,0)")
+    avg = F.col("sum_logp").cast("double") / F.col("n_tokens")
+    return (
+        dt.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_dt").alias("n_tokens"),
+            F.sum(contrib).alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            stable_round(avg, 6).alias("avg_logprob"),
+            (stable_round(avg, 6) >= _LOGPROB_KEEP_THRESHOLD).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+dt AS (SELECT doc_id, term, count(*) AS n_dt FROM ex GROUP BY doc_id, term),
+ct AS (SELECT term, count(*) AS tf FROM ex GROUP BY term),
+tot AS (SELECT count(*) AS corpus_tokens FROM ex),
+scored AS (
+  SELECT dt.doc_id, dt.n_dt,
+         CAST(round(CAST(ln(CAST(tf AS DOUBLE) / corpus_tokens)
+                         AS DECIMAL(24,10)), 10) AS DECIMAL(18,12))
+           * CAST(dt.n_dt AS DECIMAL(10,0)) AS contrib
+  FROM dt JOIN ct ON dt.term = ct.term, tot
+),
+agg AS (
+  SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
+         sum(contrib) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(sum_logp AS DOUBLE) / n_tokens, 6) AS avg_logprob,
+       round(CAST(sum_logp AS DOUBLE) / n_tokens, 6)
+         >= {_LOGPROB_KEEP_THRESHOLD} AS keep
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "contamination_overlap": contamination_overlap,
+    "unigram_logprob_quality": unigram_logprob_quality,
     "pack_sequences": pack_sequences,
     "stratified_sample_stats": stratified_sample_stats,
     "source_mixture_plan": source_mixture_plan,
@@ -407,6 +495,7 @@ QUERIES = {
 
 ORACLE = {
     "contamination_overlap": CONTAMINATION_SQL,
+    "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample_stats": STRATIFIED_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_SQL,

@@ -348,8 +348,69 @@ FROM per_user
 """
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    first event; for each (cohort, week-offset) cell, how many cohort
+    members were active that week and what fraction of the cohort that is.
+
+    Shape: the event stream collapses to DISTINCT (user, week) — a hash
+    agg whose shuffle carries at most one row per user-week, not the
+    stream; the per-user first week is a second agg on the SAME user key
+    (co-partitioned, no extra exchange under AQE); the cohort join is
+    user-keyed and the final matrix agg is over a tiny (cohort, offset)
+    keyspace. No windows, no self-join over events — at 100 TB the only
+    real cost is the first user-week dedup and it partitions cleanly."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = uw.join(first, "user_id")
+    offset = F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int")
+    active = j.groupBy(
+        F.col("cohort_wk"), offset.alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rate = F.col("n_active").cast("double") / F.col("cohort_size")
+    return (
+        active.join(sizes, "cohort_wk")
+        .select(
+            F.to_date("cohort_wk").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            stable_round(rate, 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+j AS (
+  SELECT uw.user_id, uw.wk, f.cohort_wk
+  FROM uw JOIN first f ON uw.user_id = f.user_id
+),
+active AS (
+  SELECT cohort_wk, CAST(date_diff('day', cohort_wk, wk) // 7 AS INT)
+           AS week_offset, count(*) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM first GROUP BY 1)
+SELECT CAST(a.cohort_wk AS DATE) AS cohort_week, a.week_offset,
+       a.n_active, s.cohort_size,
+       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "user_funnel_conversion": user_funnel_conversion,
+    "user_retention_cohorts": user_retention_cohorts,
     "tumbling_hourly": tumbling_hourly,
     "pivot_daily_activity": pivot_daily_activity,
     "sliding_windows": sliding_windows,
@@ -361,6 +422,7 @@ QUERIES = {
 
 ORACLE = {
     "user_funnel_conversion": FUNNEL_SQL,
+    "user_retention_cohorts": RETENTION_SQL,
     "tumbling_hourly": TUMBLING_SQL,
     "pivot_daily_activity": PIVOT_SQL,
     "sliding_windows": SLIDING_SQL,

@@ -500,8 +500,179 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) over quantized embeddings: the clustering pass that trains
+# the IVF coarse quantizer (ann_ivf_topk consumes centroids like these).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 10000
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings on a fixed integer grid: component → floor(x·1e4 + 0.5).
+
+    floor/mul/add are single IEEE-double ops on exactly-converted float32
+    inputs, so the quantization is bit-identical across engines; from here
+    on every distance/centroid computation is EXACT integer arithmetic —
+    the property that makes an iterative float algorithm oracle-checkable
+    at all (assignment argmins cannot flip on low-order float bits)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)).cast("long"),
+    )
+    return em.select("vec_id", q.alias("q"))
+
+
+def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-only assignment against driver-held centroids (MLlib-style):
+    per-centroid squared L2 distance via zip_with fold (bigint-exact,
+    |q|≤~1e6 and 64 dims keep Σ(Δ²) well under 2^63), argmin via
+    array_min over (dist, cluster_id) structs — ties break to the lowest
+    cluster id deterministically."""
+    dists = []
+    for c in cents:
+        lit = F.array(*[F.lit(int(v)) for v in c])
+        diff2 = F.zip_with(F.col("q"), lit, lambda a, b: (a - b) * (a - b))
+        dists.append(
+            F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+    pairs = F.array(
+        *[
+            F.struct(d.alias("dist"), F.lit(i).cast("int").alias("cluster_id"))
+            for i, d in enumerate(dists)
+        ]
+    )
+    best = F.array_min(pairs)
+    return vecs.select(
+        "vec_id",
+        "q",
+        best["cluster_id"].alias("cluster_id"),
+        best["dist"].alias("dist"),
+    )
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 3 iterations) over the quantized
+    embeddings; per-cluster size, inertia, and mean distance.
+
+    Shape: centroids live on the driver (k·d ints — bounded, the same
+    contract as MLlib KMeans); each iteration is (a) a map-only
+    assignment against centroid literals, and (b) a centroid update via
+    posexplode → (cluster, pos) hash agg — map-side combined, the shuffle
+    carries k·d rows regardless of corpus size. The corpus is persisted
+    once and never shuffled. Seeding is deterministic: the k lowest
+    vec_id vectors. Centroid means round to the integer grid
+    (floor(s/n + 0.5) — s is an exact bigint sum < 2^53, so the one
+    double division is bit-identical in Python and SQL), keeping every
+    iteration integer-exact; the DuckDB oracle replays the identical
+    3 unrolled Lloyd rounds."""
+    import math
+
+    vecs = _km_quantized(spark, sf_dir).persist()
+    cents = [list(r.q) for r in vecs.orderBy("vec_id").limit(_KM_K).collect()]
+    for _ in range(_KM_ITERS):
+        stats = (
+            _km_assign(vecs, cents)
+            .select("cluster_id", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        for r in stats:
+            new[r.cluster_id][r.pos] = math.floor(r.s / r.n + 0.5)
+        cents = new
+    return (
+        _km_assign(vecs, cents)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("inertia"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "inertia",
+            stable_round(
+                F.col("inertia").cast("double") / F.col("n_vectors"), 4
+            ).alias("mean_dist"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _km_oracle_sql() -> str:
+    """Unrolled-CTE replay of the exact Lloyd rounds (same seeding, same
+    integer grid, same floor(s/n + 0.5) centroid rounding, same
+    (dist, cluster_id) tie-break)."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(v.q) + 1), "
+        "i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, q
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, q, cluster_id, dist FROM (
+    SELECT v.vec_id, v.q, c.cluster_id, {dist} AS dist
+    FROM v, {prev} c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
+),
+u{it} AS (
+  SELECT cluster_id, list(mv ORDER BY pos) AS q FROM (
+    SELECT cluster_id, pos,
+           CAST(floor(CAST(sum(val) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mv
+    FROM (SELECT cluster_id, unnest(q) AS val,
+                 unnest(range(1, len(q) + 1)) AS pos FROM a{it})
+    GROUP BY cluster_id, pos)
+  GROUP BY cluster_id
+),
+c{it} AS (
+  SELECT p.cluster_id, COALESCE(u.q, p.q) AS q
+  FROM {prev} p LEFT JOIN u{it} u ON p.cluster_id = u.cluster_id
+)"""
+        )
+    parts.append(
+        f""",
+final AS (
+  SELECT vec_id, cluster_id, dist FROM (
+    SELECT v.vec_id, c.cluster_id, {dist} AS dist
+    FROM v, c{_KM_ITERS} c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
+)
+SELECT cluster_id, count(*) AS n_vectors,
+       CAST(sum(dist) AS BIGINT) AS inertia,
+       round(CAST(sum(dist) AS DOUBLE) / count(*), 4) AS mean_dist
+FROM final
+GROUP BY cluster_id
+ORDER BY cluster_id"""
+    )
+    return "".join(parts)
+
+
+KMEANS_SQL = _km_oracle_sql()
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "kmeans_cluster_profile": kmeans_cluster_profile,
     "semantic_lexical_neardup": semantic_lexical_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -511,6 +682,7 @@ QUERIES = {
 
 ORACLE = {
     "semantic_lexical_neardup": SEMANTIC_LEXICAL_SQL,
+    "kmeans_cluster_profile": KMEANS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,

@@ -477,8 +477,75 @@ LIMIT 20
 """
 
 
+_VOCAB_SIZE = 16
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based vocabulary build + per-document OOV rate: the top-V
+    corpus terms form the vocabulary (ties broken lexically), then each
+    document reports how much of its token stream falls outside it — the
+    coverage check run before committing to a tokenizer vocab.
+
+    Shape: the vocab is a heavy-hitter top-k over the term agg (partial
+    agg + TakeOrdered — no full sort), small by construction (V rows), so
+    it BROADCASTS to a map-side membership join against the exploded
+    token stream; the only real shuffle is the per-doc re-agg on doc_id.
+    At 100 TB this is one corpus pass plus a broadcast, the same shape at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.col("n_tokens") - F.col("n_in_vocab")
+    rate = oov.cast("double") / F.col("n_tokens")
+    return (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            oov.alias("n_oov"),
+            stable_round(rate, 4).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (
+  SELECT term FROM (SELECT term, count(*) AS tf FROM ex GROUP BY term)
+  ORDER BY tf DESC, term LIMIT {_VOCAB_SIZE}
+),
+agg AS (
+  SELECT ex.doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab
+  FROM ex LEFT JOIN vocab v ON ex.term = v.term
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_tokens, n_tokens - n_in_vocab AS n_oov,
+       round(CAST(n_tokens - n_in_vocab AS DOUBLE) / n_tokens, 4) AS oov_rate
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_repetition_scores": doc_repetition_scores,
+    "vocab_coverage": vocab_coverage,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -494,6 +561,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_repetition_scores": DOC_REPETITION_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,

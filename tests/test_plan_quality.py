@@ -94,6 +94,17 @@ _PLAN_BOUNDS = {
     "source_domain_divergence": (9, 3),
     # bucket equi-join candidates + two doc-keyed token joins + sort
     "semantic_lexical_neardup": (3, 3),
+    # one explode→(doc,term) agg persisted; term totals + scalar broadcast
+    # re-aggregate the cached frame (textual reprint per consumer)
+    "unigram_logprob_quality": (7, 2),
+    # term agg + TakeOrdered vocab broadcast onto the token stream + doc agg
+    "vocab_coverage": (3, 1),
+    # returned plan is the final assignment (map over broadcast centroid
+    # literals) + cluster agg + sort; iteration jobs run eagerly inside
+    "kmeans_cluster_profile": (2, 0),
+    # user-week distinct + first-week agg (broadcast back) + matrix agg +
+    # cohort-size join + sort; textual count reprints the uw subtree
+    "user_retention_cohorts": (6, 2),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
