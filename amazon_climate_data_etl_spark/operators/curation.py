@@ -484,9 +484,69 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Per-source quota cap: mixture enforcement by deterministic hash rank
+# --------------------------------------------------------------------------
+
+_SOURCE_QUOTA = 20
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at a fixed document quota, selecting members by
+    content-hash rank — the enforcement half of ``source_mixture_plan``:
+    once the mixture says "at most N docs from source X", this picks WHICH
+    N, reproducibly (no RNG state, stable under repartitioning).
+
+    Shape: one window ranking per source (shuffle on the source key; at
+    100 TB a skewed source would rank via the two-phase top-k form —
+    per-partition head + global merge of N·P rows) followed by a tiny
+    per-source agg. Selection is by md5(doc_id) order so the kept set is
+    a uniform sample of the source, not its physical prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "source",
+        token_count(F.col("text")).alias("ws"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= _SOURCE_QUOTA
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("ws")).otherwise(0)).alias("kept_tokens"),
+            F.sum("ws").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUOTA_SQL = f"""
+WITH ranked AS (
+  SELECT source, {token_count_sql('text')} AS ws,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {_SOURCE_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn <= {_SOURCE_QUOTA} THEN ws ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(sum(ws) AS BIGINT) AS total_tokens
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "contamination_overlap": contamination_overlap,
     "unigram_logprob_quality": unigram_logprob_quality,
+    "source_quota_cap": source_quota_cap,
     "pack_sequences": pack_sequences,
     "stratified_sample_stats": stratified_sample_stats,
     "source_mixture_plan": source_mixture_plan,
@@ -496,6 +556,7 @@ QUERIES = {
 ORACLE = {
     "contamination_overlap": CONTAMINATION_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
+    "source_quota_cap": SOURCE_QUOTA_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample_stats": STRATIFIED_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_SQL,

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
@@ -543,9 +544,107 @@ ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ("data", "join", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query-term set — the
+    retrieval scoring function behind most lexical search engines
+    (Robertson-Sparck Jones idf, Okapi tf saturation, length
+    normalization), run as a batch scoring job.
+
+    Shape: one explode pass yields per-doc lengths (hash agg) and the
+    query-restricted (doc, term) tf frame — the term filter lands BEFORE
+    the tf agg, so only query-term postings ever shuffle; document
+    frequencies and the corpus length stats are tiny re-aggregations
+    broadcast back onto the postings. Scoring is a pure map; top-k is
+    TakeOrdered (no global sort shuffle). At 100 TB the posting shuffle
+    is |docs containing query terms| rows — a search engine's posting
+    list, not the corpus. Per-term contributions round to 10 dp and sum
+    as exact decimals (order-independent across partitionings).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        ex.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / avgdl)
+    )
+    contrib = stable_round(
+        idf * tf_d * F.lit(_BM25_K1 + 1.0) / denom, 10
+    ).cast("decimal(18,12)")
+    score = stable_round(F.col("score_sum").cast("double"), 6)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(contrib).alias("score_sum"),
+        )
+        .select("doc_id", "n_terms_hit", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+BM25_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex
+  WHERE term IN {tuple(_BM25_TERMS)!r} GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(CAST(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0}
+             / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+                * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           AS DECIMAL(24,10)), 10) AS DECIMAL(18,12)) AS contrib
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+)
+SELECT doc_id, count(*) AS n_terms_hit,
+       round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "doc_repetition_scores": doc_repetition_scores,
     "vocab_coverage": vocab_coverage,
+    "bm25_search": bm25_search,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_token_stats": doc_token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -562,6 +661,7 @@ QUERIES = {
 ORACLE = {
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "bm25_search": BM25_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,

@@ -105,6 +105,11 @@ _PLAN_BOUNDS = {
     # user-week distinct + first-week agg (broadcast back) + matrix agg +
     # cohort-size join + sort; textual count reprints the uw subtree
     "user_retention_cohorts": (6, 2),
+    # posting tf agg + persisted dl agg (subtree reprinted per consumer) +
+    # broadcast df/stats + doc score agg; top-k is TakeOrdered
+    "bm25_search": (7, 3),
+    # one source-keyed window rank + per-source agg + sort
+    "source_quota_cap": (2, 0),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
