@@ -493,7 +493,61 @@ ORDER BY band
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): customers ranked by
+    the revenue they returned in one quarter — customer ⋈ orders(quarter)
+    ⋈ lineitem(R-flag) ⋈ nation, 20 top customers.
+
+    Plan shape at scale: the quarter predicate prunes orders at the scan;
+    the R-flag predicate prunes lineitem at the scan; nation broadcasts;
+    the custkey join agg groups on the customer key — high-cardinality and
+    uniform, the healthy shuffle shape. Top-20 is TakeOrdered, no global
+    sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q10_returned_items": q10_returned_items,
     "range_band_join": range_band_join,
     "join_enrich_revenue": join_enrich_revenue,
     "salted_skew_join": salted_skew_join,
@@ -507,6 +561,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q10_returned_items": Q10_SQL,
     "range_band_join": RANGE_BAND_SQL,
     "join_enrich_revenue": JOIN_ENRICH_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -919,8 +919,107 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue: the purest pushdown query — every
+    predicate (date range, discount band, quantity cap) reaches the
+    parquet row-group stats, the scan reads 4 columns, and the whole plan
+    is one map + one single-row partial→final agg. At 100 TB this is the
+    query where scan pruning IS the runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: one month of lineitem joined
+    to the part dimension (broadcast — the fact stream never shuffles),
+    conditional revenue ratio. Both sums come out of ONE agg over the
+    joined stream; the ratio is a single deterministic double division
+    over exact-decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    share = (
+        F.lit(100.0)
+        * F.col("promo_rev").cast("double")
+        / F.col("total_rev").cast("double")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_rev"),
+            F.sum(revenue).alias("total_rev"),
+        )
+        .select(
+            stable_round(share, 4).alias("promo_share_pct"),
+            stable_round(F.col("promo_rev").cast("double"), 2).alias("promo_rev"),
+            stable_round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+Q14_SQL = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) AS revenue,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+),
+agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN revenue
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+         sum(revenue) AS total_rev
+  FROM j
+)
+SELECT round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 4)
+         AS promo_share_pct,
+       round(CAST(promo_rev AS DOUBLE), 2) AS promo_rev,
+       round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
     "approx_distinct_users": approx_distinct_users,
     "monthly_agg": monthly_agg,
     "rollup_year_month": rollup_year_month,
@@ -951,6 +1050,8 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": Q1_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "monthly_agg": MONTHLY_AGG_SQL,
     "rollup_year_month": ROLLUP_SQL,
     "filter_in_list": FILTER_IN_SQL,

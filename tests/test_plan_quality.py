@@ -110,6 +110,13 @@ _PLAN_BOUNDS = {
     "bm25_search": (7, 3),
     # one source-keyed window rank + per-source agg + sort
     "source_quota_cap": (2, 0),
+    # all predicates at the scan; single-row partial→final agg
+    "q6_forecast_revenue": (1, 0),
+    # part dim broadcast; one global agg
+    "q14_promo_revenue": (1, 1),
+    # nation (and at fixture scale customer/orders) broadcast; custkey agg
+    # + TakeOrdered top-20
+    "q10_returned_items": (2, 1),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
