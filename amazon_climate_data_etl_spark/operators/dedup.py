@@ -485,9 +485,52 @@ FROM cc GROUP BY node ORDER BY doc_id
 """
 
 
+def neardup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: a per-document KEEP/DROP verdict for
+    the whole corpus — docs in a near-dup component keep only the
+    minimum-doc_id member; docs that pair with nothing keep themselves.
+    This is the frame a user filters on to materialize the deduplicated
+    corpus (pairs → components → decisions, closed end-to-end).
+
+    Shape: the component labels (one row per PAIRED doc — a small
+    fraction of the corpus) left-join back onto the document ids on the
+    uniform doc_id key. At 100 TB both sides partition cleanly on that
+    key; the shuffle join is the correct plan (neither side is a dim by
+    construction), so this operator is exempt from the broadcast-only
+    test gate."""
+    labels = dedup_components(spark, sf_dir).withColumnRenamed("doc_id", "ldoc")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keep = F.col("component_id").isNull() | (
+        F.col("component_id") == F.col("doc_id")
+    )
+    return (
+        d.join(labels, d["doc_id"] == labels["ldoc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NEARDUP_KEEP_SQL = f"""
+SELECT d.doc_id,
+       COALESCE(l.component_id, d.doc_id) AS component_id,
+       (l.component_id IS NULL OR l.component_id = d.doc_id) AS keep
+FROM documents d
+LEFT JOIN ({DEDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "")}) l
+       ON d.doc_id = l.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
+    "neardup_keep_corpus": neardup_keep_corpus,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -497,6 +540,7 @@ QUERIES = {
 ORACLE = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "neardup_keep_corpus": NEARDUP_KEEP_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,

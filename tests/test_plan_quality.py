@@ -130,6 +130,8 @@ _PLAN_BOUNDS = {
     "climate_state_metrics": (4, 1),
     # final labels are checkpointed, so the returned plan is scan+sort
     "dedup_components": (1, 0),
+    # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
+    "neardup_keep_corpus": (3, 0),
     "distinct_counts": (3, 0),
     "doc_fingerprints": (1, 0),
     "doc_length_histogram": (2, 0),
@@ -208,7 +210,14 @@ def test_shuffle_and_broadcast_bounds(spark, sf_dir, name):
 # preserved, BroadcastHashJoin supports only one); the shuffle join is the
 # correct plan at every scale, and both inputs are post-aggregation frames
 # already hash-partitioned on the join key, so the join adds no exchange.
-_SMJ_EXEMPT = {"full_outer_order_profile"}
+_SMJ_EXEMPT = {
+    "full_outer_order_profile",
+    # corpus ⋈ component-labels on doc_id: neither side is a dim at scale
+    # (labels grow with the corpus), so the doc_id-keyed shuffle join is
+    # the correct 100 TB plan; the label side is checkpointed (no stats),
+    # which also blocks the fixture-scale broadcast.
+    "neardup_keep_corpus",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - _SMJ_EXEMPT))
