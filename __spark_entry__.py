@@ -64,16 +64,20 @@ _PRIORITY = (
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "unigram_logprob_quality", "vocab_coverage", "kmeans_cluster_profile",
-    "user_retention_cohorts",
+    "user_retention_cohorts", "bm25_search", "source_quota_cap",
+    "neardup_keep_corpus", "q6_forecast_revenue", "q14_promo_revenue",
+    "q10_returned_items",
     # never driver-checked: round-2-tail textops/joins additions
     "doc_repetition_scores", "tfidf_top_terms", "doc_fingerprints",
     "range_band_join",
-    # reference-parity core with green history: climate + joins
+    # reference-parity core with green history: climate + joins (the
+    # twice-green tail — spot check, enrich chain, semi/anti, q3/q5 —
+    # absorbs the cut for the never-checked queries above, per the
+    # round-2 review's guidance; all remain in the local parity suite)
     "climate_annual", "climate_monthly", "climate_rollup",
-    "climate_state_metrics", "climate_spot_check",
+    "climate_state_metrics",
     "grid_snap_join", "nn_join_general", "nn_join_sorted_1d",
-    "join_enrich_revenue", "salted_skew_join", "q3_shipping_priority",
-    "q5_supplier_volume", "semi_join_customers", "anti_join_customers",
+    "salted_skew_join",
     # relational representative (flagship)
     "q1_pricing_summary",
 )
