@@ -517,8 +517,14 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs, so the quantization is bit-identical across engines; from here
     on every distance/centroid computation is EXACT integer arithmetic —
     the property that makes an iterative float algorithm oracle-checkable
-    at all (assignment argmins cannot flip on low-order float bits)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    at all (assignment argmins cannot flip on low-order float bits).
+
+    NULL and empty embeddings are excluded (no position in the space);
+    zero vectors are KEPT — unlike the cosine family, L2 distance is
+    well-defined at the origin."""
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    )
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)).cast("long"),
@@ -618,7 +624,7 @@ WITH v AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) > 0
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, q

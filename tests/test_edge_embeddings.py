@@ -100,6 +100,38 @@ def test_edge_embeddings_parity(spark, edge_emb_dir, name):
     assert exact_float_mismatches(sdf, odf) == 0
 
 
+def test_edge_kmeans_parity_and_empty_clusters(spark, edge_emb_dir):
+    """K-means on the edge set: duplicate seed vectors (1 ≡ 0, 7 ≡ 2 — both
+    zero vectors) lose every distance tie to the lower cluster id, so
+    round 1 provably produces EMPTY clusters — the keep-old-centroid
+    branch must run identically in both engines for parity to hold.
+    NULL/empty embeddings are excluded; zero vectors are clustered (L2 is
+    defined at the origin, unlike cosine)."""
+    from amazon_climate_data_etl_spark.operators import similarity as S
+
+    spark.catalog.clearCache()
+    # prove the empty-cluster branch is actually exercised: first-round
+    # assignment against the seed centroids leaves 1 and 7 memberless
+    vecs = S._km_quantized(spark, edge_emb_dir)
+    seeds = [list(r.q) for r in vecs.orderBy("vec_id").limit(S._KM_K).collect()]
+    first = {
+        r["cluster_id"]
+        for r in S._km_assign(vecs, seeds).select("cluster_id").distinct().collect()
+    }
+    assert 1 not in first and 7 not in first
+
+    name = "kmeans_cluster_profile"
+    sdf = QUERIES[name](spark, edge_emb_dir).toPandas()
+    with duckdb_conn(edge_emb_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
+    # every vector except the empty (11) and NULL (12) embeddings is
+    # clustered exactly once; zero vectors ARE clustered
+    assert int(sdf["n_vectors"].sum()) == len(_VECS) - 2
+
+
 def test_edge_embeddings_fixture_semantics(spark, edge_emb_dir):
     """Pin the contract decisions themselves (not just parity)."""
     bf = QUERIES["ann_bruteforce_topk"](spark, edge_emb_dir).collect()
