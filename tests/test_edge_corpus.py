@@ -37,12 +37,15 @@ _DOC_QUERIES = [
     "lang_id_confusion", "doc_fingerprints", "doc_rolling_fingerprints",
     "doc_length_histogram", "top_terms", "doc_repetition_scores",
     "tfidf_top_terms", "sample_split_stats", "val_split_docs",
+    "vocab_coverage", "bm25_search",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
+    "neardup_keep_corpus",
     # curation
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
+    "unigram_logprob_quality", "source_quota_cap",
 ]
 
 _EDGE_TEXTS = [
