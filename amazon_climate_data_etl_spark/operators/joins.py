@@ -546,8 +546,65 @@ LIMIT 20
 """
 
 
+_Q18_QTY_THRESHOLD = 150
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer report (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds a threshold, with their customers — the
+    HAVING-subquery / semi-join-on-aggregate pattern.
+
+    Shape: the big-order set comes from ONE orderkey-keyed lineitem agg
+    (map-side combined) filtered on the aggregate — at 100 TB that agg is
+    the only corpus-scale shuffle, and its survivor set is tiny and
+    selective by construction, so it re-enters as the BROADCAST side of
+    the orders join (a runtime-sized semi-join reduction: exactly what
+    Spark's AQE + broadcast hint gives for free where the reference class
+    would hand-build a filter list). The quantity total rides along from
+    the same agg — lineitem is never re-joined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > _Q18_QTY_THRESHOLD)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {_Q18_QTY_THRESHOLD}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "range_band_join": range_band_join,
     "join_enrich_revenue": join_enrich_revenue,
     "salted_skew_join": salted_skew_join,
@@ -562,6 +619,7 @@ QUERIES = {
 
 ORACLE = {
     "q10_returned_items": Q10_SQL,
+    "q18_large_volume_customers": Q18_SQL,
     "range_band_join": RANGE_BAND_SQL,
     "join_enrich_revenue": JOIN_ENRICH_SQL,
     "q3_shipping_priority": Q3_SQL,

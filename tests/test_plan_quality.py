@@ -117,6 +117,9 @@ _PLAN_BOUNDS = {
     # nation (and at fixture scale customer/orders) broadcast; custkey agg
     # + TakeOrdered top-20
     "q10_returned_items": (2, 1),
+    # one orderkey lineitem agg; the selective big-order set broadcasts
+    # into orders, customer joins broadcast-side; TakeOrdered top-10
+    "q18_large_volume_customers": (2, 2),
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
