@@ -543,9 +543,109 @@ ORDER BY source
 """
 
 
+_BIGRAM_KEEP_THRESHOLD = -3.44
+
+
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 LM quality proxy: per-document mean conditional bigram
+    log-probability ln P(w2|w1) under the corpus bigram model — one step
+    up the CCNet ladder from ``unigram_logprob_quality`` (unigram scores
+    word choice; this scores word ORDER, catching shuffled/templated text
+    a unigram filter cannot).
+
+    Shape: one bigram-explode → (doc, w1, w2) agg over the corpus
+    (map-side combined, shuffle carries distinct doc-bigrams); the
+    corpus bigram table C(w1,w2) and its prefix normalizer C(w1) =
+    Σ_w2 C(w1,w2) are re-aggregations of that persisted frame, joined
+    back on the uniform (w1,w2)/(w1) keys. Docs with <2 tokens have no
+    bigrams and are excluded by construction in both engines. Same
+    exact-decimal weighted-sum contract as the unigram filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
+    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
+    ex = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.a").alias("w1"),
+            F.col("bg.b").alias("w2"),
+        )
+    )
+    db = (
+        ex.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_dbg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cbg = db.groupBy("w1", "w2").agg(F.sum("n_dbg").alias("c12"))
+    cu = db.groupBy("w1").agg(F.sum("n_dbg").alias("c1"))
+    logp = stable_round(
+        F.log(F.col("c12").cast("double") / F.col("c1")), 10
+    ).cast("decimal(18,12)")
+    contrib = logp * F.col("n_dbg").cast("decimal(10,0)")
+    avg = F.col("sum_logp").cast("double") / F.col("n_bigrams")
+    return (
+        db.join(cbg, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_dbg").alias("n_bigrams"),
+            F.sum(contrib).alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(avg, 6).alias("avg_logprob"),
+            (stable_round(avg, 6) >= _BIGRAM_KEEP_THRESHOLD).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+flat AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+    FROM t WHERE len(toks) > 1)
+),
+db AS (
+  SELECT doc_id, w1, w2, count(*) AS n_dbg FROM flat GROUP BY doc_id, w1, w2
+),
+cbg AS (SELECT w1, w2, CAST(sum(n_dbg) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(sum(n_dbg) AS BIGINT) AS c1 FROM db GROUP BY w1),
+scored AS (
+  SELECT db.doc_id, db.n_dbg,
+         CAST(round(CAST(ln(CAST(c12 AS DOUBLE) / c1)
+                         AS DECIMAL(24,10)), 10) AS DECIMAL(18,12))
+           * CAST(db.n_dbg AS DECIMAL(10,0)) AS contrib
+  FROM db JOIN cbg ON db.w1 = cbg.w1 AND db.w2 = cbg.w2
+          JOIN cu ON db.w1 = cu.w1
+),
+agg AS (
+  SELECT doc_id, CAST(sum(n_dbg) AS BIGINT) AS n_bigrams,
+         sum(contrib) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+       round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6)
+         >= {_BIGRAM_KEEP_THRESHOLD} AS keep
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "contamination_overlap": contamination_overlap,
     "unigram_logprob_quality": unigram_logprob_quality,
+    "bigram_logprob_quality": bigram_logprob_quality,
     "source_quota_cap": source_quota_cap,
     "pack_sequences": pack_sequences,
     "stratified_sample_stats": stratified_sample_stats,
@@ -556,6 +656,7 @@ QUERIES = {
 ORACLE = {
     "contamination_overlap": CONTAMINATION_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
+    "bigram_logprob_quality": BIGRAM_LOGPROB_SQL,
     "source_quota_cap": SOURCE_QUOTA_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample_stats": STRATIFIED_SQL,

@@ -45,7 +45,7 @@ _DOC_QUERIES = [
     # curation
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
-    "unigram_logprob_quality", "source_quota_cap",
+    "unigram_logprob_quality", "bigram_logprob_quality", "source_quota_cap",
 ]
 
 _EDGE_TEXTS = [

@@ -97,6 +97,9 @@ _PLAN_BOUNDS = {
     # one explode→(doc,term) agg persisted; term totals + scalar broadcast
     # re-aggregate the cached frame (textual reprint per consumer)
     "unigram_logprob_quality": (7, 2),
+    # same shape one order up: (doc,w1,w2) agg persisted; C(w1,w2)/C(w1)
+    # re-aggregate the cached frame and join back broadcast-side
+    "bigram_logprob_quality": (7, 2),
     # term agg + TakeOrdered vocab broadcast onto the token stream + doc agg
     "vocab_coverage": (3, 1),
     # returned plan is the final assignment (map over broadcast centroid
