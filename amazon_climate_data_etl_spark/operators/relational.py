@@ -1016,10 +1016,70 @@ FROM agg
 """
 
 
+_AUDIT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the fact table's numeric measures — the
+    expectations/constraint-audit primitive (null counts, exact distinct
+    cardinalities, value ranges) every production pipeline runs before
+    trusting a load (Deequ/Great-Expectations shape).
+
+    Shape: ONE aggregation pass produces every metric — Spark plans the
+    multiple exact count-distincts as a single Expand (row fan-out is
+    |audited columns|, map-side combined before the one shuffle), and the
+    wide single-row result unpivots to per-column rows with a map-only
+    stack. No per-column scans: at 100 TB the table is read once however
+    many columns are audited. Exact distincts are the point (the audit
+    gates a load); the sketch-based profile for dashboards is
+    ``approx_distinct_users``'s HLL shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    for c in _AUDIT_COLS:
+        aggs += [
+            (n - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _AUDIT_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_AUDIT_COLS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    ).orderBy("column_name")
+
+
+_AUDIT_SQL_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_val,
+       CAST(max({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in _AUDIT_COLS
+)
+
+TABLE_AUDIT_SQL = f"""
+SELECT * FROM ({_AUDIT_SQL_ARMS})
+ORDER BY column_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "table_quality_audit": table_quality_audit,
     "approx_distinct_users": approx_distinct_users,
     "monthly_agg": monthly_agg,
     "rollup_year_month": rollup_year_month,
@@ -1052,6 +1112,7 @@ ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "table_quality_audit": TABLE_AUDIT_SQL,
     "monthly_agg": MONTHLY_AGG_SQL,
     "rollup_year_month": ROLLUP_SQL,
     "filter_in_list": FILTER_IN_SQL,

@@ -115,6 +115,8 @@ _PLAN_BOUNDS = {
     "source_quota_cap": (2, 0),
     # all predicates at the scan; single-row partial→final agg
     "q6_forecast_revenue": (1, 0),
+    # ONE scan: multi-count-distinct Expand agg (2-phase) + map-only stack
+    "table_quality_audit": (2, 0),
     # part dim broadcast; one global agg
     "q14_promo_revenue": (1, 1),
     # nation (and at fixture scale customer/orders) broadcast; custkey agg
