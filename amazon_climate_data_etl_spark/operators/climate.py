@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.climate import grid_snap, vpd_column
 from amazon_climate_data_etl_spark.operators._portable import stable_round
 
@@ -190,7 +190,9 @@ MUNICIPALITIES_SQL = f"""
 
 
 def synthetic_grid_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # the VPD/date expression chain is the per-row cost; spread an
+    # under-split scan first (no-op on well-split 100 TB inputs)
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     li.createOrReplaceTempView("lineitem")
     return spark.sql(GRID_DAILY_SQL)
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.operators._portable import (
     davg,
     davg_sql,
@@ -51,8 +51,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_price = price * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    # the decimal partial-agg is the dominant per-row cost; spread an
+    # under-split scan (single-row-group file) across cores first — no-op
+    # on well-split 100 TB inputs (catalog.rebalance_for_compute)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        rebalance_for_compute(
+            li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -302,8 +307,11 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/mean/stddev/min/max per measure, as one row per measure.
 
     Quartiles are served by ``quantiles`` below; stddev uses the exact
-    decimal-sum formulation for cross-engine determinism."""
-    li = load_table(spark, sf_dir, "lineitem")
+    decimal-sum formulation for cross-engine determinism. The rebalanced
+    scan is SHARED by the three measure branches (ReuseExchange dedupes
+    the identical exchange subtree), so the table is read and shuffled
+    once, and each branch's decimal partials run at full parallelism."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
 
     def stats(col: str):
         c = F.col(col)
@@ -759,8 +767,10 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-format half of the reference's J2 wide/long duality): lineitem's 4
     measure columns melt to (measure, value) rows, then aggregate per
     measure. ``unpivot`` is a map-only expand (Catalyst Expand node — no
-    shuffle, no UDF); the only exchange is the 4-group aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    shuffle, no UDF); the only exchanges are the pre-Expand rebalance
+    (fan-out parallelism for an under-split scan — no-op at 100 TB) and
+    the 4-group aggregate."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     long = li.unpivot(
         ids=["l_orderkey"],
         values=list(_UNPIVOT_MEASURES),

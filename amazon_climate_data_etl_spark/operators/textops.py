@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from amazon_climate_data_etl_spark.catalog import load_table
+from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.text import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -370,8 +370,10 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen at scan speed with ZERO shuffles except the output
     sort. No explode, no per-term aggregation — the per-doc array form is
     the scale-correct shape for doc-level signals (corpus-level term stats
-    are tfidf_top_terms' job)."""
-    d = load_table(spark, sf_dir, "documents")
+    are tfidf_top_terms' job). The pre-map rebalance spreads an
+    under-split scan across cores (no-op at 100 TB) — the per-row array
+    expressions dominate, not the scan."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
     big = 1 << 30

@@ -40,18 +40,20 @@ def _fresh_cache(spark):
 
 # name -> (max shuffles, min broadcast joins)
 _PLAN_BOUNDS = {
-    # spine: scan -> filter -> 2-phase agg (1 shuffle) -> sort (1 shuffle)
-    "q1_pricing_summary": (2, 0),
+    # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
+    # at 100 TB) -> 2-phase agg -> sort
+    "q1_pricing_summary": (3, 0),
     # 3 dims joined without shuffling lineitem
     "join_enrich_revenue": (2, 3),
     # filtered dim broadcast; fact stream joins without exchange
     "q3_shipping_priority": (1, 2),
     # cell agg (1) + sort (1); probe join broadcast
     "grid_snap_join": (2, 1),
-    # municipality dim broadcast into the daily fact
-    "climate_annual": (2, 1),
-    "climate_monthly": (2, 1),
-    "climate_rollup": (2, 1),
+    # municipality dim broadcast into the daily fact; +1 exchange from the
+    # grid-scan rebalance (synthetic_grid_daily; no-op at 100 TB)
+    "climate_annual": (3, 1),
+    "climate_monthly": (3, 1),
+    "climate_rollup": (3, 1),
     # cross product aggregated map-side, never sorted; +1 exchange from the
     # probe-side rebalance (catalog.rebalance_for_compute)
     "nn_join_general": (3, 1),
@@ -75,8 +77,8 @@ _PLAN_BOUNDS = {
     "range_band_join": (2, 1),
     # user-keyed conditional-min agg + single-row global agg; no joins
     "user_funnel_conversion": (2, 0),
-    # map-only array expressions; the output sort is the only exchange
-    "doc_repetition_scores": (1, 0),
+    # map-only array expressions after the scan rebalance; + output sort
+    "doc_repetition_scores": (2, 0),
     # term agg w/ count-distinct (2-phase) + scalar N broadcast + top-k
     "tfidf_top_terms": (3, 1),
     # shingle rebalance + train-distinct agg + eval join on the shingle key
@@ -134,8 +136,8 @@ _PLAN_BOUNDS = {
     "asof_join_purchases": (2, 0),
     "bpe_token_stats": (2, 0),
     "case_bucket_map": (1, 0),
-    "climate_spot_check": (1, 1),
-    "climate_state_metrics": (4, 1),
+    "climate_spot_check": (2, 1),  # +grid-scan rebalance
+    "climate_state_metrics": (5, 1),  # +grid-scan rebalance
     # final labels are checkpointed, so the returned plan is scan+sort
     "dedup_components": (1, 0),
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
@@ -182,13 +184,16 @@ _PLAN_BOUNDS = {
     "simhash_fingerprints": (3, 0),
     "simhash_near_pairs": (6, 1),
     "sliding_windows": (2, 0),
-    "summary_stats": (3, 0),
+    # 3 measure branches each print the shared rebalanced-scan exchange +
+    # their agg exchange textually (6); at runtime ReuseExchange dedupes
+    # the scan shuffle, so the executed plan pays 4
+    "summary_stats": (6, 0),
     "top_terms": (2, 0),
     # TakeOrderedAndProject: per-partition top-k, no sort shuffle
     "topk_orders": (0, 0),
     "tumbling_hourly": (2, 0),
     "union_all_parts": (2, 0),
-    "unpivot_lineitem_measures": (2, 0),
+    "unpivot_lineitem_measures": (3, 0),  # +pre-Expand rebalance
     "val_split_docs": (1, 0),
     "window_lag_delta": (2, 0),
     "window_ntile_quartiles": (2, 0),
