@@ -32,7 +32,7 @@ def join_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enrichment join chain (J3: attach NM_MUN/UF to aggregates,
     process_climate_amazon_annual.py:464-467): revenue per nation via
     lineitem ⋈ supplier ⋈ nation ⋈ region, all dims broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -71,7 +71,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer(filtered, broadcast) ⋈ orders ⋈ lineitem."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance the fact probe: an under-split scan would serialize the
+    # broadcast-join map + decimal partials (no-op at 100 TB)
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,4)")
@@ -116,7 +118,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -457,10 +459,12 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the band side is tiny and broadcast, so the non-equi predicate
     evaluates as a BroadcastNestedLoopJoin — a pure map over the fact
     stream (each row tests 4 intervals in codegen), no shuffle until the
-    band aggregation. A large×large interval join would instead bucketize
-    both sides to a common grid and equi-join on bucket — the same
-    candidates→verify shape as grid_snap_join."""
-    li = load_table(spark, sf_dir, "lineitem")
+    band aggregation; the fact stream is rebalanced first so an
+    under-split scan doesn't serialize the NL probe (no-op at 100 TB).
+    A large×large interval join would instead bucketize both sides to a
+    common grid and equi-join on bucket — the same candidates→verify
+    shape as grid_snap_join."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     bands = spark.createDataFrame(
         list(PRICE_BANDS), schema="band string, lo double, hi double"
     )
@@ -508,6 +512,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
+    # no rebalance here: the R-flag filter is selective and the downstream
+    # per-row work is one decimal multiply — fanning out the survivors
+    # costs more than it parallelizes (measured)
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
@@ -566,7 +573,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
-        li.groupBy("l_orderkey")
+        rebalance_for_compute(li).groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
         .filter(F.col("qty") > _Q18_QTY_THRESHOLD)
     )

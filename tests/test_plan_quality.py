@@ -43,10 +43,12 @@ _PLAN_BOUNDS = {
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
-    # 3 dims joined without shuffling lineitem
-    "join_enrich_revenue": (2, 3),
-    # filtered dim broadcast; fact stream joins without exchange
-    "q3_shipping_priority": (1, 2),
+    # 3 dims joined without shuffling lineitem on a key; +1 round-robin
+    # rebalance of the under-split probe scan (no-op at 100 TB)
+    "join_enrich_revenue": (3, 3),
+    # filtered dim broadcast; fact stream joins without a key exchange
+    # (+1 probe rebalance, no-op at 100 TB)
+    "q3_shipping_priority": (2, 2),
     # cell agg (1) + sort (1); probe join broadcast
     "grid_snap_join": (2, 1),
     # municipality dim broadcast into the daily fact; +1 exchange from the
@@ -73,8 +75,9 @@ _PLAN_BOUNDS = {
     "salted_group_agg": (3, 0),
     # one window shuffle on o_custkey + final sort; no self-join
     "window_range_30d": (2, 0),
-    # band dim broadcast (BNLJ, map over the fact) + band agg + sort
-    "range_band_join": (2, 1),
+    # band dim broadcast (BNLJ, map over the rebalanced fact) + band agg
+    # + sort
+    "range_band_join": (3, 1),
     # user-keyed conditional-min agg + single-row global agg; no joins
     "user_funnel_conversion": (2, 0),
     # map-only array expressions after the scan rebalance; + output sort
