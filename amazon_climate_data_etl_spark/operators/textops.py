@@ -108,8 +108,10 @@ ORDER BY lang, lang_pred
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed fingerprints: md5 of normalized text + a rolling
-    prefix fingerprint (first-64-chars hash) for locality-sensitive grouping."""
-    d = load_table(spark, sf_dir, "documents")
+    prefix fingerprint (first-64-chars hash) for locality-sensitive grouping.
+    The scan is rebalanced first — two md5s + a regex per row dominate, and
+    a single-row-group file would serialize them (no-op at 100 TB)."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -132,9 +134,9 @@ ORDER BY doc_id
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per language: the budgeting query
     a training pipeline runs before tokenizing 100 TB for real. Both
-    counters are native regex expressions — the whole query is one scan +
-    one tiny-key aggregate, no Python."""
-    d = load_table(spark, sf_dir, "documents")
+    counters are native regex expressions — one rebalanced scan (the BPE
+    regex is the per-row cost) + one tiny-key aggregate, no Python."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     ws = token_count(F.col("text"))
     bpe = bpe_token_count(F.col("text"))
     return (
@@ -266,7 +268,10 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd.append(len(_np.unique(h)))
         return _pd.DataFrame({"n_windows": n, "min_hash": mn, "n_distinct": nd})
 
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance so the Arrow batches fan out across Python workers — a
+    # single-partition input would stream every batch through ONE worker
+    # process (no-op on well-split 100 TB inputs)
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     return (
         d.filter(F.length("text") >= _RK_K)
         .select("doc_id", rk(F.col("text")).alias("fp"))

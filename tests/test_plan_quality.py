@@ -137,7 +137,7 @@ _PLAN_BOUNDS = {
     "ann_lsh_topk": (2, 1),
     "approx_distinct_users": (3, 0),
     "asof_join_purchases": (2, 0),
-    "bpe_token_stats": (2, 0),
+    "bpe_token_stats": (3, 0),  # +scan rebalance (no-op at 100 TB)
     "case_bucket_map": (1, 0),
     "climate_spot_check": (2, 1),  # +grid-scan rebalance
     "climate_state_metrics": (5, 1),  # +grid-scan rebalance
@@ -146,10 +146,10 @@ _PLAN_BOUNDS = {
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
     "neardup_keep_corpus": (3, 0),
     "distinct_counts": (3, 0),
-    "doc_fingerprints": (1, 0),
+    "doc_fingerprints": (2, 0),  # +scan rebalance (no-op at 100 TB)
     "doc_length_histogram": (2, 0),
     "doc_quality_scores": (1, 0),
-    "doc_rolling_fingerprints": (1, 0),
+    "doc_rolling_fingerprints": (2, 0),  # +Python-worker fan-out rebalance
     "doc_token_stats": (2, 0),
     "embedding_cosine_neardup": (3, 1),
     "embedding_label_stats": (2, 0),
