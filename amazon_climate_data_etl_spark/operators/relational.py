@@ -1042,7 +1042,10 @@ def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack. No per-column scans: at 100 TB the table is read once however
     many columns are audited. Exact distincts are the point (the audit
     gates a load); the sketch-based profile for dashboards is
-    ``approx_distinct_users``'s HLL shape."""
+    ``approx_distinct_users``'s HLL shape. No pre-agg rebalance: the
+    count-distinct Expand's first aggregation already hash-partitions on
+    the distinct keys, so an extra fan-out shuffle measured as pure loss
+    (cf. the q10 note in joins.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     aggs = [n.alias("n_rows")]
