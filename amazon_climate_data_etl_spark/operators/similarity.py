@@ -676,8 +676,78 @@ ORDER BY cluster_id"""
 KMEANS_SQL = _km_oracle_sql()
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate indexes against the exact baseline —
+    the evaluation every ANN deployment runs before trusting an index
+    (closes the family end-to-end: build → search → MEASURE, the same way
+    ``neardup_keep_corpus`` closes dedup).
+
+    Shape: the brute-force ground truth is the expensive input (at 100 TB
+    it runs on a query SAMPLE — here the probe set already is one); the
+    approximate result sets are tagged, unioned, and LEFT-joined against
+    the truth on the tiny (query, cand) key. Recall is
+    matched / (|queries|·k) — an integer ratio, one deterministic double
+    division, so the score is bit-exact across engines."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "cand_id"
+    ).withColumn("hit", F.lit(1))
+    tagged = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("method", F.lit("ivf"))
+        .unionByName(
+            ann_lsh_topk(spark, sf_dir)
+            .select("query_id", "cand_id")
+            .withColumn("method", F.lit("lsh"))
+        )
+    )
+    denom = N_QUERIES * TOP_K
+    # the truth set is |queries|·k rows — bounded by the probe sample at
+    # every scale, so it broadcasts (a window output carries no stats and
+    # would otherwise fall back to a sort-merge join)
+    return (
+        tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
+        )
+        .select(
+            "method",
+            "n_pairs",
+            "matched",
+            stable_round(
+                F.col("matched").cast("double") / F.lit(denom), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact AS (SELECT query_id, cand_id FROM ({ANN_BRUTEFORCE_SQL})),
+ivf AS (SELECT query_id, cand_id FROM ({ANN_IVF_SQL})),
+lsh AS (SELECT query_id, cand_id FROM ({ANN_LSH_SQL})),
+tagged AS (
+  SELECT 'ivf' AS method, query_id, cand_id FROM ivf
+  UNION ALL
+  SELECT 'lsh' AS method, query_id, cand_id FROM lsh
+),
+j AS (
+  SELECT t.method,
+         CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM tagged t
+  LEFT JOIN exact e ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+)
+SELECT method, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS matched,
+       round(CAST(sum(hit) AS DOUBLE) / {N_QUERIES * TOP_K}, 4) AS recall_at_k
+FROM j GROUP BY method ORDER BY method
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "semantic_lexical_neardup": semantic_lexical_neardup,
     "ann_lsh_topk": ann_lsh_topk,
@@ -688,6 +758,7 @@ QUERIES = {
 
 ORACLE = {
     "semantic_lexical_neardup": SEMANTIC_LEXICAL_SQL,
+    "ann_recall_eval": ANN_RECALL_SQL,
     "kmeans_cluster_profile": KMEANS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,

@@ -133,6 +133,9 @@ _PLAN_BOUNDS = {
     # --- full-coverage bounds (measured on the sf0.001 fixture; a higher
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
+    # three ANN result sets composed (textual reprints of their window
+    # exchanges); the bounded truth set broadcasts into the tagged union
+    "ann_recall_eval": (9, 6),
     "ann_ivf_topk": (4, 3),
     "ann_lsh_topk": (2, 1),
     "approx_distinct_users": (3, 0),
