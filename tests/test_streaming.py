@@ -134,6 +134,56 @@ def test_stateful_running_totals_across_batches(spark, events_json_dir, tmp_path
     assert (multi == 2).any()
 
 
+def test_transform_with_state_matches_legacy_form(spark, events_json_dir):
+    """The modern transformWithStateInPandas operator must emit the same
+    final per-user state as both the legacy applyInPandasWithState form
+    and the batch groupBy ground truth. Skipped where google.protobuf
+    (the TWS state protocol's dependency) is absent; the import gate
+    itself is asserted below either way."""
+    import pytest
+
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        running_user_totals_tws,
+    )
+
+    stream = stream_from_json_dir(spark, events_json_dir)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_tws(stream)
+        pytest.skip("google.protobuf absent: TWS state protocol unavailable")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    run_to_memory_sink(running_user_totals_tws(stream), "t_tws", mode="update")
+    got = spark.table("t_tws").toPandas()
+    final = got.loc[got.groupby("user_id")["n_events"].idxmax()].set_index(
+        "user_id"
+    )
+
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert (
+        final["n_events"].sort_index() == want["n_events"].sort_index()
+    ).all()
+    assert (
+        (final["total_value"].sort_index() - want["total_value"].sort_index())
+        .abs()
+        < 1e-6
+    ).all()
+
+
 def test_stream_static_join_equals_batch(spark, events_json_dir):
     """Stream-static enrichment must match the batch join row-for-row, and
     users missing from the dim must survive (left join semantics)."""
