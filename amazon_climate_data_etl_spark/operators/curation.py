@@ -30,6 +30,7 @@ from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
+    quality_score_sql,
     token_count,
     token_count_sql,
     tokens,
@@ -642,11 +643,141 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Filter funnel: how much corpus survives each curation stage
+# --------------------------------------------------------------------------
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts and token volumes through the cumulative filter
+    chain raw → quality → repetition → exact-dedup — the data-loss report
+    every training-data pipeline publishes before a run commits.
+
+    Shape: quality and repetition flags are pure map expressions (the
+    same formulas as ``doc_quality_scores`` / ``doc_repetition_scores``);
+    the dedup-keep flag is one window over the content fingerprint (the
+    ``dedup_corpus`` semantics — lowest doc_id per normalized text wins);
+    then ONE aggregation computes every stage via conditional sums and a
+    map-only stack unpivots to per-stage rows. One fingerprint shuffle +
+    one single-row agg regardless of corpus size."""
+    from amazon_climate_data_etl_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
+    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
+    n2 = F.size(bigrams)
+    dup_tok = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+    dup_big = F.when(n2 == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n2
+    )
+    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    flagged = d.select(
+        n.alias("n_tok"),
+        (quality_score(F.col("text")) >= 0.5).alias("q_keep"),
+        (
+            (stable_round(dup_tok, 4) <= 0.6)
+            & (stable_round(dup_big, 4) <= 0.3)
+        ).alias("r_keep"),
+        (F.row_number().over(w) == 1).alias("d_keep"),
+    )
+    s1 = F.col("q_keep")
+    s2 = s1 & F.col("r_keep")
+    s3 = s2 & F.col("d_keep")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    def tok(cond):
+        return F.sum(F.when(cond, F.col("n_tok")).otherwise(0))
+
+    wide = flagged.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_tok").alias("raw_toks"),
+        cnt(s1).alias("q_docs"),
+        tok(s1).alias("q_toks"),
+        cnt(s2).alias("r_docs"),
+        tok(s2).alias("r_toks"),
+        cnt(s3).alias("d_docs"),
+        tok(s3).alias("d_toks"),
+    )
+    return (
+        wide.select(
+            F.expr(
+                "stack(4, '0_raw', raw_docs, raw_toks,"
+                " '1_quality', q_docs, q_toks,"
+                " '2_repetition', r_docs, r_toks,"
+                " '3_exact_dedup', d_docs, d_toks)"
+                " AS (stage, n_docs, n_tokens)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_FUNNEL_NTOK = (
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    f"ELSE len({_FUNNEL_TOKS}) END)"
+)
+
+FILTER_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_FUNNEL_NTOK} AS n_tok,
+         (CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE {_FUNNEL_TOKS} END) AS toks
+  FROM documents
+),
+flags AS (
+  SELECT n_tok,
+         {quality_score_sql('text')} >= 0.5 AS q_keep,
+         (round(CAST((CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 END) AS DECIMAL(24,10)), 4) <= 0.6
+          AND round(CAST((CASE WHEN len(toks) < 2 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(
+                        list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])
+                      )) AS DOUBLE) / (len(toks) - 1) END) AS DECIMAL(24,10)), 4)
+              <= 0.3) AS r_keep,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) = 1 AS d_keep
+  FROM t
+),
+wide AS (
+  SELECT count(*) AS raw_docs, CAST(sum(n_tok) AS BIGINT) AS raw_toks,
+         CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS q_docs,
+         CAST(sum(CASE WHEN q_keep THEN n_tok ELSE 0 END) AS BIGINT) AS q_toks,
+         CAST(sum(CASE WHEN q_keep AND r_keep THEN 1 ELSE 0 END) AS BIGINT) AS r_docs,
+         CAST(sum(CASE WHEN q_keep AND r_keep THEN n_tok ELSE 0 END) AS BIGINT) AS r_toks,
+         CAST(sum(CASE WHEN q_keep AND r_keep AND d_keep THEN 1 ELSE 0 END) AS BIGINT) AS d_docs,
+         CAST(sum(CASE WHEN q_keep AND r_keep AND d_keep THEN n_tok ELSE 0 END) AS BIGINT) AS d_toks
+  FROM flags
+)
+SELECT '0_raw' AS stage, raw_docs AS n_docs, raw_toks AS n_tokens FROM wide
+UNION ALL
+SELECT '1_quality', q_docs, q_toks FROM wide
+UNION ALL
+SELECT '2_repetition', r_docs, r_toks FROM wide
+UNION ALL
+SELECT '3_exact_dedup', d_docs, d_toks FROM wide
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "contamination_overlap": contamination_overlap,
     "unigram_logprob_quality": unigram_logprob_quality,
     "bigram_logprob_quality": bigram_logprob_quality,
     "source_quota_cap": source_quota_cap,
+    "corpus_filter_funnel": corpus_filter_funnel,
     "pack_sequences": pack_sequences,
     "stratified_sample_stats": stratified_sample_stats,
     "source_mixture_plan": source_mixture_plan,
@@ -658,6 +789,7 @@ ORACLE = {
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "bigram_logprob_quality": BIGRAM_LOGPROB_SQL,
     "source_quota_cap": SOURCE_QUOTA_SQL,
+    "corpus_filter_funnel": FILTER_FUNNEL_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample_stats": STRATIFIED_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_SQL,

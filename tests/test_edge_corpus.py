@@ -46,6 +46,7 @@ _DOC_QUERIES = [
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "unigram_logprob_quality", "bigram_logprob_quality", "source_quota_cap",
+    "corpus_filter_funnel",
 ]
 
 _EDGE_TEXTS = [

@@ -118,6 +118,8 @@ _PLAN_BOUNDS = {
     "bm25_search": (7, 3),
     # one source-keyed window rank + per-source agg + sort
     "source_quota_cap": (2, 0),
+    # one fingerprint-window shuffle + single-row conditional agg + stack
+    "corpus_filter_funnel": (2, 0),
     # all predicates at the scan; single-row partial→final agg
     "q6_forecast_revenue": (1, 0),
     # ONE scan: multi-count-distinct Expand agg (2-phase) + map-only stack
