@@ -66,7 +66,8 @@ _PRIORITY = (
     "unigram_logprob_quality", "vocab_coverage", "kmeans_cluster_profile",
     "user_retention_cohorts", "bm25_search", "source_quota_cap",
     "neardup_keep_corpus", "q6_forecast_revenue", "q14_promo_revenue",
-    "q10_returned_items",
+    "q10_returned_items", "bigram_logprob_quality", "corpus_filter_funnel",
+    "ann_recall_eval", "table_quality_audit",
     # never driver-checked: round-2-tail textops/joins additions
     "doc_repetition_scores", "tfidf_top_terms", "doc_fingerprints",
     "range_band_join",
@@ -74,9 +75,8 @@ _PRIORITY = (
     # twice-green tail — spot check, enrich chain, semi/anti, q3/q5 —
     # absorbs the cut for the never-checked queries above, per the
     # round-2 review's guidance; all remain in the local parity suite)
-    "climate_annual", "climate_monthly", "climate_rollup",
-    "climate_state_metrics",
-    "grid_snap_join", "nn_join_general", "nn_join_sorted_1d",
+    "climate_annual",
+    "grid_snap_join", "nn_join_sorted_1d",
     "salted_skew_join",
     # relational representative (flagship)
     "q1_pricing_summary",
