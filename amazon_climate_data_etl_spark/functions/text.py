@@ -17,11 +17,44 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 
+# Java regex \s is [ \t\n\x0B\f\r]; DuckDB's RE2 \s is [\t\n\f\r ] — the
+# engines DISAGREE on vertical tab (\x0b), so every cross-engine expression
+# uses this explicit class instead (divergence found by hypothesis in
+# tests/test_property_portable.py).
+WS = "[ \\t\\n\\x0B\\f\\r]"
+
+
+
+# Engine-portable lowercasing: Java's lower() applies FULL Unicode case
+# mapping (U+0130 -> "i" + combining dot, final-sigma contextual form);
+# DuckDB's applies simple mapping — the results differ byte-for-byte on
+# Turkish dotted capital I and Greek sigma (found by targeted probing after
+# the hypothesis \x0b/\xa0 findings). translate() maps ONLY the 26 ASCII
+# letters in both engines, so case-normalization is restricted to ASCII —
+# a documented contract (production unicode casefolding needs one ICU
+# implementation on both sides, which SQL engines do not give you).
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    return F.translate(col, _UPPER, _LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{_UPPER}', '{_LOWER}')"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization to array<string>; empty text → empty array."""
+    """Whitespace tokenization to array<string>; empty text → empty array.
+
+    Spark's ``trim`` strips ASCII space only; DuckDB's one-arg ``trim``
+    strips UNICODE whitespace (\\xa0 included), so every SQL twin spells
+    ``trim(x, ' ')`` to pin the ASCII-space semantics (divergence found
+    by hypothesis in tests/test_property_portable.py)."""
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        F.split(trimmed, WS + "+")
     )
 
 
@@ -35,7 +68,10 @@ def token_count(text: Column) -> Column:
 # (the DuckDB oracle's engine) lacks — here leftover whitespace simply goes
 # unmatched, which is correct for *counting*. Alternation kept to ASCII
 # classes so Java regex and RE2 agree byte-for-byte (verified in tests).
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# \s spelled out explicitly inside the negated class too (Java/RE2 \x0b gap)
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -51,10 +87,10 @@ def bpe_token_count_sql(expr: str) -> str:
 
 
 def token_count_sql(expr: str) -> str:
-    # DuckDB: len(string_split_regex(trim(x), '\s+')); guard empty strings.
+    # DuckDB: explicit whitespace class (see WS); guard empty strings.
     return (
-        f"(CASE WHEN length(trim({expr})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END)"
+        f"(CASE WHEN length(trim({expr}, ' ')) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({expr}, ' '), '{WS}+')) END)"
     )
 
 
@@ -75,10 +111,10 @@ def quality_score(text: Column) -> Column:
     """
     n = F.length(text)
     length_ok = F.when((n >= 64) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    toks = tokens(F.lower(text))
+    toks = tokens(ascii_lower(text))
     hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOPWORDS])))
     stop_ratio = F.least(F.lit(1.0), hits.cast("double") / F.lit(8.0))
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]", "")
     punct_ratio = F.when(n == 0, F.lit(1.0)).otherwise(F.length(stripped).cast("double") / n)
     return F.round(
         F.lit(0.4) * length_ok + F.lit(0.3) * stop_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
@@ -90,9 +126,9 @@ def quality_score_sql(expr: str) -> str:
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
     return f"""round(
       0.4 * (CASE WHEN length({expr}) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END)
-      + 0.3 * least(1.0, len(list_intersect(list_distinct(string_split_regex(trim(lower({expr})), '\\s+')), [{stop_list}])) / 8.0)
+      + 0.3 * least(1.0, len(list_intersect(list_distinct(string_split_regex(trim({ascii_lower_sql(expr)}, ' '), '{WS}+')), [{stop_list}])) / 8.0)
       + 0.3 * (1.0 - (CASE WHEN length({expr}) = 0 THEN 1.0
-                      ELSE length(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length({expr}) END)),
+                      ELSE length(regexp_replace({expr}, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) * 1.0 / length({expr}) END)),
       4)"""
 
 
@@ -119,7 +155,7 @@ def lang_guess(text: Column) -> Column:
 
     Ties break by fixed language order en > de > fr > es (deterministic).
     """
-    toks = F.array_distinct(tokens(F.lower(text)))
+    toks = F.array_distinct(tokens(ascii_lower(text)))
     scores = {lang: _marker_hits(toks, m) for lang, m in _LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     expr = F.lit("und")
@@ -130,7 +166,7 @@ def lang_guess(text: Column) -> Column:
 
 
 def lang_guess_sql(expr: str) -> str:
-    toks = f"list_distinct(string_split_regex(trim(lower({expr})), '\\s+'))"
+    toks = f"list_distinct(string_split_regex(trim({ascii_lower_sql(expr)}, ' '), '{WS}+'))"
     scores = {
         lang: f"len(list_intersect({toks}, [{', '.join(repr(m) for m in markers)}]))"
         for lang, markers in _LANG_MARKERS.items()
@@ -153,9 +189,9 @@ def doc_fingerprint(text: Column) -> Column:
     md5 is content-addressed and engine-portable (identical in DuckDB),
     unlike ``xxhash64``/``hash`` which are Spark-specific.
     """
-    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    normalized = F.regexp_replace(F.trim(ascii_lower(text)), WS + "+", " ")
     return F.md5(normalized)
 
 
 def doc_fingerprint_sql(expr: str) -> str:
-    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"
+    return f"md5(regexp_replace(trim({ascii_lower_sql(expr)}, ' '), '{WS}+', ' ', 'g'))"

@@ -84,6 +84,14 @@ def stable_round(col: Column, scale: int = 2) -> Column:
     by 10^n in floating point first). Routing through DECIMAL(24,10) makes
     both engines see the same exact decimal value, and decimal rounding is
     half-away-from-zero in both.
+
+    Domain contract: bit-exact while |x|·10^scale < 2^53. Beyond that the
+    rounded value needs more significant digits than a double carries, and
+    DuckDB's wide-decimal round detours through double internally, drifting
+    one ulp from Spark's exact-decimal path (boundary located by hypothesis
+    in tests/test_property_portable.py; e.g. 922337205.0 at scale 8).
+    Every round in this engine is scale ≤ 6 on magnitudes < 1e10, or scale
+    10 on log-probabilities |x| < 100 — all safely inside the contract.
     """
     return F.round(col.cast("decimal(24,10)"), scale).cast("double")
 

@@ -374,7 +374,7 @@ def source_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_DIVERGENCE_SQL = f"""
 WITH ex AS (
   SELECT source, unnest({_TOKS_SQL}) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 st AS (SELECT source, term, count(*) AS tf_st FROM ex GROUP BY source, term),
 ct AS (SELECT term, count(*) AS tf_t FROM ex GROUP BY term),
@@ -459,7 +459,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_LOGPROB_SQL = f"""
 WITH ex AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 dt AS (SELECT doc_id, term, count(*) AS n_dt FROM ex GROUP BY doc_id, term),
 ct AS (SELECT term, count(*) AS tf FROM ex GROUP BY term),
@@ -607,7 +607,7 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_LOGPROB_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS_SQL} AS toks
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 flat AS (
   SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
@@ -721,16 +721,16 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_FUNNEL_TOKS = "string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')"
 _FUNNEL_NTOK = (
-    "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "(CASE WHEN length(trim(text, ' ')) = 0 THEN 0 "
     f"ELSE len({_FUNNEL_TOKS}) END)"
 )
 
 FILTER_FUNNEL_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, {_FUNNEL_NTOK} AS n_tok,
-         (CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         (CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
                ELSE {_FUNNEL_TOKS} END) AS toks
   FROM documents
 ),
@@ -747,7 +747,7 @@ flags AS (
                       )) AS DOUBLE) / (len(toks) - 1) END) AS DECIMAL(24,10)), 4)
               <= 0.3) AS r_keep,
          row_number() OVER (
-           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           PARTITION BY md5(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
            ORDER BY doc_id) = 1 AS d_keep
   FROM t
 ),

@@ -24,6 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.text import (
+    ascii_lower,
     doc_fingerprint,
     doc_fingerprint_sql,
     tokens,
@@ -60,7 +61,8 @@ _SHINGLES_SQL = (
     "list_transform(range(1, len({t}) - 1), "
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
 )
-_TOKS_SQL = "string_split_regex(trim(trim(text)), '\\s+')"
+# explicit whitespace class: Java \s and RE2 \s disagree on \x0b
+_TOKS_SQL = "string_split_regex(trim(trim(text, ' '), ' '), '[ \\t\\n\\x0B\\f\\r]+')"
 
 
 def _shingle_frame(df: DataFrame) -> DataFrame:
@@ -271,7 +273,7 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 16 conditional sums → pack. One shuffle on doc_id."""
     d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
+        "doc_id", F.explode(F.array_distinct(tokens(ascii_lower(F.col("text"))))).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = [
         F.sum(
@@ -296,11 +298,11 @@ SIMHASH_SQL = f"""
 WITH tok AS (
   SELECT doc_id, md5(t) AS h
   FROM (SELECT doc_id,
-               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+               unnest(list_distinct(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0B\\f\\r]+'))) AS t
         FROM documents
         -- token guard: string_split_regex('') yields [''] in DuckDB, which
         -- would give empty docs a fingerprint; Spark's tokens() drops them
-        WHERE length(trim(text)) > 0)
+        WHERE length(trim(text, ' ')) > 0)
 ),
 votes AS (
   SELECT doc_id,

@@ -466,8 +466,8 @@ def semantic_lexical_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TK_SQL = (
-    "(CASE WHEN length(trim(text)) = 0 THEN [] "
-    "ELSE list_distinct(string_split_regex(trim(text), '\\s+')) END)"
+    "(CASE WHEN length(trim(text, ' ')) = 0 THEN [] "
+    "ELSE list_distinct(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END)"
 )
 
 SEMANTIC_LEXICAL_SQL = f"""

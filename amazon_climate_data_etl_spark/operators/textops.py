@@ -125,7 +125,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
        {doc_fingerprint_sql('text')} AS fp,
-       md5(substr(trim(text), 1, 64)) AS fp_prefix64
+       md5(substr(trim(text, ' '), 1, 64)) AS fp_prefix64
 FROM documents
 ORDER BY doc_id
 """
@@ -407,13 +407,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+# explicit whitespace class: Java \s and RE2 \s disagree on \x0b
+_TOKS = "string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')"
 _BIGRAMS = f"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
 
 DOC_REPETITION_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         (CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END) AS toks
+         (CASE WHEN length(trim(text, ' ')) = 0 THEN [] ELSE {_TOKS} END) AS toks
   FROM documents
 ),
 b AS (
@@ -471,7 +472,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_SQL = f"""
 WITH ex AS (
   SELECT doc_id, unnest({_TOKS}) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 stats AS (
   SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
@@ -531,7 +532,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_COVERAGE_SQL = f"""
 WITH ex AS (
   SELECT doc_id, unnest({_TOKS}) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 vocab AS (
   SELECT term FROM (SELECT term, count(*) AS tf FROM ex GROUP BY term)
@@ -619,7 +620,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_SQL = f"""
 WITH ex AS (
   SELECT doc_id, unnest({_TOKS}) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),

@@ -60,6 +60,8 @@ _EDGE_TEXTS = [
     "a a a a a a a a",                    # maximal token repetition
     "the the the and and of",             # stopword-only
     "café naïve 你好 мир αβγ",             # non-ASCII code points
+    "İstanbul ΣΣ ΤΕΛΟΣ Straße\x0bVT",     # unicode casing traps + vertical tab
+    "A\xa0B nbsp",                        # non-breaking space (trim trap)
     "the quick brown fox jumps over the lazy dog near the river bank",
     "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup
     "one two three four five six seven eight nine ten " * 12,  # long doc

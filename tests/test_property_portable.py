@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) for the portable-arithmetic layer.
+
+Every oracle check in this repo reduces to the claim that a handful of
+primitive expressions — decimal-stable rounding, exact-decimal sums,
+whitespace tokenization, md5 fingerprints — are BIT-identical between
+Spark and DuckDB for arbitrary inputs, not just the fixtures. These
+properties attack that claim directly with generated data, including the
+half-boundary values where ``round(double)`` is known to diverge between
+engines (the reason ``_portable.stable_round`` exists at all).
+
+Each example ships one generated column through both engines (a Spark job
+per example, so example counts are kept small — breadth comes from
+hypothesis shrinking toward the boundary cases, not volume).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amazon_climate_data_etl_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    token_count,
+    token_count_sql,
+)
+from amazon_climate_data_etl_spark.operators._portable import (
+    dsum,
+    dsum_sql,
+    stable_round,
+    stable_round_sql,
+)
+from tests.oracle_harness import exact_float_mismatches
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_floats = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+# money-shaped inputs: exactly-2-decimal values, the dsum contract
+_cents = st.integers(min_value=-(10**12), max_value=10**12).map(
+    lambda i: i / 100
+)
+
+
+def _spark_col(spark, values, expr, name):
+    pdf = pd.DataFrame({"x": values})
+    return (
+        spark.createDataFrame(pdf).select(expr.alias(name)).toPandas()
+    )
+
+
+def _duck_col(values, sql_expr, name):
+    pdf = pd.DataFrame({"x": values})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con.execute(f"SELECT {sql_expr} AS {name} FROM t").df()
+
+
+# stable_round's documented domain: |x|·10^scale < 2^53 (beyond it DuckDB's
+# wide-decimal round detours through double — boundary found by hypothesis,
+# e.g. 922337205.0 at scale 8; see _portable.stable_round docstring). The
+# generator stays inside the contract: big magnitudes with small scales, or
+# small magnitudes with the log-prob scale 10.
+_round_domain = st.one_of(
+    st.tuples(st.lists(_floats, min_size=1, max_size=40), st.integers(0, 6)),
+    st.tuples(
+        st.lists(
+            st.floats(min_value=-1e5, max_value=1e5,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=40,
+        ),
+        st.integers(7, 10),
+    ),
+)
+
+
+@given(xs_scale=_round_domain)
+@example(xs_scale=([2.675, 0.125, -0.125, 1.0005, -2.5, 0.5, 1e-9, -1e-9], 2))
+@example(xs_scale=([0.045, -0.045, 123.456789555], 4))
+@example(xs_scale=([922337205.0, -922337205.0], 6))  # boundary magnitude, safe scale
+@settings(**_SETTINGS)
+def test_stable_round_bit_identical(spark, xs_scale):
+    """stable_round must agree with its SQL twin bit-for-bit across its
+    documented domain (|x|·10^scale < 2^53) — including the binary
+    half-boundaries where plain round(double, n) provably differs
+    between the engines."""
+    xs, scale = xs_scale
+    got = _spark_col(spark, xs, stable_round(F.col("x"), scale), "r")
+    want = _duck_col(xs, stable_round_sql("x", scale), "r")
+    assert exact_float_mismatches(got, want) == 0
+
+
+@given(xs=st.lists(_cents, min_size=1, max_size=60))
+@example(xs=[0.1] * 10)   # the classic 0.1 accumulation drift
+@example(xs=[1e10, 0.01, -1e10])  # catastrophic cancellation in double
+@settings(**_SETTINGS)
+def test_dsum_order_independent_and_portable(spark, xs):
+    """The exact-decimal sum must (a) be identical no matter the input
+    order — the property that makes results stable under repartitioning —
+    and (b) match DuckDB's decimal sum of the reversed list bit-for-bit.
+    A plain double sum fails both (0.1 ten times != 1.0)."""
+    got = _spark_col(spark, xs, dsum(F.col("x")), "s")
+    want = _duck_col(list(reversed(xs)), dsum_sql("x"), "s")
+    assert exact_float_mismatches(got, want) == 0
+
+
+_texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=80,
+)
+
+
+@given(ts=st.lists(_texts, min_size=1, max_size=30))
+@example(ts=["", "   ", "\t\n", " a  b ", "你 好", "a b"])
+@settings(**_SETTINGS)
+def test_token_count_portable(spark, ts):
+    """Whitespace tokenization (Java regex \\s+ vs DuckDB RE2 \\s+) must
+    count identically on arbitrary unicode, empty, and whitespace-only
+    strings — the denominator of every per-doc text metric."""
+    pdf = pd.DataFrame({"x": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(token_count(F.col("x")).cast("long").alias("n"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT CAST({token_count_sql('x')} AS BIGINT) AS n FROM t"
+    ).df()
+    assert list(got["n"]) == list(want["n"])
+
+
+@given(ts=st.lists(_texts, min_size=1, max_size=30))
+@example(ts=["", "  A  b  ", "CAFÉ café", "x\ty\nz"])
+@example(ts=["\x0b", "a\x0bb"])  # vertical tab: the regression hypothesis found
+@example(ts=["\xa0", "İstanbul", "ΣΣ ΤΕΛΟΣ", "Straße"])  # nbsp-trim + unicode casing traps
+@settings(**_SETTINGS)
+def test_doc_fingerprint_portable(spark, ts):
+    """The md5 content fingerprint (lowercase + whitespace-normalize) must
+    be byte-identical across engines on arbitrary unicode — exact dedup,
+    the hash splits, and the quota ranks all key on it."""
+    pdf = pd.DataFrame({"x": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(doc_fingerprint(F.col("x")).alias("fp"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {doc_fingerprint_sql('x')} AS fp FROM t"
+    ).df()
+    assert list(got["fp"]) == list(want["fp"])
