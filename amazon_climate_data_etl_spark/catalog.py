@@ -79,9 +79,15 @@ def rebalance_for_compute(df: DataFrame, min_partitions: int | None = None) -> D
     the small pre-blowup stream) so the quadratic stage fans out. No-op on
     well-split inputs, which is what a 100 TB table's scan looks like.
 
-    Use before cross products, within-bucket pair joins, and large explodes.
-    Do NOT use on linear scan→agg spines: there the extra exchange is pure
-    loss and Spark's partial aggregation already minimizes the shuffle.
+    Use when the post-scan, pre-exchange work DOMINATES the scan itself:
+    cross products, within-bucket pair joins, large explodes, heavy
+    per-row expressions (decimal partials, regex/md5 chains, pandas-UDF
+    batches), and broadcast-join probe streams. Do NOT use when the
+    downstream work is light relative to the scan — a selective filter
+    feeding one cheap expression (q10), or an aggregation that plans its
+    own keyed exchange immediately (the count-distinct Expand in
+    table_quality_audit): there the extra exchange measured as pure loss.
+    The call sites record which side of that line they measured on.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -30,6 +30,7 @@ from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
+    doc_fingerprint_sql,
     quality_score_sql,
     token_count,
     token_count_sql,
@@ -43,6 +44,7 @@ from amazon_climate_data_etl_spark.operators.dedup import (
 )
 from amazon_climate_data_etl_spark.operators.textops import (
     _SPLIT_SQL_EXPR,
+    _TOKS as _TEXTOPS_TOKS,
     _split_col,
 )
 
@@ -721,11 +723,12 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_TOKS = "string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')"
-_FUNNEL_NTOK = (
-    "(CASE WHEN length(trim(text, ' ')) = 0 THEN 0 "
-    f"ELSE len({_FUNNEL_TOKS}) END)"
-)
+# canonical helpers, NOT re-spelled: any future portability fix to the
+# tokenizer/fingerprint SQL (cf. the \x0b / trim / casing round) must land
+# here automatically or the funnel's dedup stage keys on a different
+# fingerprint than exact_dedup
+_FUNNEL_TOKS = _TEXTOPS_TOKS
+_FUNNEL_NTOK = token_count_sql("text")
 
 FILTER_FUNNEL_SQL = f"""
 WITH t AS (
@@ -747,7 +750,7 @@ flags AS (
                       )) AS DOUBLE) / (len(toks) - 1) END) AS DECIMAL(24,10)), 4)
               <= 0.3) AS r_keep,
          row_number() OVER (
-           PARTITION BY md5(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+           PARTITION BY {doc_fingerprint_sql('text')}
            ORDER BY doc_id) = 1 AS d_keep
   FROM t
 ),

@@ -553,7 +553,7 @@ LIMIT 20
 """
 
 
-_Q18_QTY_THRESHOLD = 150
+_Q18_QTY_THRESHOLD = 300
 
 
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -688,9 +688,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth on the tiny (query, cand) key. Recall is
     matched / (|queries|·k) — an integer ratio, one deterministic double
     division, so the score is bit-exact across engines."""
-    exact = ann_bruteforce_topk(spark, sf_dir).select(
-        "query_id", "cand_id"
-    ).withColumn("hit", F.lit(1))
+    exact = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+        .persist()
+    )
     tagged = (
         ann_ivf_topk(spark, sf_dir)
         .select("query_id", "cand_id")
@@ -701,10 +704,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("method", F.lit("lsh"))
         )
     )
-    denom = N_QUERIES * TOP_K
-    # the truth set is |queries|·k rows — bounded by the probe sample at
-    # every scale, so it broadcasts (a window output carries no stats and
-    # would otherwise fall back to a sort-merge join)
+    # recall denominator = the ACTUAL truth-set size, not |queries|·k:
+    # degenerate probes (zero vectors) and small buckets legally shrink
+    # the ground truth, and a perfect index must score 1.0 against what
+    # the exact search really returned
+    truth_n = exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    # the truth set is |queries|·k rows at most — bounded by the probe
+    # sample at every scale, so it broadcasts (a window output carries no
+    # stats and would otherwise fall back to a sort-merge join)
     return (
         tagged.join(F.broadcast(exact), ["query_id", "cand_id"], "left")
         .groupBy("method")
@@ -712,12 +719,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
         )
+        .crossJoin(F.broadcast(truth_n))
         .select(
             "method",
             "n_pairs",
             "matched",
             stable_round(
-                F.col("matched").cast("double") / F.lit(denom), 4
+                F.col("matched").cast("double") / F.col("n_truth"), 4
             ).alias("recall_at_k"),
         )
         .orderBy("method")
@@ -738,10 +746,11 @@ j AS (
          CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
   FROM tagged t
   LEFT JOIN exact e ON t.query_id = e.query_id AND t.cand_id = e.cand_id
-)
+),
+truth AS (SELECT count(*) AS n_truth FROM exact)
 SELECT method, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS matched,
-       round(CAST(sum(hit) AS DOUBLE) / {N_QUERIES * TOP_K}, 4) AS recall_at_k
-FROM j GROUP BY method ORDER BY method
+       round(CAST(sum(hit) AS DOUBLE) / n_truth, 4) AS recall_at_k
+FROM j, truth GROUP BY method, n_truth ORDER BY method
 """
 
 

@@ -495,17 +495,25 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     document reports how much of its token stream falls outside it — the
     coverage check run before committing to a tokenizer vocab.
 
-    Shape: the vocab is a heavy-hitter top-k over the term agg (partial
-    agg + TakeOrdered — no full sort), small by construction (V rows), so
-    it BROADCASTS to a map-side membership join against the exploded
-    token stream; the only real shuffle is the per-doc re-agg on doc_id.
-    At 100 TB this is one corpus pass plus a broadcast, the same shape at
-    any scale."""
+    Shape: ONE tokenize→explode→(doc, term) aggregation pass over the
+    corpus, PERSISTED — Catalyst does not CSE across join branches, so
+    without the persist the vocab build and the membership join would
+    each re-scan and re-tokenize the corpus (the same hazard
+    ``unigram_logprob_quality`` documents). The vocab is a heavy-hitter
+    top-k over the cached frame (partial agg + TakeOrdered), small by
+    construction (V rows), so it BROADCASTS back onto the cached
+    (doc, term) counts; the only corpus-scale shuffle is the one behind
+    the cache."""
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = (
-        ex.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        dt.groupBy("term")
+        .agg(F.sum("n_dt").alias("tf"))
         .orderBy(F.desc("tf"), "term")
         .limit(_VOCAB_SIZE)
         .select("term", F.lit(1).alias("in_vocab"))
@@ -513,11 +521,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov = F.col("n_tokens") - F.col("n_in_vocab")
     rate = oov.cast("double") / F.col("n_tokens")
     return (
-        ex.join(F.broadcast(vocab), "term", "left")
+        dt.join(F.broadcast(vocab), "term", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in_vocab"),
+            F.sum("n_dt").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), F.col("n_dt")).otherwise(0)
+            ).alias("n_in_vocab"),
         )
         .select(
             "doc_id",
@@ -575,17 +585,22 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact decimals (order-independent across partitionings).
     """
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ONE tokenize→explode→(doc, term) agg pass, persisted: doc lengths,
+    # postings, and document frequencies all re-derive from the cached
+    # frame (Catalyst does not CSE across join branches — without the
+    # persist the corpus would be scanned and tokenized twice)
+    dt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    dl = dt.groupBy("doc_id").agg(F.sum("n_dt").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
-        ex.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = dt.filter(F.col("term").isin(*_BM25_TERMS)).select(
+        "doc_id", "term", F.col("n_dt").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

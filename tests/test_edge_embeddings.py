@@ -36,6 +36,10 @@ _SIM_QUERIES = [
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_cosine_neardup", "semantic_lexical_neardup",
     "embedding_label_stats",
+    # recall vs the ACTUAL truth-set size: the zero-vector probe shrinks
+    # the ground truth below |queries|*k here, the case the old constant
+    # denominator mis-scored
+    "ann_recall_eval",
 ]
 
 # (vec_id, embedding, label) — 8-d float32. vec_id < 5 are probes; nonzero

@@ -105,17 +105,18 @@ _PLAN_BOUNDS = {
     # same shape one order up: (doc,w1,w2) agg persisted; C(w1,w2)/C(w1)
     # re-aggregate the cached frame and join back broadcast-side
     "bigram_logprob_quality": (7, 2),
-    # term agg + TakeOrdered vocab broadcast onto the token stream + doc agg
-    "vocab_coverage": (3, 1),
+    # ONE persisted (doc,term) agg; vocab top-k + membership join both
+    # re-derive from the cache (textual reprint per consumer) + doc agg
+    "vocab_coverage": (5, 1),
     # returned plan is the final assignment (map over broadcast centroid
     # literals) + cluster agg + sort; iteration jobs run eagerly inside
     "kmeans_cluster_profile": (2, 0),
     # user-week distinct + first-week agg (broadcast back) + matrix agg +
     # cohort-size join + sort; textual count reprints the uw subtree
     "user_retention_cohorts": (6, 2),
-    # posting tf agg + persisted dl agg (subtree reprinted per consumer) +
-    # broadcast df/stats + doc score agg; top-k is TakeOrdered
-    "bm25_search": (7, 3),
+    # ONE persisted (doc,term) agg; dl/tf/df/stats re-derive from the
+    # cache (textual reprint per consumer); top-k is TakeOrdered
+    "bm25_search": (9, 3),
     # one source-keyed window rank + per-source agg + sort
     "source_quota_cap": (2, 0),
     # one fingerprint-window shuffle + single-row conditional agg + stack
@@ -136,8 +137,9 @@ _PLAN_BOUNDS = {
     # count appearing means the query silently grew an exchange) ---
     "ann_bruteforce_topk": (2, 1),
     # three ANN result sets composed (textual reprints of their window
-    # exchanges); the bounded truth set broadcasts into the tagged union
-    "ann_recall_eval": (9, 6),
+    # exchanges); the persisted truth set + its count broadcast into the
+    # tagged union
+    "ann_recall_eval": (13, 8),
     "ann_ivf_topk": (4, 3),
     "ann_lsh_topk": (2, 1),
     "approx_distinct_users": (3, 0),

@@ -153,13 +153,22 @@ def test_transform_with_state_matches_legacy_form(spark, events_json_dir):
         with pytest.raises(NotImplementedError, match="protobuf"):
             running_user_totals_tws(stream)
         pytest.skip("google.protobuf absent: TWS state protocol unavailable")
+    # TWS requires the RocksDB state store; restore the provider afterwards
+    # so later streaming tests don't silently inherit it (their outcomes
+    # would become ordering-dependent)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    run_to_memory_sink(running_user_totals_tws(stream), "t_tws", mode="update")
-    got = spark.table("t_tws").toPandas()
+    try:
+        run_to_memory_sink(
+            running_user_totals_tws(stream), "t_tws", mode="update"
+        )
+        got = spark.table("t_tws").toPandas()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     final = got.loc[got.groupby("user_id")["n_events"].idxmax()].set_index(
         "user_id"
     )
