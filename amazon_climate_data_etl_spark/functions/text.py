@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from amazon_climate_data_etl_spark.operators._portable import stable_round
+
 # --------------------------------------------------------------------------
 # Tokenization
 # --------------------------------------------------------------------------
@@ -116,7 +118,10 @@ def quality_score(text: Column) -> Column:
     stop_ratio = F.least(F.lit(1.0), hits.cast("double") / F.lit(8.0))
     stripped = F.regexp_replace(text, "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]", "")
     punct_ratio = F.when(n == 0, F.lit(1.0)).otherwise(F.length(stripped).cast("double") / n)
-    return F.round(
+    # decimal-stable round (same path portable_sql_rounds rewrites the SQL
+    # twin onto) — corpus_filter_funnel thresholds this value at 0.5, so an
+    # asymmetric rounding route could flip a near-tie score cross-engine
+    return stable_round(
         F.lit(0.4) * length_ok + F.lit(0.3) * stop_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
         4,
     )

@@ -294,7 +294,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_frame(spark, sf_dir).orderBy("doc_id")
 
 
-SIMHASH_SQL = f"""
+# unordered body + thin ORDER BY wrapper: SIMHASH_PAIRS_SQL embeds the body
+# as a subquery (where a trailing ORDER BY would be illegal/meaningless), the
+# registered oracle uses the ordered wrapper — no post-hoc string surgery
+_SIMHASH_BODY = f"""
 WITH tok AS (
   SELECT doc_id, md5(t) AS h
   FROM (SELECT doc_id,
@@ -312,8 +315,9 @@ votes AS (
 SELECT doc_id,
        {" + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(_N_BITS))} AS simhash
 FROM votes
-ORDER BY doc_id
 """
+
+SIMHASH_SQL = _SIMHASH_BODY + "ORDER BY doc_id\n"
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,7 +365,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_PAIRS_SQL = f"""
-WITH fp AS ({SIMHASH_SQL.replace("ORDER BY doc_id", "")})
+WITH fp AS ({_SIMHASH_BODY})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -461,7 +465,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DEDUP_COMPONENTS_SQL = f"""
+# unordered body (embeddable as a subquery) + ordered registered wrapper —
+# same pattern as _SIMHASH_BODY above
+_DEDUP_COMPONENTS_BODY = f"""
 WITH RECURSIVE sigs AS ({_minhash_sigs_sql()}),
 long AS (
   SELECT doc_id, band, sig FROM (
@@ -483,8 +489,10 @@ cc(node, label) AS (
   SELECT s.dst, least(s.dst, cc.label) FROM sym s JOIN cc ON s.src = cc.node
 )
 SELECT node AS doc_id, min(label) AS component_id
-FROM cc GROUP BY node ORDER BY doc_id
+FROM cc GROUP BY node
 """
+
+DEDUP_COMPONENTS_SQL = _DEDUP_COMPONENTS_BODY + "ORDER BY doc_id\n"
 
 
 def neardup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +531,7 @@ SELECT d.doc_id,
        COALESCE(l.component_id, d.doc_id) AS component_id,
        (l.component_id IS NULL OR l.component_id = d.doc_id) AS keep
 FROM documents d
-LEFT JOIN ({DEDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "")}) l
+LEFT JOIN ({_DEDUP_COMPONENTS_BODY}) l
        ON d.doc_id = l.doc_id
 ORDER BY d.doc_id
 """

@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 from amazon_climate_data_etl_spark.functions.text import (
     doc_fingerprint,
     doc_fingerprint_sql,
+    quality_score,
+    quality_score_sql,
     token_count,
     token_count_sql,
 )
 from amazon_climate_data_etl_spark.operators._portable import (
     dsum,
     dsum_sql,
+    portable_sql_rounds,
     stable_round,
     stable_round_sql,
 )
@@ -139,6 +142,29 @@ def test_token_count_portable(spark, ts):
         f"SELECT CAST({token_count_sql('x')} AS BIGINT) AS n FROM t"
     ).df()
     assert list(got["n"]) == list(want["n"])
+
+
+@given(ts=st.lists(_texts, min_size=1, max_size=30))
+@example(ts=["", " ", "the a of and to in is it " * 3,
+             "x" * 64, "x" * 63, "!!!???", "a!b?c."])
+@settings(**_SETTINGS)
+def test_quality_score_portable(spark, ts):
+    """The composite quality score must be bit-identical across engines —
+    corpus_filter_funnel thresholds it at 0.5, so a one-digit rounding flip
+    on a near-tie composite would cascade into the funnel counts. The SQL
+    twin goes through portable_sql_rounds, exactly as at registration."""
+    pdf = pd.DataFrame({"x": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(quality_score(F.col("x")).alias("q"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {portable_sql_rounds(quality_score_sql('x'))} AS q FROM t"
+    ).df()
+    assert exact_float_mismatches(got, want) == 0
 
 
 @given(ts=st.lists(_texts, min_size=1, max_size=30))
