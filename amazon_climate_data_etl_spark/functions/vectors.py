@@ -55,11 +55,13 @@ def sign_bucket(a: Column, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
     A random-hyperplane LSH with axis-aligned planes: partitions the space
     into 2^len(dims) buckets. Used to restrict ANN candidate generation to
     same-bucket pairs (operators/similarity.py). ``dims`` are 1-based to
-    match SQL array indexing.
+    match SQL array indexing. Out-of-range dims hash to bit 0 in BOTH
+    engines (try_element_at → NULL → the otherwise branch here; DuckDB's
+    list index → NULL → CASE else), so short vectors bucket consistently.
     """
     out = F.lit(0)
     for i, d in enumerate(dims):
-        bit = F.when(F.element_at(a, d) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(F.try_element_at(a, F.lit(d)) >= 0, F.lit(1)).otherwise(F.lit(0))
         out = out + bit * F.lit(2**i)
     return out
 

@@ -125,31 +125,73 @@ ORDER BY query_id, rank
 """
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's sign bucket.
+# L independent 4-bit hash tables over disjoint dim groups — the standard
+# LSH space/recall trade (index is L× the corpus; a miss needs ALL tables
+# to miss). With near-random fixture data (true top-3 cosine ≈ 0.35, sign
+# agreement ≈ 0.61/plane), one table ∪ 1-bit probes caps at ~0.49 recall;
+# three tables lift the expectation to ~0.87 — gated at ≥ 0.6 in tests.
+_LSH_TABLES = tuple((t, tuple(range(1 + 4 * t, 5 + 4 * t))) for t in range(3))
+# multi-probe: own bucket + the 4 buckets at Hamming distance 1
+_LSH_FLIPS = (0, 1, 2, 4, 8)
 
-    The 2^4-bucket axis-aligned LSH cuts candidate volume ~16×; recall is
-    approximate by design (the oracle checks the same approximation). At
-    scale: bucket is the shuffle/join key; multi-probe (flip one bit) is
-    the standard recall knob."""
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: multi-table, multi-probe sign-bucket LSH.
+
+    Candidates come from bucket equi-joins only — a pair is considered when
+    ANY of the 3 tables collides with ANY of the query's 5 probe buckets
+    (own + one-bit flips). The corpus side explodes L×(the index); the query
+    side explodes L·5× (15 probe rows per query, broadcast). A pair can
+    collide in several tables, so matches dedup through a (query, cand)
+    group before ranking — the per-row cosine is identical across
+    duplicates, so max() is a value-preserving dedup. At 100 TB the bucket
+    key would widen to 16+ bits per table; the plan shape (equi-join on
+    (table, bucket), pair-keyed dedup, per-query top-k) is unchanged."""
     e = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    bucketed = e.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    idx_keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket(F.col("embedding"), dims).alias("bucket"),
+            )
+            for t, dims in _LSH_TABLES
+        ]
     )
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.explode(idx_keys).alias("k"),
+    ).select("cand_id", "ce", "k.tbl", "k.bucket")
+    probe_keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (
+                    sign_bucket(F.col("embedding"), dims).bitwiseXOR(F.lit(flip))
+                    if flip
+                    else sign_bucket(F.col("embedding"), dims)
+                ).alias("bucket"),
+            )
+            for t, dims in _LSH_TABLES
+            for flip in _LSH_FLIPS
+        ]
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        "bucket",
-    )
-    c = bucketed.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
-    )
+        F.explode(probe_keys).alias("k"),
+    ).select("query_id", "qe", "k.tbl", "k.bucket")
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn("cos", cos)
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.max("cos").alias("cos"),
+            F.min(F.col("tbl") * 16 + F.col("bucket")).alias("bucket"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
@@ -163,22 +205,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_IDX_SQL = " UNION ALL ".join(
+    f"SELECT vec_id AS cand_id, embedding AS ce, {t} AS tbl, "
+    f"{sign_bucket_sql('embedding', dims)} AS bucket FROM e"
+    for t, dims in _LSH_TABLES
+)
+_LSH_QB_SQL = " UNION ALL ".join(
+    f"SELECT vec_id AS query_id, embedding AS qe, {t} AS tbl, "
+    f"{sign_bucket_sql('embedding', dims)} AS b FROM e WHERE vec_id < {N_QUERIES}"
+    for t, dims in _LSH_TABLES
+)
+
 ANN_LSH_SQL = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {sign_bucket_sql('embedding')} AS bucket
-  FROM embeddings WHERE {_NONZERO_SQL}
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE {_NONZERO_SQL}),
+idx AS ({_LSH_IDX_SQL}),
+qb AS ({_LSH_QB_SQL}),
+probes AS (
+  SELECT query_id, qe, tbl,
+         unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bucket
+  FROM qb
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id AS cand_id, embedding AS ce, bucket FROM b),
-scored AS (
-  SELECT query_id, cand_id, q.bucket AS bucket, {_cosine_sql('qe', 'ce')} AS cos
-  FROM c JOIN q USING (bucket)
+matched AS (
+  SELECT query_id, cand_id,
+         max({_cosine_sql('qe', 'ce')}) AS cos,
+         min(tbl * 16 + bucket) AS bucket
+  FROM idx JOIN probes USING (tbl, bucket)
   WHERE cand_id <> query_id
+  GROUP BY query_id, cand_id
 ),
 ranked AS (
   SELECT query_id, cand_id, bucket, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
-  FROM scored
+  FROM matched
 )
 SELECT query_id, cand_id, rank, round(cos, 6) AS cosine, bucket
 FROM ranked WHERE rank <= {TOP_K}

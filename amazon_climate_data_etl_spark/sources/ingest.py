@@ -55,14 +55,98 @@ IBGE_PREFIX_TO_UF = {
 NORTHERN_STATES = ("AC", "AM", "AP", "PA", "RO", "RR", "TO")
 
 
+def probe_coord_dims(
+    dims: "list[str] | tuple[str, ...]", coords: "list[str] | tuple[str, ...]" = ()
+) -> tuple[str, str]:
+    """Discover the (lon, lat) dimension names of a NetCDF dataset.
+
+    Mirrors the reference's probing (process_climate_amazon_annual.py:202-227):
+    scan dims for names containing ``lon``/``lat`` or exactly ``x``/``y``
+    (last match wins, as in the reference loop), then coordinates (first
+    match fills a still-missing slot), then fall back to
+    ``longitude``/``latitude`` if present among dims/coords, else
+    ``lon``/``lat``. Pure function — testable without xarray."""
+    lon_dim = lat_dim = None
+    for dim in dims:
+        d = dim.lower()
+        if "lon" in d or d == "x":
+            lon_dim = dim
+        elif "lat" in d or d == "y":
+            lat_dim = dim
+    for coord in coords:
+        c = coord.lower()
+        if "lon" in c and lon_dim is None:
+            lon_dim = coord
+        elif "lat" in c and lat_dim is None:
+            lat_dim = coord
+    names = set(dims) | set(coords)
+    if lon_dim is None:
+        lon_dim = "longitude" if "longitude" in names else "lon"
+    if lat_dim is None:
+        lat_dim = "latitude" if "latitude" in names else "lat"
+    return lon_dim, lat_dim
+
+
+def probe_time_dim(dims: "list[str] | tuple[str, ...]") -> str:
+    """Time-axis name: ``time`` if present (the BR-DWGD convention and the
+    reference's assumption), else the first dim that is neither the lon nor
+    the lat axis."""
+    if "time" in dims:
+        return "time"
+    lon_dim, lat_dim = probe_coord_dims(dims)
+    for dim in dims:
+        if dim not in (lon_dim, lat_dim):
+            return dim
+    return "time"
+
+
+def lat_ordered_slice(first: float, last: float, lat_min: float, lat_max: float):
+    """Axis-direction-aware latitude slice bounds.
+
+    ``xr.Dataset.sel(lat=slice(a, b))`` selects NOTHING when the slice runs
+    against the axis direction; the reference flips the bounds on a
+    descending (north-up) latitude axis
+    (process_climate_amazon_annual.py:231-248). Returns the (start, stop)
+    pair to pass to ``slice`` for this axis ordering."""
+    if first > last:  # descending latitude: start at the max
+        return lat_max, lat_min
+    return lat_min, lat_max
+
+
+def normalize_grid_long(
+    long: pd.DataFrame,
+    var_name: str,
+    lon_dim: str,
+    lat_dim: str,
+    time_dim: str = "time",
+) -> pd.DataFrame:
+    """Decoded long table (any dim naming / axis direction) → the canonical
+    (date, lat, lon, var, value) frame of GRID_DAILY_SCHEMA. Row order is
+    irrelevant downstream (the pivot keys on (date, lat, lon)), so a
+    descending-latitude file needs no reordering here — only the clip slice
+    direction matters (``lat_ordered_slice``)."""
+    long = long.rename(
+        columns={time_dim: "date", lat_dim: "lat", lon_dim: "lon", var_name: "value"}
+    )
+    long["var"] = var_name
+    long["date"] = pd.to_datetime(long["date"]).dt.date
+    long["lat"] = long["lat"].astype(float)
+    long["lon"] = long["lon"].astype(float)
+    return long[["date", "lat", "lon", "var", "value"]]
+
+
 def _decode_netcdf_batch(
-    batches: Iterator[pd.DataFrame], var_name: str
+    batches: Iterator[pd.DataFrame], var_name: str, bounds: dict | None = None
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: binaryFile rows → long-format grid rows.
 
     Each input row is (path, modificationTime, length, content); xarray
-    opens the bytes and emits (date, lat, lon, var, value). Import-gated:
-    raises a clear error when xarray is unavailable (this container).
+    opens the bytes, the coordinate axes are probed by name
+    (``lon``/``lat``/``x``/``y``/``longitude``/``latitude``), an optional
+    bounding box is clipped with descending-latitude handling, and the
+    result is normalized to (date, lat, lon, var, value). Import-gated:
+    raises a clear error when xarray is unavailable (this container); the
+    probing/normalization helpers above are pure and tested without it.
     """
     try:
         import io
@@ -77,28 +161,50 @@ def _decode_netcdf_batch(
     for pdf in batches:  # pragma: no cover - env without xarray
         for _, row in pdf.iterrows():
             ds = xr.open_dataset(io.BytesIO(row["content"]))
+            lon_dim, lat_dim = probe_coord_dims(
+                list(ds.dims), list(ds.coords)
+            )
+            time_dim = probe_time_dim(list(ds.dims))
+            if bounds is not None:
+                lat_values = ds[lat_dim].values
+                lo, hi = lat_ordered_slice(
+                    float(lat_values[0]),
+                    float(lat_values[-1]),
+                    bounds["lat_min"],
+                    bounds["lat_max"],
+                )
+                ds = ds.sel(
+                    **{
+                        lon_dim: slice(bounds["lon_min"], bounds["lon_max"]),
+                        lat_dim: slice(lo, hi),
+                    }
+                )
             da = ds[var_name]
             long = da.to_dataframe().reset_index()
-            long = long.rename(columns={"time": "date", var_name: "value"})
-            long["var"] = var_name
-            long["date"] = pd.to_datetime(long["date"]).dt.date
-            yield long[["date", "lat", "lon", "var", "value"]]
+            yield normalize_grid_long(long, var_name, lon_dim, lat_dim, time_dim)
 
 
 def ingest_netcdf_to_parquet(
-    spark: SparkSession, nc_glob: str, out_path: str, var_name: str
+    spark: SparkSession,
+    nc_glob: str,
+    out_path: str,
+    var_name: str,
+    bounds: dict | None = None,
 ) -> None:
     """Distributed NetCDF → Parquet relationalization (S1 ingest boundary).
 
     One task per file; output partitioned by year so every downstream
     time-ranged query prunes partitions (the reference's manual time-chunk
-    logic, annual.py:58-62, becomes storage layout)."""
+    logic, annual.py:58-62, becomes storage layout). ``bounds`` (lon_min /
+    lon_max / lat_min / lat_max) clips each file to the region of interest
+    before relationalizing, the reference's load_clipped_netcdf behavior."""
     from amazon_climate_data_etl_spark.session import ship_package_to_workers
 
     ship_package_to_workers(spark)
     raw = spark.read.format("binaryFile").load(nc_glob)
     grid = raw.mapInPandas(
-        lambda it: _decode_netcdf_batch(it, var_name), schema=GRID_DAILY_SCHEMA
+        lambda it: _decode_netcdf_batch(it, var_name, bounds),
+        schema=GRID_DAILY_SCHEMA,
     )
     (
         grid.withColumn("year", F.year("date"))

@@ -1,0 +1,28 @@
+"""ANN index quality gate: recall@k floors against the exact baseline.
+
+``ann_recall_eval`` *reports* recall (and is oracle-checked for arithmetic
+parity); this suite *gates* it, so an index regression — a lost hash table,
+a dropped probe bucket, a broken centroid assignment — fails loudly instead
+of silently shipping a lower number. Floors sit well under the measured
+values (LSH ≈ 0.87 via 3 tables ∪ 1-bit multi-probe, IVF ≈ 0.93 at 2-probe)
+but far above what a degraded index produces (single-table LSH measured
+0.13 on the same fixtures).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_climate_data_etl_spark.operators.similarity import ann_recall_eval
+
+_FLOORS = {"lsh": 0.6, "ivf": 0.8}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ann_recall_floors(spark, sf):
+    got = {r["method"]: r["recall_at_k"] for r in ann_recall_eval(spark, sf).collect()}
+    assert set(got) == set(_FLOORS)
+    for method, floor in _FLOORS.items():
+        assert got[method] >= floor, (
+            f"{method} recall@k {got[method]} fell below the {floor} floor at {sf}"
+        )

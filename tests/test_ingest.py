@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from amazon_climate_data_etl_spark.session import ship_package_to_workers
 from amazon_climate_data_etl_spark.sources.ingest import (
     GRID_DAILY_SCHEMA,
+    lat_ordered_slice,
+    normalize_grid_long,
     pivot_grid_wide,
+    probe_coord_dims,
+    probe_time_dim,
 )
 
 
@@ -45,6 +49,101 @@ def test_binaryfile_mapinpandas_plumbing(spark, tmp_path):
     assert out[0]["var"] == "Tmax"
     assert out[0]["n"] == 8 + 9 + 10
     assert [f.name for f in grid.schema.fields] == ["date", "lat", "lon", "var", "value"]
+
+
+def test_probe_coord_dims_variants():
+    """Dim-name discovery must mirror the reference's probing
+    (process_climate_amazon_annual.py:202-227): substring lon/lat matches,
+    bare x/y axes, coords filling missing dims, longitude/latitude
+    fallback."""
+    assert probe_coord_dims(["time", "lat", "lon"]) == ("lon", "lat")
+    assert probe_coord_dims(["time", "latitude", "longitude"]) == (
+        "longitude", "latitude",
+    )
+    assert probe_coord_dims(["time", "y", "x"]) == ("x", "y")
+    assert probe_coord_dims(["time", "Lat", "Lon"]) == ("Lon", "Lat")
+    # dims carry nothing; coords carry the axes
+    assert probe_coord_dims(["time", "cell"], ["longitude", "latitude"]) == (
+        "longitude", "latitude",
+    )
+    # nothing recognizable anywhere → reference's default fallback
+    assert probe_coord_dims(["time", "cell"], ["height"]) == ("lon", "lat")
+    # 'longitude' present but only via the fallback scan (e.g. dims renamed
+    # to something the loop skips) — matches the reference default branch
+    assert probe_coord_dims(["time", "cell", "longitude", "latitude"]) == (
+        "longitude", "latitude",
+    )
+
+
+def test_probe_time_dim():
+    assert probe_time_dim(["time", "lat", "lon"]) == "time"
+    assert probe_time_dim(["day", "latitude", "longitude"]) == "day"
+    assert probe_time_dim(["x", "y", "t"]) == "t"
+
+
+def test_lat_ordered_slice_descending_axis():
+    """A north-up (descending-latitude) file must clip with flipped bounds
+    — the reference's annual.py:231-248 branch; a naive ascending slice
+    would select zero rows."""
+    # ascending axis: natural order
+    assert lat_ordered_slice(-20.0, 5.0, -10.0, 0.0) == (-10.0, 0.0)
+    # descending axis: start at the max
+    assert lat_ordered_slice(5.0, -20.0, -10.0, 0.0) == (0.0, -10.0)
+
+
+def test_normalize_grid_long_renamed_dims():
+    """A decoded frame with longitude/latitude axis names and a non-'time'
+    time dim must normalize to the canonical schema with float coords."""
+    raw = pd.DataFrame(
+        {
+            "day": pd.to_datetime(["2001-01-01", "2001-01-02"]),
+            "latitude": [5.0, 4.75],  # descending file order is fine
+            "longitude": [-65.0, -65.0],
+            "Tmax": [30.0, 31.0],
+        }
+    )
+    out = normalize_grid_long(raw, "Tmax", "longitude", "latitude", "day")
+    assert list(out.columns) == ["date", "lat", "lon", "var", "value"]
+    assert out["date"].tolist() == [date(2001, 1, 1), date(2001, 1, 2)]
+    assert out["lat"].tolist() == [5.0, 4.75]
+    assert out["value"].tolist() == [30.0, 31.0]
+    assert set(out["var"]) == {"Tmax"}
+
+
+def test_fake_decoder_with_renamed_dims_through_spark(spark, tmp_path):
+    """End-to-end plumbing with a fake decoder that emits RENAMED axes and
+    a north-up latitude order, normalized by the same helper the real
+    decoder uses — the file shape the round-3 verdict flagged (a BR-DWGD
+    file with longitude/latitude dims)."""
+
+    def _fake_decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n = int(row["length"])
+                raw = pd.DataFrame(
+                    {
+                        "day": pd.to_datetime(["2001-01-01"] * n),
+                        # descending latitude axis (north-up file)
+                        "latitude": [5.0 - 0.25 * i for i in range(n)],
+                        "longitude": [-65.0] * n,
+                        "Tmin": [20.0 + i for i in range(n)],
+                    }
+                )
+                lon_dim, lat_dim = probe_coord_dims(["day", "latitude", "longitude"])
+                yield normalize_grid_long(
+                    raw, "Tmin", lon_dim, lat_dim, probe_time_dim(["day", "latitude", "longitude"])
+                )
+
+    (tmp_path / "f0.nc").write_bytes(b"x" * 6)
+    ship_package_to_workers(spark)
+    raw = spark.read.format("binaryFile").load(str(tmp_path / "*.nc"))
+    grid = raw.mapInPandas(_fake_decode, schema=GRID_DAILY_SCHEMA)
+    rows = grid.orderBy(F.col("lat").desc()).collect()
+    assert [f.name for f in grid.schema.fields] == ["date", "lat", "lon", "var", "value"]
+    assert len(rows) == 6
+    assert rows[0]["lat"] == 5.0 and rows[0]["value"] == 20.0
+    assert rows[-1]["lat"] == 3.75 and rows[-1]["value"] == 25.0
+    assert rows[0]["var"] == "Tmin" and rows[0]["date"] == date(2001, 1, 1)
 
 
 def test_pivot_long_to_wide(spark):

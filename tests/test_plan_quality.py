@@ -139,9 +139,10 @@ _PLAN_BOUNDS = {
     # three ANN result sets composed (textual reprints of their window
     # exchanges); the persisted truth set + its count broadcast into the
     # tagged union
-    "ann_recall_eval": (13, 8),
+    "ann_recall_eval": (14, 8),
     "ann_ivf_topk": (4, 3),
-    "ann_lsh_topk": (2, 1),
+    # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
+    "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
     "asof_join_purchases": (2, 0),
     "bpe_token_stats": (3, 0),  # +scan rebalance (no-op at 100 TB)
