@@ -1,17 +1,158 @@
-"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas."""
+"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas,
+plus the REAL decode kernels (WAV via stdlib wave; PNG via the minimal
+zlib decoder, or PIL when importable) on valid in-test-generated media."""
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
+import zlib
 
+import numpy as np
+import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.sources.multimodal import (
     FEATURE_DIM,
+    MEDIA_SCHEMA,
+    _decode_image,
+    _decode_real,
+    _decode_wav,
+    _png_decode_minimal,
     extract_features,
     media_summary,
+    png_encode_minimal,
+    resize_images,
     synthetic_media,
 )
+
+
+def _make_png(pixels: np.ndarray) -> bytes:
+    return png_encode_minimal(pixels)
+
+
+def _make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _rng_pixels(h, w, c, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    for c in (1, 3, 4):
+        px = _rng_pixels(5, 7, c, seed=c)
+        decoded = _png_decode_minimal(_make_png(px))
+        assert decoded.shape == (5, 7, c)
+        assert (decoded == px).all()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter scanlines with every PNG filter type (0-4) and check the
+    decoder unfilters back to the source pixels — the part a roundtrip
+    through our filter-0 encoder cannot exercise."""
+    px = _rng_pixels(5, 6, 3, seed=11)
+    h, w, c = px.shape
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert (_decode_image(png) == px).all()
+
+
+def test_wav_decode_real():
+    t = np.linspace(0, 1, 800, endpoint=False)
+    samples = 0.5 * np.sin(2 * np.pi * 440 * t)
+    decoded = _decode_wav(_make_wav(samples))
+    assert decoded.shape == samples.shape
+    assert np.abs(decoded - samples).max() < 1e-3  # int16 quantization only
+    assert np.abs(decoded).max() <= 1.0
+
+
+def test_decode_real_kernel_directly():
+    img_feat = _decode_real(_make_png(_rng_pixels(8, 8, 3)), "image")
+    wav_feat = _decode_real(_make_wav(np.sin(np.linspace(0, 20, 500))), "audio")
+    assert img_feat.shape == (FEATURE_DIM,) and wav_feat.shape == (FEATURE_DIM,)
+    assert img_feat.dtype == np.float32
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00" * 16, "video")  # ffmpeg-gated, still
+
+
+def _real_media_df(spark):
+    rows = []
+    for i in range(6):
+        png = _make_png(_rng_pixels(6 + i, 9, 3, seed=i))
+        rows.append((i, "image", "image/png", 9, 6 + i, None, png))
+    for i in range(6, 12):
+        t = np.linspace(0, 1, 400, endpoint=False)
+        wavb = _make_wav(0.3 * np.sin(2 * np.pi * (100 + 50 * i) * t))
+        rows.append((i, "audio", "audio/wav", None, None, 50, wavb))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]), MEDIA_SCHEMA)
+
+
+def test_extract_features_real_path_through_spark(spark):
+    """The REAL kernel (not the fake) over Arrow-batched mapInPandas:
+    valid PNG + WAV payloads decode executor-side and featurize."""
+    media = _real_media_df(spark)
+    out = extract_features(media, fake=False).orderBy("media_id").toPandas()
+    assert len(out) == 12
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    # features derive from DECODED content, not payload bytes: two encodes
+    # of the same pixels through different zlib levels would share features
+    feats = np.array(out["feature"].tolist())
+    assert np.isfinite(feats).all()
+    # histogram tail sums to ~1 over the value range
+    assert np.allclose(feats[:, 4:].sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_resize_images_real_path(spark):
+    media = _real_media_df(spark)
+    out = resize_images(media, out_w=4, out_h=3, fake=False).orderBy("media_id").toPandas()
+    assert len(out) == 6  # images only
+    for b in out["resized"]:
+        px = _png_decode_minimal(bytes(b))
+        assert px.shape == (3, 4, 3)
 
 
 def test_feature_extraction_shapes(spark):
