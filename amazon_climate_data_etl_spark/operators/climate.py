@@ -237,6 +237,79 @@ def climate_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_split_metrics(_annual_unsorted(spark, sf_dir))
 
 
+# --- end-to-end pipeline: enrich → rollup → partitioned sink → verify ------
+
+# deterministic sink root (overwritten per run, one dir per scale factor):
+# the e2e query's RETURNED frame lazily re-reads this, so it must outlive
+# the call — a mkdtemp per invocation would leak a dir per bench repeat
+E2E_SINK_ROOT = "/tmp/spark_graft_climate_e2e"
+
+def _e2e_read_schema():
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("CD_MUN", T.StringType()),
+        T.StructField("NM_MUN", T.StringType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("month", T.IntegerType()),
+    ]
+    for m in ("pr", "ETo", "Tmax", "Tmin", "RH", "VPD", "u2", "Rs"):
+        fields.append(T.StructField(m, T.DoubleType()))
+    fields += [
+        T.StructField("gid", T.IntegerType()),
+        T.StructField("UF", T.StringType()),
+    ]
+    return T.StructType(fields)
+
+
+def climate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference pipeline in one driver-checked query:
+    grid-snap enrich → annual+monthly ROLLUP (one shuffle, both levels) →
+    by-(level, state) partitioned CSV sink (split_by_state.py as one
+    partitionBy pass) → re-read the sink → per-(level, state) verification
+    metrics. The metrics frame is computed FROM THE FILES THE SINK WROTE,
+    so the oracle match certifies the full write+read round trip, not just
+    the logical plan (annual.py:380-531 is this chain; its printed
+    per-state summary is the metrics shape). Measure sums go through exact
+    decimals of the already-2-rounded values, so CSV round-tripping is
+    bit-preserving and the result hash-matches DuckDB."""
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    sink = f"{E2E_SINK_ROOT}/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    (
+        annual_monthly_rollup(daily)
+        .select(
+            "CD_MUN", "NM_MUN", "year", "month",
+            "pr", "ETo", "Tmax", "Tmin", "RH", "VPD", "u2", "Rs",
+            "gid", "UF",
+        )
+        .write.partitionBy("gid", "UF")
+        .mode("overwrite")
+        .option("header", True)
+        .csv(sink)
+    )
+    back = spark.read.option("header", True).schema(_e2e_read_schema()).csv(sink)
+    return (
+        back.groupBy("gid", "UF")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("CD_MUN").alias("n_municipalities"),
+            F.min("year").alias("year_min"),
+            F.max("year").alias("year_max"),
+            stable_round(
+                F.sum(F.col("pr").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("pr_total"),
+            stable_round(
+                F.sum(F.col("VPD").cast("decimal(18,2)")).cast("double")
+                / F.count("VPD"),
+                4,
+            ).alias("vpd_mean"),
+        )
+        .orderBy("gid", "UF")
+    )
+
+
 def climate_spot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spot_check(_annual_unsorted(spark, sf_dir), "1100016", 1999)
 
@@ -327,12 +400,37 @@ ORDER BY CD_MUN, year
 """
 
 
+CLIMATE_E2E_SQL = f"""{_DAILY_CTE},
+roll AS (
+  SELECT * FROM (
+    SELECT CD_MUN, UF, year,
+           round(CAST(sum(CAST(pr AS DECIMAL(24,8))) AS DOUBLE), 2) AS pr,
+           round(CAST(sum(CAST(VPD AS DECIMAL(24,8))) AS DOUBLE) / count(VPD), 2) AS VPD,
+           CAST(GROUPING(CD_MUN) * 16 + GROUPING(NM_MUN) * 8 + GROUPING(UF) * 4
+           + GROUPING(year) * 2 + GROUPING(month) AS INTEGER) AS gid
+    FROM daily
+    GROUP BY ROLLUP(CD_MUN, NM_MUN, UF, year, month)
+  )
+  WHERE gid IN (0, 1)
+)
+SELECT gid, UF, count(*) AS n_records,
+       count(DISTINCT CD_MUN) AS n_municipalities,
+       min(year) AS year_min, max(year) AS year_max,
+       round(CAST(sum(CAST(pr AS DECIMAL(18,2))) AS DOUBLE), 2) AS pr_total,
+       round(CAST(sum(CAST(VPD AS DECIMAL(18,2))) AS DOUBLE) / count(VPD), 4) AS vpd_mean
+FROM roll
+GROUP BY gid, UF
+ORDER BY gid, UF
+"""
+
+
 QUERIES = {
     "climate_annual": climate_annual,
     "climate_monthly": climate_monthly,
     "climate_rollup": climate_rollup,
     "climate_state_metrics": climate_state_metrics,
     "climate_spot_check": climate_spot_check,
+    "climate_e2e": climate_e2e,
 }
 
 ORACLE = {
@@ -341,4 +439,5 @@ ORACLE = {
     "climate_rollup": CLIMATE_ROLLUP_SQL,
     "climate_state_metrics": CLIMATE_STATE_METRICS_SQL,
     "climate_spot_check": CLIMATE_SPOT_SQL,
+    "climate_e2e": CLIMATE_E2E_SQL,
 }

@@ -14,6 +14,10 @@ Env knobs (driver contract):
                         so round-over-round deltas are attributable signal,
                         not single-shot scheduler noise)
 
+Also writes the complete per-query timing set to ``BENCH_local.json`` at the
+repo root (the driver records only the stdout tail, which truncates long
+query maps).
+
 Each query is executed to completion with a ``noop``-format write: the full
 physical plan runs (scan → shuffle → agg/join) but no rows are shipped to
 the driver, so timings reflect engine throughput, not driver materialization
@@ -93,19 +97,27 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": repeat,
-                "stat": "median",
-            }
-        )
+    payload = {
+        "metric": "total_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": repeat,
+        "stat": "median",
+    }
+    # The driver keeps only the stdout TAIL, which truncates ~28 queries'
+    # timings per round; persist the complete result in-repo (slowest
+    # first, so a truncated human glance still sees the hot spots) so
+    # every round can diff all queries.
+    durable = dict(payload)
+    durable["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
     )
+    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+        json.dump(durable, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -149,6 +149,10 @@ _PLAN_BOUNDS = {
     "case_bucket_map": (1, 0),
     "climate_spot_check": (2, 1),  # +grid-scan rebalance
     "climate_state_metrics": (5, 1),  # +grid-scan rebalance
+    # returned frame is sink-scan → count-distinct agg → sort; the enrich/
+    # rollup/write stages ran eagerly inside the call (their own plan is the
+    # climate_rollup one, bounded above)
+    "climate_e2e": (3, 0),
     # final labels are checkpointed, so the returned plan is scan+sort
     "dedup_components": (1, 0),
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
