@@ -5,10 +5,30 @@
 keyed by name; each callable is ``(spark, sf_dir) -> DataFrame``.
 ``oracle_sql()`` — DuckDB-runnable ANSI-SQL twin for each query (omitted
 only for genuinely non-SQL-expressible ops, which get rows-only checks).
+
+Registry ORDER is load-bearing: the driver's correctness gate checks the
+first ``GATE_WINDOW`` registered queries. The rotation rule (codified per
+the round-3 review) is data-driven from the committed ``CORRECTNESS_r*.json``
+history:
+
+1. queries with NO green driver row yet (new or never-gated) come first;
+2. then queries listed in ``CHANGED_SINCE_GREEN`` — implementation or a
+   shared helper changed since their last green row, so they must re-earn
+   it (update that set alongside any such change);
+3. then everyone else, OLDEST green row first,
+
+with registration (module) order as the deterministic tiebreak. Under this
+rule every query re-earns a driver row at least every other round: after a
+round, last round's window is the freshest cohort and sinks to the back of
+the queue, and the cohort that sat out rotates in.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +46,8 @@ from amazon_climate_data_etl_spark.operators import (
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
 from amazon_climate_data_etl_spark.sources import multimodal
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 _MODULES = (
     dedup,
     similarity,
@@ -38,49 +60,14 @@ _MODULES = (
     relational,
 )
 
-# Registry order is load-bearing: the driver's correctness gate checks the
-# FIRST 50 registered queries. _PRIORITY front-loads (a) every query that has
-# never been through the driver's hash gate — the dedup/similarity/events/
-# multimodal families plus the queries added after the round-2 snapshot —
-# then (b) the climate + joins families (reference-parity core), then (c) a
-# representative relational slice. Families with two rounds of green driver
-# history (most of relational, the older textops entries) absorb the tail
-# cut; all of them remain covered by the local DuckDB-parity suite.
-_PRIORITY = (
-    # never driver-checked: dedup
-    "exact_dedup", "dedup_components", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
-    # never driver-checked: similarity
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_label_stats", "embedding_cosine_neardup",
-    "semantic_lexical_neardup",
-    # never driver-checked: events
-    "tumbling_hourly", "sliding_windows", "session_windows",
-    "event_dedup_first", "json_props_stats", "asof_join_purchases",
-    "pivot_daily_activity", "user_funnel_conversion",
-    # never driver-checked: multimodal (rows-only)
-    "media_feature_summary", "media_frame_pipeline",
-    # new this round: curation + quality/vocab/clustering/retention
-    "contamination_overlap", "pack_sequences", "stratified_sample_stats",
-    "source_mixture_plan", "source_domain_divergence",
-    "unigram_logprob_quality", "vocab_coverage", "kmeans_cluster_profile",
-    "user_retention_cohorts", "bm25_search", "source_quota_cap",
-    "neardup_keep_corpus", "q6_forecast_revenue", "q14_promo_revenue",
-    "q10_returned_items", "bigram_logprob_quality", "corpus_filter_funnel",
-    "ann_recall_eval", "table_quality_audit",
-    # never driver-checked: round-2-tail textops/joins additions
-    "doc_repetition_scores", "tfidf_top_terms", "doc_fingerprints",
-    "range_band_join",
-    # reference-parity core with green history: climate + joins (the
-    # twice-green tail — spot check, enrich chain, semi/anti, q3/q5 —
-    # absorbs the cut for the never-checked queries above, per the
-    # round-2 review's guidance; all remain in the local parity suite)
-    "climate_annual",
-    "grid_snap_join", "nn_join_sorted_1d",
-    "salted_skew_join",
-    # relational representative (flagship)
-    "q1_pricing_summary",
-)
+# the driver verifies this many leading registry entries per round
+GATE_WINDOW = 50
+
+# Round-4 changes: ann_lsh_topk gained the multi-table multi-probe index
+# (different result set by design) and ann_recall_eval therefore reports a
+# different recall — both must re-earn their green row ahead of the
+# oldest-green cohort.
+CHANGED_SINCE_GREEN = {"ann_lsh_topk", "ann_recall_eval"}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -90,21 +77,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def last_green_rounds() -> dict[str, int]:
+    """name → latest round with a green driver row (hash-matched, or the
+    rows-only check for oracle-less queries), from CORRECTNESS_r*.json."""
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            if ok:
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
+
+
+def _registration_order() -> dict[str, int]:
+    """Canonical name → position map from the QUERIES registries, used as
+    the tiebreak by BOTH queries() and oracle_sql() so the two maps rotate
+    identically."""
+    pos: dict[str, int] = {}
+    for mod in _MODULES:
+        for n in mod.QUERIES:
+            pos.setdefault(n, len(pos))
+    return pos
+
+
 def _ordered(merged: dict) -> dict:
-    """Priority names first (driver gate window), then the rest in module
-    order. Names absent from ``merged`` are skipped (the oracle map lacks
-    the rows-only queries)."""
-    out = {n: merged[n] for n in _PRIORITY if n in merged}
-    out.update({k: v for k, v in merged.items() if k not in out})
-    return out
+    """Apply the rotation rule documented in the module docstring."""
+    green = last_green_rounds()
+    reg_pos = _registration_order()
+
+    def key(name: str):
+        never = name not in green
+        changed = name in CHANGED_SINCE_GREEN
+        tier = 0 if never else (1 if changed else 2)
+        return (tier, green.get(name, 0), reg_pos.get(name, len(reg_pos)))
+
+    return {n: merged[n] for n in sorted(merged, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    missing = [n for n in _PRIORITY if n not in merged]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
     return _ordered(merged)
 
 
@@ -114,4 +136,4 @@ def oracle_sql() -> dict[str, str]:
         # rewrite round(x, n) into the decimal-stable form so the DuckDB
         # oracle rounds bit-identically to the Spark side (_portable.py)
         merged.update({k: portable_sql_rounds(v) for k, v in mod.ORACLE.items()})
-    return _ordered({k: v for k, v in merged.items()})
+    return _ordered(merged)
