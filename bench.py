@@ -109,14 +109,16 @@ def main() -> None:
     # The driver keeps only the stdout TAIL, which truncates ~28 queries'
     # timings per round; persist the complete result in-repo (slowest
     # first, so a truncated human glance still sees the hot spots) so
-    # every round can diff all queries.
-    durable = dict(payload)
-    durable["queries"] = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])
-    )
-    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
-        json.dump(durable, f, indent=1)
-        f.write("\n")
+    # every round can diff all queries. Subset runs (BENCH_QUERIES) skip
+    # the write — they must not clobber the full-coverage artifact.
+    if not subset:
+        durable = dict(payload)
+        durable["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])
+        )
+        with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+            json.dump(durable, f, indent=1)
+            f.write("\n")
     print(json.dumps(payload))
 
 
