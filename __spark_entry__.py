@@ -41,6 +41,7 @@ from amazon_climate_data_etl_spark.operators import (
     joins,
     relational,
     similarity,
+    spatial,
     textops,
 )
 from amazon_climate_data_etl_spark.operators._portable import portable_sql_rounds
@@ -56,6 +57,7 @@ _MODULES = (
     curation,
     textops,
     climate,
+    spatial,
     joins,
     relational,
 )

@@ -153,6 +153,9 @@ _PLAN_BOUNDS = {
     # rollup/write stages ran eagerly inside the call (their own plan is the
     # climate_rollup one, bounded above)
     "climate_e2e": (3, 0),
+    # cell agg + polygon-keyed agg + sort; bbox filter phase is a broadcast
+    # NL join (pure map over the cell stream)
+    "zonal_stats_polygons": (3, 1),
     # final labels are checkpointed, so the returned plan is scan+sort
     "dedup_components": (1, 0),
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
