@@ -12,9 +12,13 @@ the round-3 review) is data-driven from the committed ``CORRECTNESS_r*.json``
 history:
 
 1. queries with NO green driver row yet (new or never-gated) come first;
-2. then queries listed in ``CHANGED_SINCE_GREEN`` — implementation or a
-   shared helper changed since their last green row, so they must re-earn
-   it (update that set alongside any such change);
+2. then queries listed in ``CHANGED_SINCE_GREEN`` — their RESULTS may
+   differ from the last green row (semantic change to the query or a
+   shared helper), so they must re-earn it; update that set alongside any
+   such change. Pure plan-shape changes (persist, repartition, join-hint
+   moves) are exempt: the portable-decimal arithmetic makes results
+   partitioning-independent by construction, and the local DuckDB parity
+   suite re-proves bit-exactness every run;
 3. then everyone else, OLDEST green row first,
 
 with registration (module) order as the deterministic tiebreak. Under this

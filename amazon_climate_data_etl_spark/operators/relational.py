@@ -1088,6 +1088,114 @@ ORDER BY column_name
 """
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: OR-of-ANDs mixing
+    columns from BOTH join sides — the optimizer pattern none of the other
+    queries exercise. Catalyst extracts the per-table implications of the
+    disjunction (p_size ∈ [1,50] and the brand/type union reach the part
+    scan; l_quantity ∈ [1,30] reaches the lineitem scan) so both scans
+    prune BEFORE the broadcast join, and the full disjunction evaluates as
+    the join's residual condition — at 100 TB the difference between
+    scanning three narrow slices and scanning everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT count(*) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_lapsed_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped lapsed-customer report: a scalar-subquery
+    threshold (broadcast 1-row cross join — the relational form of a
+    driver-side constant, computed in-plan) composed with an anti-join
+    (customers with no RECENT order) and a substring-derived grouping key.
+
+    Scale: the scalar aggregate is one partial→final pass over customer;
+    its single row broadcasts into the filter, so the threshold comparison
+    is a map. The anti-join's build side (distinct custkeys of recent
+    orders) broadcasts at fixture scale; at 100 TB it would flip to a
+    custkey-partitioned shuffle anti-join — both correct, AQE picks."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos_avg = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1999-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            F.broadcast(recent),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            stable_round(dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = f"""
+WITH pos_avg AS (
+  SELECT {davg_sql('c_acctbal')} AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substr(c_name, 17, 2) AS cntrycode,
+       count(*) AS n_custs,
+       round({dsum_sql('c_acctbal')}, 2) AS total_bal
+FROM customer, pos_avg
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -1119,6 +1227,8 @@ QUERIES = {
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "window_ntile_quartiles": window_ntile_quartiles,
     "gap_fill_daily_revenue": gap_fill_daily_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_lapsed_balances": q22_lapsed_balances,
 }
 
 ORACLE = {
@@ -1151,4 +1261,6 @@ ORACLE = {
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "window_ntile_quartiles": WINDOW_NTILE_SQL,
     "gap_fill_daily_revenue": GAP_FILL_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_lapsed_balances": Q22_SQL,
 }

@@ -127,6 +127,11 @@ _PLAN_BOUNDS = {
     "table_quality_audit": (2, 0),
     # part dim broadcast; one global agg
     "q14_promo_revenue": (1, 1),
+    # disjunctive predicate: per-side implications pushed to both scans
+    # (asserted in test_q19_disjunction_pushdown); broadcast join + one agg
+    "q19_disjunctive_revenue": (1, 1),
+    # scalar-avg broadcast cross join + broadcast anti-join + group + sort
+    "q22_lapsed_balances": (3, 2),
     # nation (and at fixture scale customer/orders) broadcast; custkey agg
     # + TakeOrdered top-20
     "q10_returned_items": (2, 1),
@@ -305,6 +310,18 @@ def test_grid_snap_scan_pruned(spark, sf_dir):
 def test_filter_in_list_pushed(spark, sf_dir):
     plan = I.plan_string(QUERIES["filter_in_list"](spark, sf_dir))
     assert any("c_mktsegment" in p for p in I.pushed_filters(plan)), plan
+
+
+def test_q19_disjunction_pushdown(spark, sf_dir):
+    """The OR-of-ANDs predicate mixes columns from both join sides; each
+    side's implied disjunction must still reach ITS parquet scan (the
+    l_quantity band union on lineitem, the brand/size/type union on part)
+    — at 100 TB the difference between scanning three narrow slices and
+    post-filtering the whole join."""
+    plan = I.plan_string(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    pushed = " ".join(I.pushed_filters(plan))
+    assert "l_quantity" in pushed, plan
+    assert "p_brand" in pushed or "p_size" in pushed, plan
 
 
 def test_ngram_jaccard_single_corpus_pass(spark, sf_dir):
