@@ -14,11 +14,14 @@ history:
 1. queries with NO green driver row yet (new or never-gated) come first;
 2. then queries listed in ``CHANGED_SINCE_GREEN`` — their RESULTS may
    differ from the last green row (semantic change to the query or a
-   shared helper), so they must re-earn it; update that set alongside any
-   such change. Pure plan-shape changes (persist, repartition, join-hint
-   moves) are exempt: the portable-decimal arithmetic makes results
-   partitioning-independent by construction, and the local DuckDB parity
-   suite re-proves bit-exactness every run;
+   shared helper), so they must re-earn it; record ``name: round the
+   change landed`` alongside any such change. The entry self-expires:
+   once a green row from that round or later exists, the query drops
+   back to the regular oldest-first queue (stale entries are harmless and
+   can be pruned lazily). Pure plan-shape changes (persist, repartition,
+   join-hint moves) are exempt: the portable-decimal arithmetic makes
+   results partitioning-independent by construction, and the local DuckDB
+   parity suite re-proves bit-exactness every run;
 3. then everyone else, OLDEST green row first,
 
 with registration (module) order as the deterministic tiebreak. Under this
@@ -69,11 +72,12 @@ _MODULES = (
 # the driver verifies this many leading registry entries per round
 GATE_WINDOW = 50
 
-# Round-4 changes: ann_lsh_topk gained the multi-table multi-probe index
-# (different result set by design) and ann_recall_eval therefore reports a
-# different recall — both must re-earn their green row ahead of the
-# oldest-green cohort.
-CHANGED_SINCE_GREEN = {"ann_lsh_topk", "ann_recall_eval"}
+# name -> round the semantic change landed. Round-4 changes: ann_lsh_topk
+# gained the multi-table multi-probe index (different result set by design)
+# and ann_recall_eval therefore reports a different recall — both must
+# re-earn their green row ahead of the oldest-green cohort. Entries expire
+# automatically once a green row >= the recorded round exists.
+CHANGED_SINCE_GREEN = {"ann_lsh_topk": 4, "ann_recall_eval": 4}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -122,7 +126,7 @@ def _ordered(merged: dict) -> dict:
 
     def key(name: str):
         never = name not in green
-        changed = name in CHANGED_SINCE_GREEN
+        changed = green.get(name, 0) < CHANGED_SINCE_GREEN.get(name, 0)
         tier = 0 if never else (1 if changed else 2)
         return (tier, green.get(name, 0), reg_pos.get(name, len(reg_pos)))
 

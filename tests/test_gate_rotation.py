@@ -27,8 +27,13 @@ def test_rotation_invariants():
     never = [n for n in names if n not in green]
     assert all(n in window for n in never), f"never-gated outside window: {never}"
 
-    # 2. every changed-since-green query is in the window
-    assert entry.CHANGED_SINCE_GREEN <= window | set(never)
+    # 2. every ACTIVE changed-since-green query (no green row at or after
+    # the recorded change round) is in the window
+    active_changed = {
+        n for n, rnd in entry.CHANGED_SINCE_GREEN.items()
+        if green.get(n, 0) < rnd
+    }
+    assert active_changed <= window | set(never)
 
     # 3. no starvation: the tail's oldest green row is >= the window's
     # newest unchanged green row cohort boundary — equivalently, any query
@@ -37,7 +42,7 @@ def test_rotation_invariants():
         oldest_out = min(green.get(n, 0) for n in tail)
         in_window_regular = [
             n for n in window
-            if n in green and n not in entry.CHANGED_SINCE_GREEN
+            if n in green and n not in active_changed
         ]
         assert all(green[n] <= oldest_out for n in in_window_regular), (
             "a fresher query displaced a staler one from the gate window"
