@@ -11,19 +11,25 @@ the query layer never touches NetCDF/SHP. The NetCDF job distributes via
 xarray inside the Arrow batch iterator); at 100 TB of grids you'd partition
 output by (var, year) so downstream year filters prune partitions.
 
-The heavy libs (xarray/netCDF4/geopandas) are NOT in this container, so the
-decode step is import-gated: the Spark plumbing (schemas, batch iteration,
-partitioned write) is real and tested via ``_grid_rows_from_fake`` below.
+Decode backends: xarray when importable (any NetCDF flavor, including
+NetCDF-4/HDF5); otherwise the dependency-free classic-format reader in
+``netcdf_classic.py`` — so the REAL decode path for CDF-1/CDF-2 files runs
+and is tested in this container (the same pattern as the minimal PNG
+decoder in ``multimodal.py``). Shapefile ingest (geopandas) remains
+import-gated with the precomputed-centroid fallback.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from amazon_climate_data_etl_spark.sources.netcdf_classic import read_classic
 
 GRID_DAILY_SCHEMA = T.StructType(
     [
@@ -135,37 +141,102 @@ def normalize_grid_long(
     return long[["date", "lat", "lon", "var", "value"]]
 
 
+def _decode_time_units(values, units: str):
+    """CF time decode for the minimal path: '<unit> since <base>' with
+    unit in days/hours/minutes/seconds."""
+    import datetime as dt
+
+    parts = units.split(" since ", 1)
+    if len(parts) != 2:
+        raise NotImplementedError(f"unsupported time units {units!r}")
+    unit, base_s = parts[0].strip().lower(), parts[1].strip()
+    base = pd.Timestamp(base_s)
+    seconds = {"days": 86400.0, "hours": 3600.0, "minutes": 60.0, "seconds": 1.0}
+    if unit not in seconds:
+        raise NotImplementedError(f"unsupported time unit {unit!r}")
+    return [
+        (base + dt.timedelta(seconds=float(v) * seconds[unit])).date()
+        for v in np.asarray(values)
+    ]
+
+
+def decode_classic_long(
+    content: bytes, var_name: str, bounds: dict | None = None
+) -> pd.DataFrame:
+    """Classic-NetCDF bytes → canonical long grid frame, dependency-free.
+
+    The REAL decode path for CDF-1/CDF-2 files (read_classic handles the
+    binary format, including scale/offset packing and _FillValue → NaN);
+    NetCDF-4/HDF5 raises with a pointer at the xarray path. Probing and
+    normalization are shared with the xarray branch. Bounds are applied as
+    coordinate masks, which are direction-agnostic — a descending
+    (north-up) latitude axis clips identically."""
+    nc = read_classic(content)
+    var = nc.variables[var_name]
+    lon_dim, lat_dim = probe_coord_dims(list(var.dims), list(nc.variables))
+    time_dim = probe_time_dim(list(var.dims))
+    order = [var.dims.index(d) for d in (time_dim, lat_dim, lon_dim)]
+    cube = np.transpose(np.asarray(var.data), order).astype(np.float64)
+    lat_vals = np.asarray(nc.variables[lat_dim].data, dtype=np.float64)
+    lon_vals = np.asarray(nc.variables[lon_dim].data, dtype=np.float64)
+    tvar = nc.variables[time_dim]
+    units = tvar.attrs.get("units")
+    dates = (
+        _decode_time_units(tvar.data, units)
+        if isinstance(units, str)
+        else list(pd.to_datetime(np.asarray(tvar.data)).date)
+    )
+    if bounds is not None:
+        lat_m = (lat_vals >= bounds["lat_min"]) & (lat_vals <= bounds["lat_max"])
+        lon_m = (lon_vals >= bounds["lon_min"]) & (lon_vals <= bounds["lon_max"])
+        cube = cube[:, lat_m][:, :, lon_m]
+        lat_vals, lon_vals = lat_vals[lat_m], lon_vals[lon_m]
+    nt, nlat, nlon = cube.shape
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(np.array(dates, dtype=object), nlat * nlon),
+            "lat": np.tile(np.repeat(lat_vals, nlon), nt),
+            "lon": np.tile(np.tile(lon_vals, nlat), nt),
+            "value": cube.ravel(),
+        }
+    )
+    long["var"] = var_name
+    return long[["date", "lat", "lon", "var", "value"]]
+
+
 def _decode_netcdf_batch(
     batches: Iterator[pd.DataFrame], var_name: str, bounds: dict | None = None
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: binaryFile rows → long-format grid rows.
 
-    Each input row is (path, modificationTime, length, content); xarray
-    opens the bytes, the coordinate axes are probed by name
+    Each input row is (path, modificationTime, length, content). The
+    coordinate axes are probed by name
     (``lon``/``lat``/``x``/``y``/``longitude``/``latitude``), an optional
     bounding box is clipped with descending-latitude handling, and the
-    result is normalized to (date, lat, lon, var, value). Import-gated:
-    raises a clear error when xarray is unavailable (this container); the
-    probing/normalization helpers above are pure and tested without it.
+    result is normalized to (date, lat, lon, var, value). Decode backend:
+    xarray when importable (any NetCDF flavor); otherwise the built-in
+    classic-format reader (``netcdf_classic.py``) — REAL decode for
+    CDF-1/CDF-2 with no dependencies, so this path runs and is tested in
+    this container. NetCDF-4 without xarray raises with a clear pointer.
     """
     try:
         import io
 
-        import xarray as xr  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without xarray
-        raise NotImplementedError(
-            "NetCDF decode requires xarray+netCDF4; run the ingest job in an "
-            "environment with them installed. The Spark plumbing around this "
-            "decoder is exercised by tests via a fake decoder."
-        ) from exc
-    for pdf in batches:  # pragma: no cover - env without xarray
+        import xarray as xr
+    except ImportError:
+        xr = None
+    for pdf in batches:
         for _, row in pdf.iterrows():
-            ds = xr.open_dataset(io.BytesIO(row["content"]))
-            lon_dim, lat_dim = probe_coord_dims(
+            content = bytes(row["content"])
+            if xr is None:
+                yield decode_classic_long(content, var_name, bounds)
+                continue
+            ds = xr.open_dataset(io.BytesIO(content))  # pragma: no cover
+            lon_dim, lat_dim = probe_coord_dims(  # pragma: no cover
                 list(ds.dims), list(ds.coords)
             )
-            time_dim = probe_time_dim(list(ds.dims))
-            if bounds is not None:
+            time_dim = probe_time_dim(list(ds.dims))  # pragma: no cover
+            if bounds is not None:  # pragma: no cover
                 lat_values = ds[lat_dim].values
                 lo, hi = lat_ordered_slice(
                     float(lat_values[0]),
@@ -179,9 +250,11 @@ def _decode_netcdf_batch(
                         lat_dim: slice(lo, hi),
                     }
                 )
-            da = ds[var_name]
-            long = da.to_dataframe().reset_index()
-            yield normalize_grid_long(long, var_name, lon_dim, lat_dim, time_dim)
+            da = ds[var_name]  # pragma: no cover
+            long = da.to_dataframe().reset_index()  # pragma: no cover
+            yield normalize_grid_long(  # pragma: no cover
+                long, var_name, lon_dim, lat_dim, time_dim
+            )
 
 
 def ingest_netcdf_to_parquet(

@@ -1,0 +1,260 @@
+"""Minimal pure-Python reader/writer for CLASSIC NetCDF (CDF-1 / CDF-2).
+
+The classic NetCDF binary format is small and publicly specified (the
+NetCDF "classic format spec": magic ``CDF\\x01``/``CDF\\x02``, a header of
+dimension/attribute/variable lists, then big-endian array data at recorded
+offsets). A dependency-free decoder for it lets the REAL ingest path
+(`sources/ingest.py::_decode_netcdf_batch`) run and be tested in containers
+without xarray/netCDF4 — the same pattern as the minimal PNG decoder in
+``sources/multimodal.py``. NetCDF-4 files are HDF5 containers and are NOT
+handled here; they still require the xarray path (the magic check gives a
+clear error).
+
+Supported surface (deliberately the subset climate grids use):
+- fixed (non-record) variables of type short/int/float/double, any rank;
+- ``scale_factor`` / ``add_offset`` packing and ``_FillValue`` → NaN;
+- per-variable string attributes (``units`` etc.);
+- CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets).
+
+The writer emits the same subset (CDF-1, fixed dims) and exists so tests
+and fixtures can generate REAL NetCDF bytes without any library.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_MAGIC1 = b"CDF\x01"
+_MAGIC2 = b"CDF\x02"
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+# nc_type -> (numpy big-endian dtype, element size)
+_TYPES = {
+    1: (">i1", 1),  # NC_BYTE
+    2: ("S1", 1),   # NC_CHAR
+    3: (">i2", 2),  # NC_SHORT
+    4: (">i4", 4),  # NC_INT
+    5: (">f4", 4),  # NC_FLOAT
+    6: (">f8", 8),  # NC_DOUBLE
+}
+_DTYPE_TO_NC = {"int16": 3, "int32": 4, "float32": 5, "float64": 6}
+
+
+@dataclass
+class NcVar:
+    name: str
+    dims: tuple[str, ...]
+    data: np.ndarray
+    attrs: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class NcFile:
+    dims: dict[str, int]
+    variables: dict[str, NcVar]
+
+
+def _pad4(n: int) -> int:
+    return (4 - n % 4) % 4
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def u32(self) -> int:
+        v = struct.unpack_from(">I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def u64(self) -> int:
+        v = struct.unpack_from(">Q", self.buf, self.pos)[0]
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u32()
+        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += n + _pad4(n)
+        return s
+
+    def values(self):
+        nc_type = self.u32()
+        n = self.u32()
+        if nc_type == 2:  # char attr -> python str
+            raw = self.buf[self.pos : self.pos + n]
+            self.pos += n + _pad4(n)
+            return raw.decode("utf-8", "replace")
+        dt, size = _TYPES[nc_type]
+        arr = np.frombuffer(self.buf, dtype=dt, count=n, offset=self.pos)
+        self.pos += n * size + _pad4(n * size)
+        return arr[0].item() if n == 1 else arr.copy()
+
+    def att_list(self) -> dict:
+        tag = self.u32()
+        count = self.u32()
+        if tag == 0 and count == 0:
+            return {}
+        assert tag == _NC_ATTRIBUTE, f"bad attribute tag {tag}"
+        out = {}
+        for _ in range(count):
+            nm = self.name()
+            out[nm] = self.values()
+        return out
+
+
+def read_classic(content: bytes) -> NcFile:
+    """Parse classic-NetCDF bytes into dims + variables (fixed vars only)."""
+    if content[:4] == _MAGIC1:
+        offset64 = False
+    elif content[:4] == _MAGIC2:
+        offset64 = True
+    else:
+        raise NotImplementedError(
+            "not a classic NetCDF file (CDF-1/CDF-2); NetCDF-4/HDF5 needs "
+            "the xarray decode path"
+        )
+    r = _Reader(content)
+    r.pos = 4
+    numrecs = r.u32()
+    # dimensions
+    tag, count = r.u32(), r.u32()
+    dims: list[tuple[str, int]] = []
+    if count:
+        assert tag == _NC_DIMENSION, f"bad dimension tag {tag}"
+        for _ in range(count):
+            nm = r.name()
+            dims.append((nm, r.u32()))
+    r.att_list()  # global attributes (parsed, unused)
+    # variables
+    tag, count = r.u32(), r.u32()
+    variables: dict[str, NcVar] = {}
+    if count:
+        assert tag == _NC_VARIABLE, f"bad variable tag {tag}"
+        for _ in range(count):
+            nm = r.name()
+            ndims = r.u32()
+            dimids = [r.u32() for _ in range(ndims)]
+            attrs = r.att_list()
+            nc_type = r.u32()
+            r.u32()  # vsize (padded byte count; recomputed below)
+            begin = r.u64() if offset64 else r.u32()
+            var_dims = tuple(dims[i][0] for i in dimids)
+            shape = tuple(dims[i][1] for i in dimids)
+            if any(s == 0 for s in shape):  # record variable (unlimited dim)
+                raise NotImplementedError(
+                    f"record variable {nm!r} (unlimited dimension, "
+                    f"numrecs={numrecs}) not supported by the minimal reader"
+                )
+            dt, _ = _TYPES[nc_type]
+            n = int(np.prod(shape)) if shape else 1
+            raw = np.frombuffer(content, dtype=dt, count=n, offset=begin)
+            data = raw.reshape(shape).copy()
+            # unpack: _FillValue -> NaN, then scale/offset (CF conventions)
+            fill = attrs.get("_FillValue")
+            scale = attrs.get("scale_factor")
+            off = attrs.get("add_offset")
+            if fill is not None or scale is not None or off is not None:
+                out = data.astype(np.float64)
+                if fill is not None:
+                    out[data == fill] = np.nan
+                if scale is not None:
+                    out = out * float(scale)
+                if off is not None:
+                    out = out + float(off)
+                data = out
+            variables[nm] = NcVar(nm, var_dims, data, attrs)
+    return NcFile(dims=dict(dims), variables=variables)
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def u32(self, v: int) -> None:
+        self.parts.append(struct.pack(">I", v))
+
+    def name(self, s: str) -> None:
+        b = s.encode("utf-8")
+        self.u32(len(b))
+        self.parts.append(b + b"\x00" * _pad4(len(b)))
+
+    def att_list(self, attrs: dict) -> None:
+        if not attrs:
+            self.u32(0)
+            self.u32(0)
+            return
+        self.u32(_NC_ATTRIBUTE)
+        self.u32(len(attrs))
+        for k, v in attrs.items():
+            self.name(k)
+            if isinstance(v, str):
+                b = v.encode("utf-8")
+                self.u32(2)
+                self.u32(len(b))
+                self.parts.append(b + b"\x00" * _pad4(len(b)))
+            else:
+                arr = np.asarray(v)
+                nc_type = _DTYPE_TO_NC[str(arr.dtype.newbyteorder("=").name)]
+                dt, size = _TYPES[nc_type]
+                flat = np.atleast_1d(arr).astype(dt)
+                self.u32(nc_type)
+                self.u32(flat.size)
+                raw = flat.tobytes()
+                self.parts.append(raw + b"\x00" * _pad4(len(raw)))
+
+
+def write_classic(nc: NcFile) -> bytes:
+    """Serialize dims + fixed variables to CDF-1 bytes (inverse of
+    ``read_classic`` on the supported subset)."""
+    w = _Writer()
+    w.parts.append(_MAGIC1)
+    w.u32(0)  # numrecs
+    dim_names = list(nc.dims)
+    w.u32(_NC_DIMENSION)
+    w.u32(len(dim_names))
+    for nm in dim_names:
+        w.name(nm)
+        w.u32(nc.dims[nm])
+    w.att_list({})  # global attrs
+    # variable headers need data offsets: lay out header twice (sizes are
+    # deterministic, offsets appear only in the var list itself)
+    vars_ = list(nc.variables.values())
+    payloads = []
+    for v in vars_:
+        nc_type = _DTYPE_TO_NC[str(np.asarray(v.data).dtype.newbyteorder("=").name)]
+        dt, _ = _TYPES[nc_type]
+        raw = np.ascontiguousarray(v.data).astype(dt).tobytes()
+        payloads.append((nc_type, raw + b"\x00" * _pad4(len(raw))))
+
+    def var_list(offsets: list[int]) -> bytes:
+        vw = _Writer()
+        vw.u32(_NC_VARIABLE)
+        vw.u32(len(vars_))
+        for v, (nc_type, raw), begin in zip(vars_, payloads, offsets):
+            vw.name(v.name)
+            vw.u32(len(v.dims))
+            for d in v.dims:
+                vw.u32(dim_names.index(d))
+            vw.att_list(v.attrs)
+            vw.u32(nc_type)
+            vw.u32(len(raw))
+            vw.u32(begin)
+        return b"".join(vw.parts)
+
+    head = b"".join(w.parts)
+    probe = var_list([0] * len(vars_))
+    base = len(head) + len(probe)
+    offsets = []
+    pos = base
+    for _, raw in payloads:
+        offsets.append(pos)
+        pos += len(raw)
+    return head + var_list(offsets) + b"".join(raw for _, raw in payloads)

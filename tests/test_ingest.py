@@ -146,6 +146,104 @@ def test_fake_decoder_with_renamed_dims_through_spark(spark, tmp_path):
     assert rows[0]["var"] == "Tmin" and rows[0]["date"] == date(2001, 1, 1)
 
 
+def _write_classic_fixture(path, var="Tmax", lat_name="latitude",
+                           lon_name="longitude", time_name="time",
+                           packed=False):
+    """A REAL classic-NetCDF file: descending latitude, CF time units,
+    optionally int16-packed values with scale/offset + fill."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, write_classic,
+    )
+
+    time = np.array([0.0, 1.0], dtype=np.float64)
+    lat = np.array([5.0, 4.75, 4.5], dtype=np.float64)  # descending
+    lon = np.array([-65.0, -64.75], dtype=np.float64)
+    vals = (np.arange(12, dtype=np.float64).reshape(2, 3, 2) + 25.0)
+    if packed:
+        data = np.round((vals - 20.0) / 0.5).astype(np.int16)
+        data[0, 0, 0] = 32767  # fill one cell
+        attrs = {
+            "scale_factor": np.float64(0.5),
+            "add_offset": np.float64(20.0),
+            "_FillValue": np.int16(32767),
+        }
+    else:
+        data, attrs = vals, {"units": "degC"}
+    nc = NcFile(
+        dims={time_name: 2, lat_name: 3, lon_name: 2},
+        variables={
+            time_name: NcVar(time_name, (time_name,), time,
+                             {"units": "days since 2001-01-01"}),
+            lat_name: NcVar(lat_name, (lat_name,), lat),
+            lon_name: NcVar(lon_name, (lon_name,), lon),
+            var: NcVar(var, (time_name, lat_name, lon_name), data, attrs),
+        },
+    )
+    path.write_bytes(write_classic(nc))
+    return vals
+
+
+def test_real_classic_netcdf_ingest_end_to_end(spark, tmp_path):
+    """The REAL decode path, dependency-free: write a genuine classic
+    NetCDF file (descending latitude, longitude/latitude dim names, CF
+    time units), run the actual distributed ingest job
+    (binaryFile → read_classic → normalize → partitioned parquet), and
+    check the relationalized values."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.ingest import (
+        ingest_netcdf_to_parquet,
+    )
+
+    vals = _write_classic_fixture(tmp_path / "tmax.nc")
+    out = tmp_path / "out_parquet"
+    ingest_netcdf_to_parquet(
+        spark, str(tmp_path / "*.nc"), str(out), "Tmax"
+    )
+    back = spark.read.parquet(str(out))
+    assert set(back.columns) == {"date", "lat", "lon", "var", "value", "year"}
+    rows = back.collect()
+    assert len(rows) == 12
+    got = {(str(r["date"]), r["lat"], r["lon"]): r["value"] for r in rows}
+    # spot-check corners against the written cube (time 0, lat 5.0, lon -65)
+    assert got[("2001-01-01", 5.0, -65.0)] == vals[0, 0, 0]
+    assert got[("2001-01-02", 4.5, -64.75)] == vals[1, 2, 1]
+    assert all(r["var"] == "Tmax" for r in rows)
+
+
+def test_classic_decode_packed_and_bounds():
+    """scale/offset unpacking, fill→NaN, and bbox clipping on the
+    dependency-free decoder (pure function, no Spark needed)."""
+    import math
+
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, write_classic,
+    )
+
+    import pathlib
+    import tempfile
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    vals = _write_classic_fixture(tmp / "p.nc", packed=True)
+    content = (tmp / "p.nc").read_bytes()
+    long = decode_classic_long(content, "Tmax")
+    assert len(long) == 12
+    filled = long[(long["lat"] == 5.0) & (long["lon"] == -65.0)]
+    assert math.isnan(filled.iloc[0]["value"])  # _FillValue -> NaN
+    other = long[(long["lat"] == 4.75) & (long["lon"] == -64.75)]
+    assert other.iloc[0]["value"] == vals[0, 1, 1]  # unpacked exactly
+    # bbox clip (descending latitude axis, mask-based: direction-agnostic)
+    clipped = decode_classic_long(
+        content, "Tmax",
+        bounds={"lat_min": 4.6, "lat_max": 5.1, "lon_min": -64.9, "lon_max": -64.0},
+    )
+    assert set(clipped["lat"]) == {5.0, 4.75} and set(clipped["lon"]) == {-64.75}
+
+
 def test_pivot_long_to_wide(spark):
     long = spark.createDataFrame(
         [
