@@ -298,33 +298,41 @@ def pivot_grid_wide(grid_long: DataFrame) -> DataFrame:
     )
 
 
+def _probe_state_column(columns) -> str | None:
+    """The reference's state-column discovery (annual.py:137-145)."""
+    return next(
+        (c for c in ("SIGLA_UF", "SIGLA", "UF", "sigla_uf") if c in columns), None
+    )
+
+
 def municipalities_from_shapefile(
     spark: SparkSession, shp_path: str, states: tuple[str, ...] = NORTHERN_STATES
 ) -> DataFrame:
     """Shapefile → centroid dimension table (S2, annual.py:125-168).
 
-    Geometry work (CRS normalize → centroid) happens driver-side via
-    geopandas — a ~5,570-row table does not need distribution. Import-gated
-    here; ``municipalities_from_pandas`` is the tested entry."""
+    Geometry work (CRS normalize → centroid) happens driver-side — a
+    ~5,570-row table does not need distribution. Backend: geopandas when
+    importable (full format + reprojection coverage); otherwise the
+    dependency-free reader in ``shapefile_min.py`` decodes .shp/.dbf and
+    computes shoelace centroids — REAL shapefile ingest with no libraries,
+    limited to already-geographic CRSs (a projected .prj raises with a
+    pointer at the geopandas path)."""
     try:
         import geopandas as gpd
-    except ImportError as exc:  # pragma: no cover - env without geopandas
-        raise NotImplementedError(
-            "Shapefile ingest requires geopandas; precompute the centroid "
-            "table offline and load it with municipalities_from_pandas."
-        ) from exc
+    except ImportError:
+        gpd = None
+    if gpd is None:
+        return _municipalities_from_shapefile_minimal(spark, shp_path, states)
     gdf = gpd.read_file(shp_path)  # pragma: no cover - env without geopandas
-    state_col = next(
-        (c for c in ("SIGLA_UF", "SIGLA", "UF", "sigla_uf") if c in gdf.columns), None
-    )
-    if state_col is None:
+    state_col = _probe_state_column(gdf.columns)  # pragma: no cover
+    if state_col is None:  # pragma: no cover
         gdf["UF"] = gdf["CD_MUN"].astype(str).str[:2].map(IBGE_PREFIX_TO_UF)
         state_col = "UF"
-    gdf = gdf[gdf[state_col].isin(states)]
-    if gdf.crs is None or gdf.crs.to_epsg() != 4326:
+    gdf = gdf[gdf[state_col].isin(states)]  # pragma: no cover
+    if gdf.crs is None or gdf.crs.to_epsg() != 4326:  # pragma: no cover
         gdf = gdf.to_crs(4326)
-    cent = gdf.geometry.centroid
-    pdf = pd.DataFrame(
+    cent = gdf.geometry.centroid  # pragma: no cover
+    pdf = pd.DataFrame(  # pragma: no cover
         {
             "CD_MUN": gdf["CD_MUN"].astype(str),
             "NM_MUN": gdf["NM_MUN"].astype(str),
@@ -333,6 +341,59 @@ def municipalities_from_shapefile(
             "lat": cent.y,
         }
     )
+    return municipalities_from_pandas(spark, pdf)  # pragma: no cover
+
+
+def _municipalities_from_shapefile_minimal(
+    spark: SparkSession, shp_path: str, states: tuple[str, ...]
+) -> DataFrame:
+    """Dependency-free S2 path: shapefile_min decode + shoelace centroids,
+    with the reference's state-column probing and IBGE-prefix fallback."""
+    import os
+
+    from amazon_climate_data_etl_spark.sources.shapefile_min import (
+        is_geographic_prj,
+        polygon_centroid,
+        read_dbf,
+        read_shp,
+    )
+
+    base, _ = os.path.splitext(shp_path)
+    prj_path = base + ".prj"
+    if os.path.exists(prj_path):
+        with open(prj_path) as f:
+            wkt = f.read()
+        if not is_geographic_prj(wkt):
+            raise NotImplementedError(
+                "projected CRS in .prj: reprojection requires the geopandas "
+                "path; the minimal reader handles geographic (degree) CRSs"
+            )
+    with open(shp_path, "rb") as f:
+        shapes = read_shp(f.read())
+    with open(base + ".dbf", "rb") as f:
+        attrs = read_dbf(f.read())
+    if len(shapes) != len(attrs):
+        raise ValueError(
+            f"shapefile record mismatch: {len(shapes)} shapes vs "
+            f"{len(attrs)} attribute rows"
+        )
+    state_col = _probe_state_column(attrs.columns)
+    if state_col is None:
+        attrs = attrs.assign(
+            UF=attrs["CD_MUN"].astype(str).str[:2].map(IBGE_PREFIX_TO_UF)
+        )
+        state_col = "UF"
+    cents = [polygon_centroid(s) for s in shapes]
+    pdf = pd.DataFrame(
+        {
+            "CD_MUN": attrs["CD_MUN"].astype(str),
+            "NM_MUN": attrs["NM_MUN"].astype(str),
+            "UF": attrs[state_col].astype(str),
+            "lon": [c[0] for c in cents],
+            "lat": [c[1] for c in cents],
+        }
+    )
+    pdf = pdf[pdf["UF"].isin(states)].reset_index(drop=True)
     return municipalities_from_pandas(spark, pdf)
 
 
