@@ -22,8 +22,12 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from amazon_climate_data_etl_spark.functions.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
     doc_fingerprint,
     doc_fingerprint_sql,
+    lang_guess,
+    lang_guess_sql,
     quality_score,
     quality_score_sql,
     token_count,
@@ -165,6 +169,47 @@ def test_quality_score_portable(spark, ts):
         f"SELECT {portable_sql_rounds(quality_score_sql('x'))} AS q FROM t"
     ).df()
     assert exact_float_mismatches(got, want) == 0
+
+
+@given(ts=st.lists(_texts, min_size=1, max_size=30))
+@example(ts=["don't", "it's 1234!", " x", "x ", "a\x0bb", "ΑΒΓ λέξη", "１２３"])
+@settings(**_SETTINGS)
+def test_bpe_token_count_portable(spark, ts):
+    """The GPT-2-style pre-tokenizer count (Java regex vs DuckDB RE2) must
+    agree on arbitrary unicode — contractions, digit runs, punctuation
+    runs, and the \\x0b class gap are the documented traps."""
+    pdf = pd.DataFrame({"x": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(bpe_token_count(F.col("x")).cast("long").alias("n"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT CAST({bpe_token_count_sql('x')} AS BIGINT) AS n FROM t"
+    ).df()
+    assert list(got["n"]) == list(want["n"])
+
+
+@given(ts=st.lists(_texts, min_size=1, max_size=30))
+@example(ts=["the cat and the dog", "der und die", "le et les", "el y los",
+             "the und le y", "", "xyz", "THE AND OF"])
+@settings(**_SETTINGS)
+def test_lang_guess_portable(spark, ts):
+    """Marker-based language ID must pick the same language (including the
+    fixed tie-break order en > de > fr > es and the 'und' fallback) in
+    both engines on arbitrary text."""
+    pdf = pd.DataFrame({"x": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(lang_guess(F.col("x")).alias("lang"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"SELECT {lang_guess_sql('x')} AS lang FROM t").df()
+    assert list(got["lang"]) == list(want["lang"])
 
 
 @given(ts=st.lists(_texts, min_size=1, max_size=30))
