@@ -211,11 +211,12 @@ class _Writer:
                 self.parts.append(raw + b"\x00" * _pad4(len(raw)))
 
 
-def write_classic(nc: NcFile) -> bytes:
-    """Serialize dims + fixed variables to CDF-1 bytes (inverse of
-    ``read_classic`` on the supported subset)."""
+def write_classic(nc: NcFile, offset64: bool = False) -> bytes:
+    """Serialize dims + fixed variables to CDF-1 bytes (CDF-2 with
+    ``offset64=True``; inverse of ``read_classic`` on the supported
+    subset)."""
     w = _Writer()
-    w.parts.append(_MAGIC1)
+    w.parts.append(_MAGIC2 if offset64 else _MAGIC1)
     w.u32(0)  # numrecs
     dim_names = list(nc.dims)
     w.u32(_NC_DIMENSION)
@@ -246,7 +247,10 @@ def write_classic(nc: NcFile) -> bytes:
             vw.att_list(v.attrs)
             vw.u32(nc_type)
             vw.u32(len(raw))
-            vw.u32(begin)
+            if offset64:
+                vw.parts.append(struct.pack(">Q", begin))
+            else:
+                vw.u32(begin)
         return b"".join(vw.parts)
 
     head = b"".join(w.parts)

@@ -213,6 +213,27 @@ def test_real_classic_netcdf_ingest_end_to_end(spark, tmp_path):
     assert all(r["var"] == "Tmax" for r in rows)
 
 
+def test_classic_cdf2_offset64_roundtrip():
+    """The CDF-2 (64-bit offset) read branch, via the writer's offset64
+    mode — real BR-DWGD-era files commonly use this variant."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, read_classic, write_classic,
+    )
+
+    v = np.arange(6, dtype=np.float32).reshape(2, 3)
+    nc = NcFile(
+        dims={"y": 2, "x": 3},
+        variables={"v": NcVar("v", ("y", "x"), v, {"units": "K"})},
+    )
+    buf = write_classic(nc, offset64=True)
+    assert buf[:4] == b"CDF\x02"
+    back = read_classic(buf)
+    assert np.allclose(back.variables["v"].data, v)
+    assert back.variables["v"].attrs["units"] == "K"
+
+
 def test_classic_decode_packed_and_bounds():
     """scale/offset unpacking, fill→NaN, and bbox clipping on the
     dependency-free decoder (pure function, no Spark needed)."""
