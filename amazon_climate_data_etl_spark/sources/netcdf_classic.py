@@ -11,7 +11,9 @@ handled here; they still require the xarray path (the magic check gives a
 clear error).
 
 Supported surface (deliberately the subset climate grids use):
-- fixed (non-record) variables of type short/int/float/double, any rank;
+- fixed AND record variables (unlimited leading dimension, the
+  interleaved per-record layout daily climate files use) of type
+  short/int/float/double, any rank;
 - ``scale_factor`` / ``add_offset`` packing and ``_FillValue`` → NaN;
 - per-variable string attributes (``units`` etc.);
 - CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets).
@@ -133,9 +135,12 @@ def read_classic(content: bytes) -> NcFile:
             nm = r.name()
             dims.append((nm, r.u32()))
     r.att_list()  # global attributes (parsed, unused)
-    # variables
+    # variables: first pass parses headers; record variables (leading
+    # unlimited dim, stored length 0) are materialized afterwards because
+    # their data is interleaved per record and the record stride depends on
+    # ALL record variables
     tag, count = r.u32(), r.u32()
-    variables: dict[str, NcVar] = {}
+    headers = []
     if count:
         assert tag == _NC_VARIABLE, f"bad variable tag {tag}"
         for _ in range(count):
@@ -148,30 +153,57 @@ def read_classic(content: bytes) -> NcFile:
             begin = r.u64() if offset64 else r.u32()
             var_dims = tuple(dims[i][0] for i in dimids)
             shape = tuple(dims[i][1] for i in dimids)
-            if any(s == 0 for s in shape):  # record variable (unlimited dim)
+            headers.append((nm, var_dims, shape, attrs, nc_type, begin))
+
+    rec_vars = [h for h in headers if 0 in h[2]]
+    # record stride: every record var's per-record slab padded to 4 bytes —
+    # UNLESS there is exactly one record variable (spec special case)
+    recsize = 0
+    for _, _, shape, _, nc_type, _ in rec_vars:
+        _, elsize = _TYPES[nc_type]
+        per_rec = int(np.prod([s for s in shape if s != 0]) or 1) * elsize
+        recsize += per_rec + (_pad4(per_rec) if len(rec_vars) > 1 else 0)
+
+    variables: dict[str, NcVar] = {}
+    for nm, var_dims, shape, attrs, nc_type, begin in headers:
+        dt, elsize = _TYPES[nc_type]
+        if 0 in shape:  # record variable
+            if shape[0] != 0:
                 raise NotImplementedError(
-                    f"record variable {nm!r} (unlimited dimension, "
-                    f"numrecs={numrecs}) not supported by the minimal reader"
+                    f"record variable {nm!r}: unlimited dim must lead"
                 )
-            dt, _ = _TYPES[nc_type]
+            fixed = tuple(s for s in shape if s != 0)
+            n_per_rec = int(np.prod(fixed) or 1)
+            slabs = [
+                np.frombuffer(
+                    content, dtype=dt, count=n_per_rec, offset=begin + r_i * recsize
+                )
+                for r_i in range(numrecs)
+            ]
+            data = np.stack(slabs).reshape((numrecs, *fixed)) if numrecs else (
+                np.empty((0, *fixed), dtype=dt)
+            )
+        else:
             n = int(np.prod(shape)) if shape else 1
-            raw = np.frombuffer(content, dtype=dt, count=n, offset=begin)
-            data = raw.reshape(shape).copy()
-            # unpack: _FillValue -> NaN, then scale/offset (CF conventions)
-            fill = attrs.get("_FillValue")
-            scale = attrs.get("scale_factor")
-            off = attrs.get("add_offset")
-            if fill is not None or scale is not None or off is not None:
-                out = data.astype(np.float64)
-                if fill is not None:
-                    out[data == fill] = np.nan
-                if scale is not None:
-                    out = out * float(scale)
-                if off is not None:
-                    out = out + float(off)
-                data = out
-            variables[nm] = NcVar(nm, var_dims, data, attrs)
-    return NcFile(dims=dict(dims), variables=variables)
+            data = np.frombuffer(content, dtype=dt, count=n, offset=begin).reshape(
+                shape
+            ).copy()
+        # unpack: _FillValue -> NaN, then scale/offset (CF conventions)
+        fill = attrs.get("_FillValue")
+        scale = attrs.get("scale_factor")
+        off = attrs.get("add_offset")
+        if fill is not None or scale is not None or off is not None:
+            out = np.asarray(data, dtype=np.float64).copy()
+            if fill is not None:
+                out[np.asarray(data) == fill] = np.nan
+            if scale is not None:
+                out = out * float(scale)
+            if off is not None:
+                out = out + float(off)
+            data = out
+        variables[nm] = NcVar(nm, var_dims, np.ascontiguousarray(data), attrs)
+    eff_dims = {nm: (numrecs if ln == 0 else ln) for nm, ln in dims}
+    return NcFile(dims=eff_dims, variables=variables)
 
 
 class _Writer:
@@ -211,42 +243,65 @@ class _Writer:
                 self.parts.append(raw + b"\x00" * _pad4(len(raw)))
 
 
-def write_classic(nc: NcFile, offset64: bool = False) -> bytes:
-    """Serialize dims + fixed variables to CDF-1 bytes (CDF-2 with
+def write_classic(
+    nc: NcFile, offset64: bool = False, record_dim: str | None = None
+) -> bytes:
+    """Serialize dims + variables to CDF-1 bytes (CDF-2 with
     ``offset64=True``; inverse of ``read_classic`` on the supported
-    subset)."""
+    subset). With ``record_dim`` set, variables whose LEADING dim is that
+    name are laid out as record variables (the unlimited-dimension
+    interleaved layout real daily climate files use); the dim itself is
+    stored with length 0 and the record count goes in numrecs."""
+    vars_ = list(nc.variables.values())
+    is_rec = [record_dim is not None and v.dims[:1] == (record_dim,) for v in vars_]
+    numrecs = 0
+    for v, rec in zip(vars_, is_rec):
+        if rec:
+            numrecs = int(np.asarray(v.data).shape[0])
+    n_rec_vars = sum(is_rec)
+
     w = _Writer()
     w.parts.append(_MAGIC2 if offset64 else _MAGIC1)
-    w.u32(0)  # numrecs
+    w.u32(numrecs)
     dim_names = list(nc.dims)
     w.u32(_NC_DIMENSION)
     w.u32(len(dim_names))
     for nm in dim_names:
         w.name(nm)
-        w.u32(nc.dims[nm])
+        w.u32(0 if nm == record_dim else nc.dims[nm])
     w.att_list({})  # global attrs
-    # variable headers need data offsets: lay out header twice (sizes are
-    # deterministic, offsets appear only in the var list itself)
-    vars_ = list(nc.variables.values())
-    payloads = []
-    for v in vars_:
+
+    # payloads: fixed vars keep their full (padded) buffer; record vars
+    # store per-record slabs (padded only when >1 record var, per spec)
+    payloads = []  # (nc_type, vsize, full_bytes_or_slabs)
+    for v, rec in zip(vars_, is_rec):
         nc_type = _DTYPE_TO_NC[str(np.asarray(v.data).dtype.newbyteorder("=").name)]
         dt, _ = _TYPES[nc_type]
-        raw = np.ascontiguousarray(v.data).astype(dt).tobytes()
-        payloads.append((nc_type, raw + b"\x00" * _pad4(len(raw))))
+        arr = np.ascontiguousarray(np.asarray(v.data)).astype(dt)
+        if rec:
+            # slice (not index): arr[r] on a rank-1 big-endian array yields
+            # a NATIVE-endian numpy scalar, silently flipping byte order
+            slabs = [arr[r : r + 1].tobytes() for r in range(numrecs)]
+            per = len(slabs[0]) if slabs else int(arr.itemsize * np.prod(arr.shape[1:]) or arr.itemsize)
+            pad = _pad4(per) if n_rec_vars > 1 else 0
+            payloads.append((nc_type, per + pad, [s + b"\x00" * pad for s in slabs]))
+        else:
+            raw = arr.tobytes()
+            payloads.append((nc_type, len(raw) + _pad4(len(raw)),
+                             raw + b"\x00" * _pad4(len(raw))))
 
     def var_list(offsets: list[int]) -> bytes:
         vw = _Writer()
         vw.u32(_NC_VARIABLE)
         vw.u32(len(vars_))
-        for v, (nc_type, raw), begin in zip(vars_, payloads, offsets):
+        for v, (nc_type, vsize, _), begin in zip(vars_, payloads, offsets):
             vw.name(v.name)
             vw.u32(len(v.dims))
             for d in v.dims:
                 vw.u32(dim_names.index(d))
             vw.att_list(v.attrs)
             vw.u32(nc_type)
-            vw.u32(len(raw))
+            vw.u32(vsize)
             if offset64:
                 vw.parts.append(struct.pack(">Q", begin))
             else:
@@ -254,11 +309,25 @@ def write_classic(nc: NcFile, offset64: bool = False) -> bytes:
         return b"".join(vw.parts)
 
     head = b"".join(w.parts)
-    probe = var_list([0] * len(vars_))
-    base = len(head) + len(probe)
-    offsets = []
+    base = len(head) + len(var_list([0] * len(vars_)))
+    # fixed data first, then the record region
+    offsets = [0] * len(vars_)
     pos = base
-    for _, raw in payloads:
-        offsets.append(pos)
-        pos += len(raw)
-    return head + var_list(offsets) + b"".join(raw for _, raw in payloads)
+    for i, (rec, (_, vsize, data)) in enumerate(zip(is_rec, payloads)):
+        if not rec:
+            offsets[i] = pos
+            pos += len(data)
+    rec_base = pos
+    rec_off = 0
+    for i, (rec, (_, vsize, _)) in enumerate(zip(is_rec, payloads)):
+        if rec:
+            offsets[i] = rec_base + rec_off
+            rec_off += vsize
+    body = [payloads[i][2] for i in range(len(vars_)) if not is_rec[i]]
+    for r in range(numrecs):
+        for i, rec in enumerate(is_rec):
+            if rec:
+                body.append(payloads[i][2][r])
+    return head + var_list(offsets) + b"".join(
+        b if isinstance(b, bytes) else b"".join(b) for b in body
+    )

@@ -234,6 +234,82 @@ def test_classic_cdf2_offset64_roundtrip():
     assert back.variables["v"].attrs["units"] == "K"
 
 
+def test_classic_record_variable_layout():
+    """Unlimited-dimension (record) layout: time-leading variables store
+    interleaved per-record slabs — the layout real daily BR-DWGD-style
+    files use. Roundtrip with TWO record variables (exercises the
+    per-slab padding rule) plus fixed coordinate vars."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, read_classic, write_classic,
+    )
+
+    lat = np.array([5.0, 4.75, 4.5])
+    a = np.arange(9, dtype=np.float32).reshape(3, 3) + 1.0
+    b = (np.arange(9, dtype=np.int16) * 3).reshape(3, 3)
+    nc = NcFile(
+        dims={"time": 3, "lat": 3},
+        variables={
+            "lat": NcVar("lat", ("lat",), lat),
+            "time": NcVar("time", ("time",), np.arange(3, dtype=np.float64),
+                          {"units": "days since 2001-01-01"}),
+            "A": NcVar("A", ("time", "lat"), a),
+            "B": NcVar("B", ("time", "lat"), b),
+        },
+    )
+    buf = write_classic(nc, record_dim="time")
+    back = read_classic(buf)
+    assert back.dims == {"time": 3, "lat": 3}
+    assert np.allclose(back.variables["A"].data, a)
+    assert (back.variables["B"].data == b).all()
+    assert np.allclose(back.variables["lat"].data, lat)
+    # the time COORD itself is a record variable here too
+    assert np.allclose(back.variables["time"].data, [0, 1, 2])
+    # single-record-var layout (no padding special case): int16 slabs of
+    # 6 bytes exercise the unpadded stride
+    nc1 = NcFile(
+        dims={"time": 4, "x": 3},
+        variables={"only": NcVar("only", ("time", "x"),
+                                 np.arange(12, dtype=np.int16).reshape(4, 3))},
+    )
+    back1 = read_classic(write_classic(nc1, record_dim="time"))
+    assert (back1.variables["only"].data ==
+            np.arange(12, dtype=np.int16).reshape(4, 3)).all()
+
+
+def test_classic_record_layout_through_ingest(spark, tmp_path):
+    """The real distributed ingest over a RECORD-layout file (unlimited
+    time) must produce the same relational rows as the fixed layout."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, write_classic,
+    )
+
+    time = np.array([0.0, 1.0])
+    lat = np.array([5.0, 4.75])
+    lon = np.array([-65.0])
+    vals = np.arange(4, dtype=np.float64).reshape(2, 2, 1) + 30.0
+    nc = NcFile(
+        dims={"time": 2, "lat": 2, "lon": 1},
+        variables={
+            "time": NcVar("time", ("time",), time,
+                          {"units": "days since 2001-01-01"}),
+            "lat": NcVar("lat", ("lat",), lat),
+            "lon": NcVar("lon", ("lon",), lon),
+            "Tmax": NcVar("Tmax", ("time", "lat", "lon"), vals),
+        },
+    )
+    fixed = decode_classic_long(write_classic(nc), "Tmax")
+    record = decode_classic_long(write_classic(nc, record_dim="time"), "Tmax")
+    pd.testing.assert_frame_equal(
+        fixed.sort_values(["date", "lat"]).reset_index(drop=True),
+        record.sort_values(["date", "lat"]).reset_index(drop=True),
+    )
+
+
 def test_classic_decode_packed_and_bounds():
     """scale/offset unpacking, fill→NaN, and bbox clipping on the
     dependency-free decoder (pure function, no Spark needed)."""
