@@ -252,3 +252,54 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+GRID_READINGS_DDL = "ts timestamp, lat double, lon double, var string, value double"
+
+
+def climate_stream_daily(
+    readings: DataFrame,
+    municipalities: DataFrame,
+    step: float = 0.25,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming form of the reference's ingestion→daily-municipal step:
+    long-format grid readings (ts, lat, lon, var, value) arrive as a
+    stream, snap-join the (static, broadcast) municipality dimension —
+    the J-NN grid-snap as a stream-static join, so no join state — then a
+    watermarked 1-day tumbling aggregation per (municipality, variable).
+
+    This is the shape a live BR-DWGD-style feed takes at 100 TB: the fact
+    stream never shuffles for the enrich (broadcast dim), the only state
+    is the windowed aggregate, and the watermark bounds it to ~2 days of
+    open windows per (mun, var) key. Downstream (VPD, annual rollup) runs
+    on the materialized daily table — VPD needs the 7-variable wide row,
+    which is a batch pivot over the sink, not stream state. Sums go
+    through exact decimals so the streamed result is bit-identical to the
+    batch twin on the same data (asserted in tests)."""
+    from amazon_climate_data_etl_spark.functions.climate import grid_snap
+
+    dim = municipalities.select(
+        "CD_MUN",
+        "UF",
+        grid_snap(F.col("lat"), step).alias("grid_lat"),
+        grid_snap(F.col("lon"), step).alias("grid_lon"),
+    )
+    fact = readings.withColumnsRenamed({"lat": "grid_lat", "lon": "grid_lon"})
+    return (
+        fact.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), ["grid_lat", "grid_lon"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "CD_MUN", "UF", "var")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "CD_MUN",
+            "UF",
+            "var",
+            "n_cells",
+            "sum_value",
+        )
+    )

@@ -281,3 +281,73 @@ def test_watermark_drops_late_events(spark, tmp_path):
     }
     assert "05:00" not in wins
     assert wins.get("10:00") == 1
+
+
+def test_climate_stream_daily_equals_batch(spark, tmp_path):
+    """The streaming climate ingestion (grid-snap stream-static enrich +
+    watermarked daily agg) must be BIT-identical to the batch computation
+    on the same readings — decimal sums make the streamed micro-batch
+    accumulation order irrelevant."""
+    import pandas as pd
+
+    from amazon_climate_data_etl_spark.functions.climate import grid_snap
+    from amazon_climate_data_etl_spark.operators.climate import (
+        synthetic_municipalities,
+    )
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        GRID_READINGS_DDL,
+        climate_stream_daily,
+        run_to_memory_sink,
+    )
+
+    # small long-format readings table over two days and two variables;
+    # cells chosen to hit real municipality snap cells (nation 1 snaps to
+    # (-9.75, -64.0), nation 2 to (-9.5, -63.0)) plus one unmatched cell
+    rows = []
+    for day in ("2001-01-01", "2001-01-02"):
+        for la, lo in ((-9.75, -64.0), (-9.5, -63.0), (4.75, -60.0)):
+            for v, base in (("Tmax", 30.0), ("pr", 4.0)):
+                rows.append((f"{day} 12:00:00", la, lo, v, base + la + lo / 10))
+    pdf = pd.DataFrame(rows, columns=["ts", "lat", "lon", "var", "value"])
+    d = tmp_path / "grid_stream"
+    d.mkdir()
+    with open(d / "part-0.json", "w") as f:
+        for rec in pdf.to_dict("records"):
+            f.write(json.dumps(rec) + "\n")
+
+    muni = synthetic_municipalities(spark, SF)
+    stream = spark.readStream.schema(GRID_READINGS_DDL).json(str(d))
+    run_to_memory_sink(
+        climate_stream_daily(stream, muni), "t_climate_daily", mode="complete"
+    )
+    got = (
+        spark.table("t_climate_daily")
+        .orderBy("day", "CD_MUN", "var")
+        .toPandas()
+    )
+
+    batch = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = muni.select(
+        "CD_MUN", "UF",
+        grid_snap(F.col("lat")).alias("grid_lat"),
+        grid_snap(F.col("lon")).alias("grid_lon"),
+    )
+    want = (
+        batch.withColumnsRenamed({"lat": "grid_lat", "lon": "grid_lon"})
+        .join(F.broadcast(dim), ["grid_lat", "grid_lon"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "CD_MUN", "UF", "var")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "CD_MUN", "UF", "var",
+                "n_cells", "sum_value")
+        .orderBy("day", "CD_MUN", "var")
+        .toPandas()
+    )
+    assert len(got) > 0, "stream produced no rows — snap join matched nothing"
+    assert got["sum_value"].tolist() == want["sum_value"].tolist()
+    assert got["n_cells"].tolist() == want["n_cells"].tolist()
+    assert got["CD_MUN"].tolist() == want["CD_MUN"].tolist()
