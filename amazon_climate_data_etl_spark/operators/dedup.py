@@ -537,6 +537,141 @@ ORDER BY d.doc_id
 """
 
 
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch of documents (the delta — here the
+    deterministic 20% slice ``doc_id % 5 == 4``) deduped AGAINST the
+    existing corpus, the daily-crawl pattern. This is a different scale
+    shape from corpus self-dedup: the delta probes the corpus's exact-
+    fingerprint and banded-LSH indexes (delta×corpus equi-joins on fp and
+    (band, sig) keys — work proportional to |delta|, never |corpus|²),
+    candidates verify by shingle Jaccard, and each delta doc gets a
+    verdict: ``exact_dup`` (same normalized content as a corpus doc),
+    ``near_dup`` (best verified match at Jaccard ≥ 0.12), or ``new``.
+
+    At 100 TB the corpus-side fp/signature frames are the precomputed
+    index tables of the previous run; here they derive from the same scan
+    so the oracle can check the whole chain. One shared shingle pass is
+    persisted across the signature and verify stages (same discipline as
+    ngram_jaccard_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    delta_pred = F.col("doc_id") % 5 == 4
+    fps = d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    exact = (
+        fps.filter(delta_pred)
+        .alias("n")
+        .join(fps.filter(~delta_pred).alias("o"), "fp")
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("o.doc_id")).alias("exact_of"))
+    )
+    sh = _shingle_frame(d).persist(StorageLevel.MEMORY_AND_DISK)
+    long = _minhash_sigs(sh).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        long.filter(delta_pred)
+        .select(F.col("doc_id").alias("delta_id"), "band", "sig")
+        .join(
+            long.filter(~delta_pred).select(
+                F.col("doc_id").alias("corpus_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(a, "delta_id")
+        .join(b, "corpus_id")
+        .withColumn("jaccard", stable_round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= 0.12)
+        .select("delta_id", "corpus_id", "jaccard")
+    )
+    w = Window.partitionBy("delta_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("delta_id", F.col("corpus_id").alias("near_of"), "jaccard")
+    )
+    delta = d.filter(delta_pred).select("doc_id")
+    return (
+        delta.join(exact, "doc_id", "left")
+        .join(best, delta["doc_id"] == best["delta_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(F.col("exact_of"), F.col("near_of")).alias("dup_of"),
+            F.when(F.col("exact_of").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH sigs AS ({_minhash_sigs_sql()}),
+long AS (
+  SELECT doc_id, band, sig FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
+  )
+),
+fps AS (SELECT doc_id, {doc_fingerprint_sql('text')} AS fp FROM documents),
+exact AS (
+  SELECT n.doc_id, min(o.doc_id) AS exact_of
+  FROM fps n JOIN fps o ON n.fp = o.fp
+  WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4
+  GROUP BY n.doc_id
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM long d JOIN long c ON d.band = c.band AND d.sig = c.sig
+  WHERE d.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+verified AS (
+  SELECT delta_id, corpus_id,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+  FROM cand JOIN sh sa ON cand.delta_id = sa.doc_id
+            JOIN sh sb ON cand.corpus_id = sb.doc_id
+  WHERE len(sa.s) > 0 AND len(sb.s) > 0
+),
+best AS (
+  SELECT delta_id, corpus_id AS near_of, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY delta_id
+                                 ORDER BY jaccard DESC, corpus_id) AS rn
+    FROM verified WHERE jaccard >= 0.12
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+            WHEN b.near_of IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(e.exact_of, b.near_of) AS dup_of,
+       CASE WHEN e.exact_of IS NULL THEN b.jaccard END AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN best b ON d.doc_id = b.delta_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
@@ -545,9 +680,11 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
+    "incremental_dedup": incremental_dedup,
 }
 
 ORACLE = {
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "neardup_keep_corpus": NEARDUP_KEEP_SQL,

@@ -41,7 +41,7 @@ _DOC_QUERIES = [
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
-    "neardup_keep_corpus",
+    "neardup_keep_corpus", "incremental_dedup",
     # curation
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
@@ -67,6 +67,11 @@ _EDGE_TEXTS = [
     "one two three four five six seven eight nine ten " * 12,  # long doc
     "x" * 7,                              # just under rolling-hash window K=8
     "y" * 8,                              # exactly the rolling-hash window
+    "an exact duplicate that crosses the incremental split boundary",  # 17
+    "unique corpus-side filler document",                              # 18
+    "an exact duplicate that crosses the incremental split boundary",  # 19:
+    # doc_id % 5 == 4 puts this in incremental_dedup's DELTA slice, with
+    # its exact twin (17) in the corpus — exercises the exact_dup verdict
 ]
 
 

@@ -165,6 +165,9 @@ _PLAN_BOUNDS = {
     "dedup_components": (1, 0),
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
     "neardup_keep_corpus": (3, 0),
+    # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
+    # persisted shingle frame, per-delta best window, verdict assembly
+    "incremental_dedup": (9, 4),
     "distinct_counts": (3, 0),
     "doc_fingerprints": (2, 0),  # +scan rebalance (no-op at 100 TB)
     "doc_length_histogram": (2, 0),
@@ -253,6 +256,11 @@ _SMJ_EXEMPT = {
     # the correct 100 TB plan; the label side is checkpointed (no stats),
     # which also blocks the fixture-scale broadcast.
     "neardup_keep_corpus",
+    # delta ⋈ corpus on fp / shingle-set joins on doc ids: both sides grow
+    # with the data (the corpus index is never dim-sized), so the keyed
+    # shuffle joins are the correct plan; the persisted shingle frame
+    # carries no stats, which also blocks fixture-scale broadcasts.
+    "incremental_dedup",
 }
 
 
