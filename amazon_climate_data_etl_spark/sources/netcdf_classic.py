@@ -259,6 +259,8 @@ def write_classic(
         if rec:
             numrecs = int(np.asarray(v.data).shape[0])
     n_rec_vars = sum(is_rec)
+    if n_rec_vars == 0:
+        record_dim = None  # unused unlimited dim: write it as fixed
 
     w = _Writer()
     w.parts.append(_MAGIC2 if offset64 else _MAGIC1)

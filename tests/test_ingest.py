@@ -355,3 +355,56 @@ def test_pivot_long_to_wide(spark):
     assert set(wide.columns) == {"date", "lat", "lon", "Tmax", "Tmin"}
     assert rows[0]["Tmax"] == 30.0 and rows[0]["Tmin"] == 20.0
     assert rows[1]["Tmin"] is None
+
+
+def test_classic_netcdf_roundtrip_property():
+    """Hypothesis roundtrip: random dims/dtypes/record layouts through
+    write_classic → read_classic must reproduce every array bit-exactly
+    (offsets, padding, striding, and endianness all verified at once)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, read_classic, write_classic,
+    )
+
+    dtypes = st.sampled_from(["int16", "int32", "float32", "float64"])
+
+    @st.composite
+    def nc_files(draw):
+        nt = draw(st.integers(1, 4))
+        ny = draw(st.integers(1, 3))
+        nx = draw(st.integers(1, 5))
+        n_vars = draw(st.integers(1, 4))
+        record = draw(st.booleans())
+        offset64 = draw(st.booleans())
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        variables = {}
+        for i in range(n_vars):
+            dt = draw(dtypes)
+            rank = draw(st.sampled_from([("time",), ("time", "y"), ("time", "y", "x"), ("y", "x")]))
+            shape = tuple({"time": nt, "y": ny, "x": nx}[d] for d in rank)
+            if np.issubdtype(np.dtype(dt), np.integer):
+                data = rng.integers(-1000, 1000, size=shape).astype(dt)
+            else:
+                data = rng.normal(size=shape).astype(dt)
+            variables[f"v{i}"] = NcVar(f"v{i}", rank, data)
+        nc = NcFile(dims={"time": nt, "y": ny, "x": nx}, variables=variables)
+        return nc, record, offset64
+
+    @given(case=nc_files())
+    @settings(max_examples=30, deadline=None)
+    def check(case):
+        nc, record, offset64 = case
+        buf = write_classic(nc, offset64=offset64,
+                            record_dim="time" if record else None)
+        back = read_classic(buf)
+        assert back.dims == nc.dims
+        for name, v in nc.variables.items():
+            got = back.variables[name]
+            assert got.dims == v.dims
+            assert got.data.shape == v.data.shape
+            assert (np.asarray(got.data) == np.asarray(v.data)).all()
+
+    check()
