@@ -175,6 +175,12 @@ def decode_classic_long(
     var = nc.variables[var_name]
     lon_dim, lat_dim = probe_coord_dims(list(var.dims), list(nc.variables))
     time_dim = probe_time_dim(list(var.dims))
+    for d in (lon_dim, lat_dim, time_dim):
+        if d not in nc.variables:
+            raise NotImplementedError(
+                f"dimension {d!r} has no coordinate variable in this file; "
+                "auxiliary-coordinate layouts need the xarray decode path"
+            )
     order = [var.dims.index(d) for d in (time_dim, lat_dim, lon_dim)]
     cube = np.transpose(np.asarray(var.data), order).astype(np.float64)
     lat_vals = np.asarray(nc.variables[lat_dim].data, dtype=np.float64)
