@@ -143,3 +143,58 @@ def test_projected_prj_requires_geopandas(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         municipalities_from_shapefile(spark, path)
+
+
+def test_shapefile_roundtrip_property():
+    """Hypothesis roundtrip: random polygon/point collections and typed
+    attribute tables through write → read must reproduce geometry and
+    attributes exactly (record framing, ring offsets, dbf field widths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def collections(draw):
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        n = draw(st.integers(1, 6))
+        kind = draw(st.sampled_from([SHP_POINT, SHP_POLYGON]))
+        shapes = []
+        for _ in range(n):
+            if kind == SHP_POINT:
+                shapes.append(Shape(SHP_POINT, rng.uniform(-180, 180, (1, 2))))
+            else:
+                n_rings = draw(st.integers(1, 3))
+                pts, parts, off = [], [], 0
+                for _ in range(n_rings):
+                    ring_len = draw(st.integers(4, 8))
+                    ring = rng.uniform(-90, 90, (ring_len, 2))
+                    ring[-1] = ring[0]  # closed
+                    parts.append(off)
+                    pts.append(ring)
+                    off += ring_len
+                shapes.append(Shape(SHP_POLYGON, np.vstack(pts), tuple(parts)))
+        attrs = pd.DataFrame(
+            {
+                "CD_MUN": [f"{1100000 + i}" for i in range(n)],
+                "NM_MUN": [f"Mun {i}" for i in range(n)],
+                "POP": rng.integers(0, 10**6, n),
+                "AREA": np.round(rng.uniform(1, 1e4, n), 6),
+            }
+        )
+        return shapes, attrs
+
+    @given(case=collections())
+    @settings(max_examples=25, deadline=None)
+    def check(case):
+        shapes, attrs = case
+        back_shapes = read_shp(write_shp(shapes))
+        assert len(back_shapes) == len(shapes)
+        for a, b in zip(shapes, back_shapes):
+            assert a.shape_type == b.shape_type
+            assert tuple(a.parts) == tuple(b.parts) or a.shape_type == SHP_POINT
+            assert np.allclose(a.points, b.points, rtol=0, atol=0)
+        back_attrs = read_dbf(write_dbf(attrs))
+        assert back_attrs["CD_MUN"].tolist() == attrs["CD_MUN"].tolist()
+        assert back_attrs["POP"].tolist() == attrs["POP"].tolist()
+        assert np.allclose(back_attrs["AREA"], attrs["AREA"], atol=1e-6)
+
+    check()
