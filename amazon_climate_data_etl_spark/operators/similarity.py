@@ -80,7 +80,12 @@ def _nonzero(e: DataFrame) -> DataFrame:
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each probe vector (self-excluded)."""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    return _bruteforce_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+
+
+def _bruteforce_from(e: DataFrame) -> DataFrame:
+    """Composable form over an already-filtered corpus frame (shared by
+    ann_recall_eval so the evaluation pays ONE corpus pass)."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -147,7 +152,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates, so max() is a value-preserving dedup. At 100 TB the bucket
     key would widen to 16+ bits per table; the plan shape (equi-join on
     (table, bucket), pair-keyed dedup, per-query top-k) is unchanged."""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    return _lsh_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+
+
+def _lsh_from(e: DataFrame) -> DataFrame:
     idx_keys = F.array(
         *[
             F.struct(
@@ -277,7 +285,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-breaks are pinned (max cos, then min centroid id — the struct packs
     -cid so array_max resolves ties identically to the oracle's
     ORDER BY cos DESC, cid ASC)."""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    return _ivf_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+
+
+def _ivf_from(e: DataFrame) -> DataFrame:
     norm_sq = _norm_sq()
     n = e.select(
         "vec_id",
@@ -745,19 +756,24 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate result sets are tagged, unioned, and LEFT-joined against
     the truth on the tiny (query, cand) key. Recall is
     matched / (|queries|·k) — an integer ratio, one deterministic double
-    division, so the score is bit-exact across engines."""
+    division, so the score is bit-exact across engines.
+
+    The three searches share ONE persisted non-zero corpus frame (the
+    same single-pass discipline as ngram_jaccard_pairs): without it each
+    index re-scans and re-filters the embeddings table independently."""
+    e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
     exact = (
-        ann_bruteforce_topk(spark, sf_dir)
+        _bruteforce_from(e)
         .select("query_id", "cand_id")
         .withColumn("hit", F.lit(1))
         .persist()
     )
     tagged = (
-        ann_ivf_topk(spark, sf_dir)
+        _ivf_from(e)
         .select("query_id", "cand_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
-            ann_lsh_topk(spark, sf_dir)
+            _lsh_from(e)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("lsh"))
         )
