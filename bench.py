@@ -105,6 +105,10 @@ def main() -> None:
         "sf": sf,
         "runs": repeat,
         "stat": "median",
+        # ambient contention context: observed ~45% total inflation when the
+        # 5-min load average sat at ~5 on this 32-core box — lets a round-
+        # over-round diff discount noisy windows instead of misreading them
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     # The driver keeps only the stdout TAIL, which truncates ~28 queries'
     # timings per round; persist the complete result in-repo (slowest
