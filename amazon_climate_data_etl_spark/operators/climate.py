@@ -241,8 +241,13 @@ def climate_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic sink root (overwritten per run, one dir per scale factor):
 # the e2e query's RETURNED frame lazily re-reads this, so it must outlive
-# the call — a mkdtemp per invocation would leak a dir per bench repeat
-E2E_SINK_ROOT = "/tmp/spark_graft_climate_e2e"
+# the call — a mkdtemp per invocation would leak a dir per bench repeat.
+# PID-scoped so concurrent processes on the same scale factor (parallel
+# pytest workers, bench alongside check_parity) never overwrite files under
+# each other's live re-read.
+import os as _os
+
+E2E_SINK_ROOT = f"/tmp/spark_graft_climate_e2e_{_os.getpid()}"
 
 def _e2e_read_schema():
     from pyspark.sql import types as T

@@ -187,6 +187,22 @@ def decode_classic_long(
     lon_vals = np.asarray(nc.variables[lon_dim].data, dtype=np.float64)
     tvar = nc.variables[time_dim]
     units = tvar.attrs.get("units")
+    calendar = tvar.attrs.get("calendar")
+    if isinstance(calendar, bytes):
+        calendar = calendar.decode("ascii", "replace")
+    if calendar is not None and str(calendar).lower() not in (
+        "standard",
+        "gregorian",
+        "proleptic_gregorian",
+    ):
+        # noleap/365_day/360_day etc. are common in climate model output;
+        # decoding them as proleptic-Gregorian silently shifts every date,
+        # so fail loudly and point at the full-featured decode path
+        raise NotImplementedError(
+            f"CF calendar {calendar!r} is not supported by the minimal "
+            "decoder (standard/gregorian/proleptic_gregorian only); use "
+            "the xarray path"
+        )
     dates = (
         _decode_time_units(tvar.data, units)
         if isinstance(units, str)
@@ -383,6 +399,12 @@ def _municipalities_from_shapefile_minimal(
             f"shapefile record mismatch: {len(shapes)} shapes vs "
             f"{len(attrs)} attribute rows"
         )
+    # drop null shapes (type 0) together with their attribute rows — they
+    # carry no geometry, so no centroid exists for them
+    keep = [i for i, s in enumerate(shapes) if len(s.points) > 0]
+    if len(keep) != len(shapes):
+        shapes = [shapes[i] for i in keep]
+        attrs = attrs.iloc[keep].reset_index(drop=True)
     state_col = _probe_state_column(attrs.columns)
     if state_col is None:
         attrs = attrs.assign(

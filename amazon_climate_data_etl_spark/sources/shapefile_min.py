@@ -78,6 +78,10 @@ def polygon_centroid(shape: Shape) -> tuple[float, float]:
     the same result shapely gives for valid polygons."""
     if shape.shape_type == SHP_POINT:
         return float(shape.points[0, 0]), float(shape.points[0, 1])
+    if len(shape.points) == 0:
+        # null shapes (type 0) have no geometry; letting them fall through
+        # to the vertex-mean branch would emit NaN centroids silently
+        raise ValueError("cannot compute centroid of a null/empty shape")
     a_total = cx = cy = 0.0
     parts = list(shape.parts) + [len(shape.points)]
     for r in range(len(shape.parts)):
@@ -118,7 +122,10 @@ def read_dbf(content: bytes) -> pd.DataFrame:
         for name, ftype, length, decimals in fields:
             raw = content[off : off + length].decode("latin-1").strip()
             if ftype == "N" and raw:
-                rec[name] = float(raw) if decimals else int(raw)
+                # real-world DBFs store '123.0' or '1.' in DEC=0 columns;
+                # parse as float and narrow to int only when integral
+                f = float(raw)
+                rec[name] = int(f) if decimals == 0 and f.is_integer() else f
             else:
                 rec[name] = raw
             off += length
@@ -140,7 +147,9 @@ def is_geographic_prj(prj_wkt: str) -> bool:
 def write_shp(shapes: list[Shape]) -> bytes:
     records = []
     for i, s in enumerate(shapes, start=1):
-        if s.shape_type == SHP_POINT:
+        if s.shape_type == 0:  # null shape: type word only
+            payload = struct.pack("<i", 0)
+        elif s.shape_type == SHP_POINT:
             payload = struct.pack("<i2d", SHP_POINT, *s.points[0])
         elif s.shape_type == SHP_POLYGON:
             pts = np.asarray(s.points, dtype="<f8")

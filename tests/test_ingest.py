@@ -408,3 +408,40 @@ def test_classic_netcdf_roundtrip_property():
             assert (np.asarray(got.data) == np.asarray(v.data)).all()
 
     check()
+
+
+def test_nonstandard_cf_calendar_rejected(tmp_path):
+    """noleap/360_day calendars decode to WRONG proleptic-Gregorian dates
+    if treated naively — the minimal path must fail loudly (ADVICE r4)."""
+    import numpy as np
+    import pytest
+
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, write_classic,
+    )
+
+    def fixture(calendar):
+        tattrs = {"units": "days since 2001-01-01"}
+        if calendar is not None:
+            tattrs["calendar"] = calendar
+        nc = NcFile(
+            dims={"time": 2, "lat": 2, "lon": 2},
+            variables={
+                "time": NcVar("time", ("time",),
+                              np.array([0.0, 1.0]), tattrs),
+                "lat": NcVar("lat", ("lat",), np.array([1.0, 2.0])),
+                "lon": NcVar("lon", ("lon",), np.array([3.0, 4.0])),
+                "Tmax": NcVar("Tmax", ("time", "lat", "lon"),
+                              np.arange(8, dtype=np.float64).reshape(2, 2, 2)),
+            },
+        )
+        return write_classic(nc)
+
+    for bad in ("noleap", "365_day", "360_day", "julian"):
+        with pytest.raises(NotImplementedError, match="calendar"):
+            decode_classic_long(fixture(bad), "Tmax")
+    # absent or Gregorian-compatible calendars decode fine
+    for ok in (None, "standard", "gregorian", "proleptic_gregorian"):
+        out = decode_classic_long(fixture(ok), "Tmax")
+        assert len(out) == 8

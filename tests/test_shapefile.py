@@ -198,3 +198,49 @@ def test_shapefile_roundtrip_property():
         assert np.allclose(back_attrs["AREA"], attrs["AREA"], atol=1e-6)
 
     check()
+
+
+def test_dbf_integer_field_with_decimal_point():
+    """Real-world DBFs store '123.0' / '1.' in DEC=0 numeric columns; the
+    reader must parse them as numbers, not abort the ingest (ADVICE r4)."""
+    df = pd.DataFrame({"CD_MUN": ["1100015"], "POP": [25000]})
+    raw = write_dbf(df)
+    # patch the 18-wide DEC=0 numeric cell from '             25000'
+    # to '           25000.0' (still right-justified, same width)
+    patched = raw.replace(b"             25000", b"           25000.0")
+    assert patched != raw
+    back = read_dbf(patched)
+    assert back["POP"].tolist() == [25000]
+    assert isinstance(back["POP"][0], (int, np.integer))
+    # non-integral value in a DEC=0 column survives as float
+    frac = raw.replace(b"             25000", b"           25000.5")
+    assert read_dbf(frac)["POP"].tolist() == [25000.5]
+
+
+def test_null_shape_centroid_and_ingest_filtering(spark, tmp_path):
+    """Null shapes (type 0) have no geometry: polygon_centroid refuses
+    them, and the municipalities ingest drops them together with their
+    attribute rows instead of emitting NaN centroids (ADVICE r4)."""
+    with pytest.raises(ValueError, match="null/empty"):
+        polygon_centroid(Shape(0, np.empty((0, 2))))
+
+    df = pd.DataFrame(
+        {
+            "CD_MUN": ["1100015", "1300029"],
+            "NM_MUN": ["Alta Floresta", "Manaus"],
+            "SIGLA_UF": ["RO", "AM"],
+        }
+    )
+    shapes = [
+        Shape(SHP_POLYGON, _square(-63.0, -9.9, 0.4)),
+        Shape(0, np.empty((0, 2))),  # null geometry for Manaus
+    ]
+    (tmp_path / "mun.shp").write_bytes(write_shp(shapes))
+    (tmp_path / "mun.dbf").write_bytes(write_dbf(df))
+    rows = (
+        municipalities_from_shapefile(spark, str(tmp_path / "mun.shp"))
+        .orderBy("CD_MUN")
+        .collect()
+    )
+    assert [r["CD_MUN"] for r in rows] == ["1100015"]
+    assert all(r["lat"] == r["lat"] for r in rows)  # no NaNs
