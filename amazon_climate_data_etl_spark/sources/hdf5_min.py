@@ -1,0 +1,1000 @@
+"""Minimal pure-Python HDF5 reader/writer (the NetCDF-4 container format).
+
+NetCDF-4 files are HDF5 files (the netCDF-4 format spec maps dims and
+variables onto HDF5 dimension-scale datasets). The HDF5 file format is
+publicly specified (HDF5 File Format Specification v3); this module
+implements the subset that netCDF-4 climate grids actually use so the REAL
+ingest path (`sources/ingest.py::_decode_netcdf_batch`) can decode them in
+containers without h5py/netCDF4/xarray — the same clean-room pattern as
+``netcdf_classic.py`` (CDF-1/2) and ``shapefile_min.py``.
+
+Reader surface:
+- superblock versions 0 and 2;
+- version 1 AND version 2 object headers (incl. continuation blocks);
+- old-style groups (symbol-table message → v1 B-tree → SNOD → local heap)
+  and new-style compact groups (link messages), nested subgroups;
+- datatypes: fixed-point / IEEE float (either endianness), fixed strings,
+  object references, variable-length sequences (for ``DIMENSION_LIST``);
+- dataspaces v1/v2, attributes v1/v2/v3 (compact storage);
+- data layouts: contiguous and chunked (v1 B-tree index) with the
+  shuffle + deflate filter pipeline; unallocated storage → fill value;
+- global heap collections (vlen attribute payloads).
+
+Anything outside this raises ``NotImplementedError`` with a pointer at the
+full-featured (h5py/xarray) path: dense attribute/link storage (fractal
+heaps), layout message v4 (the HDF5 1.10 "latest format" chunk indexes),
+compound/array datatypes in dataset data, and exotic filters.
+
+The writer emits spec-valid files in BOTH flavors libhdf5 produces —
+superblock v0 + v1 object headers + symbol-table groups (the library
+default netCDF-4 files use) and superblock v2 + v2 object headers +
+compact link messages (``H5F_LIBVER_LATEST``) — with contiguous or
+gzip(+shuffle)-chunked dataset storage, so tests can roundtrip REAL HDF5
+bytes through both reader paths without any library.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids
+MSG_NIL = 0x00
+MSG_DATASPACE = 0x01
+MSG_LINK_INFO = 0x02
+MSG_DATATYPE = 0x03
+MSG_FILL_OLD = 0x04
+MSG_FILL = 0x05
+MSG_LINK = 0x06
+MSG_LAYOUT = 0x08
+MSG_GROUP_INFO = 0x0A
+MSG_FILTERS = 0x0B
+MSG_ATTRIBUTE = 0x0C
+MSG_CONTINUATION = 0x10
+MSG_SYMBOL_TABLE = 0x11
+MSG_MODTIME = 0x12
+MSG_ATTRIBUTE_INFO = 0x15
+
+FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 hashlittle(), the checksum HDF5 v2 metadata
+    uses (public domain algorithm; reimplemented from its specification)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & M
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        # mix
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        i += 12
+        length -= 12
+    tail = data[i:] + b"\x00" * (12 - length)
+    if length > 8:
+        c = (c + int.from_bytes(tail[8:12], "little")) & M
+    if length > 4:
+        b = (b + int.from_bytes(tail[4:8], "little")) & M
+    if length > 0:
+        a = (a + int.from_bytes(tail[0:4], "little")) & M
+        # final
+        c ^= b; c = (c - rot(b, 14)) & M
+        a ^= c; a = (a - rot(c, 11)) & M
+        b ^= a; b = (b - rot(a, 25)) & M
+        c ^= b; c = (c - rot(b, 16)) & M
+        a ^= c; a = (a - rot(c, 4)) & M
+        b ^= a; b = (b - rot(a, 14)) & M
+        c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
+# --- datatype descriptor ----------------------------------------------------
+
+
+@dataclass
+class DType:
+    cls: int                    # HDF5 datatype class
+    size: int                   # element size in bytes
+    np_dtype: np.dtype | None   # for fixed/float/string
+    base: "DType | None" = None  # vlen base type
+
+    @property
+    def kind(self) -> str:
+        return {0: "int", 1: "float", 3: "string", 7: "ref", 9: "vlen"}.get(
+            self.cls, f"class{self.cls}"
+        )
+
+
+def _parse_datatype(buf: bytes, pos: int) -> tuple[DType, int]:
+    b0 = buf[pos]
+    cls, version = b0 & 0x0F, b0 >> 4
+    bits = buf[pos + 1 : pos + 4]
+    (size,) = struct.unpack_from("<I", buf, pos + 4)
+    pos += 8
+    if cls == 0:  # fixed-point
+        order = ">" if bits[0] & 1 else "<"
+        signed = "i" if bits[0] & 0x08 else "u"
+        pos += 4  # bit offset + precision
+        return DType(cls, size, np.dtype(f"{order}{signed}{size}")), pos
+    if cls == 1:  # floating-point (IEEE assumed; properties skipped)
+        order = ">" if bits[0] & 1 else "<"
+        pos += 12  # bit offset, precision, exp/man layout, bias
+        return DType(cls, size, np.dtype(f"{order}f{size}")), pos
+    if cls == 3:  # fixed-length string
+        return DType(cls, size, np.dtype(f"S{size}")), pos
+    if cls == 7:  # reference
+        return DType(cls, size, None), pos
+    if cls == 9:  # variable-length
+        base, pos = _parse_datatype(buf, pos)
+        return DType(cls, size, None, base), pos
+    raise NotImplementedError(
+        f"HDF5 datatype class {cls} (version {version}) not supported by "
+        "the minimal reader; use the h5py/xarray path"
+    )
+
+
+def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
+    version = buf[pos]
+    rank = buf[pos + 1]
+    flags = buf[pos + 2]
+    if version == 1:
+        pos += 8
+    elif version == 2:
+        pos += 4
+    else:
+        raise NotImplementedError(f"dataspace version {version}")
+    dims = struct.unpack_from(f"<{rank}Q", buf, pos)
+    return tuple(dims)
+
+
+# --- reader -----------------------------------------------------------------
+
+
+@dataclass
+class H5Dataset:
+    name: str                       # full path, no leading '/'
+    shape: tuple[int, ...]
+    data: np.ndarray
+    attrs: dict[str, object] = field(default_factory=dict)
+    address: int = UNDEF            # object header address
+    dim_addresses: tuple[int, ...] | None = None  # from DIMENSION_LIST
+
+
+class _H5Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.datasets: dict[str, H5Dataset] = {}
+
+    # -- superblock / entry --
+
+    def root_header_address(self) -> int:
+        buf = self.buf
+        if buf[:8] != SIGNATURE:
+            raise NotImplementedError("not an HDF5 file (bad signature)")
+        version = buf[8]
+        if version in (0, 1):
+            if buf[13] != 8 or buf[14] != 8:
+                raise NotImplementedError("only 8-byte offsets/lengths")
+            base = 24 if version == 0 else 28
+            # skip base/freespace/EOF/driver addresses, then the root
+            # group symbol table entry: link name offset, OHDR address
+            (ohdr,) = struct.unpack_from("<Q", buf, base + 32 + 8)
+            return ohdr
+        if version in (2, 3):
+            if buf[9] != 8 or buf[10] != 8:
+                raise NotImplementedError("only 8-byte offsets/lengths")
+            (ohdr,) = struct.unpack_from("<Q", buf, 36)
+            return ohdr
+        raise NotImplementedError(f"superblock version {version}")
+
+    # -- object headers --
+
+    def _messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, body) messages of the object header at addr,
+        following continuation blocks; v1 and v2 headers."""
+        buf = self.buf
+        if buf[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        return self._messages_v1(addr)
+
+    def _messages_v1(self, addr: int) -> list[tuple[int, bytes]]:
+        buf = self.buf
+        if buf[addr] != 1:
+            raise NotImplementedError(f"object header version {buf[addr]}")
+        nmsgs, = struct.unpack_from("<H", buf, addr + 2)
+        hdr_size, = struct.unpack_from("<I", buf, addr + 8)
+        out: list[tuple[int, bytes]] = []
+        blocks = [(addr + 16, hdr_size)]
+        while blocks and len(out) < nmsgs:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(out) < nmsgs:
+                mtype, msize = struct.unpack_from("<HH", buf, pos)
+                body = buf[pos + 8 : pos + 8 + msize]
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == MSG_CONTINUATION:
+                    off, length = struct.unpack_from("<QQ", body, 0)
+                    blocks.append((off, length))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        buf = self.buf
+        flags = buf[addr + 5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 16  # timestamps
+        if flags & 0x10:
+            pos += 4   # compact/dense attr phase-change bounds
+        width = 1 << (flags & 0x03)
+        chunk0 = int.from_bytes(buf[pos : pos + width], "little")
+        pos += width
+        tracked = bool(flags & 0x04)
+        out: list[tuple[int, bytes]] = []
+        blocks = [(pos, chunk0)]
+        while blocks:
+            pos, length = blocks.pop(0)
+            end = pos + length
+            while pos + 4 <= end:
+                mtype = buf[pos]
+                msize, = struct.unpack_from("<H", buf, pos + 1)
+                pos += 4 + (2 if tracked else 0)
+                body = buf[pos : pos + msize]
+                pos += msize
+                if mtype == MSG_CONTINUATION:
+                    off, length2 = struct.unpack_from("<QQ", body, 0)
+                    # continuation blocks carry an OCHK signature + checksum
+                    blocks.append((off + 4, length2 - 8))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    # -- attribute decode --
+
+    def _global_heap_object(self, addr: int, index: int) -> bytes:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"GCOL":
+            raise ValueError("bad global heap collection signature")
+        size, = struct.unpack_from("<Q", buf, addr + 8)
+        pos, end = addr + 16, addr + size
+        while pos + 16 <= end:
+            idx, refcount = struct.unpack_from("<HH", buf, pos)
+            osize, = struct.unpack_from("<Q", buf, pos + 8)
+            if idx == 0:
+                break
+            if idx == index:
+                return buf[pos + 16 : pos + 16 + osize]
+            pos += 16 + osize + (-osize % 8)
+        raise ValueError(f"global heap object {index} not found at {addr:#x}")
+
+    def _decode_value(self, raw: bytes, dt: DType, count: int):
+        if dt.cls in (0, 1):  # numeric
+            arr = np.frombuffer(raw, dtype=dt.np_dtype, count=count)
+            return arr[0].item() if count == 1 else arr.copy()
+        if dt.cls == 3:  # fixed string
+            s = raw[: dt.size].split(b"\x00")[0]
+            return s.decode("utf-8", "replace")
+        if dt.cls == 7:  # object reference(s)
+            addrs = struct.unpack_from(f"<{count}Q", raw, 0)
+            return addrs[0] if count == 1 else list(addrs)
+        if dt.cls == 9:  # vlen: (length, gheap address, gheap index) each
+            out = []
+            for i in range(count):
+                n, addr, idx = struct.unpack_from("<IQI", raw, i * 16)
+                blob = self._global_heap_object(addr, idx)
+                if dt.base is not None and dt.base.cls == 7:
+                    out.append(list(struct.unpack_from(f"<{n}Q", blob, 0)))
+                elif dt.base is not None and dt.base.cls in (0, 1):
+                    out.append(
+                        np.frombuffer(blob, dtype=dt.base.np_dtype, count=n).copy()
+                    )
+                else:
+                    out.append(blob)
+            return out
+        return None  # unknown class: attribute skipped, not fatal
+
+    def _parse_attribute(self, body: bytes) -> tuple[str, object]:
+        version = body[0]
+        if version == 1:
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            pos = 8
+            name = body[pos : pos + name_size].split(b"\x00")[0].decode()
+            pos += name_size + (-name_size % 8)
+            dt, _ = _parse_datatype(body, pos)
+            pos += dt_size + (-dt_size % 8)
+            dims = _parse_dataspace(body, pos)
+            pos += ds_size + (-ds_size % 8)
+        elif version in (2, 3):
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            if body[1] & 0x03:
+                raise NotImplementedError("shared attribute datatype/dataspace")
+            pos = 8 + (1 if version == 3 else 0)
+            name = body[pos : pos + name_size].split(b"\x00")[0].decode()
+            pos += name_size
+            dt, _ = _parse_datatype(body, pos)
+            pos += dt_size
+            dims = _parse_dataspace(body, pos)
+            pos += ds_size
+        else:
+            raise NotImplementedError(f"attribute message version {version}")
+        count = int(np.prod(dims)) if dims else 1
+        if dt.cls == 3 and count == 1:
+            raw = body[pos : pos + dt.size]
+        else:
+            raw = body[pos:]
+        return name, self._decode_value(raw, dt, count)
+
+    # -- groups --
+
+    def _local_heap_name(self, heap_addr: int, offset: int) -> str:
+        buf = self.buf
+        if buf[heap_addr : heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        data_addr, = struct.unpack_from("<Q", buf, heap_addr + 24)
+        end = buf.index(b"\x00", data_addr + offset)
+        return buf[data_addr + offset : end].decode("utf-8")
+
+    def _walk_group_btree(self, addr: int, heap_addr: int) -> list[tuple[str, int]]:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"TREE":
+            raise ValueError("bad v1 B-tree signature")
+        node_type, level = buf[addr + 4], buf[addr + 5]
+        entries, = struct.unpack_from("<H", buf, addr + 6)
+        assert node_type == 0, "group B-tree expected"
+        out: list[tuple[str, int]] = []
+        pos = addr + 24
+        children = []
+        for i in range(entries):
+            pos += 8  # key i (heap offset)
+            child, = struct.unpack_from("<Q", buf, pos)
+            children.append(child)
+            pos += 8
+        for child in children:
+            if level > 0:
+                out.extend(self._walk_group_btree(child, heap_addr))
+            else:
+                out.extend(self._read_snod(child, heap_addr))
+        return out
+
+    def _read_snod(self, addr: int, heap_addr: int) -> list[tuple[str, int]]:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"SNOD":
+            raise ValueError("bad symbol node signature")
+        nsyms, = struct.unpack_from("<H", buf, addr + 6)
+        out = []
+        pos = addr + 8
+        for _ in range(nsyms):
+            name_off, ohdr = struct.unpack_from("<QQ", buf, pos)
+            out.append((self._local_heap_name(heap_addr, name_off), ohdr))
+            pos += 40
+        return out
+
+    def _parse_link(self, body: bytes) -> tuple[str, int]:
+        flags = body[1]
+        pos = 2
+        link_type = 0
+        if flags & 0x08:
+            link_type = body[pos]; pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        width = 1 << (flags & 0x03)
+        n = int.from_bytes(body[pos : pos + width], "little")
+        pos += width
+        name = body[pos : pos + n].decode("utf-8")
+        pos += n
+        if link_type != 0:
+            raise NotImplementedError("only hard links supported")
+        addr, = struct.unpack_from("<Q", body, pos)
+        return name, addr
+
+    # -- dataset data --
+
+    def _walk_chunk_btree(self, addr: int, rank: int):
+        """Yield (chunk_offsets, filter_mask, nbytes, data_address)."""
+        buf = self.buf
+        if addr == UNDEF:
+            return
+        if buf[addr : addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        level = buf[addr + 5]
+        entries, = struct.unpack_from("<H", buf, addr + 6)
+        key_size = 8 + 8 * (rank + 1)
+        pos = addr + 24
+        for _ in range(entries):
+            nbytes, mask = struct.unpack_from("<II", buf, pos)
+            offsets = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
+            child, = struct.unpack_from("<Q", buf, pos + key_size)
+            pos += key_size + 8
+            if level > 0:
+                yield from self._walk_chunk_btree(child, rank)
+            else:
+                yield offsets, mask, nbytes, child
+
+    def _read_dataset(
+        self, name: str, addr: int, msgs: list[tuple[int, bytes]]
+    ) -> H5Dataset:
+        shape: tuple[int, ...] = ()
+        dt: DType | None = None
+        layout = None
+        filters: list[tuple[int, int]] = []  # (filter id, flags)
+        fill: bytes | None = None
+        attrs: dict[str, object] = {}
+        for mtype, body in msgs:
+            if mtype == MSG_DATASPACE:
+                shape = _parse_dataspace(body, 0)
+            elif mtype == MSG_DATATYPE:
+                dt, _ = _parse_datatype(body, 0)
+            elif mtype == MSG_LAYOUT:
+                layout = body
+            elif mtype == MSG_FILTERS:
+                filters = self._parse_filters(body)
+            elif mtype == MSG_FILL:
+                fill = self._parse_fill(body)
+            elif mtype == MSG_ATTRIBUTE:
+                k, v = self._parse_attribute(body)
+                attrs[k] = v
+            elif mtype == MSG_ATTRIBUTE_INFO:
+                fheap, = struct.unpack_from("<Q", body, 2)
+                if fheap != UNDEF:
+                    raise NotImplementedError(
+                        "dense attribute storage (fractal heap) not supported"
+                    )
+        if dt is None or layout is None:
+            raise ValueError(f"dataset {name!r}: missing datatype/layout")
+        if dt.cls not in (0, 1):
+            raise NotImplementedError(
+                f"dataset {name!r}: only numeric data supported "
+                f"(datatype class {dt.cls})"
+            )
+        data = self._read_layout(layout, shape, dt, filters, fill, name)
+        ds = H5Dataset(name, shape, data, attrs, addr)
+        dim_list = attrs.get("DIMENSION_LIST")
+        if isinstance(dim_list, list) and all(
+            isinstance(e, list) and e for e in dim_list
+        ):
+            ds.dim_addresses = tuple(e[0] for e in dim_list)
+        return ds
+
+    def _parse_filters(self, body: bytes) -> list[tuple[int, int]]:
+        version, nfilters = body[0], body[1]
+        pos = 8 if version == 1 else 2
+        out = []
+        for _ in range(nfilters):
+            fid, name_len, fflags, nvals = struct.unpack_from("<HHHH", body, pos)
+            pos += 8
+            if version == 1:
+                pos += name_len + (-name_len % 8)
+                pos += 4 * nvals + (4 if nvals % 2 else 0)
+            else:
+                if fid >= 256:
+                    pos += name_len
+                pos += 4 * nvals
+            out.append((fid, fflags))
+        return out
+
+    def _parse_fill(self, body: bytes) -> bytes | None:
+        version = body[0]
+        if version in (1, 2):
+            if body[3]:  # fill value defined
+                size, = struct.unpack_from("<I", body, 4)
+                return body[8 : 8 + size]
+            return None
+        if version == 3:
+            if body[1] & 0x20:
+                size, = struct.unpack_from("<I", body, 2)
+                return body[6 : 6 + size]
+            return None
+        raise NotImplementedError(f"fill value message version {version}")
+
+    def _defilter(self, raw: bytes, filters, elsize: int) -> bytes:
+        for fid, _ in reversed(filters):
+            if fid == FILTER_DEFLATE:
+                raw = zlib.decompress(raw)
+            elif fid == FILTER_SHUFFLE:
+                n = len(raw) // elsize
+                raw = (
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(elsize, n)
+                    .T.tobytes()
+                )
+            else:
+                raise NotImplementedError(
+                    f"HDF5 filter id {fid} not supported (deflate/shuffle only)"
+                )
+        return raw
+
+    def _read_layout(self, body, shape, dt, filters, fill, name) -> np.ndarray:
+        version, cls = body[0], body[1]
+        if version != 3:
+            raise NotImplementedError(
+                f"data layout message version {version} (HDF5 1.10 'latest "
+                "format' chunk indexes need the h5py path)"
+            )
+        n = int(np.prod(shape)) if shape else 1
+        if cls == 0:  # compact
+            size, = struct.unpack_from("<H", body, 2)
+            return np.frombuffer(body, dt.np_dtype, n, offset=4).reshape(shape).copy()
+        if cls == 1:  # contiguous
+            addr, _size = struct.unpack_from("<QQ", body, 2)
+            if addr == UNDEF:
+                return self._fill_array(shape, dt, fill)
+            return (
+                np.frombuffer(self.buf, dt.np_dtype, n, offset=addr)
+                .reshape(shape)
+                .copy()
+            )
+        if cls == 2:  # chunked, v1 B-tree index
+            dimensionality = body[2]
+            btree, = struct.unpack_from("<Q", body, 3)
+            dims = struct.unpack_from(f"<{dimensionality}I", body, 11)
+            chunk_shape = dims[:-1]  # last entry is the element size
+            out = self._fill_array(shape, dt, fill)
+            for offsets, mask, nbytes, addr in self._walk_chunk_btree(
+                btree, len(chunk_shape)
+            ):
+                raw = self.buf[addr : addr + nbytes]
+                if mask == 0:
+                    raw = self._defilter(raw, filters, dt.size)
+                chunk = np.frombuffer(raw, dt.np_dtype, int(np.prod(chunk_shape)))
+                chunk = chunk.reshape(chunk_shape)
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offsets[: len(shape)], chunk_shape, shape)
+                )
+                clip = tuple(slice(0, s.stop - s.start) for s in sel)
+                out[sel] = chunk[clip]
+            return out
+        raise NotImplementedError(f"data layout class {cls}")
+
+    def _fill_array(self, shape, dt, fill) -> np.ndarray:
+        out = np.zeros(shape, dtype=dt.np_dtype)
+        if fill:
+            out[...] = np.frombuffer(fill, dt.np_dtype, 1)[0]
+        return out
+
+    # -- traversal --
+
+    def read(self) -> dict[str, H5Dataset]:
+        self._walk("", self.root_header_address())
+        return self.datasets
+
+    def _walk(self, prefix: str, addr: int) -> None:
+        msgs = self._messages(addr)
+        types = {t for t, _ in msgs}
+        if MSG_DATATYPE in types:  # dataset
+            name = prefix.rstrip("/")
+            self.datasets[name] = self._read_dataset(name, addr, msgs)
+            return
+        # group: old-style symbol table and/or new-style link messages
+        children: list[tuple[str, int]] = []
+        for mtype, body in msgs:
+            if mtype == MSG_SYMBOL_TABLE:
+                btree, heap = struct.unpack_from("<QQ", body, 0)
+                children.extend(self._walk_group_btree(btree, heap))
+            elif mtype == MSG_LINK:
+                children.append(self._parse_link(body))
+            elif mtype == MSG_LINK_INFO:
+                flags = body[1]
+                pos = 2 + (8 if flags & 1 else 0)
+                fheap, = struct.unpack_from("<Q", body, pos)
+                if fheap != UNDEF:
+                    raise NotImplementedError(
+                        "dense link storage (fractal heap) not supported"
+                    )
+        for name, child_addr in children:
+            self._walk(f"{prefix}{name}/", child_addr)
+
+
+def read_hdf5(content: bytes) -> dict[str, H5Dataset]:
+    """Parse HDF5 bytes into {path: dataset} (numeric datasets, all
+    groups flattened with '/'-joined names)."""
+    return _H5Reader(content).read()
+
+
+# --- writer -----------------------------------------------------------------
+
+
+class DimList:
+    """Sentinel attr value: a netCDF-4 ``DIMENSION_LIST`` referencing other
+    datasets by name; the writer resolves names to object header
+    addresses via a global heap collection."""
+
+    def __init__(self, names: list[str]):
+        self.names = list(names)
+
+
+@dataclass
+class H5WriteSpec:
+    name: str
+    data: np.ndarray
+    attrs: dict[str, object] = field(default_factory=dict)
+
+
+def _dt_message(arr_or_dtype) -> bytes:
+    """Serialize a datatype message for a numpy dtype (fixed/float),
+    'S<n>' string, or the special ('vlen_ref',) / ('ref',) markers."""
+    if arr_or_dtype == "ref":
+        return struct.pack("<B3BI", 0x17, 0, 0, 0, 8)  # v1, class 7
+    if arr_or_dtype == "vlen_ref":
+        return struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + _dt_message("ref")
+    dt = np.dtype(arr_or_dtype)
+    if dt.kind == "S":
+        return struct.pack("<B3BI", 0x13, 0, 0, 0, dt.itemsize)
+    big = dt.byteorder == ">"
+    if dt.kind in ("i", "u"):
+        bits = (1 if big else 0) | (0x08 if dt.kind == "i" else 0)
+        return struct.pack("<B3BIHH", 0x10, bits, 0, 0, dt.itemsize, 0,
+                           8 * dt.itemsize)
+    if dt.kind == "f":
+        exp = {4: (23, 8, 127, 31), 8: (52, 11, 1023, 63)}[dt.itemsize]
+        man_size, exp_size, bias, sign = exp
+        return struct.pack(
+            "<B3BIHHBBBBI", 0x11, (1 if big else 0) | 0x20, sign, 0,
+            dt.itemsize, 0, 8 * dt.itemsize, man_size, exp_size, 0,
+            man_size, bias,
+        )
+    raise NotImplementedError(f"writer: dtype {dt}")
+
+
+def _ds_message(shape: tuple[int, ...], version: int) -> bytes:
+    rank = len(shape)
+    if version == 1:
+        return struct.pack("<BBBB4x", 1, rank, 0, 0) + struct.pack(
+            f"<{rank}Q", *shape
+        )
+    return struct.pack("<BBBB", 2, rank, 0, 1 if rank else 0) + struct.pack(
+        f"<{rank}Q", *shape
+    )
+
+
+def _attr_value_bytes(value, gheap_slots):
+    """(datatype msg, dataspace-shape, payload builder) for an attr value."""
+    if isinstance(value, DimList):
+        shape = (len(value.names),)
+
+        def payload(addr_map):
+            out = b""
+            for nm in value.names:
+                slot = gheap_slots[nm]
+                out += struct.pack("<IQI", 1, addr_map["gcol"], slot)
+            return out
+
+        return _dt_message("vlen_ref"), shape, payload
+    if isinstance(value, str):
+        raw = value.encode("utf-8") + b"\x00"
+        return _dt_message(f"S{len(raw)}"), (), lambda m: raw
+    arr = np.atleast_1d(np.asarray(value))
+    raw = np.ascontiguousarray(arr).tobytes()
+    shape = () if np.asarray(value).ndim == 0 else arr.shape
+    return _dt_message(arr.dtype), shape, lambda m: raw
+
+
+def _attr_message(name, value, version, gheap_slots):
+    """Build (size, serializer) for one attribute message body."""
+    nm = name.encode("utf-8") + b"\x00"
+    dt_msg, shape, payload = _attr_value_bytes(value, gheap_slots)
+    ds_msg = _ds_message(shape, 1 if version == 1 else 2)
+
+    def pad8(b):
+        return b + b"\x00" * (-len(b) % 8)
+
+    def build(addr_map):
+        data = payload(addr_map)
+        if version == 1:
+            return (
+                struct.pack("<BBHHH", 1, 0, len(nm), len(dt_msg), len(ds_msg))
+                + pad8(nm) + pad8(dt_msg) + pad8(ds_msg) + data
+            )
+        return (
+            struct.pack("<BBHHHB", 3, 0, len(nm), len(dt_msg), len(ds_msg), 0)
+            + nm + dt_msg + ds_msg + data
+        )
+
+    return build
+
+
+def write_hdf5(
+    specs: list[H5WriteSpec],
+    superblock: int = 0,
+    layout: str = "contiguous",
+    compress: bool = False,
+    shuffle: bool = False,
+    chunks: dict[str, tuple[int, ...]] | None = None,
+) -> bytes:
+    """Serialize datasets to HDF5 bytes.
+
+    ``superblock=0``: libhdf5-default structure (v0 superblock, v1 object
+    headers, symbol-table root group). ``superblock=2``: latest-format
+    structure (v2 superblock, v2 object headers, compact link messages).
+    ``layout='chunked'`` stores data in (optionally shuffled+deflated)
+    chunks indexed by a v1 B-tree — the layout real netCDF-4 files use.
+    """
+    if superblock not in (0, 2):
+        raise ValueError("superblock must be 0 or 2")
+    specs = list(specs)
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate dataset names")
+    need_gcol = any(
+        isinstance(v, DimList) for s in specs for v in s.attrs.values()
+    )
+    gheap_slots = {nm: i + 1 for i, nm in enumerate(names)}
+
+    # ---- per-dataset data blocks ----
+    # blocks: name -> (size, build(addr_map) -> bytes); addresses assigned
+    # in declaration order after sizes are known (two-pass: all address
+    # fields are fixed-width so sizes are address-independent)
+    blocks: list[tuple[str, int, object]] = []
+
+    def add_block(key: str, payload) -> None:
+        if callable(payload):
+            size = len(payload(_DummyAddr()))
+            blocks.append((key, size, payload))
+        else:
+            blocks.append((key, len(payload), lambda m, p=payload: p))
+
+    class _DummyAddr(dict):
+        def __getitem__(self, k):
+            return 0
+
+    data_info: dict[str, dict] = {}
+    for s in specs:
+        arr = np.ascontiguousarray(np.asarray(s.data))
+        info: dict = {"dtype": arr.dtype, "shape": arr.shape}
+        if layout == "chunked" and arr.ndim > 0:
+            cshape = (chunks or {}).get(
+                s.name, tuple(max(1, d // 2) for d in arr.shape)
+            )
+            filters = ([(FILTER_SHUFFLE, 0)] if shuffle else []) + (
+                [(FILTER_DEFLATE, 0)] if compress else []
+            )
+            chunk_keys = []
+            grids = [range(0, d, c) for d, c in zip(arr.shape, cshape)]
+            import itertools
+
+            for origin in itertools.product(*grids):
+                sel = tuple(
+                    slice(o, min(o + c, d))
+                    for o, c, d in zip(origin, cshape, arr.shape)
+                )
+                full = np.zeros(cshape, dtype=arr.dtype)
+                clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+                full[clip] = arr[sel]
+                raw = full.tobytes()
+                if shuffle:
+                    n = len(raw) // arr.itemsize
+                    raw = (
+                        np.frombuffer(raw, np.uint8)
+                        .reshape(n, arr.itemsize)
+                        .T.tobytes()
+                    )
+                if compress:
+                    raw = zlib.compress(raw, 6)
+                key = f"chunk:{s.name}:{origin}"
+                add_block(key, raw)
+                chunk_keys.append((origin, len(raw), key))
+            info.update(chunked=True, cshape=cshape, filters=filters,
+                        chunk_keys=chunk_keys)
+
+            def btree(m, ck=chunk_keys, rank=arr.ndim, shape=arr.shape):
+                out = [b"TREE", struct.pack("<BBH", 1, 0, len(ck)),
+                       struct.pack("<QQ", UNDEF, UNDEF)]
+                for origin, nbytes, key in ck:
+                    out.append(struct.pack("<II", nbytes, 0))
+                    out.append(struct.pack(f"<{rank}Q", *origin))
+                    out.append(struct.pack("<Q", 0))  # element offset dim
+                    out.append(struct.pack("<Q", m[key]))
+                # final key: one past the end
+                out.append(struct.pack("<II", 0, 0))
+                out.append(struct.pack(f"<{rank}Q", *shape))
+                out.append(struct.pack("<Q", 0))
+                return b"".join(out)
+
+            add_block(f"btree:{s.name}", btree)
+        else:
+            info.update(chunked=False)
+            add_block(f"data:{s.name}", arr.tobytes())
+        data_info[s.name] = info
+
+    # ---- per-dataset object headers ----
+    def dataset_messages(s: H5WriteSpec, version: int):
+        """list of (type, build(addr_map)->bytes) messages."""
+        info = data_info[s.name]
+        arr_shape, dtype = info["shape"], info["dtype"]
+        msgs = [
+            (MSG_DATASPACE, lambda m: _ds_message(arr_shape, version)),
+            (MSG_DATATYPE, lambda m: _dt_message(dtype)),
+            (MSG_FILL, lambda m: struct.pack("<BBBB", 2, 1, 0, 0)),
+        ]
+        if info["chunked"]:
+            rank = len(arr_shape)
+
+            def layout_msg(m):
+                return (
+                    struct.pack("<BBB", 3, 2, rank + 1)
+                    + struct.pack("<Q", m[f"btree:{s.name}"])
+                    + struct.pack(f"<{rank}I", *info["cshape"])
+                    + struct.pack("<I", dtype.itemsize)
+                )
+
+            msgs.append((MSG_LAYOUT, layout_msg))
+            if info["filters"]:
+                def filt_msg(m, filters=info["filters"]):
+                    out = [struct.pack("<BB6x", 1, len(filters))]
+                    for fid, _ in filters:
+                        nvals = 1 if fid == FILTER_DEFLATE else 0
+                        out.append(struct.pack("<HHHH", fid, 0, 1, nvals))
+                        if nvals:
+                            out.append(struct.pack("<II", 6, 0))  # level + pad
+                    return b"".join(out)
+
+                msgs.append((MSG_FILTERS, filt_msg))
+        else:
+            nbytes = int(np.prod(arr_shape) if arr_shape else 1) * dtype.itemsize
+
+            def layout_msg(m):
+                return struct.pack("<BBQQ", 3, 1, m[f"data:{s.name}"], nbytes)
+
+            msgs.append((MSG_LAYOUT, layout_msg))
+        for k, v in s.attrs.items():
+            msgs.append(
+                (MSG_ATTRIBUTE, _attr_message(k, v, 1 if version == 1 else 3,
+                                              gheap_slots))
+            )
+        return msgs
+
+    def ohdr_v1(msgs):
+        def build(m):
+            bodies = []
+            for mtype, mk in msgs:
+                body = mk(m)
+                body += b"\x00" * (-len(body) % 8)
+                bodies.append(struct.pack("<HHB3x", mtype, len(body), 0) + body)
+            blob = b"".join(bodies)
+            return struct.pack("<BxHII4x", 1, len(msgs), 1, len(blob)) + blob
+
+        return build
+
+    def ohdr_v2(msgs):
+        def build(m):
+            bodies = []
+            for mtype, mk in msgs:
+                body = mk(m)
+                bodies.append(struct.pack("<BHB", mtype, len(body), 0) + body)
+            blob = b"".join(bodies)
+            # flags: 0x02 => chunk0 size stored in 4 bytes
+            head = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(blob))
+            return head + blob + struct.pack("<I", _lookup3(head + blob))
+
+        return build
+
+    ohdr = ohdr_v1 if superblock == 0 else ohdr_v2
+    for s in specs:
+        add_block(f"ohdr:{s.name}", ohdr(dataset_messages(s, 1 if superblock == 0 else 2)))
+
+    # ---- global heap (DIMENSION_LIST object references) ----
+    if need_gcol:
+        def gcol(m):
+            objs = []
+            for nm in names:
+                payload = struct.pack("<Q", m[f"ohdr:{nm}"])
+                objs.append(
+                    struct.pack("<HH4xQ", gheap_slots[nm], 1, len(payload))
+                    + payload
+                )
+            body = b"".join(objs)
+            total = 16 + len(body) + 16  # header + objects + free-space obj
+            free = struct.pack("<HH4xQ", 0, 0, 16)
+            return b"GCOL" + struct.pack("<B3xQ", 1, total) + body + free
+
+        add_block("gcol", gcol)
+
+    # ---- root group ----
+    if superblock == 0:
+        order = sorted(names)  # SNOD entries must be name-sorted
+        heap_data = bytearray(8)  # offset 0 = the empty string
+        name_off = {}
+        for nm in order:
+            name_off[nm] = len(heap_data)
+            b = nm.encode("utf-8") + b"\x00"
+            heap_data += b + b"\x00" * (-len(b) % 8)
+
+        def heap(m):
+            return (
+                b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
+                                      len(heap_data), m["heapdata"])
+            )
+
+        def snod(m):
+            out = [b"SNOD", struct.pack("<BxH", 1, len(order))]
+            for nm in order:
+                out.append(struct.pack("<QQI4x16x", name_off[nm],
+                                       m[f"ohdr:{nm}"], 0))
+            return b"".join(out)
+
+        def gbtree(m):
+            return (
+                b"TREE" + struct.pack("<BBH", 0, 0, 1)
+                + struct.pack("<QQ", UNDEF, UNDEF)
+                + struct.pack("<QQQ", 0, m["snod"], name_off[order[-1]])
+            )
+
+        root_msgs = [
+            (MSG_SYMBOL_TABLE,
+             lambda m: struct.pack("<QQ", m["gbtree"], m["heap"])),
+        ]
+        add_block("rootohdr", ohdr_v1(root_msgs))
+        add_block("heap", heap)
+        add_block("heapdata", bytes(heap_data))
+        add_block("gbtree", gbtree)
+        add_block("snod", snod)
+    else:
+        def link_msg(nm):
+            def mk(m):
+                b = nm.encode("utf-8")
+                return (
+                    struct.pack("<BB", 1, 0)
+                    + bytes([len(b)]) + b
+                    + struct.pack("<Q", m[f"ohdr:{nm}"])
+                )
+            return mk
+
+        root_msgs = [(MSG_LINK, link_msg(nm)) for nm in names]
+        add_block("rootohdr", ohdr_v2(root_msgs))
+
+    # ---- assign addresses & serialize ----
+    sb_size = 96 if superblock == 0 else 48
+    addr_map: dict[str, int] = {}
+    pos = sb_size
+    for key, size, _ in blocks:
+        addr_map[key] = pos
+        pos += size
+    eof = pos
+
+    out = [b""] * (len(blocks) + 1)
+    for i, (key, size, build) in enumerate(blocks):
+        blob = build(addr_map)
+        assert len(blob) == size, f"block {key}: size drifted"
+        out[i + 1] = blob
+
+    if superblock == 0:
+        sb = (
+            SIGNATURE
+            + struct.pack("<BBBxB BBx", 0, 0, 0, 0, 8, 8)
+            + struct.pack("<HHI", 4, 16, 0)
+            + struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+            # root symbol table entry: name offset 0, OHDR addr, no cache
+            + struct.pack("<QQI4x16x", 0, addr_map["rootohdr"], 0)
+        )
+    else:
+        head = (
+            SIGNATURE
+            + struct.pack("<BBBB", 2, 8, 8, 0)
+            + struct.pack("<QQQQ", 0, UNDEF, eof, addr_map["rootohdr"])
+        )
+        sb = head + struct.pack("<I", _lookup3(head))
+    assert len(sb) == sb_size
+    out[0] = sb
+    return b"".join(out)

@@ -163,14 +163,17 @@ def _decode_time_units(values, units: str):
 def decode_classic_long(
     content: bytes, var_name: str, bounds: dict | None = None
 ) -> pd.DataFrame:
-    """Classic-NetCDF bytes → canonical long grid frame, dependency-free.
+    """NetCDF bytes → canonical long grid frame, dependency-free.
 
-    The REAL decode path for CDF-1/CDF-2 files (read_classic handles the
-    binary format, including scale/offset packing and _FillValue → NaN);
-    NetCDF-4/HDF5 raises with a pointer at the xarray path. Probing and
-    normalization are shared with the xarray branch. Bounds are applied as
-    coordinate masks, which are direction-agnostic — a descending
-    (north-up) latitude axis clips identically."""
+    The REAL decode path for BOTH flavors: CDF-1/CDF-2 (read_classic
+    handles the classic binary format) and NetCDF-4 (read_classic
+    dispatches the HDF5 magic to the minimal HDF5 decoder,
+    netcdf4_min.py — superblock v0/v2, contiguous + shuffled/deflated
+    chunked storage, dimension scales + DIMENSION_LIST). CF unpacking
+    (scale/offset, _FillValue → NaN) is shared. Probing and normalization
+    are shared with the xarray branch. Bounds are applied as coordinate
+    masks, which are direction-agnostic — a descending (north-up)
+    latitude axis clips identically."""
     nc = read_classic(content)
     var = nc.variables[var_name]
     lon_dim, lat_dim = probe_coord_dims(list(var.dims), list(nc.variables))
@@ -236,10 +239,11 @@ def _decode_netcdf_batch(
     (``lon``/``lat``/``x``/``y``/``longitude``/``latitude``), an optional
     bounding box is clipped with descending-latitude handling, and the
     result is normalized to (date, lat, lon, var, value). Decode backend:
-    xarray when importable (any NetCDF flavor); otherwise the built-in
-    classic-format reader (``netcdf_classic.py``) — REAL decode for
-    CDF-1/CDF-2 with no dependencies, so this path runs and is tested in
-    this container. NetCDF-4 without xarray raises with a clear pointer.
+    xarray when importable (any NetCDF flavor, e.g. NetCDF-4 layouts the
+    minimal readers gate on); otherwise the built-in readers — REAL
+    decode for CDF-1/CDF-2 (``netcdf_classic.py``) AND NetCDF-4/HDF5
+    (``netcdf4_min.py``) with no dependencies, so both flavors run and
+    are tested in this container.
     """
     try:
         import io

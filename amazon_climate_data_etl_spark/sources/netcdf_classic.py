@@ -6,9 +6,10 @@ dimension/attribute/variable lists, then big-endian array data at recorded
 offsets). A dependency-free decoder for it lets the REAL ingest path
 (`sources/ingest.py::_decode_netcdf_batch`) run and be tested in containers
 without xarray/netCDF4 — the same pattern as the minimal PNG decoder in
-``sources/multimodal.py``. NetCDF-4 files are HDF5 containers and are NOT
-handled here; they still require the xarray path (the magic check gives a
-clear error).
+``sources/multimodal.py``. NetCDF-4 files are HDF5 containers;
+``read_classic`` dispatches their magic to the minimal HDF5 decoder
+(``hdf5_min.py`` / ``netcdf4_min.py``), which returns the same NcFile
+model, so callers never care which flavor they were handed.
 
 Supported surface (deliberately the subset climate grids use):
 - fixed AND record variables (unlimited leading dimension, the
@@ -66,6 +67,24 @@ def _pad4(n: int) -> int:
     return (4 - n % 4) % 4
 
 
+def apply_cf_packing(data: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF unpacking shared by the classic and NetCDF-4 decoders:
+    ``_FillValue`` → NaN, then ``scale_factor`` / ``add_offset``."""
+    fill = attrs.get("_FillValue")
+    scale = attrs.get("scale_factor")
+    off = attrs.get("add_offset")
+    if fill is None and scale is None and off is None:
+        return data
+    out = np.asarray(data, dtype=np.float64).copy()
+    if fill is not None:
+        out[np.asarray(data) == fill] = np.nan
+    if scale is not None:
+        out = out * float(scale)
+    if off is not None:
+        out = out + float(off)
+    return out
+
+
 class _Reader:
     def __init__(self, buf: bytes):
         self.buf = buf
@@ -113,15 +132,22 @@ class _Reader:
 
 
 def read_classic(content: bytes) -> NcFile:
-    """Parse classic-NetCDF bytes into dims + variables (fixed vars only)."""
+    """Parse NetCDF bytes into dims + variables. Dispatches on magic:
+    CDF-1/CDF-2 are decoded here; NetCDF-4 (an HDF5 container,
+    ``\\x89HDF...`` magic) is decoded by the minimal HDF5 reader
+    (``netcdf4_min.py``) into the same NcFile model."""
     if content[:4] == _MAGIC1:
         offset64 = False
     elif content[:4] == _MAGIC2:
         offset64 = True
+    elif content[:4] == b"\x89HDF":
+        from amazon_climate_data_etl_spark.sources.netcdf4_min import read_netcdf4
+
+        return read_netcdf4(content)
     else:
         raise NotImplementedError(
-            "not a classic NetCDF file (CDF-1/CDF-2); NetCDF-4/HDF5 needs "
-            "the xarray decode path"
+            "not a NetCDF file (classic CDF-1/CDF-2 or NetCDF-4/HDF5 magic "
+            "expected)"
         )
     r = _Reader(content)
     r.pos = 4
@@ -188,19 +214,7 @@ def read_classic(content: bytes) -> NcFile:
             data = np.frombuffer(content, dtype=dt, count=n, offset=begin).reshape(
                 shape
             ).copy()
-        # unpack: _FillValue -> NaN, then scale/offset (CF conventions)
-        fill = attrs.get("_FillValue")
-        scale = attrs.get("scale_factor")
-        off = attrs.get("add_offset")
-        if fill is not None or scale is not None or off is not None:
-            out = np.asarray(data, dtype=np.float64).copy()
-            if fill is not None:
-                out[np.asarray(data) == fill] = np.nan
-            if scale is not None:
-                out = out * float(scale)
-            if off is not None:
-                out = out + float(off)
-            data = out
+        data = apply_cf_packing(data, attrs)
         variables[nm] = NcVar(nm, var_dims, np.ascontiguousarray(data), attrs)
     eff_dims = {nm: (numrecs if ln == 0 else ln) for nm, ln in dims}
     return NcFile(dims=eff_dims, variables=variables)
