@@ -374,7 +374,11 @@ def _municipalities_from_shapefile_minimal(
     spark: SparkSession, shp_path: str, states: tuple[str, ...]
 ) -> DataFrame:
     """Dependency-free S2 path: shapefile_min decode + shoelace centroids,
-    with the reference's state-column probing and IBGE-prefix fallback."""
+    with the reference's state-column probing and IBGE-prefix fallback.
+    Projected CRSs (UTM zones, Brazil Polyconic) reproject to geographic
+    via crs_min before centroid computation — the reference's
+    unconditional to_crs(4326); other projections raise with a pointer at
+    the geopandas path."""
     import os
 
     from amazon_climate_data_etl_spark.sources.shapefile_min import (
@@ -386,16 +390,31 @@ def _municipalities_from_shapefile_minimal(
 
     base, _ = os.path.splitext(shp_path)
     prj_path = base + ".prj"
+    crs = None
     if os.path.exists(prj_path):
         with open(prj_path) as f:
             wkt = f.read()
         if not is_geographic_prj(wkt):
-            raise NotImplementedError(
-                "projected CRS in .prj: reprojection requires the geopandas "
-                "path; the minimal reader handles geographic (degree) CRSs"
+            # projected CRS: the reference reprojects to 4326
+            # unconditionally (annual.py:159-161); crs_min inverts the
+            # projections Brazilian municipal files ship (UTM zones /
+            # Brazil Polyconic) and raises on anything else
+            from amazon_climate_data_etl_spark.sources.crs_min import (
+                parse_projected_prj,
             )
+
+            crs = parse_projected_prj(wkt)
     with open(shp_path, "rb") as f:
         shapes = read_shp(f.read())
+    if crs is not None:
+        from amazon_climate_data_etl_spark.sources.crs_min import (
+            inverse_to_lonlat,
+        )
+
+        for s in shapes:
+            if len(s.points):
+                lon, lat = inverse_to_lonlat(s.points[:, 0], s.points[:, 1], crs)
+                s.points = np.column_stack([lon, lat])
     with open(base + ".dbf", "rb") as f:
         attrs = read_dbf(f.read())
     if len(shapes) != len(attrs):

@@ -13,9 +13,10 @@ Supported surface (what the municipality-dimension ingest needs):
   matching shapely's centroid for valid polygons);
 - dBase III character/numeric fields.
 
-CRS handling: the minimal path does NOT reproject. If a ``.prj`` is
-present its WKT must look geographic (degrees); projected CRSs require
-the geopandas path.
+CRS handling: geographic (degree) CRSs pass through untouched; projected
+CRSs are inverted by ``crs_min.py`` (Transverse Mercator / Polyconic —
+what Brazilian municipal shapefiles ship); anything else requires the
+geopandas path.
 """
 
 from __future__ import annotations

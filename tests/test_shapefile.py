@@ -137,11 +137,17 @@ def test_municipalities_ibge_prefix_fallback(spark, tmp_path):
     assert [r["UF"] for r in rows] == ["RO", "AM"]  # 11->RO, 13->AM; 35 unmapped
 
 
-def test_projected_prj_requires_geopandas(spark, tmp_path):
+def test_unsupported_projection_requires_geopandas(spark, tmp_path):
+    """Projections outside crs_min's inventory (here Lambert conic) still
+    gate loudly on the geopandas path."""
     path = _write_fixture(
-        tmp_path, prj='PROJCS["SIRGAS 2000 / UTM zone 20S",GEOGCS["SIRGAS 2000"]]'
+        tmp_path,
+        prj='PROJCS["Custom LCC",GEOGCS["SIRGAS 2000",DATUM["D",'
+            'SPHEROID["GRS 1980",6378137,298.257222101]]],'
+            'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+            'PARAMETER["central_meridian",-54],UNIT["metre",1]]',
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="geopandas"):
         municipalities_from_shapefile(spark, path)
 
 
