@@ -415,10 +415,12 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one explode→(doc,term) agg pass over the corpus (map-side
     combined), term totals re-aggregated from that frame (shared via
-    persist — Catalyst does not CSE across join branches), then a join
-    aligning doc terms with corpus term frequencies ON THE TERM KEY
-    (uniform, high-cardinality; a real deployment would broadcast the
-    top-V vocab and bucket the tail). Per-term log-probs are rounded to
+    persist — Catalyst does not CSE across join branches), then the
+    corpus term-frequency table BROADCAST onto the doc-term frame:
+    vocabulary grows sublinearly in corpus size (Heaps' law), so the
+    vocab side stays executor-resident at any corpus scale while the
+    doc-term frame — the side that actually grows — never re-shuffles on
+    the term key. Per-term log-probs are rounded to
     10 dp and summed as exact decimals weighted by term count, making the
     float reduction order-independent — bit-identical across engines and
     partitionings (same contract as ``source_domain_divergence``)."""
@@ -441,7 +443,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = logp * F.col("n_dt").cast("decimal(10,0)")
     avg = F.col("sum_logp").cast("double") / F.col("n_tokens")
     return (
-        dt.join(ct, "term")
+        dt.join(F.broadcast(ct), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -13,6 +13,14 @@ Env knobs (driver contract):
                         every query also gets one untimed warm-up run first,
                         so round-over-round deltas are attributable signal,
                         not single-shot scheduler noise)
+    BENCH_COOLDOWN      seconds to sleep between queries after the cache
+                        clear + GC (default 0)
+    BENCH_ISOLATED      how many of the slowest queries to re-measure after
+                        the sweep under quiesced conditions (default 10 for
+                        full runs, 0 for BENCH_QUERIES subsets); the payload
+                        records sweep-vs-isolated per query, so cross-query
+                        interference is quantified instead of misread as a
+                        regression
 
 Also writes the complete per-query timing set to ``BENCH_local.json`` at the
 repo root (the driver records only the stdout tail, which truncates long
@@ -53,6 +61,27 @@ def _run_to_completion(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _quiesce(spark, cooldown: float) -> None:
+    """Between-query hygiene: drop persisted frames the previous query may
+    have left cached (memory pressure is the main cross-query interference
+    channel — r4 saw a 1.8× phantom 'regression' from it), nudge the JVM
+    to collect, and optionally cool down."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    if cooldown > 0:
+        time.sleep(cooldown)
+
+
+def _time_query(spark, fn, sf_dir: str, repeat: int) -> float:
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+    samples = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        _run_to_completion(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -85,17 +114,27 @@ def main() -> None:
 
     _run_to_completion(extract_features(synthetic_media(spark, n=32)))
 
+    cooldown = float(os.environ.get("BENCH_COOLDOWN", "0"))
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        # per-query warm-up: populates codegen/broadcast/file-listing caches
-        # so the timed runs measure steady-state plan cost
-        _run_to_completion(queries[name](spark, sf_dir))
-        samples = []
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            _run_to_completion(queries[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        _quiesce(spark, cooldown)
+        # per-query warm-up (inside _time_query): populates codegen/
+        # broadcast/file-listing caches so the timed runs measure
+        # steady-state plan cost
+        timings[name] = _time_query(spark, queries[name], sf_dir, repeat)
+
+    # isolated re-measurement of the slowest queries: sweep medians can
+    # misreport by ~2× under cross-query memory/GC pressure (r4 finding);
+    # recording both numbers per round makes interference visible instead
+    # of masquerading as a plan regression
+    n_isolated = int(
+        os.environ.get("BENCH_ISOLATED", "0" if subset else "10")
+    )
+    isolated: dict[str, dict[str, float]] = {}
+    for name in sorted(timings, key=lambda k: -timings[k])[:n_isolated]:
+        _quiesce(spark, max(cooldown, 0.5))
+        iso = _time_query(spark, queries[name], sf_dir, repeat)
+        isolated[name] = {"sweep": timings[name], "isolated": iso}
 
     payload = {
         "metric": "total_query_wall",
@@ -110,6 +149,8 @@ def main() -> None:
         # over-round diff discount noisy windows instead of misreading them
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
+    if isolated:
+        payload["isolated"] = isolated
     # The driver keeps only the stdout TAIL, which truncates ~28 queries'
     # timings per round; persist the complete result in-repo (slowest
     # first, so a truncated human glance still sees the hot spots) so
