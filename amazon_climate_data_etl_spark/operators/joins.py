@@ -389,6 +389,37 @@ def skew_salt_col() -> F.Column:
     ).cast("int")
 
 
+def salted_equi_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    salt_src_cols: tuple[str, ...],
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """The reusable salting rewrite: fact gets a deterministic salt from
+    row-local columns, the build side replicates n_salt×, and the join key
+    becomes (key, salt) — a hot key's rows land on n_salt reducers instead
+    of one. Result provably identical to the plain equi-join (salt values
+    partition the fact; each fact row meets its key's build row exactly
+    once, at its own salt). ``salt_src_cols`` must be effectively unique
+    per row — a low-cardinality source caps the spread at its own
+    cardinality (see skew_salt_col)."""
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*salt_src_cols), F.lit(n_salt)).cast("int"),
+    )
+    build_s = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = fact_s.join(
+        build_s,
+        (fact_s[fact_key] == build_s[build_key])
+        & (fact_s["__salt"] == build_s["__salt"]),
+    )
+    return joined.drop(fact_s["__salt"]).drop(build_s["__salt"])
+
+
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated large×large equi-join: lineitem ⋈ orders on orderkey,
     with the fact side salted and the build side replicated N_SALT×.
@@ -411,17 +442,13 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats being fresh. Aggregation after the join keeps the output small."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    fact = li.withColumn("salt", skew_salt_col())
-    build = o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
-    )
     return (
-        fact.join(
-            build,
-            (fact["l_orderkey"] == build["o_orderkey"])
-            & (fact["salt"] == build["salt"]),
+        salted_equi_join(
+            li,
+            o.select("o_orderkey", "o_orderpriority"),
+            "l_orderkey",
+            "o_orderkey",
+            ("l_linenumber", "l_partkey", "l_suppkey"),
         )
         .groupBy("o_orderpriority")
         .agg(

@@ -393,3 +393,97 @@ def test_nn_join_sorted_1d_dim_cap(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(joins, "SORTED_1D_DIM_CAP", 3)
     with pytest.raises(ValueError, match="candidate dim"):
         joins.nn_join_sorted_1d(spark, sf_dir)
+
+
+def test_salted_join_beats_unsalted_under_adversarial_skew(spark):
+    """Race the salting rewrite against the naive shuffle join on a
+    genuinely hot key (70% of fact rows share ONE join key), with AQE's
+    automatic skew handling disabled so the manual technique itself is
+    measured: the salted plan must (a) return identical results, (b)
+    spread the hot key across reducers where the naive exchange piles it
+    onto one, and (c) win wall-time (VERDICT r4 item 6)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from amazon_climate_data_etl_spark.operators.joins import (
+        N_SALT,
+        salted_equi_join,
+    )
+
+    n, hot_frac_mod = 4_000_000, 10  # id % 10 < 7 → 70% on key 1
+    fact = spark.range(n).select(
+        F.when(F.col("id") % hot_frac_mod < 7, F.lit(1))
+        .otherwise(F.pmod(F.col("id"), F.lit(20_000)) + 2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.range(20_002).select(
+        F.col("id").alias("bk"), (F.col("id") * 3).alias("w")
+    )
+
+    # (b) reducer spread: partition the fact by the naive key vs the
+    # salted key pair and compare the largest reducer's share
+    def max_share(df, *cols):
+        sizes = (
+            df.repartition(32, *cols)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    salted = fact.withColumn(
+        "salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)).cast("int")
+    )
+    assert max_share(fact, "k") > 0.65          # naive: one reducer drowns
+    assert max_share(salted, "k", "salt") < 0.2  # salted: spread flat(ish)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        # force a real shuffle join: broadcasting the build side would
+        # sidestep the skew entirely (and is the right plan when it fits —
+        # this test is about the case where it does not)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        naive = fact.join(build, fact["k"] == build["bk"]).groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+        )
+        fast = salted_equi_join(fact, build, "k", "bk", ("v",)).groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+        )
+
+        # (a) identical results
+        assert naive.collect() == fast.collect()
+
+        def median_time(df, reps=3):
+            df.write.mode("overwrite").format("noop").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = _t.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                ts.append(_t.perf_counter() - t0)
+            ts.sort()
+            return ts[reps // 2]
+
+        t_naive = median_time(naive)
+        t_fast = median_time(fast)
+        # (c) wall-time advantage; generous margin so ambient load cannot
+        # flip the verdict — with 70% of rows on one reducer the naive
+        # plan serializes most of the probe work
+        assert t_fast < t_naive * 0.9, (t_fast, t_naive)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
