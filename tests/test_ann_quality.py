@@ -4,9 +4,12 @@
 parity); this suite *gates* it, so an index regression — a lost hash table,
 a dropped probe bucket, a broken centroid assignment — fails loudly instead
 of silently shipping a lower number. Floors sit well under the measured
-values (LSH ≈ 0.87 via 3 tables ∪ 1-bit multi-probe, IVF ≈ 0.93 at 2-probe)
-but far above what a degraded index produces (single-table LSH measured
-0.13 on the same fixtures).
+values (LSH 0.80–0.87 via 3 tables ∪ 1-bit multi-probe, IVF 0.93–1.0 at
+2-probe, measured across sf0.001/0.01/0.1) but far above what a degraded
+index produces (single-table LSH measured 0.13 on the same fixtures).
+Floors were tightened 0.6/0.8 → 0.7/0.85 in round 5 once the multi-probe
+tables had soaked a round (VERDICT r4 item 8), so a lost probe bucket or
+table now fails even when the remaining index is merely "pretty good".
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ import pytest
 
 from amazon_climate_data_etl_spark.operators.similarity import ann_recall_eval
 
-_FLOORS = {"lsh": 0.6, "ivf": 0.8}
+_FLOORS = {"lsh": 0.7, "ivf": 0.85}
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
