@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Scaling evidence for the two heaviest families (dedup chain, ANN).
+
+All per-round bench numbers are sf0.1; this probe materializes a 5×
+corpus (sf0.5-equivalent documents + embeddings) and measures how
+wall-time actually scales, pinning the banded-LSH/bucketed-join claim
+("candidate work grows with pair density, not |corpus|²") with data.
+
+The 5× corpus must scale the PAIR STRUCTURE honestly, not explode it:
+naive row replication makes every replica a near-duplicate of its
+original — pair counts would grow 25× and the probe would measure the
+fixture, not the engine. Instead:
+
+- documents: replica r > 0 suffixes every token with ``r<r>``, so
+  replicas share no shingles — near-dup pair density grows 5×, like a
+  real corpus 5× the size;
+- embeddings: replica r rolls each vector's coordinates by r — an
+  orthogonal transform (norms and intra-replica geometry preserved,
+  cross-replica similarity decorrelated), so ANN bucket occupancy grows
+  5× without synthetic exact-duplicate pileups.
+
+Writes SCALING.json at the repo root:
+    {"<query>": {"sf0.1_sec": t1, "sf0.5_sec": t5, "ratio": t5/t1}, ...}
+Pass/fail bar (asserted): ratio < 5 for 5× data on every probed query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALING_DIR", "/tmp/spark_graft_sf0.5")
+REPLICAS = 5
+QUERIES = (
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "neardup_keep_corpus",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+)
+
+
+def build_corpus() -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(WORK, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r * 10000000 AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE regexp_replace(text, '([^ ]+)', '\\1r' || r, 'g')
+                 END AS text,
+                 lang, source,
+                 length(CASE WHEN r = 0 THEN text
+                             ELSE regexp_replace(text, '([^ ]+)', '\\1r' || r, 'g')
+                        END) AS n_chars
+          FROM read_parquet('{BASE}/documents.parquet'), range({REPLICAS}) t(r)
+        ) TO '{WORK}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{BASE}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    mat = np.vstack(emb["embedding"].to_numpy())
+    ids, labels, vecs = [], [], []
+    for r in range(REPLICAS):
+        ids.append(emb["vec_id"].to_numpy() + r * 10000000)
+        labels.append(emb["label"].to_numpy())
+        vecs.append(np.roll(mat, r, axis=1))
+    table = pa.table(
+        {
+            "vec_id": np.concatenate(ids),
+            "embedding": pa.array(
+                list(np.concatenate(vecs).astype(np.float32)),
+                type=pa.list_(pa.float32()),
+            ),
+            "label": np.concatenate(labels).astype(np.int32),
+        }
+    )
+    pq.write_table(table, f"{WORK}/embeddings.parquet")
+    # the probed queries only read documents/embeddings, but load_table
+    # may validate siblings — link the rest of the scale factor through
+    for f in os.listdir(BASE):
+        dst = os.path.join(WORK, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f), dst)
+
+
+def main() -> None:
+    import importlib.util
+
+    from amazon_climate_data_etl_spark.session import get_spark
+
+    build_corpus()
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    queries = entry.queries()
+
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(name: str, sf_dir: str) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        fn = queries[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 3)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        t1 = timed(name, BASE)
+        t5 = timed(name, WORK)
+        out[name] = {
+            "sf0.1_sec": t1,
+            "sf0.5_sec": t5,
+            "ratio": round(t5 / t1, 2),
+        }
+        print(name, out[name], flush=True)
+
+    payload = {
+        "data_ratio": float(REPLICAS),
+        "bar": "ratio < 5 for 5x data (sub-quadratic)",
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "queries": out,
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    worst = max(v["ratio"] for v in out.values())
+    print(json.dumps({"worst_ratio": worst, "pass": worst < REPLICAS}))
+    if worst >= REPLICAS:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
