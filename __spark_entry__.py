@@ -72,12 +72,14 @@ _MODULES = (
 # the driver verifies this many leading registry entries per round
 GATE_WINDOW = 50
 
-# name -> round the semantic change landed. Round-4 changes: ann_lsh_topk
-# gained the multi-table multi-probe index (different result set by design)
-# and ann_recall_eval therefore reports a different recall — both must
-# re-earn their green row ahead of the oldest-green cohort. Entries expire
-# automatically once a green row >= the recorded round exists.
-CHANGED_SINCE_GREEN = {"ann_lsh_topk": 4, "ann_recall_eval": 4}
+# name -> round the semantic change landed. Round-5 change: the synthetic
+# media table's video rows became real MPNG AVIs and media_frame_pipeline
+# switched to the real container-parse sampler (different byte profile by
+# design) — both media queries must re-earn their rows-only green ahead of
+# the oldest-green cohort. Entries expire automatically once a green row
+# >= the recorded round exists. (The round-4 ann_lsh_topk/ann_recall_eval
+# entries re-earned their rows in r4 and have been pruned.)
+CHANGED_SINCE_GREEN = {"media_feature_summary": 5, "media_frame_pipeline": 5}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -9,8 +9,10 @@ map (no shuffle).
 Decode kernels: the REAL path (``fake=False``) decodes WAV via the stdlib
 ``wave`` module and PNG via PIL when importable, with a dependency-free
 zlib scanline decoder as the PNG fallback — both run and are tested in
-this container on valid in-test-generated media. Video frame decode
-requires ffmpeg and stays gated. The deterministic fake featureizer
+this container on valid in-test-generated media — including video: AVI
+containers parse via ``avi_min`` and intra-only codecs (MPNG frames
+through the minimal PNG decoder, MJPG through PIL) decode to real
+pixels; interframe codecs (H.264 etc.) stay ffmpeg-gated. The deterministic fake featureizer
 (``fake=True``, the default) remains for oracle-free determinism checks
 and for payloads that are not real media (the synthetic bench table).
 """
@@ -214,10 +216,29 @@ def _decode_real(content: bytes, kind: str) -> np.ndarray:
         return _featurize_signal(_decode_image(content))
     if kind == "audio":
         return _featurize_signal(_decode_wav(content))
-    raise NotImplementedError(
-        "video decode requires ffmpeg, not present in this container; use "
-        "fake=True for the deterministic featureizer"
-    )
+    return _featurize_signal(_decode_video_middle_frame(content))
+
+
+def _decode_video_middle_frame(content: bytes) -> np.ndarray:
+    """Video bytes → the middle frame's pixels. Real decode for intra-only
+    AVI containers (MPNG frames via the minimal PNG decoder; MJPG via PIL
+    when importable); interframe codecs (H.264 etc.) cannot be decoded
+    frame-by-frame and stay gated behind ffmpeg."""
+    from amazon_climate_data_etl_spark.sources.avi_min import read_avi
+
+    try:
+        video = read_avi(content)
+    except ValueError as exc:
+        raise NotImplementedError(
+            "non-AVI video containers require ffmpeg, not present in this "
+            "container; use fake=True for the deterministic featureizer"
+        ) from exc
+    if video.codec.upper() not in ("MPNG", "MJPG") or not video.frames:
+        raise NotImplementedError(
+            f"AVI codec {video.codec!r} is interframe-compressed; frame "
+            "decode requires ffmpeg (MPNG/MJPG are decodable in-container)"
+        )
+    return _decode_image(video.frames[len(video.frames) // 2])
 
 
 def _decode_fake(content: bytes, kind: str) -> np.ndarray:
@@ -336,24 +357,33 @@ def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> D
     surface exactly because the 1→N fan-out stays inside the Arrow batch:
     no explode of pre-materialized arrays, no shuffle; downstream stages
     see ordinary rows. The fake kernel derives each frame's bytes from
-    sha256(content || frame_idx); a real kernel (ffmpeg seek+decode) has
-    the same signature and schema."""
+    sha256(content || frame_idx). The REAL kernel (``fake=False``) parses
+    the AVI container (``avi_min``), maps each sampled timestamp to the
+    frame on screen via the stream's frame interval, and emits that
+    frame's actual bytes — with the MPNG codec those are real PNGs the
+    minimal image decoder turns into pixels; interframe codecs raise with
+    the ffmpeg pointer. Both kernels emit the same sampling grid
+    (duration // every_ms + 1 rows), so the cardinality law holds for
+    either."""
     spark = media.sparkSession
     ship_package_to_workers(spark)
-    if not fake:
-        _decode_real(b"", "video")
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from amazon_climate_data_etl_spark.sources.avi_min import read_avi
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, dur, c in zip(pdf["media_id"], pdf["duration_ms"], pdf["content"]):
                 content = bytes(c)
+                video = None if fake else read_avi(content)
                 for i in range(int(dur) // every_ms + 1):
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(i * every_ms)
                     frames.append(
                         hashlib.sha256(content + i.to_bytes(4, "little")).digest()
+                        if fake
+                        else video.frames[video.frame_at_ms(i * every_ms)]
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
@@ -415,7 +445,10 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization you'd do before fanning a decoded media scan out to
     multiple extractors on a cluster."""
     media = synthetic_media(spark, n=media_count_for(sf_dir)).persist()
-    frames = sample_frames(media).select(
+    # real sampler: the synthetic table's video rows are genuine MPNG AVIs
+    # since round 5, so the gated pipeline exercises the actual container
+    # parse + frame extraction, not the sha256 stand-in
+    frames = sample_frames(media, fake=False).select(
         F.lit("frames").alias("stage"),
         F.col("media_id"),
         F.length("frame").alias("n_bytes"),
@@ -445,7 +478,7 @@ ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 
 
 _MEDIA_KINDS = ("image", "audio", "video")
-_MEDIA_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+_MEDIA_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/x-msvideo"}
 
 
 def synthetic_media(
@@ -468,25 +501,43 @@ def synthetic_media(
             ids, kinds, mimes, widths, heights, durs, payloads = (
                 [], [], [], [], [], [], []
             )
+            from amazon_climate_data_etl_spark.sources.avi_min import write_avi
+
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.default_rng([seed, i])
                 kind = _MEDIA_KINDS[i % 3]
-                size = 256 + int(rng.integers(0, 1024))
-                payload = (
-                    rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-                    if i % 2
-                    else bytes([i % 256]) * size  # highly compressible half
-                )
+                # bounded duration (1-11 s): total frame fan-out stays LINEAR
+                # in the table size (an unbounded i*33 made it quadratic);
+                # i % 300 == i below 300, so small-sf fixtures are unchanged
+                dur = 1000 + (i % 300) * 33 if kind != "image" else None
+                if kind == "video":
+                    # a REAL (if tiny) MPNG AVI: 2 fps of 8x8 PNG frames,
+                    # so the real container-parse/frame-decode path runs
+                    # on this table, not only on bespoke test fixtures
+                    n_frames = max(1, int(dur) // 500)
+                    payload = write_avi(
+                        [
+                            png_encode_minimal(
+                                rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                            )
+                            for _ in range(n_frames)
+                        ],
+                        8, 8, us_per_frame=500_000,
+                    )
+                else:
+                    size = 256 + int(rng.integers(0, 1024))
+                    payload = (
+                        rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+                        if i % 2
+                        else bytes([i % 256]) * size  # highly compressible half
+                    )
                 ids.append(i)
                 kinds.append(kind)
                 mimes.append(_MEDIA_MIMES[kind])
                 widths.append(64 + i % 512 if kind == "image" else None)
                 heights.append(64 + (i * 7) % 512 if kind == "image" else None)
-                # bounded duration (1-11 s): total frame fan-out stays LINEAR
-                # in the table size (an unbounded i*33 made it quadratic);
-                # i % 300 == i below 300, so small-sf fixtures are unchanged
-                durs.append(1000 + (i % 300) * 33 if kind != "image" else None)
+                durs.append(dur)
                 payloads.append(payload)
             yield pd.DataFrame(
                 {
