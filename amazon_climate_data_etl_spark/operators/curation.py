@@ -777,7 +777,123 @@ ORDER BY stage
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction: the compliance pass every pretraining corpus
+# runs before tokenization
+# --------------------------------------------------------------------------
+
+# explicit ASCII classes only (no \d, \b, lookarounds) so Java regex and
+# DuckDB's RE2 agree byte-for-byte — the repo's portable-regex contract
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction accounting over a support-ticket corpus.
+
+    The documents fixture carries no PII, so the corpus is CONSTRUCTED
+    from the customer dimension: name, market segment, a TPC-H-format
+    phone synthesized deterministically from the keys (the testdata
+    customer table is trimmed), and a contact email derived from the
+    name — both engines build the identical text, then detect and redact
+    with the same portable regexes, so the oracle certifies detection
+    counts AND the redacted-byte accounting, not just plumbing.
+
+    Scale shape: one scan → map-only regex columns (whole-stage codegen,
+    no Python) → tiny segment-keyed agg → sort. At 100 TB the regex work
+    rides the scan; nothing shuffles but the 5-row aggregate. Counters are
+    integers end-to-end — no float portability surface at all."""
+    from amazon_climate_data_etl_spark.functions.text import ascii_lower
+
+    c = load_table(spark, sf_dir, "customer")
+
+    def part(mult: int, mod: int, width: int) -> F.Column:
+        return F.lpad(
+            (F.pmod(F.col("c_custkey") * mult, F.lit(mod))).cast("string"),
+            width, "0",
+        )
+
+    phone = F.concat(
+        (F.col("c_nationkey") + 10).cast("string"), F.lit("-"),
+        part(7, 1000, 3), F.lit("-"), part(13, 1000, 3), F.lit("-"),
+        part(31, 10000, 4),
+    )
+    email = F.concat(
+        ascii_lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ".")),
+        F.lit("@example.com"),
+    )
+    text = F.concat(
+        F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"),
+        F.lit(") reachable at "), phone, F.lit(" or "),
+        email, F.lit(" ref: "), F.col("c_nationkey").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE, "[PHONE]",
+    )
+    t = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.regexp_count(text, F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_PII_PHONE_RE)).alias("n_phones"),
+        (F.length(text) - F.length(redacted)).alias("chars_redacted"),
+    )
+    return (
+        t.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_emails") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("n_phones") > 0).cast("long")).alias("docs_with_phone"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum("chars_redacted").alias("total_chars_redacted"),
+        )
+        .orderBy("segment")
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH t AS (
+  SELECT c_mktsegment AS segment,
+         c_name || ' (' || c_mktsegment || ') reachable at '
+           || CAST(c_nationkey + 10 AS VARCHAR) || '-'
+           || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+           || ' or '
+           || translate(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'),
+                        'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                        'abcdefghijklmnopqrstuvwxyz')
+           || '@example.com ref: ' || CAST(c_nationkey AS VARCHAR) AS text
+  FROM customer
+),
+m AS (
+  SELECT segment,
+         len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS n_phones,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PII_PHONE_RE}', '[PHONE]', 'g')
+         ) AS chars_redacted
+  FROM t
+)
+SELECT segment,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(sum(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(chars_redacted) AS BIGINT) AS total_chars_redacted
+FROM m
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 QUERIES = {
+    "pii_redaction_stats": pii_redaction_stats,
     "contamination_overlap": contamination_overlap,
     "unigram_logprob_quality": unigram_logprob_quality,
     "bigram_logprob_quality": bigram_logprob_quality,
@@ -790,6 +906,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pii_redaction_stats": PII_REDACTION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "bigram_logprob_quality": BIGRAM_LOGPROB_SQL,

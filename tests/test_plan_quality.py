@@ -225,6 +225,8 @@ _PLAN_BOUNDS = {
     "window_ntile_quartiles": (2, 0),
     "window_rolling_avg": (2, 0),
     "window_top1_per_group": (2, 0),
+    # map-only regex detect/redact on the scan + tiny segment agg + sort
+    "pii_redaction_stats": (2, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
