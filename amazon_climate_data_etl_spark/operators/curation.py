@@ -778,6 +778,80 @@ ORDER BY stage
 
 
 # --------------------------------------------------------------------------
+# CCNet head/middle/tail quality buckets
+# --------------------------------------------------------------------------
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head/middle/tail thirds by quality score — the CCNet
+    bucketing step (Wenzek et al. 2020): each source's documents are
+    ranked by the composite quality heuristic and cut into three equal
+    buckets; downstream mixtures keep 'head', sample 'middle', drop
+    'tail'.
+
+    Bucketing is RANK-based, not value-threshold-based, so it is exactly
+    reproducible cross-engine: order by (quality desc, doc_id) — the
+    doc_id tie-break matters, score ties are common — and bucket =
+    3*(rank-1) // n_source. One window shuffle on the source key, one
+    tiny agg; at 100 TB the per-source rank is the same sort a
+    percentile-threshold pass would need, without a second pass to apply
+    the thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    from amazon_climate_data_etl_spark.functions.text import quality_score
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    scored = d.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    ).select(
+        "source", "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    # explicit floor: Spark's int cast truncates but DuckDB's ROUNDS, so a
+    # bare CAST(x/y AS INT) would diverge on the bucket boundaries
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.floor((F.col("rn") - 1) * 3 / F.col("n_src")).cast("int") + 1,
+    )
+    return (
+        scored.select("source", "q", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id, {quality_score_sql('text')} AS q
+  FROM documents
+),
+ranked AS (
+  SELECT source, q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT source,
+       (['head', 'middle', 'tail'])[CAST(floor((rn - 1) * 3 / n_src) AS INT) + 1]
+         AS bucket,
+       count(*) AS n_docs,
+       min(q) AS q_min,
+       max(q) AS q_max
+FROM ranked
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # PII detection / redaction: the compliance pass every pretraining corpus
 # runs before tokenization
 # --------------------------------------------------------------------------
@@ -893,6 +967,7 @@ ORDER BY segment
 
 
 QUERIES = {
+    "ccnet_quality_buckets": ccnet_quality_buckets,
     "pii_redaction_stats": pii_redaction_stats,
     "contamination_overlap": contamination_overlap,
     "unigram_logprob_quality": unigram_logprob_quality,
@@ -906,6 +981,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "pii_redaction_stats": PII_REDACTION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,

@@ -67,9 +67,12 @@ def _quiesce(spark, cooldown: float) -> None:
     channel — r4 saw a 1.8× phantom 'regression' from it), nudge the JVM
     to collect, and optionally cool down."""
     spark.catalog.clearCache()
+    # two GC passes with a breath between them: broadcast/shuffle cleanup
+    # is asynchronous, and a single System.gc() before the next query still
+    # left a 36% sweep-vs-isolated delta on broadcast-heavy ANN queries
     spark.sparkContext._jvm.System.gc()
-    if cooldown > 0:
-        time.sleep(cooldown)
+    time.sleep(max(cooldown, 0.15))
+    spark.sparkContext._jvm.System.gc()
 
 
 def _time_query(spark, fn, sf_dir: str, repeat: int) -> float:
@@ -133,7 +136,9 @@ def main() -> None:
     isolated: dict[str, dict[str, float]] = {}
     for name in sorted(timings, key=lambda k: -timings[k])[:n_isolated]:
         _quiesce(spark, max(cooldown, 0.5))
-        iso = _time_query(spark, queries[name], sf_dir, repeat)
+        # 2 reps (after the warm-up inside _time_query): enough to spot a
+        # 2x sweep artifact without doubling the harness wall-time
+        iso = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
         isolated[name] = {"sweep": timings[name], "isolated": iso}
 
     payload = {

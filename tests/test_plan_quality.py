@@ -227,6 +227,8 @@ _PLAN_BOUNDS = {
     "window_top1_per_group": (2, 0),
     # map-only regex detect/redact on the scan + tiny segment agg + sort
     "pii_redaction_stats": (2, 0),
+    # one source-keyed window (rank + per-source count) + bucket agg + sort
+    "ccnet_quality_buckets": (3, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
