@@ -672,7 +672,85 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring duplicate-span accounting (Lee et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting: how much of each document
+    is covered by token windows that also occur in OTHER documents — the
+    measurement half of exact-substring deduplication ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022, which
+    removes any 50-token span occurring twice; here the window is the
+    engine's 3-token shingle so the fixture corpus yields non-trivial
+    overlap, and the span REMOVAL is a trivial filter on these counts).
+
+    Shape: one tokenize→shingle pass (rebalanced scan) → (doc, shingle)
+    multiset counts in ONE map-side-combined agg, persisted; the
+    document-frequency table re-aggregates that frame and joins back ON
+    THE SHINGLE KEY (uniform, high-cardinality — the same candidate-keyed
+    discipline as the LSH family; the DF side is NOT broadcast because
+    the shingle universe grows with the corpus, unlike a vocabulary).
+    Integer counts end-to-end; the only float is the final rounded
+    fraction of exact integers, identical IEEE division in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = rebalance_for_compute(d).select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    ds = (
+        sh.groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs_with = ds.groupBy("s").agg(F.count(F.lit(1)).alias("docs_with"))
+    agg = (
+        ds.join(docs_with, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_windows"),
+            F.sum(
+                F.when(F.col("docs_with") > 1, F.col("n")).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        stable_round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+        ).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+DUP_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL.format(t="toks")}) AS s FROM t
+),
+ds AS (
+  SELECT doc_id, s, count(*) AS n FROM sh GROUP BY doc_id, s
+),
+freq AS (
+  SELECT s, count(*) AS docs_with FROM ds GROUP BY s
+)
+SELECT ds.doc_id,
+       CAST(sum(n) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN docs_with > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(CAST(sum(CASE WHEN docs_with > 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) AS dup_fraction
+FROM ds JOIN freq ON ds.s = freq.s
+GROUP BY ds.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "duplicate_span_stats": duplicate_span_stats,
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
     "neardup_keep_corpus": neardup_keep_corpus,
@@ -684,6 +762,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "duplicate_span_stats": DUP_SPAN_SQL,
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

@@ -664,7 +664,78 @@ LIMIT {_BM25_TOPK}
 """
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by corpus slice: BPE-ish tokens per whitespace
+    word — the standard measure of how well a subword tokenizer fits a
+    text distribution (≈1 on plain prose, spikes on punctuation-dense /
+    structured text the vocabulary underserves; used to budget per-slice
+    token counts when planning multilingual + code/JSON mixtures).
+
+    Two slices prove the measure both ways: natural-language documents
+    per language (fertility 1.0 on this corpus's clean prose) and the
+    events table's JSON ``props`` per event type (every brace/quote/colon
+    splits, fertility ≫ 1 — exactly the code-like text that blows up
+    token budgets in practice).
+
+    Pure map-side counting on both scans (the token counts are codegen
+    regex expressions) + one tiny slice-keyed agg over the union; the
+    ratio rounds through the decimal-stable path over exact integer
+    sums."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("docs:"), F.col("lang")).alias("slice"),
+        F.col("text"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("json:"), F.col("event_type")).alias("slice"),
+        F.col("props").alias("text"),
+    )
+    fert = F.when(
+        F.col("ws_tokens") > 0,
+        stable_round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ),
+    )
+    return (
+        d.unionByName(e)
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+            F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+        )
+        .select("slice", "n_docs", "bpe_tokens", "ws_tokens",
+                fert.alias("fertility"))
+        .orderBy("slice")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH u AS (
+  SELECT 'docs:' || lang AS slice, text FROM documents
+  UNION ALL
+  SELECT 'json:' || event_type AS slice, props AS text FROM events
+),
+c AS (
+  SELECT slice,
+         {bpe_token_count_sql('text')} AS bpe,
+         {token_count_sql('text')} AS ws
+  FROM u
+)
+SELECT slice,
+       count(*) AS n_docs,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CASE WHEN sum(ws) > 0 THEN
+         round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+       END AS fertility
+FROM c
+GROUP BY slice
+ORDER BY slice
+"""
+
+
 QUERIES = {
+    "tokenizer_fertility": tokenizer_fertility,
     "doc_repetition_scores": doc_repetition_scores,
     "vocab_coverage": vocab_coverage,
     "bm25_search": bm25_search,
@@ -682,6 +753,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "bm25_search": BM25_SQL,

@@ -229,6 +229,13 @@ _PLAN_BOUNDS = {
     "pii_redaction_stats": (2, 0),
     # one source-keyed window (rank + per-source count) + bucket agg + sort
     "ccnet_quality_buckets": (3, 0),
+    # ONE persisted (doc,shingle) agg; the shingle-DF side re-aggregates
+    # the cache (textual reprint per consumer) and joins back on the
+    # shingle key + doc agg + sort (AQE broadcasts freq at fixture scale
+    # only — min stays 0, the shingle universe grows with the corpus)
+    "duplicate_span_stats": (8, 0),
+    # two map-side-counted scans unioned + tiny slice agg + sort
+    "tokenizer_fertility": (2, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
