@@ -17,7 +17,9 @@ Supported surface (deliberately the subset climate grids use):
   short/int/float/double, any rank;
 - ``scale_factor`` / ``add_offset`` packing and ``_FillValue`` → NaN;
 - per-variable string attributes (``units`` etc.);
-- CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets).
+- CDF-1 (32-bit offsets), CDF-2 (64-bit offsets), and CDF-5 ("64-bit
+  data": 64-bit counts everywhere + the unsigned/int64 value types —
+  what genuinely large classic files use).
 
 The writer emits the same subset (CDF-1, fixed dims) and exists so tests
 and fixtures can generate REAL NetCDF bytes without any library.
@@ -32,6 +34,7 @@ import numpy as np
 
 _MAGIC1 = b"CDF\x01"
 _MAGIC2 = b"CDF\x02"
+_MAGIC5 = b"CDF\x05"
 
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -45,8 +48,17 @@ _TYPES = {
     4: (">i4", 4),  # NC_INT
     5: (">f4", 4),  # NC_FLOAT
     6: (">f8", 8),  # NC_DOUBLE
+    # CDF-5 ("64-bit data") additions
+    7: (">u1", 1),   # NC_UBYTE
+    8: (">u2", 2),   # NC_USHORT
+    9: (">u4", 4),   # NC_UINT
+    10: (">i8", 8),  # NC_INT64
+    11: (">u8", 8),  # NC_UINT64
 }
-_DTYPE_TO_NC = {"int16": 3, "int32": 4, "float32": 5, "float64": 6}
+_DTYPE_TO_NC = {
+    "int16": 3, "int32": 4, "float32": 5, "float64": 6,
+    "uint8": 7, "uint16": 8, "uint32": 9, "int64": 10, "uint64": 11,
+}
 
 
 @dataclass
@@ -86,9 +98,12 @@ def apply_cf_packing(data: np.ndarray, attrs: dict) -> np.ndarray:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, nn_width: int = 4):
         self.buf = buf
         self.pos = 0
+        # NON_NEG width: 4 bytes in CDF-1/2, 8 in CDF-5 ("64-bit data"),
+        # per the classic-format BNF (every count/length is NON_NEG)
+        self.nn_width = nn_width
 
     def u32(self) -> int:
         v = struct.unpack_from(">I", self.buf, self.pos)[0]
@@ -100,15 +115,18 @@ class _Reader:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        return self.u64() if self.nn_width == 8 else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.buf[self.pos : self.pos + n].decode("utf-8")
         self.pos += n + _pad4(n)
         return s
 
     def values(self):
         nc_type = self.u32()
-        n = self.u32()
+        n = self.nn()
         if nc_type == 2:  # char attr -> python str
             raw = self.buf[self.pos : self.pos + n]
             self.pos += n + _pad4(n)
@@ -120,7 +138,7 @@ class _Reader:
 
     def att_list(self) -> dict:
         tag = self.u32()
-        count = self.u32()
+        count = self.nn()
         if tag == 0 and count == 0:
             return {}
         assert tag == _NC_ATTRIBUTE, f"bad attribute tag {tag}"
@@ -136,10 +154,14 @@ def read_classic(content: bytes) -> NcFile:
     CDF-1/CDF-2 are decoded here; NetCDF-4 (an HDF5 container,
     ``\\x89HDF...`` magic) is decoded by the minimal HDF5 reader
     (``netcdf4_min.py``) into the same NcFile model."""
+    nn_width = 4
     if content[:4] == _MAGIC1:
         offset64 = False
     elif content[:4] == _MAGIC2:
         offset64 = True
+    elif content[:4] == _MAGIC5:
+        offset64 = True
+        nn_width = 8
     elif content[:4] == b"\x89HDF":
         from amazon_climate_data_etl_spark.sources.netcdf4_min import read_netcdf4
 
@@ -149,33 +171,33 @@ def read_classic(content: bytes) -> NcFile:
             "not a NetCDF file (classic CDF-1/CDF-2 or NetCDF-4/HDF5 magic "
             "expected)"
         )
-    r = _Reader(content)
+    r = _Reader(content, nn_width)
     r.pos = 4
-    numrecs = r.u32()
+    numrecs = r.nn()
     # dimensions
-    tag, count = r.u32(), r.u32()
+    tag, count = r.u32(), r.nn()
     dims: list[tuple[str, int]] = []
     if count:
         assert tag == _NC_DIMENSION, f"bad dimension tag {tag}"
         for _ in range(count):
             nm = r.name()
-            dims.append((nm, r.u32()))
+            dims.append((nm, r.nn()))
     r.att_list()  # global attributes (parsed, unused)
     # variables: first pass parses headers; record variables (leading
     # unlimited dim, stored length 0) are materialized afterwards because
     # their data is interleaved per record and the record stride depends on
     # ALL record variables
-    tag, count = r.u32(), r.u32()
+    tag, count = r.u32(), r.nn()
     headers = []
     if count:
         assert tag == _NC_VARIABLE, f"bad variable tag {tag}"
         for _ in range(count):
             nm = r.name()
-            ndims = r.u32()
-            dimids = [r.u32() for _ in range(ndims)]
+            ndims = r.nn()
+            dimids = [r.nn() for _ in range(ndims)]
             attrs = r.att_list()
             nc_type = r.u32()
-            r.u32()  # vsize (padded byte count; recomputed below)
+            r.nn()  # vsize (padded byte count; recomputed below)
             begin = r.u64() if offset64 else r.u32()
             var_dims = tuple(dims[i][0] for i in dimids)
             shape = tuple(dims[i][1] for i in dimids)
@@ -221,30 +243,36 @@ def read_classic(content: bytes) -> NcFile:
 
 
 class _Writer:
-    def __init__(self):
+    def __init__(self, nn_width: int = 4):
         self.parts: list[bytes] = []
+        self.nn_width = nn_width  # see _Reader: 4 in CDF-1/2, 8 in CDF-5
 
     def u32(self, v: int) -> None:
         self.parts.append(struct.pack(">I", v))
 
+    def nn(self, v: int) -> None:
+        self.parts.append(
+            struct.pack(">Q" if self.nn_width == 8 else ">I", v)
+        )
+
     def name(self, s: str) -> None:
         b = s.encode("utf-8")
-        self.u32(len(b))
+        self.nn(len(b))
         self.parts.append(b + b"\x00" * _pad4(len(b)))
 
     def att_list(self, attrs: dict) -> None:
         if not attrs:
             self.u32(0)
-            self.u32(0)
+            self.nn(0)
             return
         self.u32(_NC_ATTRIBUTE)
-        self.u32(len(attrs))
+        self.nn(len(attrs))
         for k, v in attrs.items():
             self.name(k)
             if isinstance(v, str):
                 b = v.encode("utf-8")
                 self.u32(2)
-                self.u32(len(b))
+                self.nn(len(b))
                 self.parts.append(b + b"\x00" * _pad4(len(b)))
             else:
                 arr = np.asarray(v)
@@ -252,20 +280,27 @@ class _Writer:
                 dt, size = _TYPES[nc_type]
                 flat = np.atleast_1d(arr).astype(dt)
                 self.u32(nc_type)
-                self.u32(flat.size)
+                self.nn(flat.size)
                 raw = flat.tobytes()
                 self.parts.append(raw + b"\x00" * _pad4(len(raw)))
 
 
 def write_classic(
-    nc: NcFile, offset64: bool = False, record_dim: str | None = None
+    nc: NcFile,
+    offset64: bool = False,
+    record_dim: str | None = None,
+    cdf5: bool = False,
 ) -> bytes:
     """Serialize dims + variables to CDF-1 bytes (CDF-2 with
-    ``offset64=True``; inverse of ``read_classic`` on the supported
-    subset). With ``record_dim`` set, variables whose LEADING dim is that
-    name are laid out as record variables (the unlimited-dimension
-    interleaved layout real daily climate files use); the dim itself is
-    stored with length 0 and the record count goes in numrecs."""
+    ``offset64=True``, CDF-5 with ``cdf5=True`` — 64-bit counts plus the
+    unsigned/64-bit value types, the variant multi-GB classic files use;
+    inverse of ``read_classic`` on the supported subset). With
+    ``record_dim`` set, variables whose LEADING dim is that name are laid
+    out as record variables (the unlimited-dimension interleaved layout
+    real daily climate files use); the dim itself is stored with length 0
+    and the record count goes in numrecs."""
+    if cdf5:
+        offset64 = True
     vars_ = list(nc.variables.values())
     is_rec = [record_dim is not None and v.dims[:1] == (record_dim,) for v in vars_]
     numrecs = 0
@@ -276,15 +311,16 @@ def write_classic(
     if n_rec_vars == 0:
         record_dim = None  # unused unlimited dim: write it as fixed
 
-    w = _Writer()
-    w.parts.append(_MAGIC2 if offset64 else _MAGIC1)
-    w.u32(numrecs)
+    nn_width = 8 if cdf5 else 4
+    w = _Writer(nn_width)
+    w.parts.append(_MAGIC5 if cdf5 else (_MAGIC2 if offset64 else _MAGIC1))
+    w.nn(numrecs)
     dim_names = list(nc.dims)
     w.u32(_NC_DIMENSION)
-    w.u32(len(dim_names))
+    w.nn(len(dim_names))
     for nm in dim_names:
         w.name(nm)
-        w.u32(0 if nm == record_dim else nc.dims[nm])
+        w.nn(0 if nm == record_dim else nc.dims[nm])
     w.att_list({})  # global attrs
 
     # payloads: fixed vars keep their full (padded) buffer; record vars
@@ -307,17 +343,17 @@ def write_classic(
                              raw + b"\x00" * _pad4(len(raw))))
 
     def var_list(offsets: list[int]) -> bytes:
-        vw = _Writer()
+        vw = _Writer(nn_width)
         vw.u32(_NC_VARIABLE)
-        vw.u32(len(vars_))
+        vw.nn(len(vars_))
         for v, (nc_type, vsize, _), begin in zip(vars_, payloads, offsets):
             vw.name(v.name)
-            vw.u32(len(v.dims))
+            vw.nn(len(v.dims))
             for d in v.dims:
-                vw.u32(dim_names.index(d))
+                vw.nn(dim_names.index(d))
             vw.att_list(v.attrs)
             vw.u32(nc_type)
-            vw.u32(vsize)
+            vw.nn(vsize)
             if offset64:
                 vw.parts.append(struct.pack(">Q", begin))
             else:

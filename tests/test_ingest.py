@@ -445,3 +445,45 @@ def test_nonstandard_cf_calendar_rejected(tmp_path):
     for ok in (None, "standard", "gregorian", "proleptic_gregorian"):
         out = decode_classic_long(fixture(ok), "Tmax")
         assert len(out) == 8
+
+
+def test_cdf5_roundtrip_and_ingest(tmp_path):
+    """CDF-5 ("64-bit data") variant: 64-bit counts and the unsigned/
+    int64 value types roundtrip, and decode_classic_long handles a CDF-5
+    grid identically to CDF-1/2 (the variant multi-GB classic files use)."""
+    import numpy as np
+
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile, NcVar, read_classic, write_classic,
+    )
+
+    big = (np.arange(6, dtype=np.int64).reshape(2, 3)) * 10_000_000_000
+    nc = NcFile(
+        dims={"y": 2, "x": 3},
+        variables={
+            "big": NcVar("big", ("y", "x"), big, {"units": "count"}),
+            "u": NcVar("u", ("y", "x"), np.arange(6, dtype=np.uint32).reshape(2, 3)),
+        },
+    )
+    buf = write_classic(nc, cdf5=True)
+    assert buf[:4] == b"CDF\x05"
+    back = read_classic(buf)
+    assert np.array_equal(back.variables["big"].data, big)
+    assert back.variables["big"].attrs["units"] == "count"
+
+    # full grid decode through the shared path
+    grid = NcFile(
+        dims={"time": 2, "lat": 2, "lon": 2},
+        variables={
+            "time": NcVar("time", ("time",), np.array([0.0, 1.0]),
+                          {"units": "days since 2001-01-01"}),
+            "lat": NcVar("lat", ("lat",), np.array([1.0, 2.0])),
+            "lon": NcVar("lon", ("lon",), np.array([3.0, 4.0])),
+            "Tmax": NcVar("Tmax", ("time", "lat", "lon"),
+                          np.arange(8, dtype=np.float64).reshape(2, 2, 2)),
+        },
+    )
+    long = decode_classic_long(write_classic(grid, cdf5=True), "Tmax")
+    assert len(long) == 8
+    assert long["value"].tolist() == list(range(8))
