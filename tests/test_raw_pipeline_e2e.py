@@ -1,16 +1,22 @@
 """The WHOLE reference pipeline from RAW inputs, dependency-free:
 
-    7 classic-NetCDF variable files (real bytes, descending latitude,
+    7 NetCDF variable files (real bytes, descending latitude,
     longitude/latitude dim names, CF time units)
-      → distributed ingest (binaryFile → netcdf_classic decode → parquet)
+      → distributed ingest (binaryFile → decode → parquet)
       → long→wide pivot (J2)
       → real shapefile (.shp/.dbf) → shoelace-centroid dimension (S2)
       → grid-snap broadcast enrich + VPD (J-NN/F1)
       → annual aggregation (A1/F3)
 
-checked against an independent pandas recomputation. This is the
-reference's actual end-to-end data path (process_climate_amazon_annual.py)
-executed from file formats to output with zero optional libraries.
+checked against an independent pandas recomputation, in BOTH input
+flavors the reference stack accepts:
+
+- ``classic``: CDF-1 files + a geographic-CRS shapefile;
+- ``netcdf4_utm``: NetCDF-4/HDF5 files (chunked, shuffled+deflated)
+  + a PROJECTED (SIRGAS 2000 / UTM 20S) shapefile that the minimal CRS
+  path inverse-projects — the round-5 ingest-boundary closures proven
+  on the reference's actual end-to-end data path
+  (process_climate_amazon_annual.py), zero optional libraries.
 """
 
 from __future__ import annotations
@@ -30,10 +36,24 @@ from amazon_climate_data_etl_spark.sources.ingest import (
     municipalities_from_shapefile,
     pivot_grid_wide,
 )
+from amazon_climate_data_etl_spark.sources.crs_min import (
+    forward_from_lonlat,
+    parse_projected_prj,
+)
+from amazon_climate_data_etl_spark.sources.netcdf4_min import write_netcdf4
 from amazon_climate_data_etl_spark.sources.netcdf_classic import (
     NcFile,
     NcVar,
     write_classic,
+)
+
+UTM20S_WKT = (
+    'PROJCS["SIRGAS 2000 / UTM zone 20S",GEOGCS["SIRGAS 2000",DATUM["D",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-63],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",10000000],UNIT["metre",1]]'
 )
 from amazon_climate_data_etl_spark.sources.shapefile_min import (
     SHP_POLYGON,
@@ -53,7 +73,7 @@ def _value(v, t, la, lo):
     return _BASE[v] + t * 1.0 + la * 0.5 + lo * 0.25
 
 
-def _write_raw_inputs(tmp_path):
+def _write_raw_inputs(tmp_path, flavor="classic"):
     raw = tmp_path / "raw"
     raw.mkdir()
     for v in VARS:
@@ -75,7 +95,11 @@ def _write_raw_inputs(tmp_path):
                 v: NcVar(v, ("time", "latitude", "longitude"), cube),
             },
         )
-        (raw / f"{v}.nc").write_bytes(write_classic(nc))
+        (raw / f"{v}.nc").write_bytes(
+            write_classic(nc)
+            if flavor == "classic"
+            else write_netcdf4(nc, layout="chunked", compress=True, shuffle=True)
+        )
 
     # two municipalities whose polygon centroids snap to grid cells
     def square(cx, cy, r=0.05):
@@ -85,10 +109,15 @@ def _write_raw_inputs(tmp_path):
         )
 
     # centroid (-64.97, 4.93) snaps to (-65.0, 5.0); (-64.72, 4.57) to (-64.75, 4.5)
-    shapes = [
-        Shape(SHP_POLYGON, square(-64.97, 4.93)),
-        Shape(SHP_POLYGON, square(-64.72, 4.57)),
-    ]
+    rings = [square(-64.97, 4.93), square(-64.72, 4.57)]
+    if flavor != "classic":
+        crs = parse_projected_prj(UTM20S_WKT)
+        rings = [
+            np.column_stack(forward_from_lonlat(r[:, 0], r[:, 1], crs))
+            for r in rings
+        ]
+        (tmp_path / "mun.prj").write_text(UTM20S_WKT)
+    shapes = [Shape(SHP_POLYGON, r) for r in rings]
     attrs = pd.DataFrame(
         {
             "CD_MUN": ["1100015", "1300029"],
@@ -116,8 +145,12 @@ def _expected_annual(cd_mun, nm_mun, uf, la_idx, lo_idx):
     return out
 
 
-def test_reference_pipeline_from_raw_inputs(spark, tmp_path):
-    raw_dir, shp_path = _write_raw_inputs(tmp_path)
+import pytest
+
+
+@pytest.mark.parametrize("flavor", ["classic", "netcdf4_utm"])
+def test_reference_pipeline_from_raw_inputs(spark, tmp_path, flavor):
+    raw_dir, shp_path = _write_raw_inputs(tmp_path, flavor)
 
     # S1: one distributed ingest job per variable file
     for v in VARS:
