@@ -303,3 +303,37 @@ def climate_stream_daily(
             "sum_value",
         )
     )
+
+
+DOCS_DDL = "doc_id long, ts timestamp, text string"
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of the batch ``incremental_dedup`` delta shape: a
+    stream of newly crawled documents is deduplicated against the
+    existing corpus AND against itself, emitting only first-seen novel
+    documents.
+
+    Plan: content fingerprint (normalized-text md5, the same expression
+    the batch dedup family uses) → stream-static LEFT ANTI join against
+    the corpus fingerprint index (static side; at scale a parquet/Delta
+    fp table — the stream carries no join state because the static side
+    is re-read per micro-batch) → ``dropDuplicatesWithinWatermark`` on
+    the fingerprint for stream-internal dups, whose state the watermark
+    bounds to the late-data horizon. Work per micro-batch is ∝ |delta|,
+    never |corpus| — the same scaling contract as the batch twin, with
+    state bounded by fp cardinality inside one watermark window."""
+    from amazon_climate_data_etl_spark.functions.text import doc_fingerprint
+
+    fp_index = corpus.select(doc_fingerprint(F.col("text")).alias("fp")).distinct()
+    return (
+        new_docs.withColumn("fp", doc_fingerprint(F.col("text")))
+        .withWatermark("ts", watermark)
+        .join(fp_index, "fp", "left_anti")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "ts", "fp")
+    )

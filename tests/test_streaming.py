@@ -351,3 +351,56 @@ def test_climate_stream_daily_equals_batch(spark, tmp_path):
     assert got["sum_value"].tolist() == want["sum_value"].tolist()
     assert got["n_cells"].tolist() == want["n_cells"].tolist()
     assert got["CD_MUN"].tolist() == want["CD_MUN"].tolist()
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """The daily-crawl delta as a stream: novel-vs-corpus filtering plus
+    stream-internal first-seen dedup must emit exactly the batch answer
+    (set of novel fingerprints, one row each)."""
+    import pandas as pd
+
+    from amazon_climate_data_etl_spark.functions.text import doc_fingerprint
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        DOCS_DDL,
+        incremental_dedup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]})
+    )
+    # the delta: one corpus dup, one novel repeated twice (differing only
+    # in whitespace — the normalized fingerprint must still collapse it),
+    # one unique novel
+    rows = [
+        {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": "alpha beta"},
+        {"doc_id": 11, "ts": "2024-01-01T00:01:00", "text": "epsilon zeta"},
+        {"doc_id": 12, "ts": "2024-01-01T00:02:00", "text": "epsilon  zeta"},
+        {"doc_id": 13, "ts": "2024-01-01T00:03:00", "text": "eta theta"},
+    ]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    with open(d / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(DOCS_DDL).json(str(d))
+    )
+    run_to_memory_sink(
+        incremental_dedup_stream(stream, corpus), "inc_dedup_sink"
+    )
+    got = spark.table("inc_dedup_sink").toPandas()
+
+    # batch twin: novel fingerprints, one survivor each
+    delta = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "fp", doc_fingerprint(F.col("text"))
+    )
+    fp_index = corpus.select(doc_fingerprint(F.col("text")).alias("fp")).distinct()
+    batch_fps = set(
+        r["fp"]
+        for r in delta.join(fp_index, "fp", "left_anti")
+        .select("fp").distinct().collect()
+    )
+    assert set(got["fp"]) == batch_fps
+    assert len(got) == len(batch_fps) == 2  # one per novel fingerprint
+    # the first-seen doc wins the in-stream race
+    assert set(got["doc_id"]) == {11, 13}
