@@ -193,3 +193,47 @@ def test_inverse_dispatch_matches_projection():
         x, y = forward_from_lonlat(lon, lat, crs)
         lon2, lat2 = inverse_to_lonlat(x, y, crs)
         assert abs(lon2[0] - lon[0]) < 1e-7 and abs(lat2[0] - lat[0]) < 1e-7
+
+
+def test_crs_roundtrip_property():
+    """Hypothesis fuzz over projection parameters AND points: random UTM-
+    like TM setups (any central meridian, hemisphere offsets, scale) and
+    polyconic charts must roundtrip forward∘inverse to ~1e-7 degrees
+    within their zone of use."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.sources.crs_min import ProjectedCRS
+
+    @st.composite
+    def cases(draw):
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        proj = draw(st.sampled_from(["transverse_mercator", "polyconic"]))
+        cm = draw(st.integers(-177, 177))
+        params = {
+            "central_meridian": float(cm),
+            "latitude_of_origin": 0.0,
+            "false_easting": float(draw(st.sampled_from([0, 500000, 5000000]))),
+            "false_northing": float(draw(st.sampled_from([0, 10000000]))),
+        }
+        if proj == "transverse_mercator":
+            params["scale_factor"] = draw(st.sampled_from([0.9996, 1.0]))
+        crs = ProjectedCRS(proj, 6378137.0, 298.257222101, params)
+        n = draw(st.integers(1, 50))
+        # stay in the projection's zone of use: ±3° of the CM for TM
+        # (a UTM zone), wider for polyconic
+        half_width = 3.0 if proj == "transverse_mercator" else 15.0
+        lons = rng.uniform(cm - half_width, cm + half_width, n)
+        lats = rng.uniform(-60.0, 60.0, n)
+        return crs, lons, lats
+
+    @given(case=cases())
+    @settings(max_examples=40, deadline=None)
+    def check(case):
+        crs, lons, lats = case
+        x, y = forward_from_lonlat(lons, lats, crs)
+        lon2, lat2 = inverse_to_lonlat(x, y, crs)
+        assert np.abs(lon2 - lons).max() < 1e-7
+        assert np.abs(lat2 - lats).max() < 1e-7
+
+    check()

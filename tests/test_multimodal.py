@@ -314,3 +314,41 @@ def test_media_frame_pipeline_runs_real(spark):
     stages = {r["stage"]: r for r in rows}
     assert set(stages) == {"frames", "resize"}
     assert stages["frames"]["n_rows"] > stages["frames"]["n_items"]
+
+
+def test_avi_roundtrip_property():
+    """Hypothesis fuzz (codec pattern): random frame counts, sizes
+    (odd/even payloads exercise RIFF padding), codecs and frame rates
+    roundtrip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.sources.avi_min import read_avi, write_avi
+
+    @st.composite
+    def cases(draw):
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        n = draw(st.integers(1, 12))
+        frames = [
+            bytes(rng.integers(0, 256, draw(st.integers(1, 200)), dtype=np.uint8))
+            for _ in range(n)
+        ]
+        return (
+            frames,
+            draw(st.integers(1, 640)),          # width
+            draw(st.integers(1, 480)),          # height
+            draw(st.sampled_from([33_333, 250_000, 500_000, 1_000_000])),
+            draw(st.sampled_from(["MPNG", "MJPG"])),
+        )
+
+    @given(case=cases())
+    @settings(max_examples=40, deadline=None)
+    def check(case):
+        frames, w, h, uspf, codec = case
+        v = read_avi(write_avi(frames, w, h, us_per_frame=uspf, codec=codec))
+        assert (v.codec, v.width, v.height, v.us_per_frame) == (codec, w, h, uspf)
+        assert v.frames == frames
+        assert v.frame_at_ms(0) == 0
+        assert v.frame_at_ms(10**9) == len(frames) - 1
+
+    check()
