@@ -1196,6 +1196,255 @@ ORDER BY cntrycode
 """
 
 
+
+
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority checking: orders from one quarter
+    that had at least one LATE shipment (the testdata carries no
+    commit/receipt dates, so "late" is l_shipdate more than 60 days after
+    the order date — the same EXISTS semantics on available columns),
+    counted per priority.
+
+    Shape: the Q4 classic — a LEFT SEMI join (EXISTS, no fan-out however
+    many lineitems match) on the orderkey with the extra non-equi late
+    predicate, then a tiny priority-keyed agg. The date filter reaches
+    the orders scan; at 100 TB the semi-join shuffles on the uniform
+    orderkey and the agg output is 5 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: how many customers placed
+    how many (non-urgent) orders — including the zero-order customers the
+    LEFT OUTER join exists to keep (the original excludes special-request
+    comments; the testdata carries no o_comment, so urgent orders stand
+    in as the exclusion).
+
+    Shape: left outer join on custkey (uniform key), count per customer,
+    then the tiny distribution agg. The first agg is the only real
+    shuffle; the second runs on |distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: revenue per supplier over one
+    quarter, return the supplier(s) achieving the maximum (the view +
+    scalar-subquery shape). Revenue aggregates through exact decimals, so
+    the max-equality selection is bit-deterministic cross-engine — the
+    trap in Q15 is float ties, and the decimal path removes it.
+
+    Shape: one suppkey agg (map-side combined), a 1-row max broadcast
+    back, and a broadcast supplier-dim join for the name."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            stable_round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue: for one brand,
+    revenue lost if orders below 20% of the part's average quantity were
+    not taken. The correlated scalar subquery (per-part avg) becomes a
+    partkey-keyed aggregate joined back to the fact.
+
+    Portability note: the 20%-of-average threshold is evaluated as
+    ``qty * cnt * 5 < sum_qty`` over exact decimals — algebraically
+    identical, but free of the float-division near-ties that flip row
+    membership between engines. Shape: the brand-filtered part dim
+    broadcasts into the fact; the per-part avg shuffles on the uniform
+    partkey; one global sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    fact = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = fact.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = fact.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("pk")
+    ).filter(qty * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+    avg_yearly = F.col("total_price").cast("double") / F.lit(7.0)
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+    ).select(
+        "n_small_items",
+        stable_round(avg_yearly, 2).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+WITH fact AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+),
+per_part AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM fact GROUP BY l_partkey
+),
+small AS (
+  SELECT l_extendedprice
+  FROM fact JOIN per_part ON l_partkey = pk
+  WHERE CAST(l_quantity AS DECIMAL(12,2)) * cnt * 5 < sum_qty
+)
+SELECT count(*) AS n_small_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM small
+"""
+
+
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped blocking-supplier analysis: in multi-supplier
+    orders, which suppliers shipped LAST (held the order open)? The
+    original's EXISTS/NOT-EXISTS pair over receipt dates becomes, on the
+    available columns: per order, the distinct-supplier count and the max
+    ship date; suppliers whose line hit that max in a ≥2-supplier order
+    get a blocking mark; top 20 by count.
+
+    Shape: one orderkey agg (distinct-supplier count via two-phase
+    count-distinct + max), joined back to the fact on the uniform
+    orderkey, per-supplier count, broadcast supplier-dim join, TakeOrdered
+    top-k. Timestamp equality is exact — no float surface anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    blocking = (
+        li.join(F.broadcast(per_order), F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blocking.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey AS ok,
+         count(DISTINCT l_suppkey) AS n_supp,
+         max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+blocking AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN per_order ON l_orderkey = ok
+  WHERE n_supp >= 2 AND l_shipdate = max_ship
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blocking JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -1228,6 +1477,11 @@ QUERIES = {
     "window_ntile_quartiles": window_ntile_quartiles,
     "gap_fill_daily_revenue": gap_fill_daily_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_blocking_supplier": q21_blocking_supplier,
     "q22_lapsed_balances": q22_lapsed_balances,
 }
 
@@ -1262,5 +1516,10 @@ ORACLE = {
     "window_ntile_quartiles": WINDOW_NTILE_SQL,
     "gap_fill_daily_revenue": GAP_FILL_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q4_priority_late_ship": Q4_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q21_blocking_supplier": Q21_SQL,
     "q22_lapsed_balances": Q22_SQL,
 }

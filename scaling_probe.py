@@ -45,6 +45,7 @@ QUERIES = (
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "neardup_keep_corpus",
+    "duplicate_span_stats",
     "ann_lsh_topk",
     "ann_ivf_topk",
 )

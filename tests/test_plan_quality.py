@@ -236,6 +236,19 @@ _PLAN_BOUNDS = {
     "duplicate_span_stats": (8, 0),
     # two map-side-counted scans unioned + tiny slice agg + sort
     "tokenizer_fertility": (2, 0),
+    # date-filtered orders broadcast into the semi-join + priority agg
+    # + sort (at scale the semi-join shuffles on orderkey; bound holds)
+    "q4_priority_late_ship": (3, 1),
+    # custkey left-join + per-customer agg + distribution agg + sort
+    "q13_order_count_distribution": (4, 1),
+    # suppkey agg (+its 1-row max reprint) + scalar broadcast + dim join
+    "q15_top_supplier": (6, 2),
+    # brand dim broadcast into the fact; per-part agg broadcast back;
+    # single-row global agg
+    "q17_small_quantity_revenue": (5, 3),
+    # orderkey agg joined back to the fact + (order,supp) distinct +
+    # supplier agg + dim broadcast + TakeOrdered
+    "q21_blocking_supplier": (6, 2),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
