@@ -16,7 +16,7 @@ Env knobs (driver contract):
     BENCH_COOLDOWN      seconds to sleep between queries after the cache
                         clear + GC (default 0)
     BENCH_ISOLATED      how many of the slowest queries to re-measure after
-                        the sweep under quiesced conditions (default 10 for
+                        the sweep under quiesced conditions (default 5 for
                         full runs, 0 for BENCH_QUERIES subsets); the payload
                         records sweep-vs-isolated per query, so cross-query
                         interference is quantified instead of misread as a
@@ -131,7 +131,7 @@ def main() -> None:
     # recording both numbers per round makes interference visible instead
     # of masquerading as a plan regression
     n_isolated = int(
-        os.environ.get("BENCH_ISOLATED", "0" if subset else "10")
+        os.environ.get("BENCH_ISOLATED", "0" if subset else "5")
     )
     isolated: dict[str, dict[str, float]] = {}
     for name in sorted(timings, key=lambda k: -timings[k])[:n_isolated]:
