@@ -340,6 +340,96 @@ def resize_images(
     )
 
 
+def wav_encode_minimal(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1, 1] → 16-bit PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav_with_rate(content: bytes) -> tuple[np.ndarray, int]:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        rate = w.getframerate()
+    return _decode_wav(content), rate
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("in_hz", T.IntegerType()),
+        T.StructField("out_hz", T.IntegerType()),
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("resampled", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame, target_hz: int = 8000, fake: bool = True
+) -> DataFrame:
+    """Audio resample stage: audio rows only, payload replaced by the
+    target-rate re-encoding — the audio twin of resize_images, same
+    plumbing rules (Arrow-batched mapInPandas, map-only, kind-filter
+    prunes non-audio BEFORE Python). The REAL kernel decodes WAV via the
+    stdlib, linearly interpolates onto the target-rate sample grid, and
+    re-encodes 16-bit PCM WAV — fully dependency-free. The fake kernel
+    emits a deterministic content-hash payload with the same schema."""
+    spark = media.sparkSession
+    ship_package_to_workers(spark)
+
+    def _resample_real(content: bytes):
+        samples, rate = _decode_wav_with_rate(content)
+        n_out = max(1, int(round(len(samples) * target_hz / rate)))
+        t_in = np.arange(len(samples)) / rate
+        t_out = np.arange(n_out) / target_hz
+        out = np.interp(t_out, t_in, samples)
+        return rate, len(samples), n_out, wav_encode_minimal(out, target_hz)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            in_hz, n_in, n_out, payloads = [], [], [], []
+            for c in pdf["content"]:
+                if fake:
+                    h = hashlib.sha256(bytes(c)).digest()
+                    in_hz.append(16000)
+                    n_in.append(len(bytes(c)))
+                    n_out.append(len(h))
+                    payloads.append(h)
+                else:
+                    r, ni, no, raw = _resample_real(bytes(c))
+                    in_hz.append(r)
+                    n_in.append(ni)
+                    n_out.append(no)
+                    payloads.append(raw)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_hz": in_hz,
+                    "out_hz": target_hz,
+                    "n_in": n_in,
+                    "n_out": n_out,
+                    "resampled": payloads,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        worker, schema=RESAMPLED_AUDIO_SCHEMA
+    )
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -103,6 +103,34 @@ def compact_parquet(
     return n_files
 
 
+def upsert_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("year",)
+) -> None:
+    """Idempotent partition-level upsert: rewrite ONLY the partitions the
+    incoming frame touches, leave every other partition's files untouched
+    — Spark's dynamic partition-overwrite mode
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+    This is the MERGE-lite every nightly batch pipeline needs without a
+    lakehouse layer: re-running a day's load replaces exactly that day's
+    partitions (idempotent under retry), and the write cost is
+    ∝ |delta partitions|, never |table| — the static overwrite mode would
+    silently DELETE every partition not present in the delta, which at
+    100 TB is the difference between a correct incremental load and
+    truncating the table. The conf is set for this write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-Lines sink — the interchange format of most LLM training-data
     tooling (one JSON object per line, splittable, append-friendly). Spark's

@@ -352,3 +352,43 @@ def test_avi_roundtrip_property():
         assert v.frame_at_ms(10**9) == len(frames) - 1
 
     check()
+
+
+def test_resample_audio_real_path(spark):
+    """REAL audio resample in-container: stdlib WAV decode → linear
+    interpolation onto the target grid → 16-bit PCM re-encode; the
+    resampled payload must decode to the expected sample count and
+    approximate the source waveform."""
+    import pandas as pd
+
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        _decode_wav,
+        resample_audio,
+    )
+
+    rate, seconds = 16000, 0.25
+    t = np.arange(int(rate * seconds)) / rate
+    wave_in = np.sin(2 * np.pi * 220.0 * t) * 0.5
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["audio"],
+                "mime": ["audio/wav"],
+                "width": [None],
+                "height": [None],
+                "duration_ms": [int(seconds * 1000)],
+                "content": [_make_wav(wave_in, rate=rate)],
+            }
+        ),
+        schema="media_id long, kind string, mime string, width int, "
+               "height int, duration_ms int, content binary",
+    )
+    row = resample_audio(media, target_hz=8000, fake=False).collect()[0]
+    assert row["in_hz"] == rate and row["out_hz"] == 8000
+    assert row["n_out"] == row["n_in"] // 2
+    back = _decode_wav(bytes(row["resampled"]))
+    assert len(back) == row["n_out"]
+    # the 220 Hz tone survives 2:1 downsampling nearly unchanged
+    expected = np.sin(2 * np.pi * 220.0 * (np.arange(row["n_out"]) / 8000.0)) * 0.5
+    assert np.abs(back - expected).max() < 0.01

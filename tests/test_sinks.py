@@ -129,3 +129,49 @@ def test_roundtrip_partitioned_read(small_df, tmp_path, spark):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 3
     assert set(back.select("UF").distinct().toPandas()["UF"]) == {"AM", "PA"}
+
+
+def test_upsert_partitioned_touches_only_delta_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: an upsert replaces exactly the
+    partitions in the delta — untouched partitions keep their rows AND
+    their physical files; re-running the same upsert is idempotent. (The
+    static mode would truncate every partition absent from the delta.)"""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from amazon_climate_data_etl_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(y, i, float(i)) for y in (2001, 2002, 2003) for i in range(5)],
+        "year int, id int, v double",
+    )
+    upsert_partitioned(base, path)
+
+    files_2001_before = sorted(_glob.glob(f"{path}/year=2001/*.parquet"))
+    mtimes_before = [os.path.getmtime(f) for f in files_2001_before]
+
+    # delta: rewrite 2002 with DIFFERENT rows, add 2004
+    delta = spark.createDataFrame(
+        [(2002, i, float(i) * 10) for i in range(3)]
+        + [(2004, i, -1.0) for i in range(2)],
+        "year int, id int, v double",
+    )
+    upsert_partitioned(delta, path)
+
+    got = spark.read.parquet(path)
+    per_year = {
+        r["year"]: r["n"]
+        for r in got.groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_year == {2001: 5, 2002: 3, 2003: 5, 2004: 2}
+    assert got.filter("year = 2002").agg(F.sum("v")).collect()[0][0] == 30.0
+    # 2001's physical files were not rewritten
+    files_2001_after = sorted(_glob.glob(f"{path}/year=2001/*.parquet"))
+    assert files_2001_after == files_2001_before
+    assert [os.path.getmtime(f) for f in files_2001_after] == mtimes_before
+
+    # idempotent: same delta again -> same table
+    upsert_partitioned(delta, path)
+    assert spark.read.parquet(path).count() == 15
