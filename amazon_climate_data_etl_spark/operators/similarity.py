@@ -835,7 +835,99 @@ FROM j, truth GROUP BY method, n_truth ORDER BY method
 """
 
 
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance (Gram) matrix over the embedding column — the
+    distributed linear-algebra primitive under PCA / whitening / OOD
+    scoring: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j], upper triangle.
+
+    Scale shape: each row map-explodes to its d(d+1)/2 upper-triangle
+    products, which a map-side-combined aggregate collapses to d(d+1)/2
+    running sums per partition BEFORE the one shuffle — the classic
+    tree-aggregated Gram matrix, expressed declaratively (a numpy
+    per-partition partial would compute the same sums faster per byte but
+    float-order-dependently; the decimal path here is bit-reproducible
+    under ANY partitioning, which is what lets DuckDB certify it). The
+    coordinate sums ride the same exploded frame; the final covariance
+    arithmetic is double over exact decimal sums — deterministic in both
+    engines — rounded to 8 dp.
+
+    Components are quantized to DECIMAL(12,10) (|v| < 100) through the
+    same exact-decimal cast ``stable_round`` relies on, so both engines
+    multiply and sum identical exact values."""
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    q = lambda c: c.cast("double").cast("decimal(12,10)")  # noqa: E731
+    ex = e.select(F.posexplode("embedding").alias("i", "vi"), "embedding")
+    pairs = (
+        ex.select("i", "vi", F.posexplode("embedding").alias("j", "vj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(q(F.col("vi")) * q(F.col("vj"))).alias("s_ij"))
+    )
+    sums = ex.groupBy(F.col("i").alias("k")).agg(
+        F.sum(q(F.col("vi"))).alias("s_k"), F.count(F.lit(1)).alias("n")
+    )
+    si = sums.select(F.col("k").alias("i"), F.col("s_k").alias("s_i"), "n")
+    sj = sums.select(F.col("k").alias("j"), F.col("s_k").alias("s_j"))
+    nn = F.col("n").cast("double")
+    cov = (
+        F.col("s_ij").cast("double") / nn
+        - (F.col("s_i").cast("double") / nn) * (F.col("s_j").cast("double") / nn)
+    )
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", stable_round(cov, 8).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+EMB_COVARIANCE_SQL = """
+WITH nz AS (
+  SELECT embedding FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+),
+ex AS (
+  SELECT embedding,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM nz
+),
+comp AS (
+  SELECT pos - 1 AS i,
+         CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(12,10)) AS vi,
+         embedding
+  FROM ex
+),
+pairs AS (
+  SELECT i, pos2 - 1 AS j, vi, embedding,
+         CAST(CAST(embedding[pos2] AS DOUBLE) AS DECIMAL(12,10)) AS vj
+  FROM (
+    SELECT i, vi, embedding,
+           unnest(range(1, len(embedding) + 1)) AS pos2
+    FROM comp
+  )
+  WHERE pos2 - 1 >= i
+),
+s_pairs AS (
+  SELECT i, j, sum(vi * vj) AS s_ij FROM pairs GROUP BY i, j
+),
+s_comp AS (
+  SELECT i AS k, sum(vi) AS s_k, count(*) AS n FROM comp GROUP BY i
+)
+SELECT p.i, p.j,
+       round(CAST(s_ij AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - (CAST(a.s_k AS DOUBLE) / CAST(a.n AS DOUBLE))
+               * (CAST(b.s_k AS DOUBLE) / CAST(a.n AS DOUBLE)), 8) AS cov
+FROM s_pairs p
+JOIN s_comp a ON p.i = a.k
+JOIN s_comp b ON p.j = b.k
+ORDER BY i, j
+"""
+
+
 QUERIES = {
+    "embedding_covariance": embedding_covariance,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
@@ -851,6 +943,7 @@ ORACLE = {
     "ann_recall_eval": ANN_RECALL_SQL,
     "kmeans_cluster_profile": KMEANS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "embedding_covariance": EMB_COVARIANCE_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_label_stats": EMBEDDING_STATS_SQL,

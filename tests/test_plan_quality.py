@@ -249,6 +249,9 @@ _PLAN_BOUNDS = {
     # orderkey agg joined back to the fact + (order,supp) distinct +
     # supplier agg + dim broadcast + TakeOrdered
     "q21_blocking_supplier": (6, 2),
+    # double-explode fan-out collapses map-side to d(d+1)/2 keys before
+    # ONE pair agg; coordinate sums + 2 tiny broadcasts + sort
+    "embedding_covariance": (6, 2),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
