@@ -408,7 +408,78 @@ ORDER BY cohort_week, week_offset
 """
 
 
+
+
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, flag days whose event
+    count sits more than 2 sigma from that type's mean daily count — the
+    monitoring primitive every event pipeline runs over its ingest rates.
+
+    Portability: counts are integers; mean and population-sigma derive
+    from exact integer sums (Σn, Σn²), so the z-score is one
+    deterministic double expression in both engines, rounded to 6 dp
+    BEFORE the 2.0 threshold so a boundary value cannot flip membership
+    cross-engine. Shape: one (type, day) count agg, a tiny per-type
+    moment agg broadcast back, map-only z/flag, sort."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    moments = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    z = stable_round(
+        (F.col("n").cast("double") - mean) / F.sqrt(var), 6
+    )
+    return (
+        daily.join(
+            F.broadcast(moments), F.col("event_type") == F.col("et")
+        )
+        .filter(F.col("s2") * F.col("n_days") != F.col("s1") * F.col("s1"))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n",
+            z.alias("z_score"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+moments AS (
+  SELECT event_type AS et, count(*) AS n_days,
+         sum(n) AS s1, sum(n * n) AS s2
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, day, n,
+         round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_days)
+               / sqrt(CAST(s2 AS DOUBLE) / n_days
+                      - (CAST(s1 AS DOUBLE) / n_days)
+                        * (CAST(s1 AS DOUBLE) / n_days)), 6) AS z_score
+  FROM daily JOIN moments ON event_type = et
+  WHERE s2 * n_days <> s1 * s1
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n, z_score,
+       abs(z_score) > 2.0 AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
+    "daily_volume_anomalies": daily_volume_anomalies,
     "user_funnel_conversion": user_funnel_conversion,
     "user_retention_cohorts": user_retention_cohorts,
     "tumbling_hourly": tumbling_hourly,
@@ -421,6 +492,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "user_funnel_conversion": FUNNEL_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "tumbling_hourly": TUMBLING_SQL,

@@ -252,6 +252,9 @@ _PLAN_BOUNDS = {
     # double-explode fan-out collapses map-side to d(d+1)/2 keys before
     # ONE pair agg; coordinate sums + 2 tiny broadcasts + sort
     "embedding_covariance": (6, 2),
+    # (type, day) count agg; per-type moments re-agg broadcast back;
+    # map-only z/flag + sort
+    "daily_volume_anomalies": (5, 1),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
