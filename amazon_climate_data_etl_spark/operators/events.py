@@ -478,7 +478,114 @@ ORDER BY event_type, day
 """
 
 
+
+
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the user's NEXT purchase at or
+    after it — the attribution-window direction (``merge_asof
+    direction='forward'``), the mirror of ``asof_join_purchases``.
+
+    Same sort-based union form, run in reverse: a running
+    ``first(purchase_ts, ignorenulls)`` over the FOLLOWING frame carries
+    the next purchase backward onto every click row. Purchases sort
+    before clicks at equal ts so at-or-after includes ties. One shuffle
+    on the join key; single-value window state."""
+    e = load_table(spark, sf_dir, "events")
+    sub = e.filter(F.col("event_type").isin("click", "purchase"))
+    # purchases sort first at equal ts => at-or-after includes the tie
+    side = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), side, F.col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return (
+        sub.withColumn(
+            "next_purchase_ts", F.first(purchase_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_purchase_ts",
+            (
+                F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+            ).alias("lead_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH sub AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+j AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM sub
+)
+SELECT event_id, user_id, ts, next_purchase_ts,
+       epoch_us(next_purchase_ts) - epoch_us(ts) AS lead_us
+FROM j
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: each user's LATEST event — the
+    dedup-to-current-row primitive every change-data-capture / SCD-1
+    pipeline runs to materialize "current state" from an append log.
+
+    Deterministic winner: max (ts, event_id) struct per user — max_by
+    with a total-order tie-break, one map-side-combined agg (no window
+    sort over the whole log, which is the naive row_number form's cost).
+    At 100 TB this is the standard log→snapshot compaction: one shuffle
+    on the key, state one row per key."""
+    e = load_table(spark, sf_dir, "events")
+    packed = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(packed).alias("m"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type, value, n_events
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "asof_join_forward": asof_join_forward,
+    "latest_event_per_user": latest_event_per_user,
     "daily_volume_anomalies": daily_volume_anomalies,
     "user_funnel_conversion": user_funnel_conversion,
     "user_retention_cohorts": user_retention_cohorts,
@@ -492,6 +599,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_join_forward": ASOF_FORWARD_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "user_funnel_conversion": FUNNEL_SQL,
     "user_retention_cohorts": RETENTION_SQL,

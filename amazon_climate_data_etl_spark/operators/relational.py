@@ -1445,7 +1445,76 @@ LIMIT 20
 """
 
 
+
+
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distribution windows: percent_rank and cume_dist of
+    each customer's balance within their market segment — the
+    distributional ranking pair (how deep into the segment's balance
+    distribution each customer sits), completing the rank-function family
+    alongside ntile/row_number/rank.
+
+    Both functions are exact rational values (rank arithmetic over
+    counts); computed as doubles they are single divisions of exact
+    integers — deterministic cross-engine. One window shuffle on the
+    segment key + output sort; returns one decile-edge row per segment
+    per decile bucket to keep the gated output small and stable."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    scored = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    # decile edges: the first customer at or past each 10% cume_dist step
+    bucket = F.ceil(F.col("cd") * 10).cast("int")
+    w2 = Window.partitionBy("c_mktsegment", "decile").orderBy(
+        F.col("cd"), F.col("c_custkey")
+    )
+    return (
+        scored.withColumn("decile", bucket)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "decile",
+            "c_custkey",
+            stable_round(F.col("pr"), 8).alias("percent_rank"),
+            stable_round(F.col("cd"), 8).alias("cume_dist"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+WINDOW_CUME_SQL = """
+WITH scored AS (
+  SELECT c_mktsegment, c_custkey,
+         percent_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS pr,
+         cume_dist() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS cd
+  FROM customer
+),
+bucketed AS (
+  SELECT c_mktsegment, c_custkey, pr, cd,
+         CAST(ceil(cd * 10) AS INT) AS decile,
+         row_number() OVER (PARTITION BY c_mktsegment, CAST(ceil(cd * 10) AS INT)
+                            ORDER BY cd, c_custkey) AS rn
+  FROM scored
+)
+SELECT c_mktsegment AS segment, decile, c_custkey,
+       round(pr, 8) AS percent_rank,
+       round(cd, 8) AS cume_dist
+FROM bucketed WHERE rn = 1
+ORDER BY segment, decile
+"""
+
+
 QUERIES = {
+    "window_cume_dist": window_cume_dist,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1486,6 +1555,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_cume_dist": WINDOW_CUME_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,

@@ -255,6 +255,12 @@ _PLAN_BOUNDS = {
     # (type, day) count agg; per-type moments re-agg broadcast back;
     # map-only z/flag + sort
     "daily_volume_anomalies": (5, 1),
+    # one user-keyed window (reverse frame) + output sort; no self-join
+    "asof_join_forward": (2, 0),
+    # one map-side-combined max_by agg + output sort; no window over the log
+    "latest_event_per_user": (2, 0),
+    # one segment-keyed window pass (pr/cd/decile share the sort) + sort
+    "window_cume_dist": (2, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
