@@ -25,9 +25,15 @@ history:
 3. then everyone else, OLDEST green row first,
 
 with registration (module) order as the deterministic tiebreak. Under this
-rule every query re-earns a driver row at least every other round: after a
-round, last round's window is the freshest cohort and sinks to the back of
-the queue, and the cohort that sat out rotates in.
+rule the window cycles the whole registry oldest-first: at 100 queries
+that meant a green driver row at least every other round; at the current
+registry size (115 after round 5's additions) the steady-state cycle is
+ceil(115/50) ≈ 2.3 rounds, so an individual query's driver row may be up
+to ~3 rounds old at the moment it rotates back in. The local DuckDB
+parity suite (tests/check_parity.py, run in full every round) re-proves
+hash-exactness for EVERY oracled query regardless of the driver window —
+the rotation governs independent re-attestation, not whether correctness
+is checked.
 """
 
 from __future__ import annotations
