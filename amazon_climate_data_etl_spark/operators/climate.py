@@ -26,6 +26,8 @@ arithmetic, so the DuckDB oracle exercises the exact pipeline semantics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -245,9 +247,7 @@ def climate_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PID-scoped so concurrent processes on the same scale factor (parallel
 # pytest workers, bench alongside check_parity) never overwrite files under
 # each other's live re-read.
-import os as _os
-
-E2E_SINK_ROOT = f"/tmp/spark_graft_climate_e2e_{_os.getpid()}"
+E2E_SINK_ROOT = f"/tmp/spark_graft_climate_e2e_{os.getpid()}"
 
 def _e2e_read_schema():
     from pyspark.sql import types as T
