@@ -883,8 +883,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # cast the coordinate terms to decimal BEFORE summing, mirroring s_ij:
+    # a plain LongType sum wraps silently past 2^63 (~9.2e9 rows at
+    # |q|<=1e9) while DuckDB promotes sum(BIGINT) to HUGEINT — the two
+    # engines would diverge exactly at the scale this operator targets
     sums = ex.select(F.posexplode("eq").alias("k", "v")).groupBy("k").agg(
-        F.sum("v").alias("s_k"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s_k"),
+        F.count(F.lit(1)).alias("n"),
     )
     si = sums.select(F.col("k").alias("i"), F.col("s_k").alias("s_i"), "n")
     sj = sums.select(F.col("k").alias("j"), F.col("s_k").alias("s_j"))

@@ -42,6 +42,8 @@ class AviVideo:
 
     def frame_at_ms(self, ts_ms: float) -> int:
         """Index of the frame on screen at ``ts_ms`` (clamped)."""
+        if not self.frames:
+            raise ValueError("AVI has no video frames; cannot sample")
         idx = int(ts_ms * 1000 // self.us_per_frame)
         return max(0, min(idx, len(self.frames) - 1))
 

@@ -70,8 +70,18 @@ def parse_projected_prj(wkt: str) -> ProjectedCRS | None:
             r'PARAMETER\[\s*"([^"]+)"\s*,\s*(-?[0-9.Ee+-]+)', wkt
         )
     }
-    unit = re.search(r'UNIT\[\s*"[^"]*"\s*,\s*([0-9.Ee+-]+)\s*\]\s*\]\s*$', wkt)
-    if unit and abs(float(unit.group(1)) - 1.0) > 1e-9:
+    # The PROJCS-level UNIT is the LAST UNIT clause in WKT1 (the GEOGCS
+    # nested earlier carries its own angular UNIT).  Unanchored so that
+    # trailing AUTHORITY[...] clauses — inside the UNIT or after it — still
+    # match; a foot-based CRS silently treated as metres would invert to
+    # wrong lon/lat with no error.
+    units = re.findall(r'UNIT\[\s*"[^"]*"\s*,\s*([0-9.Ee+-]+)', wkt)
+    if not units:
+        raise NotImplementedError(
+            "projected .prj without a parseable UNIT clause; refusing to "
+            "assume metres — use the geopandas path"
+        )
+    if abs(float(units[-1]) - 1.0) > 1e-9:
         raise NotImplementedError(
             "projected CRS with non-metre units; use the geopandas path"
         )

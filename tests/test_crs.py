@@ -64,6 +64,43 @@ def test_parse_prj_variants():
         )
 
 
+def test_parse_prj_unit_with_authority():
+    """WKT1 .prj files from EPSG registries carry AUTHORITY clauses inside
+    and after UNIT; the unit factor must still be found (last UNIT wins —
+    the GEOGCS-level degree unit earlier in the string must NOT match),
+    and a foot-based CRS must refuse rather than silently invert as
+    metres."""
+    with_auth = UTM20S.replace(
+        'UNIT["metre",1]]',
+        'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+        'AUTHORITY["EPSG","31980"]]',
+    )
+    crs = parse_projected_prj(with_auth)
+    assert crs is not None and crs.projection == "transverse_mercator"
+    feet = UTM20S.replace(
+        'UNIT["metre",1]]',
+        'UNIT["US survey foot",0.30480060960121924,'
+        'AUTHORITY["EPSG","9003"]]]',
+    )
+    with pytest.raises(NotImplementedError, match="non-metre"):
+        parse_projected_prj(feet)
+    no_unit = UTM20S.replace('UNIT["metre",1]]', "]").replace(
+        'UNIT["degree",0.0174532925199433]],', "],"
+    )
+    with pytest.raises(NotImplementedError, match="UNIT"):
+        parse_projected_prj(no_unit)
+
+
+def test_frame_at_ms_empty_avi():
+    """A frameless/corrupt AVI must raise a clear error on the sampling
+    path instead of IndexError from the min(idx, -1) clamp."""
+    from amazon_climate_data_etl_spark.sources.avi_min import AviVideo
+
+    empty = AviVideo(codec="MPNG", width=4, height=4, us_per_frame=40000, frames=[])
+    with pytest.raises(ValueError, match="no video frames"):
+        empty.frame_at_ms(0)
+
+
 def test_meridian_arc_public_constant():
     """GRS80 quarter meridian = 10,001,965.729 m (public geodesy
     constant); the Snyder series must land within a millimeter."""
