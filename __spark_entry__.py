@@ -78,14 +78,15 @@ _MODULES = (
 # the driver verifies this many leading registry entries per round
 GATE_WINDOW = 50
 
-# name -> round the semantic change landed. Round-5 change: the synthetic
-# media table's video rows became real MPNG AVIs and media_frame_pipeline
-# switched to the real container-parse sampler (different byte profile by
-# design) — both media queries must re-earn their rows-only green ahead of
-# the oldest-green cohort. Entries expire automatically once a green row
-# >= the recorded round exists. (The round-4 ann_lsh_topk/ann_recall_eval
-# entries re-earned their rows in r4 and have been pruned.)
-CHANGED_SINCE_GREEN = {"media_feature_summary": 5, "media_frame_pipeline": 5}
+# name -> round the semantic change landed. Round-6 change: the synthetic
+# media table's image/audio rows became REAL payloads (PNG with planted
+# perceptual near-dup pairs; 16-bit PCM WAV) and both media queries
+# switched fully to the real decode kernels — different values by design,
+# so they must re-earn their rows-only green ahead of the oldest-green
+# cohort. Their VALUES are now certified end-to-end by the pure-Python
+# recomputation twins in tests/test_media_twin.py. Entries expire
+# automatically once a green row >= the recorded round exists.
+CHANGED_SINCE_GREEN = {"media_feature_summary": 6, "media_frame_pipeline": 6}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -484,6 +484,117 @@ def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> D
     )
 
 
+PHASH_BANDS = 8          # 8 bands x 8 bits over the 64-bit dHash
+PHASH_HAMMING_MAX = 6    # ≤6 differing bits → at least 2 clean bands
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual-hash family
+    member): channel-summed grayscale → nearest-neighbor downsample to
+    8 rows × 9 cols → 8×8 horizontal-gradient sign bits. Integer-only, so
+    the Spark kernel and the pure-Python twin agree bit-for-bit. Returned
+    as a SIGNED 64-bit value (two's complement) so it fits LongType."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    gray = pixels.astype(np.int32).sum(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = gray[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    val = 0
+    for idx in np.nonzero(bits)[0]:
+        val |= 1 << int(idx)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """image rows → (media_id, 64-bit dHash) via Arrow-batched mapInPandas
+    (decode + hash are per-item Python; the kind-filter prunes non-images
+    before the Arrow boundary, map-only, no shuffle)."""
+    ship_package_to_workers(media.sparkSession)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [dhash64(_decode_image(bytes(c))) for c in pdf["content"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        worker, schema=PHASH_SCHEMA
+    )
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs — the image-modality
+    member of the dedup family (same banded candidate-generation shape as
+    ``dedup.simhash_near_pairs``): decode PNG → 64-bit dHash → split into
+    8×8-bit bands → candidates share a band value (equi-join, never
+    all-pairs) → verify full Hamming ≤ 6 via bit_count(xor).
+
+    Scale shape: the hash frame is 16 bytes/image; the only shuffles are
+    the band equi-join keys and the final pair distinct — candidate count
+    is sub-quadratic because random 8-bit bands collide at 1/256. Each
+    hash rides THROUGH the band join, so verification needs no join-back.
+    Pigeonhole recall guarantee: ≤6 differing bits leave ≥2 of 8 bands
+    identical, so every true near-dup pair is a candidate.
+
+    Rows-only at the driver (PNG decode is not SQL-expressible); the exact
+    pair set is certified by the pure-Python recomputation twin
+    (tests/test_media_twin.py), which re-derives pixels → dHash → all-pairs
+    Hamming independently of Spark and of the banding."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir))
+    # both join sides read the hash frame; persist it (16 bytes/image) so
+    # the PNG decode + hash runs ONCE per image, not once per side
+    hashes = image_phashes(media).persist()
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", "bv.band", "bv.val")
+    ba = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("h_a"), "band", "val"
+    )
+    bb = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("h_b"), "band", "val"
+    )
+    return (
+        ba.join(bb, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Typed-metadata aggregation over extracted features (pure JVM)."""
     return (
@@ -515,10 +626,14 @@ def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     media, Arrow-batched decode/feature-extract (mapInPandas), typed
     metadata aggregation. Deterministic output; registered WITHOUT a SQL
     oracle (the decode kernel is not SQL-expressible) so the driver records
-    the rows-only check. Media is synthesized executor-side, with the item
-    count scaled to ``sf_dir``'s scale factor (96 at sf0.001)."""
+    the rows-only check — the VALUES are certified by the pure-Python
+    recomputation twin in tests/test_media_twin.py. Media is synthesized
+    executor-side, with the item count scaled to ``sf_dir``'s scale factor
+    (96 at sf0.001). Since round 6 every payload is real decodable media,
+    so this runs the REAL decode kernels (PNG/WAV/AVI → pixels/samples →
+    moment+histogram features), not the sha256 stand-in."""
     media = synthetic_media(spark, n=media_count_for(sf_dir))
-    return media_summary(extract_features(media))
+    return media_summary(extract_features(media, fake=False))
 
 
 def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,7 +658,9 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id"),
         F.length("frame").alias("n_bytes"),
     )
-    resized = resize_images(media).select(
+    # real resize kernel (round 6): the table's image rows are genuine
+    # PNGs now, so decode → nearest-neighbor resample → re-encode runs
+    resized = resize_images(media, fake=False).select(
         F.lit("resize").alias("stage"),
         F.col("media_id"),
         F.length("resized").alias("n_bytes"),
@@ -563,6 +680,7 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_feature_summary": media_feature_summary,
     "media_frame_pipeline": media_frame_pipeline,
+    "image_phash_neardup": image_phash_neardup,
 }
 ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 
@@ -571,14 +689,101 @@ _MEDIA_KINDS = ("image", "audio", "video")
 _MEDIA_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/x-msvideo"}
 
 
+_AUDIO_HZ = 4000
+
+
+def _synth_image_pixels(k: int, seed: int) -> np.ndarray:
+    """Pixels for image index ``k`` (media_id = 3k). Images come in PAIRS:
+    group g = k//2 owns the base pixels; the odd member (k = 2g+1) is the
+    base with 3 pixels bumped by +16 mod 256 — a planted perceptual
+    NEAR-duplicate whose dHash differs by at most 6 bits (each perturbed
+    pixel lands on at most one downsample cell → at most 2 gradient
+    comparisons flip), while staying sha256-distinct. Even groups are full
+    noise, odd groups are 4-level quantized noise (≈0.4 zlib ratio), so
+    the entropy_proxy spread survives the move to real payloads."""
+    grp = k // 2
+    w = 16 + (grp % 5) * 4
+    h = 12 + ((grp * 3) % 5) * 4
+    rng = np.random.default_rng([seed, 101, grp])
+    if grp % 2 == 0:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    else:
+        px = (rng.integers(0, 4, (h, w, 3)) * 64).astype(np.uint8)
+    if k % 2 == 1:  # near-dup twin of (k - 1)
+        prng = np.random.default_rng([seed, 102, k])
+        for _ in range(3):
+            y = int(prng.integers(0, h))
+            x = int(prng.integers(0, w))
+            c = int(prng.integers(0, 3))
+            px[y, x, c] = (int(px[y, x, c]) + 128) % 256
+    return px
+
+
+def synthesize_media_item(i: int, seed: int = 42) -> dict:
+    """One media row, pure Python — shared by the Spark generator AND the
+    test-side recomputation twins, so any divergence between what Spark
+    materializes and what the twins expect fails loudly.
+
+    Every payload is REAL decodable media since round 6: PNG images (with
+    planted perceptual near-dup pairs), 16-bit PCM WAV audio (alternating
+    exactly-periodic quantized tone / noise, for the compressibility
+    spread), and MPNG AVI video (round 5)."""
+    from amazon_climate_data_etl_spark.sources.avi_min import write_avi
+
+    kind = _MEDIA_KINDS[i % 3]
+    # bounded duration (1-11 s): total frame fan-out stays LINEAR in the
+    # table size (an unbounded i*33 made it quadratic)
+    dur = 1000 + (i % 300) * 33 if kind != "image" else None
+    width = height = None
+    if kind == "video":
+        # a REAL (if tiny) MPNG AVI: 2 fps of 8x8 PNG frames, so the real
+        # container-parse/frame-decode path runs on this table
+        rng = np.random.default_rng([seed, i])
+        n_frames = max(1, int(dur) // 500)
+        payload = write_avi(
+            [
+                png_encode_minimal(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+                for _ in range(n_frames)
+            ],
+            8, 8, us_per_frame=500_000,
+        )
+    elif kind == "image":
+        px = _synth_image_pixels(i // 3, seed)
+        height, width = int(px.shape[0]), int(px.shape[1])
+        payload = png_encode_minimal(px)
+    else:  # audio: real WAV; tone halves compress, noise halves do not
+        n_samp = _AUDIO_HZ * dur // 1000
+        if (i // 3) % 2 == 0:
+            # 220 Hz tone quantized to 41 levels; the period is EXACTLY
+            # 200 samples at 4 kHz so zlib collapses it (low entropy_proxy)
+            samples = (
+                np.round(np.sin(2 * np.pi * 220 * np.arange(n_samp) / _AUDIO_HZ) * 20)
+                / 64.0
+            )
+        else:
+            arng = np.random.default_rng([seed, 201, i])
+            samples = arng.integers(-16000, 16000, n_samp) / 32768.0
+        payload = wav_encode_minimal(samples, _AUDIO_HZ)
+    return {
+        "media_id": i,
+        "kind": kind,
+        "mime": _MEDIA_MIMES[kind],
+        "width": width,
+        "height": height,
+        "duration_ms": dur,
+        "content": payload,
+    }
+
+
 def synthetic_media(
     spark: SparkSession, n: int = 64, seed: int = 42, rows_per_partition: int = 4096
 ) -> DataFrame:
-    """Deterministic fake media table for tests/bench (binary payloads of
-    varying size and compressibility).
+    """Deterministic media table for tests/bench — REAL binary payloads
+    (PNG/WAV/AVI, per-row recipe in ``synthesize_media_item``) of varying
+    size and compressibility.
 
     Generated EXECUTOR-side: the driver ships only (n, seed) and each
-    payload derives from ``default_rng([seed, media_id])``, so the table is
+    payload derives from rngs keyed by (seed, media_id), so the table is
     identical under any partitioning and never materializes on the driver —
     the shape a real 100 TB media table has (parquet on executors), unlike
     a driver-built createDataFrame list."""
@@ -588,57 +793,9 @@ def synthetic_media(
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, kinds, mimes, widths, heights, durs, payloads = (
-                [], [], [], [], [], [], []
-            )
-            from amazon_climate_data_etl_spark.sources.avi_min import write_avi
-
-            for i in pdf["id"]:
-                i = int(i)
-                rng = np.random.default_rng([seed, i])
-                kind = _MEDIA_KINDS[i % 3]
-                # bounded duration (1-11 s): total frame fan-out stays LINEAR
-                # in the table size (an unbounded i*33 made it quadratic);
-                # i % 300 == i below 300, so small-sf fixtures are unchanged
-                dur = 1000 + (i % 300) * 33 if kind != "image" else None
-                if kind == "video":
-                    # a REAL (if tiny) MPNG AVI: 2 fps of 8x8 PNG frames,
-                    # so the real container-parse/frame-decode path runs
-                    # on this table, not only on bespoke test fixtures
-                    n_frames = max(1, int(dur) // 500)
-                    payload = write_avi(
-                        [
-                            png_encode_minimal(
-                                rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
-                            )
-                            for _ in range(n_frames)
-                        ],
-                        8, 8, us_per_frame=500_000,
-                    )
-                else:
-                    size = 256 + int(rng.integers(0, 1024))
-                    payload = (
-                        rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-                        if i % 2
-                        else bytes([i % 256]) * size  # highly compressible half
-                    )
-                ids.append(i)
-                kinds.append(kind)
-                mimes.append(_MEDIA_MIMES[kind])
-                widths.append(64 + i % 512 if kind == "image" else None)
-                heights.append(64 + (i * 7) % 512 if kind == "image" else None)
-                durs.append(dur)
-                payloads.append(payload)
+            rows = [synthesize_media_item(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": kinds,
-                    "mime": mimes,
-                    "width": widths,
-                    "height": heights,
-                    "duration_ms": durs,
-                    "content": payloads,
-                }
+                {f.name: [r[f.name] for r in rows] for f in MEDIA_SCHEMA.fields}
             )
 
     # at least one split per core (the downstream decode/frame stages are

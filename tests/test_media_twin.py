@@ -1,0 +1,201 @@
+"""Pure-Python recomputation twins for the rows-only media queries.
+
+The driver records only a rows-only check for `media_feature_summary`,
+`media_frame_pipeline` and `image_phash_neardup` (their decode kernels are
+not SQL-expressible, so there is no DuckDB oracle). These twins close that
+gap: each rebuilds the ENTIRE expected result set outside Spark — item
+synthesis via the shared `synthesize_media_item` recipe, decode via the
+independently-tested pure-Python codecs, aggregation/pairing re-derived in
+plain Python (sorted-dict aggregation, brute-force all-pairs Hamming — no
+banding, no mapInPandas, no Spark shuffle) — and asserts EXACT equality
+with the Spark output. A wrong-but-deterministic Spark kernel, batching
+bug, or aggregation slip now fails a value comparison, not just a shape
+check.
+
+Kernel-level independence lives in the companion micro-tests here
+(featurizer vs a hand-computed expectation; dHash vs hand-derivable bit
+patterns) and in test_multimodal.py's decoder tests against hand-built
+filtered scanlines / known waveforms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from amazon_climate_data_etl_spark.sources.avi_min import read_avi
+from amazon_climate_data_etl_spark.sources.multimodal import (
+    FEATURE_DIM,
+    PHASH_HAMMING_MAX,
+    _decode_real,
+    _featurize_signal,
+    _png_decode_minimal,
+    dhash64,
+    extract_features,
+    image_phash_neardup,
+    media_count_for,
+    media_feature_summary,
+    media_frame_pipeline,
+    png_encode_minimal,
+    synthesize_media_item,
+    synthetic_media,
+)
+
+SF = "/root/testdata/sf0.001"
+N_ITEMS = media_count_for(SF)  # 96
+
+
+def _twin_items():
+    return [synthesize_media_item(i) for i in range(N_ITEMS)]
+
+
+# --- kernel micro-independence ---------------------------------------------
+
+
+def test_featurize_signal_hand_computed():
+    """The featurizer vs a by-hand expectation on inputs chosen so every
+    histogram assignment is unambiguous (no bin-boundary values)."""
+    vals = np.array([10.0, 10.0, 20.0, 30.0])  # lo=10 hi=30 span=20
+    feat = _featurize_signal(vals)
+    unit = np.array([0.0, 0.0, 0.5, 1.0])
+    assert feat.shape == (FEATURE_DIM,)
+    assert math.isclose(feat[0], unit.mean(), rel_tol=1e-6)
+    assert math.isclose(feat[1], unit.std(), rel_tol=1e-6)
+    assert math.isclose(feat[2], 10.0 / 11.0, rel_tol=1e-6)
+    assert math.isclose(feat[3], 30.0 / 31.0, rel_tol=1e-6)
+    # 12 bins over [0,1]: 0.0,0.0 → bin 0; 0.5 → bin 6; 1.0 → bin 11
+    hist = np.zeros(12)
+    hist[0], hist[6], hist[11] = 2, 1, 1
+    assert np.allclose(feat[4:], hist / 4.0)
+
+
+def test_dhash64_hand_patterns():
+    """dHash bits derivable by hand: an image already at 8 rows × 9 cols
+    with strictly increasing columns sets every gradient bit (hash = -1 as
+    signed 64-bit); strictly decreasing sets none (hash = 0); flipping one
+    comparison flips exactly that bit."""
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))[:, :, None]
+    dec = inc[:, ::-1, :].copy()
+    assert dhash64(inc) == -1
+    assert dhash64(dec) == 0
+    one = dec.astype(np.int32)
+    one[0, 1, 0] = one[0, 0, 0] + 5  # col1 > col0 in row 0 → bit 0 only
+    assert dhash64(one.astype(np.uint8)) == 1
+
+
+# --- full-query recomputation twins ----------------------------------------
+
+
+def test_media_feature_summary_twin_exact(spark):
+    """Per-item features AND the aggregated summary, exact vs Spark."""
+    items = _twin_items()
+    expected_rows = {}
+    for it in items:
+        content = it["content"]
+        feat = _decode_real(content, it["kind"])
+        expected_rows[it["media_id"]] = (
+            it["kind"],
+            hashlib.sha256(content).hexdigest(),
+            len(content),
+            min(1.0, len(zlib.compress(content)) / max(1, len(content))),
+            [float(x) for x in feat],
+        )
+
+    got = extract_features(
+        synthetic_media(spark, n=N_ITEMS), fake=False
+    ).collect()
+    assert len(got) == N_ITEMS
+    for r in got:
+        kind, sha, n_bytes, entropy, feat = expected_rows[r["media_id"]]
+        assert r["kind"] == kind
+        assert r["sha256"] == sha
+        assert r["n_bytes"] == n_bytes
+        assert r["entropy_proxy"] == entropy  # exact: same double both sides
+        assert [float(x) for x in r["feature"]] == feat
+
+    # aggregate twin: plain-Python grouping, HALF_UP 4dp round like F.round
+    by_kind: dict[str, list] = {}
+    for kind, sha, n_bytes, entropy, _ in expected_rows.values():
+        by_kind.setdefault(kind, []).append((sha, n_bytes, entropy))
+    summary = {r["kind"]: r for r in media_feature_summary(spark, SF).collect()}
+    assert sorted(summary) == sorted(by_kind)
+    for kind, rows in by_kind.items():
+        r = summary[kind]
+        assert r["n_items"] == len(rows)
+        assert r["total_bytes"] == sum(n for _, n, _ in rows)
+        assert r["n_unique"] == len({s for s, _, _ in rows})
+        avg = math.fsum(e for _, _, e in rows) / len(rows)
+        expect = float(
+            Decimal(repr(avg)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        assert r["avg_entropy"] == expect, (kind, r["avg_entropy"], avg)
+
+
+def test_media_frame_pipeline_twin_exact(spark):
+    """Frame-sampling and resize stage profiles recomputed item-by-item:
+    AVI parse → sampled-frame byte lengths; PNG decode → independent
+    nearest-neighbor resample → re-encode lengths. All-integer, exact."""
+    frames_rows, resize_rows = [], []
+    for it in _twin_items():
+        if it["kind"] == "video":
+            v = read_avi(it["content"])
+            for k in range(it["duration_ms"] // 500 + 1):
+                frames_rows.append(
+                    (it["media_id"], len(v.frames[v.frame_at_ms(k * 500)]))
+                )
+        elif it["kind"] == "image":
+            px = _png_decode_minimal(it["content"])
+            h, w = px.shape[:2]
+            # independent nearest-neighbor resample to the 32×32 default
+            out = np.zeros((32, 32, px.shape[2]), dtype=np.uint8)
+            for y in range(32):
+                for x in range(32):
+                    out[y, x] = px[min(h - 1, y * h // 32), min(w - 1, x * w // 32)]
+            resize_rows.append((it["media_id"], len(png_encode_minimal(out))))
+
+    expect = {
+        "frames": (
+            len({m for m, _ in frames_rows}),
+            len(frames_rows),
+            sum(b for _, b in frames_rows),
+        ),
+        "resize": (
+            len({m for m, _ in resize_rows}),
+            len(resize_rows),
+            sum(b for _, b in resize_rows),
+        ),
+    }
+    got = {
+        r["stage"]: (r["n_items"], r["n_rows"], r["total_bytes"])
+        for r in media_frame_pipeline(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_image_phash_neardup_twin_exact(spark):
+    """Expected pair set by BRUTE-FORCE all-pairs Hamming over the decoded
+    payloads — independent of the banded candidate generation — and it
+    must include every planted near-dup twin (media ids 6g and 6g+3)."""
+    hashes = {
+        it["media_id"]: dhash64(_png_decode_minimal(it["content"]))
+        for it in _twin_items()
+        if it["kind"] == "image"
+    }
+    ids = sorted(hashes)
+    expect = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= PHASH_HAMMING_MAX:
+                expect.append((a, b, d))
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_phash_neardup(spark, SF).collect()
+    ]
+    assert got == sorted(expect)
+    planted = {(6 * g, 6 * g + 3) for g in range(len(ids) // 2)}
+    assert planted <= {(a, b) for a, b, _ in expect}

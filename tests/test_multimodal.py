@@ -180,8 +180,12 @@ def test_media_summary(spark):
     s = media_summary(extract_features(media, fake=True)).toPandas()
     assert set(s["kind"]) == {"image", "audio", "video"}
     assert s["n_items"].sum() == 30
-    # compressible half should drag avg entropy visibly below 1
-    assert (s["avg_entropy"] < 0.95).all()
+    # tone halves drag audio entropy down; AVI container structure does the
+    # same for video; PNGs are already deflate-compressed so re-zlib sits
+    # at ~1.0 — the CORRECT reading for a pre-compressed container
+    by_kind = dict(zip(s["kind"], s["avg_entropy"]))
+    assert by_kind["audio"] < 0.95 and by_kind["video"] < 0.95
+    assert 0.9 < by_kind["image"] <= 1.0
 
 
 def test_dedup_on_sha256(spark):

@@ -261,6 +261,10 @@ _PLAN_BOUNDS = {
     "latest_event_per_user": (2, 0),
     # one segment-keyed window pass (pr/cd/decile share the sort) + sort
     "window_cume_dist": (2, 0),
+    # banded dHash candidates: band equi-join (broadcasts at fixture
+    # scale; min stays 0 — the band universe grows with the corpus) +
+    # pair distinct + sort; hashes persisted so decode runs once
+    "image_phash_neardup": (4, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
