@@ -86,7 +86,15 @@ GATE_WINDOW = 50
 # cohort. Their VALUES are now certified end-to-end by the pure-Python
 # recomputation twins in tests/test_media_twin.py. Entries expire
 # automatically once a green row >= the recorded round exists.
-CHANGED_SINCE_GREEN = {"media_feature_summary": 6, "media_frame_pipeline": 6}
+# ann_ivf_topk/ann_recall_eval: round-6 nlist-growth change (nlist =
+# max(16, floor(√N)) — different cell structure, different candidate sets
+# by design; both re-proven hash-green locally).
+CHANGED_SINCE_GREEN = {
+    "media_feature_summary": 6,
+    "media_frame_pipeline": 6,
+    "ann_ivf_topk": 6,
+    "ann_recall_eval": 6,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -749,8 +749,153 @@ ORDER BY doc_id
 """
 
 
+SPAN_W = 20  # exact-substring window, in tokens
+
+
+def duplicate_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated-SPAN extents per document — the actual
+    Lee et al. 2022 form ("Deduplicating Training Data Makes Language
+    Models Better": remove any W-token span occurring twice in the
+    corpus), upgraded from the 3-token shingle accounting of
+    ``duplicate_span_stats``. W = 20 here (the paper's 50 exceeds half of
+    the fixture docs, whose median length is 56 tokens); any W-token
+    window whose hash occurs ≥ 2 times corpus-wide (including twice in
+    one document) is duplicated, and runs of duplicated window positions
+    merge into MAXIMAL extents (positions p, q merge when q ≤ p + W, i.e.
+    their token spans overlap or touch), the unit the paper deletes.
+
+    Scale shape — the distributed stand-in for the paper's single-node
+    suffix array: (1) one tokenize pass; window hashes are computed per
+    position inside a higher-order transform over the MATERIALIZED token
+    array (multi-use of the non-cheap tokenizer blocks projection
+    collapse, so it runs once per doc, not once per window); (2) the
+    (pos, hash) stream is persisted and shuffles ONCE on the window hash
+    — high-cardinality, uniform, the LSH-family key discipline; the
+    occurrence-count side re-aggregates the same frame and joins back on
+    that key (never broadcast: the window universe grows with the
+    corpus); (3) extent merging is a per-doc sort — lag/gaps-and-islands
+    window over hash-partitioned doc_ids, the partitioning reused by the
+    island and per-doc aggregates (no extra exchange). Integer token
+    arithmetic end-to-end; the one float is the final rounded fraction of
+    exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    t = rebalance_for_compute(d).select(
+        "doc_id", tokens(F.trim(F.col("text"))).alias("toks")
+    )
+    n = F.size("toks")
+    wins = F.when(
+        n >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (SPAN_W - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SPAN_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = t.select(
+        "doc_id", F.posexplode(wins).alias("pos", "h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = w.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_pos = (
+        w.join(freq.filter(F.col("n_occ") >= 2), "h").select("doc_id", "pos")
+    )
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(byd) <= SPAN_W, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(byd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + SPAN_W).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s")).alias("max_span"),
+    )
+    doc_tokens = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.trim(F.col("text")))).alias("n_tokens")
+    )
+    return (
+        doc_tokens.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+            stable_round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPANS_EXACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+wp AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {SPAN_W} + 2),
+                  i -> struct_pack(pos := i - 1,
+                                   h := md5(array_to_string(
+                                            toks[i:i+{SPAN_W}-1], ' '))))) AS u
+    FROM t
+  )
+),
+freq AS (SELECT h, count(*) AS n_occ FROM wp GROUP BY h),
+dup AS (
+  SELECT doc_id, pos FROM wp JOIN freq USING (h) WHERE n_occ >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {SPAN_W} THEN 0 ELSE 1 END AS brk
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_W} AS e
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         CAST(max(e - s) AS INTEGER) AS max_span
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       COALESCE(max_span, 0) AS max_span,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM t LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "duplicate_span_stats": duplicate_span_stats,
+    "duplicate_spans_exact": duplicate_spans_exact,
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
     "neardup_keep_corpus": neardup_keep_corpus,
@@ -763,6 +908,7 @@ QUERIES = {
 
 ORACLE = {
     "duplicate_span_stats": DUP_SPAN_SQL,
+    "duplicate_spans_exact": DUP_SPANS_EXACT_SQL,
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

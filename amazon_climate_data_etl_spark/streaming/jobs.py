@@ -254,6 +254,44 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "append"):
     return q
 
 
+def run_to_partitioned_sink(
+    stream_df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("UF",),
+    checkpoint: str | None = None,
+    output_mode: str = "complete",
+):
+    """Drive a streaming query into a PARTITIONED parquet sink via
+    foreachBatch → ``sources.sinks.write_parquet_partitioned`` — the same
+    write+read round trip ``climate_e2e`` certifies for batch, closed for
+    streams (round-5 review item #8).
+
+    ``complete`` output mode is the right default for a watermarked
+    aggregate drained with availableNow: each micro-batch hands
+    foreachBatch the FULL updated aggregate, and the overwrite write
+    inside the sink helper leaves the final answer on disk when the
+    source drains (append mode would withhold every window the watermark
+    has not yet closed — on a bounded replay that is all of the most
+    recent ones). High-cardinality fact streams should instead use append
+    mode with a per-batch (non-overwrite) writer. Runs until the source
+    drains; returns the StreamingQuery."""
+    from amazon_climate_data_etl_spark.sources import sinks
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        sinks.write_parquet_partitioned(batch_df, path, tuple(partition_cols))
+
+    w = (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return q
+
+
 GRID_READINGS_DDL = "ts timestamp, lat double, lon double, var string, value double"
 
 

@@ -21,6 +21,12 @@ Env knobs (driver contract):
                         records sweep-vs-isolated per query, so cross-query
                         interference is quantified instead of misread as a
                         regression
+    BENCH_MOVER_PCT     additionally re-measure in isolation every query
+                        whose sweep time moved more than this fraction vs
+                        the previous round's committed BENCH_r*.json
+                        (default 0.25; round-5 review item #2 — drift vs
+                        regression must be separable from the artifact
+                        alone). Set to 0 to disable.
 
 Also writes the complete per-query timing set to ``BENCH_local.json`` at the
 repo root (the driver records only the stdout tail, which truncates long
@@ -133,13 +139,44 @@ def main() -> None:
     n_isolated = int(
         os.environ.get("BENCH_ISOLATED", "0" if subset else "5")
     )
+    iso_names = set(sorted(timings, key=lambda k: -timings[k])[:n_isolated])
+
+    # round-over-round movers get an isolated number too, so every >X%
+    # delta vs the previous committed artifact ships with its own
+    # quiesced re-measurement — drift (isolated ≈ previous) and real
+    # regressions (isolated ≈ sweep) separate from the artifact alone
+    mover_pct = float(os.environ.get("BENCH_MOVER_PCT", "0.25"))
+    prev: dict[str, float] = {}
+    if mover_pct > 0 and not subset:
+        import glob
+        import re
+
+        rounds = sorted(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if rounds:
+            try:
+                with open(rounds[-1]) as f:
+                    prev = json.load(f).get("queries", {}) or {}
+            except (OSError, ValueError):
+                prev = {}
+        movers = {
+            n
+            for n, t in timings.items()
+            if n in prev and prev[n] > 0 and abs(t / prev[n] - 1) > mover_pct
+        }
+        iso_names |= movers
+
     isolated: dict[str, dict[str, float]] = {}
-    for name in sorted(timings, key=lambda k: -timings[k])[:n_isolated]:
+    for name in sorted(iso_names):
         _quiesce(spark, max(cooldown, 0.5))
         # 2 reps (after the warm-up inside _time_query): enough to spot a
         # 2x sweep artifact without doubling the harness wall-time
         iso = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
         isolated[name] = {"sweep": timings[name], "isolated": iso}
+        if name in prev:
+            isolated[name]["prev_round"] = prev[name]
 
     payload = {
         "metric": "total_query_wall",

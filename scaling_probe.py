@@ -41,13 +41,15 @@ sys.path.insert(0, REPO)
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SCALING_DIR", "/tmp/spark_graft_sf0.5")
 REPLICAS = 5
-QUERIES = (
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "neardup_keep_corpus",
-    "duplicate_span_stats",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+QUERIES = tuple(
+    q.strip()
+    for q in os.environ.get(
+        "SCALING_QUERIES",
+        "minhash_lsh_pairs,ngram_jaccard_pairs,neardup_keep_corpus,"
+        "duplicate_span_stats,duplicate_spans_exact,ann_lsh_topk,"
+        "ann_ivf_topk",
+    ).split(",")
+    if q.strip()
 )
 
 
@@ -102,12 +104,13 @@ def build_corpus() -> None:
             os.symlink(os.path.join(BASE, f), dst)
 
 
-def main() -> None:
+def _run_child() -> None:
+    """Measure the (single) query named by SCALING_QUERIES in THIS process
+    and emit one machine-readable result line."""
     import importlib.util
 
     from amazon_climate_data_etl_spark.session import get_spark
 
-    build_corpus()
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )
@@ -115,11 +118,15 @@ def main() -> None:
     spec.loader.exec_module(entry)
     queries = entry.queries()
 
-    spark = get_spark(app_name="scaling_probe")
+    spark = get_spark(app_name="scaling_probe_child")
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed(name: str, sf_dir: str) -> float:
+        # two-pass GC quiesce (the r4 bench finding: broadcast/shuffle
+        # cleanup is asynchronous and one System.gc() is not enough)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
         spark.sparkContext._jvm.System.gc()
         fn = queries[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -130,15 +137,46 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return round(statistics.median(ts), 3)
 
-    out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         t1 = timed(name, BASE)
         t5 = timed(name, WORK)
-        out[name] = {
+        rec = {
+            "query": name,
             "sf0.1_sec": t1,
             "sf0.5_sec": t5,
             "ratio": round(t5 / t1, 2),
         }
+        print("##RESULT " + json.dumps(rec), flush=True)
+
+
+def main() -> None:
+    import subprocess
+
+    build_corpus()
+    # one SUBPROCESS per query: this probe measures how each query scales
+    # with DATA, and process history is a confound — r6 measured
+    # ann_ivf_topk at 2.7-2.9× when probed after the 5× dedup queries vs
+    # a reproducible 1.9-2.0× in a fresh process, and spark.stop() does
+    # NOT reset it (the py4j JVM outlives the session, so heap residue
+    # carries over). bench.py keeps the shared-session sweep + isolated
+    # pairs as the interference signal; here a per-query JVM (~10 s each)
+    # buys the clean scaling number this artifact exists to pin.
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        env = dict(os.environ, SCALING_QUERIES=name, SCALING_CHILD="1")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("##RESULT "):
+                rec = json.loads(line[len("##RESULT "):])
+                out[rec.pop("query")] = rec
+        if name not in out:
+            print(f"{name}: child failed\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            sys.exit(1)
         print(name, out[name], flush=True)
 
     payload = {
@@ -147,9 +185,12 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "queries": out,
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    # subset runs (SCALING_QUERIES) are a diagnosis aid: print only, never
+    # clobber the full-coverage artifact with a partial epoch
+    if "SCALING_QUERIES" not in os.environ:
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
     worst = max(v["ratio"] for v in out.values())
     print(json.dumps({"worst_ratio": worst, "pass": worst < REPLICAS}))
     if worst >= REPLICAS:
@@ -157,4 +198,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SCALING_CHILD"):
+        _run_child()
+    else:
+        main()

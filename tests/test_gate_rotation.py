@@ -51,6 +51,21 @@ def test_rotation_invariants():
     # 4. ordering is deterministic (two computations agree)
     assert names == list(entry.queries())
 
+    # staleness budget (round-5 review item #7): at GATE_WINDOW slots per
+    # round the steady-state re-attestation cycle is ceil(registry/window)
+    # rounds; a driver row may be up to cycle+1 rounds old when it rotates
+    # back in. Cap the cycle at 3 rounds — past that, either consolidate
+    # queries or raise GATE_WINDOW with explicit sign-off (and update this
+    # number in the __spark_entry__ docstring).
+    MAX_CYCLE_ROUNDS = 3
+    cycle = -(-len(names) // entry.GATE_WINDOW)  # ceil
+    assert cycle <= MAX_CYCLE_ROUNDS, (
+        f"registry has {len(names)} queries for a {entry.GATE_WINDOW}-slot "
+        f"gate window: re-attestation cycle {cycle} rounds exceeds the "
+        f"{MAX_CYCLE_ROUNDS}-round staleness budget. Consolidate queries "
+        "or raise GATE_WINDOW deliberately."
+    )
+
     # 5. the oracle map rotates identically (same leading order where
     # oracles exist)
     osql = list(entry.oracle_sql())

@@ -144,8 +144,11 @@ _PLAN_BOUNDS = {
     # three ANN result sets composed (textual reprints of their window
     # exchanges); the persisted truth set + its count broadcast into the
     # tagged union
-    "ann_recall_eval": (14, 8),
-    "ann_ivf_topk": (4, 3),
+    # r6 nlist-growth IVF: numpy-kernel assignment replaced the centroid
+    # crossJoin broadcast on the corpus side (one fewer broadcast); the
+    # probe-set and probe-selection broadcasts remain
+    "ann_recall_eval": (14, 7),
+    "ann_ivf_topk": (4, 2),
     # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
@@ -234,6 +237,11 @@ _PLAN_BOUNDS = {
     # shingle key + doc agg + sort (AQE broadcasts freq at fixture scale
     # only — min stays 0, the shingle universe grows with the corpus)
     "duplicate_span_stats": (8, 0),
+    # persisted (doc,pos,hash) stream: occurrence-count agg + hash-keyed
+    # join-back (AQE broadcasts at fixture scale only) + doc-keyed
+    # island/extent windows (one exchange, reused by both aggs) + the
+    # token-count left join + sort
+    "duplicate_spans_exact": (6, 0),
     # two map-side-counted scans unioned + tiny slice agg + sort
     "tokenizer_fertility": (2, 0),
     # date-filtered orders broadcast into the semi-join + priority agg

@@ -352,6 +352,33 @@ def test_climate_stream_daily_equals_batch(spark, tmp_path):
     assert got["n_cells"].tolist() == want["n_cells"].tolist()
     assert got["CD_MUN"].tolist() == want["CD_MUN"].tolist()
 
+    # sink parity (round-5 review item #8): the same stream through the
+    # partitioned file sink (foreachBatch → write_parquet_partitioned),
+    # re-read from disk, must equal the batch answer — the streaming twin
+    # of climate_e2e's write+read certification, including the UF
+    # partition-column round trip
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        run_to_partitioned_sink,
+    )
+
+    sink = str(tmp_path / "daily_sink")
+    stream2 = spark.readStream.schema(GRID_READINGS_DDL).json(str(d))
+    run_to_partitioned_sink(
+        climate_stream_daily(stream2, muni),
+        sink,
+        partition_cols=("UF",),
+        checkpoint=str(tmp_path / "daily_ckpt"),
+    )
+    back = (
+        spark.read.parquet(sink)
+        .orderBy("day", "CD_MUN", "var")
+        .toPandas()
+    )
+    assert back["sum_value"].tolist() == want["sum_value"].tolist()
+    assert back["n_cells"].tolist() == want["n_cells"].tolist()
+    assert back["CD_MUN"].tolist() == want["CD_MUN"].tolist()
+    assert sorted(back["UF"].unique()) == sorted(want["UF"].unique())
+
 
 def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     """The daily-crawl delta as a stream: novel-vs-corpus filtering plus
