@@ -841,7 +841,12 @@ def duplicate_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_SPANS_EXACT_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  -- empty guard mirrors functions.text.tokens(): splitting '' yields ['']
+  -- in DuckDB (len 1) where Spark's guarded tokenizer yields [] (len 0)
+  SELECT doc_id,
+         CASE WHEN length(trim(text, ' ')) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_SQL} END AS toks
+  FROM documents
 ),
 wp AS (
   SELECT doc_id, u.pos AS pos, u.h AS h FROM (

@@ -158,9 +158,21 @@ def main() -> None:
         if rounds:
             try:
                 with open(rounds[-1]) as f:
-                    prev = json.load(f).get("queries", {}) or {}
+                    doc = json.load(f)
             except (OSError, ValueError):
-                prev = {}
+                doc = {}
+            # the driver artifact wraps the payload: per-query timings sit
+            # in parsed.queries when the driver could parse the stdout
+            # line, else only inside the truncated "tail" string — recover
+            # them by name-matching against the registry (the cut-off
+            # first pair and metadata keys fail the membership test)
+            prev = dict((doc.get("parsed") or {}).get("queries") or {})
+            if not prev:
+                for m in re.finditer(
+                    r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)', doc.get("tail", "")
+                ):
+                    if m.group(1) in queries:
+                        prev[m.group(1)] = float(m.group(2))
         movers = {
             n
             for n, t in timings.items()

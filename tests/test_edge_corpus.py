@@ -42,12 +42,18 @@ _DOC_QUERIES = [
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
     "neardup_keep_corpus", "incremental_dedup",
+    "duplicate_span_stats", "duplicate_spans_exact",
     # curation
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "unigram_logprob_quality", "bigram_logprob_quality", "source_quota_cap",
     "corpus_filter_funnel",
 ]
+
+# a dedicated 20-token sentence (= duplicate_spans_exact's window W) and a
+# 20-token unique spacer, for the span-extent boundary cases below
+_SPAN20 = " ".join(f"sp{i}" for i in range(20))
+_GAP20 = " ".join(f"gp{i}" for i in range(20))
 
 _EDGE_TEXTS = [
     "",                                   # empty
@@ -72,6 +78,14 @@ _EDGE_TEXTS = [
     "an exact duplicate that crosses the incremental split boundary",  # 19:
     # doc_id % 5 == 4 puts this in incremental_dedup's DELTA slice, with
     # its exact twin (17) in the corpus — exercises the exact_dup verdict
+    # ---- exact-substring span extents (duplicate_spans_exact, W=20) ----
+    _SPAN20,                                          # 20: exactly W tokens
+    _SPAN20 + " " + _GAP20 + " " + _SPAN20,           # 21: two islands W
+    #     apart in ONE doc (positions 0 and 40; 40 - 0 > W → they must NOT
+    #     merge: n_spans=2, dup 40 of 60) — also a within-doc repeat, so
+    #     the span is "duplicated" even before doc 20 is counted
+    "pre1 pre2 pre3 " + _SPAN20 + " post1 post2",     # 22: span embedded
+    #     mid-document (one maximal extent [3, 23) of 25 tokens)
 ]
 
 
@@ -104,6 +118,29 @@ def edge_dir(tmp_path_factory):
     )
     pq.write_table(pa.table(rows, schema=schema), d / "documents.parquet")
     return str(d)
+
+
+def test_duplicate_spans_exact_merge_semantics(spark, edge_dir):
+    """Hand-derivable span extents — parity alone proves only that both
+    engines agree, not that the gaps-and-islands merge is RIGHT. Doc 20 is
+    exactly one duplicated window; doc 21 carries the same span twice with
+    a 20-token unique gap (islands at positions 0 and 40 — beyond the
+    W-merge reach, so they must stay TWO extents); doc 22 embeds it
+    mid-document; the periodic 120-token doc (14) self-duplicates every
+    window into ONE full-coverage extent; the 13-token exact-dup pair
+    (12, 13) is under W and must report zero windows."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["duplicate_spans_exact"](spark, edge_dir).collect()
+    }
+    assert (rows[20]["n_spans"], rows[20]["dup_tokens"], rows[20]["n_tokens"]) == (1, 20, 20)
+    assert rows[20]["dup_fraction"] == 1.0
+    assert (rows[21]["n_spans"], rows[21]["dup_tokens"], rows[21]["max_span"]) == (2, 40, 20)
+    assert rows[21]["n_tokens"] == 60
+    assert (rows[22]["n_spans"], rows[22]["dup_tokens"], rows[22]["n_tokens"]) == (1, 20, 25)
+    assert (rows[14]["n_spans"], rows[14]["dup_fraction"]) == (1, 1.0)
+    assert (rows[12]["n_spans"], rows[12]["dup_tokens"]) == (0, 0)
+    assert rows[13]["dup_fraction"] == 0.0
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
