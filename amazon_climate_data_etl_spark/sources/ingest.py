@@ -283,6 +283,90 @@ def _decode_netcdf_batch(
             )
 
 
+_DATE_IN_NAME = r"(\d{4})-?(\d{2})-?(\d{2})"
+
+
+def decode_geotiff_long(
+    content: bytes, var_name: str, date, bounds: dict | None = None
+) -> pd.DataFrame:
+    """GeoTIFF bytes → canonical long grid frame (one date per file —
+    rasters carry no time axis; the date rides in the filename, the
+    standard per-day-raster layout). Same clipping semantics as the
+    NetCDF path: coordinate masks, direction-agnostic (north-up rasters
+    store descending latitudes)."""
+    from amazon_climate_data_etl_spark.sources.geotiff_min import read_geotiff
+
+    r = read_geotiff(content)
+    grid, lat_vals, lon_vals = r.data, r.lat, r.lon
+    if bounds is not None:
+        lat_m = (lat_vals >= bounds["lat_min"]) & (lat_vals <= bounds["lat_max"])
+        lon_m = (lon_vals >= bounds["lon_min"]) & (lon_vals <= bounds["lon_max"])
+        grid = grid[lat_m][:, lon_m]
+        lat_vals, lon_vals = lat_vals[lat_m], lon_vals[lon_m]
+    nlat, nlon = grid.shape
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(np.array([date], dtype=object), nlat * nlon),
+            "lat": np.repeat(lat_vals, nlon),
+            "lon": np.tile(lon_vals, nlat),
+            "value": grid.ravel(),
+        }
+    )
+    long["var"] = var_name
+    return long[["date", "lat", "lon", "var", "value"]]
+
+
+def _decode_geotiff_batch(
+    batches: Iterator[pd.DataFrame], var_name: str, bounds: dict | None = None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binaryFile rows → long-format grid rows, date
+    parsed from the file name (``pr_2001-01-01.tif`` / ``tmax_20010102``
+    both match)."""
+    import datetime as _dt
+    import re as _re
+
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            m = _re.search(_DATE_IN_NAME, str(row["path"]).rsplit("/", 1)[-1])
+            if not m:
+                raise ValueError(
+                    f"GeoTIFF file name {row['path']!r} carries no "
+                    "YYYY-MM-DD / YYYYMMDD date"
+                )
+            date = _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+            yield decode_geotiff_long(bytes(row["content"]), var_name, date, bounds)
+
+
+def ingest_geotiff_to_parquet(
+    spark: SparkSession,
+    tif_glob: str,
+    out_path: str,
+    var_name: str,
+    bounds: dict | None = None,
+) -> None:
+    """Distributed GeoTIFF → Parquet relationalization: the per-day-raster
+    twin of ``ingest_netcdf_to_parquet`` (S1 boundary, second raster
+    format). One task per file; the output layout, year partitioning and
+    clipping semantics are identical, so the whole downstream climate
+    pipeline (grid-snap join → daily → annual/monthly) runs unchanged on
+    GeoTIFF-sourced grids."""
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(spark)
+    raw = spark.read.format("binaryFile").load(tif_glob)
+    grid = raw.mapInPandas(
+        lambda it: _decode_geotiff_batch(it, var_name, bounds),
+        schema=GRID_DAILY_SCHEMA,
+    )
+    (
+        grid.withColumn("year", F.year("date"))
+        .repartition("year")
+        .write.partitionBy("year")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 def ingest_netcdf_to_parquet(
     spark: SparkSession,
     nc_glob: str,
