@@ -636,8 +636,288 @@ LIMIT 10
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped cross-nation volume: revenue shipped between two
+    trading nations in either direction, per (supplier nation, customer
+    nation, ship year). The nation dimension joins TWICE under different
+    roles — the classic multi-role-dim shape — and the pair predicate is
+    a disjunction across both join sides, so it can only apply post-join.
+
+    Plan at scale: both nation roles broadcast (2 rows after the IN-pair
+    prune never ship the fact anywhere) and supplier broadcasts; customer
+    grows with SF so it joins on the uniform custkey (no hint). The fact
+    exchanges are orders ⋈ lineitem on orderkey, the custkey join, and
+    the 4-group agg. Revenue sums are exact decimals; the year is the
+    only date part."""
+    pair = ("NATION_1", "NATION_2")
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # customer grows with SF: equi-join (broadcasts at fixture scale
+        # via AQE only); supplier/nation are the hinted dims
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            stable_round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, ship_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: of all ECONOMY-part revenue
+    sold to ASIA-region customers, the fraction supplied by NATION_3, per
+    order year — the conditional-aggregate-ratio shape (two sums over one
+    pass, one a CASE-gated subset of the other).
+
+    Numerics: both sums are exact decimals over identical row sets in
+    both engines; the share is ONE double division of those exact sums,
+    rounded — bit-stable without interval arithmetic. Part, supplier,
+    nation, region broadcast; customer joins on custkey (grows with SF,
+    no hint), and orders ⋈ lineitem is the other fact exchange."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        # customer grows with SF: no broadcast hint (AQE decides locally)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(26,6)")
+    return (
+        base.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(zero)
+            ).alias("nation_rev"),
+            F.sum(revenue).alias("total_rev"),
+        )
+        .select(
+            "order_year",
+            stable_round(
+                F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            stable_round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(order_year AS INTEGER) AS order_year,
+       round(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+         AS mkt_share,
+       round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+FROM (
+  SELECT year(o_orderdate) AS order_year,
+         sum(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(8,4))
+                  ELSE CAST(0 AS DECIMAL(26,6)) END) AS nation_rev,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))) AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  GROUP BY year(o_orderdate)
+)
+ORDER BY order_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit per (supplier nation, order
+    year). The testdata carries no partsupp table, so supply cost is the
+    standard synthetic stand-in 60% of p_retailprice — the SHAPE under
+    test is the 5-way star (two broadcast dims on the fact, one orderkey
+    exchange) with a two-term decimal measure (revenue minus cost), not
+    the cost model.
+
+    profit = l_extendedprice·(1-l_discount) − 0.6·p_retailprice·l_quantity,
+    every term exact decimal; the only double is the final rounded sum."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)") - F.lit("0.6").cast("decimal(3,1)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(stable_round(F.sum(profit).cast("double"), 2).alias("profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,4))
+                      - CAST(0.6 AS DECIMAL(3,1))
+                        * CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, order_year DESC
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped supplier promotion screen: suppliers that shipped
+    MORE THAN A QUARTER of some PROMO part's total 1997 volume — the
+    nested-aggregate correlation shape (per-(part, supplier) quantities
+    compared against a re-aggregate of the same frame per part), resolved
+    as one semi-join into the supplier dim.
+
+    Comparison is integer-exact after scaling (4·pair > total avoids the
+    division); the per-part totals re-aggregate the persisted pair frame
+    and join back on partkey — the duplicate_span_stats key discipline.
+    Quantities are exact decimals, so both engines agree on every
+    threshold decision."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    pairs = (
+        rebalance_for_compute(li)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
+        .persist()
+    )
+    totals = pairs.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    dominant = (
+        pairs.join(totals, "l_partkey")
+        .filter(F.col("pair_qty") * 4 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+totals AS (SELECT l_partkey, sum(pair_qty) AS part_qty FROM pairs GROUP BY l_partkey)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pairs JOIN totals USING (l_partkey)
+  WHERE pair_qty * 4 > part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q10_returned_items": q10_returned_items,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "q18_large_volume_customers": q18_large_volume_customers,
     "range_band_join": range_band_join,
     "join_enrich_revenue": join_enrich_revenue,
@@ -653,6 +933,10 @@ QUERIES = {
 
 ORACLE = {
     "q10_returned_items": Q10_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "range_band_join": RANGE_BAND_SQL,
     "join_enrich_revenue": JOIN_ENRICH_SQL,

@@ -1445,6 +1445,87 @@ LIMIT 20
 """
 
 
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-priority audit: among lines shipped LATE
+    (more than 60 days after order date) in one year, how many belonged
+    to critical-priority orders vs the rest, per line status. The
+    testdata carries no l_shipmode, so l_linestatus plays the grouping
+    role; the SHAPE — orderkey equi-join with a non-equi lateness
+    predicate, then a two-way CASE-gated count pair per group — is Q12's.
+
+    Integer counters end-to-end; the date filter reaches the lineitem
+    scan and the join shuffles both sides on the uniform orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped part/supplier relationship count: how many
+    distinct suppliers have shipped each (brand, type, size) part class,
+    excluding suppliers on the complaint list. The testdata carries no
+    partsupp table, so the observed (partkey, suppkey) pairs in lineitem
+    play its role, and the complaint list is suppliers with a NEGATIVE
+    account balance (the original's LIKE '%Complaints%' comment filter);
+    the SHAPE — distinct pair projection, NOT-IN anti-join on the
+    supplier key, dim join, count-distinct per class, count-desc order —
+    is Q16's.
+
+    The anti-join side is a handful of rows and broadcasts; the pair
+    distinct and the class agg are the two fact exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "BRAND_0")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    good = pairs.join(
+        F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        good.join(F.broadcast(p), good.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'BRAND_0'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
 
 
 def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,6 +1633,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_blocking_supplier": q21_blocking_supplier,
     "q22_lapsed_balances": q22_lapsed_balances,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
 }
 
 ORACLE = {
@@ -1591,5 +1674,7 @@ ORACLE = {
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q21_blocking_supplier": Q21_SQL,
+    "q12_priority_by_linestatus": Q12_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
     "q22_lapsed_balances": Q22_SQL,
 }

@@ -273,6 +273,22 @@ _PLAN_BOUNDS = {
     # scale; min stays 0 — the band universe grows with the corpus) +
     # pair distinct + sort; hashes persisted so decode runs once
     "image_phash_neardup": (4, 0),
+    # orderkey + custkey fact exchanges + agg + sort (customer/orders
+    # broadcast at fixture scale only); nation roles + supplier hinted
+    "q7_volume_shipping": (4, 3),
+    # same fact spine as q7 plus part/region/nation dims; year agg + sort
+    "q8_market_share": (4, 4),
+    # part+supplier+nation broadcast into the fact, orderkey exchange,
+    # (nation, year) agg + sort
+    "q9_product_profit": (4, 3),
+    # persisted (part,supp) qty agg reprinted per consumer (textual),
+    # per-part re-agg + partkey join-back + distinct + semi-join + sort
+    "q20_dominant_suppliers": (9, 1),
+    # orderkey equi-join with the non-equi lateness filter + 2-group agg
+    "q12_priority_by_linestatus": (3, 0),
+    # pair distinct + class count-distinct agg + sort; complaint anti-join
+    # and part dim broadcast
+    "q16_supplier_part_counts": (4, 2),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
@@ -309,6 +325,11 @@ _SMJ_EXEMPT = {
     # shuffle joins are the correct plan; the persisted shingle frame
     # carries no stats, which also blocks fixture-scale broadcasts.
     "incremental_dedup",
+    # per-(part, supplier) pairs ⋈ per-part totals on partkey: both sides
+    # re-aggregate the same persisted fact-derived frame (no stats, and
+    # at scale the totals side is part-cardinality, not dim-sized), so
+    # the partkey-keyed shuffle join is the correct plan.
+    "q20_dominant_suppliers",
 }
 
 
