@@ -16,25 +16,30 @@ Reader surface:
 - datatypes: fixed-point / IEEE float (either endianness), fixed strings,
   object references, variable-length sequences (for ``DIMENSION_LIST``);
 - dataspaces v1/v2, attributes v1/v2/v3 (compact storage);
-- data layouts: contiguous and chunked (v1 B-tree index) with the
+- data layouts: contiguous and chunked — the v3 message (v1 B-tree index)
+  AND the HDF5 ≥1.10 v4 message with its fixed-shape chunk indexes
+  (Single Chunk, Implicit, Fixed Array incl. filtered elements), with the
   shuffle + deflate filter pipeline; unallocated storage → fill value;
 - global heap collections (vlen attribute payloads).
 
 Anything outside this raises ``NotImplementedError`` with a pointer at the
 full-featured (h5py/xarray) path: dense attribute/link storage (fractal
-heaps), layout message v4 (the HDF5 1.10 "latest format" chunk indexes),
-compound/array datatypes in dataset data, and exotic filters.
+heaps), the unlimited-dimension v4 chunk indexes (Extensible Array,
+v2 B-tree) and paged Fixed Array data blocks, compound/array datatypes in
+dataset data, and exotic filters.
 
 The writer emits spec-valid files in BOTH flavors libhdf5 produces —
 superblock v0 + v1 object headers + symbol-table groups (the library
 default netCDF-4 files use) and superblock v2 + v2 object headers +
 compact link messages (``H5F_LIBVER_LATEST``) — with contiguous or
-gzip(+shuffle)-chunked dataset storage, so tests can roundtrip REAL HDF5
-bytes through both reader paths without any library.
+gzip(+shuffle)-chunked dataset storage under any of the four chunk
+indexes, so tests can roundtrip REAL HDF5 bytes through every reader path
+without any library.
 """
 
 from __future__ import annotations
 
+import itertools
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -527,16 +532,15 @@ class _H5Reader:
 
     def _read_layout(self, body, shape, dt, filters, fill, name) -> np.ndarray:
         version, cls = body[0], body[1]
-        if version != 3:
+        if version not in (3, 4):
             raise NotImplementedError(
-                f"data layout message version {version} (HDF5 1.10 'latest "
-                "format' chunk indexes need the h5py path)"
+                f"data layout message version {version} (needs the h5py path)"
             )
         n = int(np.prod(shape)) if shape else 1
-        if cls == 0:  # compact
+        if cls == 0:  # compact (same fields in v3 and v4)
             size, = struct.unpack_from("<H", body, 2)
             return np.frombuffer(body, dt.np_dtype, n, offset=4).reshape(shape).copy()
-        if cls == 1:  # contiguous
+        if cls == 1:  # contiguous (same fields in v3 and v4)
             addr, _size = struct.unpack_from("<QQ", body, 2)
             if addr == UNDEF:
                 return self._fill_array(shape, dt, fill)
@@ -545,28 +549,110 @@ class _H5Reader:
                 .reshape(shape)
                 .copy()
             )
-        if cls == 2:  # chunked, v1 B-tree index
+        if cls != 2:
+            raise NotImplementedError(f"data layout class {cls}")
+        if version == 3:  # chunked, v1 B-tree index
             dimensionality = body[2]
             btree, = struct.unpack_from("<Q", body, 3)
             dims = struct.unpack_from(f"<{dimensionality}I", body, 11)
             chunk_shape = dims[:-1]  # last entry is the element size
-            out = self._fill_array(shape, dt, fill)
-            for offsets, mask, nbytes, addr in self._walk_chunk_btree(
-                btree, len(chunk_shape)
-            ):
-                raw = self.buf[addr : addr + nbytes]
-                if mask == 0:
-                    raw = self._defilter(raw, filters, dt.size)
-                chunk = np.frombuffer(raw, dt.np_dtype, int(np.prod(chunk_shape)))
-                chunk = chunk.reshape(chunk_shape)
-                sel = tuple(
-                    slice(o, min(o + c, s))
-                    for o, c, s in zip(offsets[: len(shape)], chunk_shape, shape)
-                )
-                clip = tuple(slice(0, s.stop - s.start) for s in sel)
-                out[sel] = chunk[clip]
-            return out
-        raise NotImplementedError(f"data layout class {cls}")
+            chunks = self._walk_chunk_btree(btree, len(chunk_shape))
+        else:  # version 4: the HDF5 1.10 "latest format" chunk indexes
+            chunk_shape, chunks = self._v4_chunks(body, shape, dt, name)
+        out = self._fill_array(shape, dt, fill)
+        for offsets, mask, nbytes, addr in chunks:
+            raw = self.buf[addr : addr + nbytes]
+            if mask == 0:
+                raw = self._defilter(raw, filters, dt.size)
+            chunk = np.frombuffer(raw, dt.np_dtype, int(np.prod(chunk_shape)))
+            chunk = chunk.reshape(chunk_shape)
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offsets[: len(shape)], chunk_shape, shape)
+            )
+            clip = tuple(slice(0, s.stop - s.start) for s in sel)
+            out[sel] = chunk[clip]
+        return out
+
+    def _v4_chunks(self, body, shape, dt, name):
+        """Version-4 chunked layout → (chunk_shape, [(origin, mask, nbytes,
+        addr), ...]). Supports the three fixed-shape chunk indexes HDF5
+        ≥1.10 writers emit for non-extensible datasets — Single Chunk (1),
+        Implicit (2), Fixed Array (3); the unlimited-dimension indexes
+        (Extensible Array, v2 B-tree) stay gated."""
+        flags, ndims, enc = body[2], body[3], body[4]
+        pos = 5
+        dims = [
+            int.from_bytes(body[pos + i * enc : pos + (i + 1) * enc], "little")
+            for i in range(ndims)
+        ]
+        pos += ndims * enc
+        chunk_shape = tuple(dims[:-1])  # last entry is the element size
+        idx_type = body[pos]
+        pos += 1
+        csize = int(np.prod(chunk_shape)) * dt.size
+        grid = list(
+            itertools.product(*[range(0, d, c) for d, c in zip(shape, chunk_shape)])
+        )
+        if idx_type == 1:  # Single Chunk
+            mask, nbytes = 0, csize
+            if flags & 0x02:  # filtered single chunk carries size + mask
+                nbytes = int.from_bytes(body[pos : pos + 8], "little")
+                mask, = struct.unpack_from("<I", body, pos + 8)
+                pos += 12
+            addr, = struct.unpack_from("<Q", body, pos)
+            if addr == UNDEF:
+                return chunk_shape, []
+            return chunk_shape, [(grid[0], mask, nbytes, addr)]
+        if idx_type == 2:  # Implicit: dense row-major chunks, no filters
+            addr, = struct.unpack_from("<Q", body, pos)
+            if addr == UNDEF:
+                return chunk_shape, []
+            return chunk_shape, [
+                (origin, 0, csize, addr + i * csize)
+                for i, origin in enumerate(grid)
+            ]
+        if idx_type == 3:  # Fixed Array
+            addr, = struct.unpack_from("<Q", body, pos + 1)  # skip page bits
+            if addr == UNDEF:
+                return chunk_shape, []
+            return chunk_shape, self._fixed_array_chunks(addr, grid, csize, name)
+        raise NotImplementedError(
+            f"v4 chunk index type {idx_type} (Extensible Array / v2 B-tree "
+            "serve unlimited dimensions; use the h5py path)"
+        )
+
+    def _fixed_array_chunks(self, addr, grid, csize, name):
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FAHD":
+            raise ValueError(f"dataset {name!r}: bad Fixed Array header")
+        client, entry_size, page_bits = buf[addr + 5], buf[addr + 6], buf[addr + 7]
+        max_nelmts, dblk = struct.unpack_from("<QQ", buf, addr + 8)
+        if client not in (0, 1):
+            raise NotImplementedError(f"Fixed Array client {client}")
+        if max_nelmts > (1 << page_bits):
+            raise NotImplementedError(
+                "paged Fixed Array data block (use the h5py path)"
+            )
+        if dblk == UNDEF:
+            return []
+        if buf[dblk : dblk + 4] != b"FADB":
+            raise ValueError(f"dataset {name!r}: bad Fixed Array data block")
+        pos = dblk + 4 + 1 + 1 + 8  # sig, version, client, header address
+        out = []
+        for i in range(int(max_nelmts)):
+            if client == 0:  # unfiltered: address only
+                a, = struct.unpack_from("<Q", buf, pos)
+                nbytes, mask = csize, 0
+            else:  # filtered: address + chunk size + filter mask
+                a, = struct.unpack_from("<Q", buf, pos)
+                size_len = entry_size - 12
+                nbytes = int.from_bytes(buf[pos + 8 : pos + 8 + size_len], "little")
+                mask, = struct.unpack_from("<I", buf, pos + 8 + size_len)
+            pos += entry_size
+            if a != UNDEF and i < len(grid):
+                out.append((grid[i], mask, nbytes, a))
+        return out
 
     def _fill_array(self, shape, dt, fill) -> np.ndarray:
         out = np.zeros(shape, dtype=dt.np_dtype)
@@ -722,6 +808,7 @@ def write_hdf5(
     compress: bool = False,
     shuffle: bool = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
+    chunk_index: str = "btree1",
 ) -> bytes:
     """Serialize datasets to HDF5 bytes.
 
@@ -729,10 +816,18 @@ def write_hdf5(
     headers, symbol-table root group). ``superblock=2``: latest-format
     structure (v2 superblock, v2 object headers, compact link messages).
     ``layout='chunked'`` stores data in (optionally shuffled+deflated)
-    chunks indexed by a v1 B-tree — the layout real netCDF-4 files use.
-    """
+    chunks; ``chunk_index`` picks the index structure: ``btree1`` (the v3
+    layout message real netCDF-4 files use), or the HDF5 ≥1.10 version-4
+    message indexes ``single`` (whole dataset as one chunk), ``implicit``
+    (dense row-major chunk region, unfiltered only), and ``fixed_array``
+    (FAHD/FADB, filtered or not) — the writer half that proves the v4
+    reader by roundtrip."""
     if superblock not in (0, 2):
         raise ValueError("superblock must be 0 or 2")
+    if chunk_index not in ("btree1", "single", "implicit", "fixed_array"):
+        raise ValueError(f"unknown chunk_index {chunk_index!r}")
+    if chunk_index == "implicit" and (compress or shuffle):
+        raise ValueError("implicit chunk index cannot carry filters")
     specs = list(specs)
     names = [s.name for s in specs]
     if len(set(names)) != len(names):
@@ -767,6 +862,8 @@ def write_hdf5(
             cshape = (chunks or {}).get(
                 s.name, tuple(max(1, d // 2) for d in arr.shape)
             )
+            if chunk_index == "single":
+                cshape = arr.shape  # by definition: the dataset is 1 chunk
             filters = ([(FILTER_SHUFFLE, 0)] if shuffle else []) + (
                 [(FILTER_DEFLATE, 0)] if compress else []
             )
@@ -796,23 +893,59 @@ def write_hdf5(
                 add_block(key, raw)
                 chunk_keys.append((origin, len(raw), key))
             info.update(chunked=True, cshape=cshape, filters=filters,
-                        chunk_keys=chunk_keys)
+                        chunk_keys=chunk_keys, index=chunk_index)
 
-            def btree(m, ck=chunk_keys, rank=arr.ndim, shape=arr.shape):
-                out = [b"TREE", struct.pack("<BBH", 1, 0, len(ck)),
-                       struct.pack("<QQ", UNDEF, UNDEF)]
-                for origin, nbytes, key in ck:
-                    out.append(struct.pack("<II", nbytes, 0))
-                    out.append(struct.pack(f"<{rank}Q", *origin))
-                    out.append(struct.pack("<Q", 0))  # element offset dim
-                    out.append(struct.pack("<Q", m[key]))
-                # final key: one past the end
-                out.append(struct.pack("<II", 0, 0))
-                out.append(struct.pack(f"<{rank}Q", *shape))
-                out.append(struct.pack("<Q", 0))
-                return b"".join(out)
+            if chunk_index == "btree1":
+                def btree(m, ck=chunk_keys, rank=arr.ndim, shape=arr.shape):
+                    out = [b"TREE", struct.pack("<BBH", 1, 0, len(ck)),
+                           struct.pack("<QQ", UNDEF, UNDEF)]
+                    for origin, nbytes, key in ck:
+                        out.append(struct.pack("<II", nbytes, 0))
+                        out.append(struct.pack(f"<{rank}Q", *origin))
+                        out.append(struct.pack("<Q", 0))  # element offset dim
+                        out.append(struct.pack("<Q", m[key]))
+                    # final key: one past the end
+                    out.append(struct.pack("<II", 0, 0))
+                    out.append(struct.pack(f"<{rank}Q", *shape))
+                    out.append(struct.pack("<Q", 0))
+                    return b"".join(out)
 
-            add_block(f"btree:{s.name}", btree)
+                add_block(f"btree:{s.name}", btree)
+            elif chunk_index == "fixed_array":
+                fa_client = 1 if filters else 0
+                fa_entry = 8 if fa_client == 0 else 20  # addr / addr+size+mask
+                fa_pb = 13  # one unpaged data block up to 8192 chunks
+                if len(chunk_keys) > (1 << fa_pb):
+                    raise ValueError("writer: paged Fixed Array not emitted")
+
+                def fadb(m, ck=chunk_keys, client=fa_client, nm=s.name):
+                    body = [
+                        b"FADB",
+                        struct.pack("<BB", 0, client),
+                        struct.pack("<Q", m[f"fahd:{nm}"]),
+                    ]
+                    for _origin, nbytes, key in ck:
+                        body.append(
+                            struct.pack("<Q", m[key])
+                            if client == 0
+                            else struct.pack("<QQI", m[key], nbytes, 0)
+                        )
+                    blob = b"".join(body)
+                    return blob + struct.pack("<I", _lookup3(blob))
+
+                def fahd(m, nel=len(chunk_keys), client=fa_client,
+                         es=fa_entry, nm=s.name):
+                    blob = (
+                        b"FAHD"
+                        + struct.pack("<BBBB", 0, client, es, fa_pb)
+                        + struct.pack("<QQ", nel, m[f"fadb:{nm}"])
+                    )
+                    return blob + struct.pack("<I", _lookup3(blob))
+
+                add_block(f"fahd:{s.name}", fahd)
+                add_block(f"fadb:{s.name}", fadb)
+            # 'single' and 'implicit' need no index structure: the layout
+            # message itself carries the (first) chunk address
         else:
             info.update(chunked=False)
             add_block(f"data:{s.name}", arr.tobytes())
@@ -830,14 +963,41 @@ def write_hdf5(
         ]
         if info["chunked"]:
             rank = len(arr_shape)
+            idx = info["index"]
 
-            def layout_msg(m):
-                return (
-                    struct.pack("<BBB", 3, 2, rank + 1)
-                    + struct.pack("<Q", m[f"btree:{s.name}"])
-                    + struct.pack(f"<{rank}I", *info["cshape"])
-                    + struct.pack("<I", dtype.itemsize)
-                )
+            if idx == "btree1":
+                def layout_msg(m):
+                    return (
+                        struct.pack("<BBB", 3, 2, rank + 1)
+                        + struct.pack("<Q", m[f"btree:{s.name}"])
+                        + struct.pack(f"<{rank}I", *info["cshape"])
+                        + struct.pack("<I", dtype.itemsize)
+                    )
+            else:
+                def layout_msg(m, idx=idx):
+                    filtered_single = idx == "single" and info["filters"]
+                    out = [
+                        struct.pack(
+                            "<BBBBB", 4, 2, 0x02 if filtered_single else 0,
+                            rank + 1, 8,
+                        ),
+                        struct.pack(
+                            f"<{rank + 1}Q", *info["cshape"], dtype.itemsize
+                        ),
+                    ]
+                    if idx == "single":
+                        out.append(b"\x01")
+                        _origin, nbytes, key = info["chunk_keys"][0]
+                        if filtered_single:
+                            out.append(struct.pack("<QI", nbytes, 0))
+                        out.append(struct.pack("<Q", m[key]))
+                    elif idx == "implicit":
+                        out.append(b"\x02")
+                        out.append(struct.pack("<Q", m[info["chunk_keys"][0][2]]))
+                    else:  # fixed_array
+                        out.append(b"\x03" + bytes([13]))
+                        out.append(struct.pack("<Q", m[f"fahd:{s.name}"]))
+                    return b"".join(out)
 
             msgs.append((MSG_LAYOUT, layout_msg))
             if info["filters"]:

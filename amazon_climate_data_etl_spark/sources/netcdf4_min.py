@@ -108,6 +108,7 @@ def write_netcdf4(
     compress: bool = False,
     shuffle: bool = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
+    chunk_index: str = "btree1",
 ) -> bytes:
     """Serialize an NcFile as a NetCDF-4/HDF5 file (fixture generation;
     inverse of ``read_netcdf4`` on the supported subset)."""
@@ -152,4 +153,5 @@ def write_netcdf4(
         compress=compress,
         shuffle=shuffle,
         chunks=chunks,
+        chunk_index=chunk_index,
     )

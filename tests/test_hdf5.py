@@ -186,6 +186,74 @@ def test_real_netcdf4_ingest_end_to_end(spark, tmp_path):
     assert got[("2001-01-02", 4.5, -64.75)] == vals[1, 2, 1]
 
 
+@pytest.mark.parametrize("sb", [0, 2])
+@pytest.mark.parametrize(
+    "idx,compress,shuffle",
+    [
+        ("single", False, False),
+        ("single", True, False),
+        ("single", True, True),
+        ("implicit", False, False),
+        ("fixed_array", False, False),
+        ("fixed_array", True, False),
+        ("fixed_array", True, True),
+    ],
+)
+def test_hdf5_v4_chunk_indexes(sb, idx, compress, shuffle):
+    """HDF5 ≥1.10 'latest format' version-4 layout message: Single Chunk /
+    Implicit / Fixed Array (filtered and not) roundtrip exactly, including
+    a chunk grid that does not divide the shape (edge-chunk clipping) —
+    closes the round-5 residual gap #2 for fixed-shape datasets."""
+    rng = np.random.default_rng(17)
+    a = rng.normal(0, 9, (7, 9)).astype("<f4")
+    b = rng.integers(-500, 500, (5,)).astype("<i2")
+    buf = write_hdf5(
+        [H5WriteSpec("a", a), H5WriteSpec("b", b)],
+        superblock=sb, layout="chunked", chunk_index=idx,
+        compress=compress, shuffle=shuffle,
+        chunks={"a": (3, 4), "b": (2,)},
+    )
+    back = read_hdf5(buf)
+    assert np.array_equal(back["a"].data, a)
+    assert np.array_equal(back["b"].data, b)
+
+
+def test_hdf5_v4_gates():
+    """The unlimited-dimension v4 indexes stay loudly gated."""
+    base = write_hdf5(
+        [H5WriteSpec("a", np.arange(12, dtype="<f4").reshape(3, 4))],
+        layout="chunked", chunk_index="fixed_array", chunks={"a": (2, 2)},
+    )
+    # patch the index-type byte (0x03 right after the v4 dims) to 4
+    # (Extensible Array): locate the layout message by its unique prefix
+    import struct as _s
+
+    prefix = _s.pack("<BBBBB", 4, 2, 0, 3, 8) + _s.pack("<3Q", 2, 2, 4)
+    pos = base.index(prefix) + len(prefix)
+    patched = base[:pos] + b"\x04" + base[pos + 1 :]
+    with pytest.raises(NotImplementedError, match="Extensible Array"):
+        read_hdf5(patched)
+
+
+def test_netcdf4_v4_latest_format_end_to_end():
+    """A NetCDF-4 grid written entirely in the 1.10 latest format (v2
+    superblock + v4 Fixed Array chunk index + shuffle+deflate) decodes
+    through the FULL ingest path, dimension scales included."""
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+
+    nc, vals = _grid_ncfile(nlat=4, nlon=3)
+    buf = write_netcdf4(
+        nc, superblock=2, layout="chunked", compress=True, shuffle=True,
+        chunk_index="fixed_array",
+    )
+    long = decode_classic_long(buf, "Tmax")
+    assert len(long) == 2 * 4 * 3
+    assert set(long["var"]) == {"Tmax"}
+    assert np.allclose(np.sort(long["value"].to_numpy()), np.sort(vals.ravel()))
+    back = read_netcdf4(buf)
+    assert np.allclose(np.asarray(back.variables["Tmax"].data), vals)
+
+
 def test_hdf5_roundtrip_property():
     """Hypothesis fuzz (the repo's codec pattern): random dataset
     collections — dtypes, ranks, flavors, chunk grids — roundtrip
@@ -203,8 +271,14 @@ def test_hdf5_roundtrip_property():
         n = draw(st.integers(1, 4))
         sb = draw(st.sampled_from([0, 2]))
         layout = draw(st.sampled_from(["contiguous", "chunked"]))
-        compress = draw(st.booleans()) if layout == "chunked" else False
-        shuffle = draw(st.booleans()) if layout == "chunked" else False
+        chunk_index = (
+            draw(st.sampled_from(["btree1", "single", "implicit", "fixed_array"]))
+            if layout == "chunked"
+            else "btree1"
+        )
+        filters_ok = layout == "chunked" and chunk_index != "implicit"
+        compress = draw(st.booleans()) if filters_ok else False
+        shuffle = draw(st.booleans()) if filters_ok else False
         specs, chunks = [], {}
         for i in range(n):
             dt = np.dtype(draw(dtypes))
@@ -219,14 +293,15 @@ def test_hdf5_roundtrip_property():
                 chunks[f"v{i}"] = tuple(
                     draw(st.integers(1, s)) for s in shape
                 )
-        return specs, sb, layout, compress, shuffle, chunks
+        return specs, sb, layout, compress, shuffle, chunks, chunk_index
 
     @given(case=cases())
     @settings(max_examples=30, deadline=None)
     def check(case):
-        specs, sb, layout, compress, shuffle, chunks = case
+        specs, sb, layout, compress, shuffle, chunks, chunk_index = case
         buf = write_hdf5(specs, superblock=sb, layout=layout,
-                         compress=compress, shuffle=shuffle, chunks=chunks)
+                         compress=compress, shuffle=shuffle, chunks=chunks,
+                         chunk_index=chunk_index)
         back = read_hdf5(buf)
         assert set(back) == {s.name for s in specs}
         for s in specs:
