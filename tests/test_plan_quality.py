@@ -389,6 +389,24 @@ def test_filter_in_list_pushed(spark, sf_dir):
     assert any("c_mktsegment" in p for p in I.pushed_filters(plan)), plan
 
 
+def test_q12_q20_date_filters_pushed(spark, sf_dir):
+    """The round-6 TPC-H additions with scan-level date predicates must
+    push them to the lineitem parquet scan (q12's ship-year window; q20's
+    1997 range), not evaluate them post-join."""
+    plan = I.plan_string(QUERIES["q12_priority_by_linestatus"](spark, sf_dir))
+    assert any("l_shipdate" in p for p in I.pushed_filters(plan)), plan
+    plan = I.plan_string(QUERIES["q20_dominant_suppliers"](spark, sf_dir))
+    assert any("l_shipdate" in p for p in I.pushed_filters(plan)), plan
+
+
+def test_q8_dim_filters_pushed(spark, sf_dir):
+    """q8's part-type and region predicates are dim-side and must reach
+    their own scans (pruning the broadcast payload before it ships)."""
+    plan = I.plan_string(QUERIES["q8_market_share"](spark, sf_dir))
+    pushed = " ".join(I.pushed_filters(plan))
+    assert "p_type" in pushed and "r_name" in pushed, plan
+
+
 def test_q19_disjunction_pushdown(spark, sf_dir):
     """The OR-of-ANDs predicate mixes columns from both join sides; each
     side's implied disjunction must still reach ITS parquet scan (the
