@@ -40,6 +40,10 @@ def _fresh_cache(spark):
 
 # name -> (max shuffles, min broadcast joins)
 _PLAN_BOUNDS = {
+    # bucketed scans feed the SMJ with NO join exchange (the certified
+    # property, see test_bucketed_join_no_join_exchange); the 2 are the
+    # distinct-agg hash exchange + the output range sort
+    "bucketed_join_revenue": (2, 0),
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
@@ -314,6 +318,10 @@ def test_shuffle_and_broadcast_bounds(spark, sf_dir, name):
 # correct plan at every scale, and both inputs are post-aggregation frames
 # already hash-partitioned on the join key, so the join adds no exchange.
 _SMJ_EXEMPT = {
+    # the SMJ is the point: both sides are bucketed on the join key so the
+    # merge join runs exchange-free — a broadcast would hide exactly the
+    # write-once co-location this query certifies
+    "bucketed_join_revenue",
     "full_outer_order_profile",
     # corpus ⋈ component-labels on doc_id: neither side is a dim at scale
     # (labels grow with the corpus), so the doc_id-keyed shuffle join is
@@ -405,6 +413,20 @@ def test_q8_dim_filters_pushed(spark, sf_dir):
     plan = I.plan_string(QUERIES["q8_market_share"](spark, sf_dir))
     pushed = " ".join(I.pushed_filters(plan))
     assert "p_type" in pushed and "r_name" in pushed, plan
+
+
+def test_bucketed_join_no_join_exchange(spark, sf_dir):
+    """The bucketed-join query's contract: both scans consume the on-disk
+    bucket distribution (Bucketed: true, all buckets selected) and the
+    sort-merge join itself adds NO exchange — the only shuffles in the
+    plan are the final aggregation + output sort, so at 100 TB the join
+    cost is the merge, never a re-shuffle of either table."""
+    plan = I.plan_string(QUERIES["bucketed_join_revenue"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # split at the join: no Exchange may appear below it
+    below = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below, below
 
 
 def test_q19_disjunction_pushdown(spark, sf_dir):
