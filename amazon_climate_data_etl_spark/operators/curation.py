@@ -966,7 +966,76 @@ ORDER BY segment
 """
 
 
+_CHUNK_W = 64  # tokens per training/RAG window
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunk plan — the context-window slicing
+    step between curation and tokenization (RAG indexing / long-doc
+    training both consume it). Each document yields windows of W=64
+    tokens at stride S=48; the final window is clipped to the document
+    end, and windows start at 0, S, 2S, … up to the first start covering
+    the tail, so every token lands in ≥1 chunk and interior tokens in
+    ≥⌈W/S⌉.
+
+    Scale: pure map + explode — per-row fan-out is n_tokens/S with no
+    data-dependent state, so it parallelizes with the scan; the only
+    exchange is the output sort (which a real pipeline, writing chunks
+    back to parquet, would drop entirely).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    last_id = F.floor(
+        (F.greatest(F.col("n_tokens") - _CHUNK_W, F.lit(0)) + (_CHUNK_S - 1))
+        / _CHUNK_S
+    ).cast("long")
+    start = (F.col("chunk_id") * _CHUNK_S).cast("long")
+    end = F.least(start + _CHUNK_W, F.col("n_tokens").cast("long"))
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_id)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            start.alias("start_tok"),
+            (end - start).alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {token_count_sql('text')} AS n_tokens
+  FROM documents
+  WHERE {token_count_sql('text')} > 0
+),
+fan AS (
+  SELECT doc_id, lang, n_tokens,
+         unnest(generate_series(
+           0, CAST((greatest(n_tokens - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                   // {_CHUNK_S} AS BIGINT))) AS chunk_id
+  FROM base
+)
+SELECT doc_id, lang, chunk_id,
+       CAST(chunk_id * {_CHUNK_S} AS BIGINT) AS start_tok,
+       least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n_tokens)
+         - chunk_id * {_CHUNK_S} AS chunk_tokens
+FROM fan
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "doc_chunk_plan": doc_chunk_plan,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "pii_redaction_stats": pii_redaction_stats,
     "contamination_overlap": contamination_overlap,
@@ -981,6 +1050,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_chunk_plan": DOC_CHUNK_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "pii_redaction_stats": PII_REDACTION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,

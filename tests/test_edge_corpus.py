@@ -44,6 +44,7 @@ _DOC_QUERIES = [
     "neardup_keep_corpus", "incremental_dedup",
     "duplicate_span_stats", "duplicate_spans_exact",
     # curation
+    "doc_chunk_plan",
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "unigram_logprob_quality", "bigram_logprob_quality", "source_quota_cap",

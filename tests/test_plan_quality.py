@@ -44,6 +44,8 @@ _PLAN_BOUNDS = {
     # property, see test_bucketed_join_no_join_exchange); the 2 are the
     # distinct-agg hash exchange + the output range sort
     "bucketed_join_revenue": (2, 0),
+    # map + explode fan-out only; the 1 is the output sort
+    "doc_chunk_plan": (1, 0),
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
