@@ -14,6 +14,9 @@ from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.text import (
+    WS,
+    ascii_lower,
+    ascii_lower_sql,
     bpe_token_count,
     bpe_token_count_sql,
     doc_fingerprint,
@@ -734,7 +737,153 @@ ORDER BY slice
 """
 
 
+_TR_SCALE = 1_000_000  # fixed-point score scale (s0 = 1.0)
+_TR_BASE = 150_000  # (1 - d) at the scale, d = 0.85
+_TR_ITERS = 3
+_TR_TOPK = 25
+
+
+def _textrank_step(g: DataFrame, scores: DataFrame) -> DataFrame:
+    """One quantized PageRank sweep: every node distributes its score
+    along weighted out-edges (integer floor division — bit-identical in
+    Spark's DIV and DuckDB's //), then damping re-mixes. The graph is
+    symmetric by construction so every node receives inflow."""
+    # explicit aliases: iteration k's scores frame derives from g itself,
+    # so an unqualified self-join would hit column-lineage ambiguity
+    ga, sa = g.alias("ga"), scores.alias("sa")
+    return (
+        ga.join(sa, F.col("ga.u") == F.col("sa.node"))
+        .groupBy(F.col("ga.v").alias("node"))
+        .agg(F.sum(F.expr("(sa.s * ga.w) DIV ga.ow")).alias("inflow"))
+        .select(
+            "node",
+            (F.lit(_TR_BASE) + F.expr("(85 * inflow) DIV 100"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over the
+    token co-occurrence graph — the graph-centrality member of the text
+    family (keyword/keyphrase extraction for corpus exploration and
+    quality dashboards).
+
+    Nodes are ASCII-lowered alphabetic tokens (≥3 chars); undirected
+    edges weight adjacent co-occurrence. Scores are FIXED-POINT integers
+    (scale 1e6) and every update uses integer floor division, so the
+    DuckDB oracle replays all 3 damped sweeps bit-identically — the same
+    quantized-iteration contract as ``kmeans_cluster_profile``, but with
+    ZERO driver materialization: the score frame stays distributed across
+    sweeps (kmeans must collect k·d centroids; here the "model" is
+    vocab-sized, so it remains a DataFrame end-to-end).
+
+    Scale: every exchange is keyed on a single token (vocab-bounded
+    cardinality, uniform hash); the per-sweep state is one row per vocab
+    entry regardless of corpus size; the edge frame is persisted once and
+    reused by all sweeps + the final profile join. Sweep count is fixed
+    (3), so the unrolled plan stays shallow — no checkpointing needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(ascii_lower(F.col("text")))
+    n = F.size(toks)
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
+    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
+    pairs = (
+        rebalance_for_compute(d)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.a").alias("u"), F.col("bg.b").alias("v"))
+        .filter(
+            (F.col("u") != F.col("v"))
+            & F.col("u").rlike("^[a-z]{3,}$")
+            & F.col("v").rlike("^[a-z]{3,}$")
+        )
+    )
+    # aggregate DIRECTED counts first (one corpus pass, map-side combined),
+    # then symmetrize the vocab²-bounded aggregate — symmetrizing the raw
+    # pair stream would run the scan+explode once per union branch
+    directed = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+    edges = (
+        directed.unionAll(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").cast("long").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outw = edges.groupBy("u").agg(F.sum("w").alias("ow"))
+    # derived per-consumer from the persisted (tiny, vocab²-bounded) edge
+    # frame — persisting g too would just duplicate it in the block store
+    g = edges.join(outw, "u")
+    scores = outw.select(
+        F.col("u").alias("node"), F.lit(_TR_SCALE).cast("long").alias("s")
+    )
+    for _ in range(_TR_ITERS):
+        scores = _textrank_step(g, scores)
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"), F.sum("w").alias("out_weight")
+    )
+    sc, dg = scores.alias("sc"), deg.alias("dg")
+    return (
+        sc.join(dg, F.col("sc.node") == F.col("dg.u"))
+        .select(
+            F.col("sc.node").alias("token"),
+            "n_links",
+            "out_weight",
+            F.col("sc.s").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("token"))
+        .limit(_TR_TOPK)
+    )
+
+
+_TR_TOKS_SQL = (
+    f"string_split_regex(trim({ascii_lower_sql('text')}, ' '), '{WS}+')"
+)
+
+TEXTRANK_SQL = f"""
+WITH t AS (
+  SELECT {_TR_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text, ' ')) > 0
+),
+flat AS (
+  SELECT bg.w1 AS u, bg.w2 AS v FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+    FROM t WHERE len(toks) > 1)
+),
+pairs AS (
+  SELECT u, v FROM flat
+  WHERE u <> v AND regexp_matches(u, '^[a-z]{{3,}}$')
+              AND regexp_matches(v, '^[a-z]{{3,}}$')
+),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+edges AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY u, v),
+outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY u),
+g AS (SELECT e.u, e.v, e.w, o.ow FROM edges e JOIN outw o ON e.u = o.u),
+s0 AS (SELECT u AS node, CAST({_TR_SCALE} AS BIGINT) AS s FROM outw),
+s1 AS (SELECT g.v AS node,
+              CAST({_TR_BASE} + (85 * sum((s.s * g.w) // g.ow)) // 100 AS BIGINT) AS s
+       FROM g JOIN s0 s ON g.u = s.node GROUP BY g.v),
+s2 AS (SELECT g.v AS node,
+              CAST({_TR_BASE} + (85 * sum((s.s * g.w) // g.ow)) // 100 AS BIGINT) AS s
+       FROM g JOIN s1 s ON g.u = s.node GROUP BY g.v),
+s3 AS (SELECT g.v AS node,
+              CAST({_TR_BASE} + (85 * sum((s.s * g.w) // g.ow)) // 100 AS BIGINT) AS s
+       FROM g JOIN s2 s ON g.u = s.node GROUP BY g.v),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS n_links,
+               CAST(sum(w) AS BIGINT) AS out_weight
+        FROM edges GROUP BY u)
+SELECT s3.node AS token, deg.n_links, deg.out_weight, s3.s AS score
+FROM s3 JOIN deg ON s3.node = deg.u
+ORDER BY score DESC, token ASC
+LIMIT {_TR_TOPK}
+"""
+
+
 QUERIES = {
+    "textrank_keywords": textrank_keywords,
     "tokenizer_fertility": tokenizer_fertility,
     "doc_repetition_scores": doc_repetition_scores,
     "vocab_coverage": vocab_coverage,
@@ -753,6 +902,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "textrank_keywords": TEXTRANK_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,

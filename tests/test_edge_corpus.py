@@ -37,7 +37,7 @@ _DOC_QUERIES = [
     "lang_id_confusion", "doc_fingerprints", "doc_rolling_fingerprints",
     "doc_length_histogram", "top_terms", "doc_repetition_scores",
     "tfidf_top_terms", "sample_split_stats", "val_split_docs",
-    "vocab_coverage", "bm25_search",
+    "vocab_coverage", "bm25_search", "textrank_keywords",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",

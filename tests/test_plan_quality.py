@@ -46,6 +46,10 @@ _PLAN_BOUNDS = {
     "bucketed_join_revenue": (2, 0),
     # map + explode fan-out only; the 1 is the output sort
     "doc_chunk_plan": (1, 0),
+    # one corpus pass into the directed-pair agg; everything after is
+    # vocab²-bounded (persisted edge frame reprinted per consumer inflates
+    # the TEXTUAL count: 3 sweeps × (outw join + inflow agg) + deg/top-k)
+    "textrank_keywords": (48, 0),
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
