@@ -430,6 +430,100 @@ def resample_audio(
     )
 
 
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_active", T.IntegerType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("longest_run", T.IntegerType()),
+        T.StructField("active_ms", T.IntegerType()),
+        T.StructField("first_active", T.IntegerType()),
+    ]
+)
+
+_SEGMENT_FRAME_MS = 25
+
+
+def _energy_segment_profile(content: bytes, frame_ms: int = _SEGMENT_FRAME_MS):
+    """VAD-style activity profile of one WAV payload, ALL-INTEGER math:
+    raw 16-bit PCM samples are framed into non-overlapping ``frame_ms``
+    windows (partial tail frame dropped), per-frame energy is the exact
+    int64 sum of squares, and a frame is ACTIVE iff its energy strictly
+    exceeds the item mean (cross-multiplied: energy·n_frames > total — no
+    division, so the twin replays it exactly). Segments are maximal active
+    runs. Constant-energy audio (silence included) has no strict-mean
+    exceeders and profiles as 0 segments by construction."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        rate = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    flen = max(1, rate * frame_ms // 1000)
+    n_frames = len(pcm) // flen
+    if n_frames == 0:
+        return 0, 0, 0, 0, 0, -1
+    e = (pcm[: n_frames * flen].astype(np.int64) ** 2).reshape(n_frames, flen).sum(axis=1)
+    total = int(e.sum())
+    active = (e * n_frames) > total
+    n_active = int(active.sum())
+    # run-length via boundary count: a segment starts where active rises
+    starts = np.flatnonzero(active & ~np.concatenate(([False], active[:-1])))
+    n_segments = int(len(starts))
+    longest = 0
+    if n_segments:
+        ends = np.flatnonzero(active & ~np.concatenate((active[1:], [False])))
+        longest = int((ends - starts + 1).max())
+    first = int(starts[0]) if n_segments else -1
+    return n_frames, n_active, n_segments, longest, n_active * frame_ms, first
+
+
+def audio_energy_segments_stage(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio activity segmentation: audio rows only, one profile row per
+    item — same plumbing rules as resample_audio (Arrow-batched
+    mapInPandas, map-only, kind-filter prunes non-audio BEFORE Python).
+    The real kernel is ``_energy_segment_profile``; the fake kernel emits
+    content-hash-derived integers with the same schema."""
+    spark = media.sparkSession
+    ship_package_to_workers(spark)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if fake:
+                    h = hashlib.sha256(bytes(c)).digest()
+                    nf = 1 + h[0]
+                    na = h[1] % (nf + 1)
+                    rows.append((int(mid), nf, na, min(na, 1 + h[2] % 4),
+                                 na and 1 + h[3] % na, na * _SEGMENT_FRAME_MS,
+                                 -1 if na == 0 else h[4] % nf))
+                else:
+                    rows.append((int(mid), *_energy_segment_profile(bytes(c))))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        worker, schema=AUDIO_SEGMENTS_SCHEMA
+    )
+
+
+def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-item audio activity profiles over the
+    synthesized media table (tone/noise-half WAVs → real segment
+    structure). Rows-only at the driver (the WAV decode kernel is not
+    SQL-expressible); VALUES are certified exactly by the pure-Python
+    recomputation twin in tests/test_media_twin.py, which replays the
+    integer energy/threshold/run-length math sample-by-sample with plain
+    Python ints. Scale: one map-only Arrow-batched pass over audio rows
+    (pruned before Python), profile output is one short row per item; the
+    only exchange is the output sort."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir), kinds=("audio",))
+    return audio_energy_segments_stage(media, fake=False).orderBy("media_id")
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -681,6 +775,7 @@ QUERIES = {
     "media_feature_summary": media_feature_summary,
     "media_frame_pipeline": media_frame_pipeline,
     "image_phash_neardup": image_phash_neardup,
+    "audio_energy_segments": audio_energy_segments,
 }
 ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 
@@ -776,7 +871,11 @@ def synthesize_media_item(i: int, seed: int = 42) -> dict:
 
 
 def synthetic_media(
-    spark: SparkSession, n: int = 64, seed: int = 42, rows_per_partition: int = 4096
+    spark: SparkSession,
+    n: int = 64,
+    seed: int = 42,
+    rows_per_partition: int = 4096,
+    kinds: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Deterministic media table for tests/bench — REAL binary payloads
     (PNG/WAV/AVI, per-row recipe in ``synthesize_media_item``) of varying
@@ -793,9 +892,19 @@ def synthetic_media(
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [synthesize_media_item(int(i), seed) for i in pdf["id"]]
+            # kind-prune BEFORE synthesis: a single-kind consumer (e.g. the
+            # audio profiler) must not pay for encoding the other kinds'
+            # payloads only to filter them out — media_id identity (= i)
+            # is unchanged, so pruned tables are row-subsets of the full one
+            ids = [
+                int(i)
+                for i in pdf["id"]
+                if kinds is None or _MEDIA_KINDS[int(i) % 3] in kinds
+            ]
+            rows = [synthesize_media_item(i, seed) for i in ids]
             yield pd.DataFrame(
-                {f.name: [r[f.name] for r in rows] for f in MEDIA_SCHEMA.fields}
+                {f.name: [r[f.name] for r in rows] for f in MEDIA_SCHEMA.fields},
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
             )
 
     # at least one split per core (the downstream decode/frame stages are

@@ -199,3 +199,62 @@ def test_image_phash_neardup_twin_exact(spark):
     assert got == sorted(expect)
     planted = {(6 * g, 6 * g + 3) for g in range(len(ids) // 2)}
     assert planted <= {(a, b) for a, b, _ in expect}
+
+
+def test_audio_energy_segments_twin_exact(spark):
+    """Replay the VAD profile with PLAIN PYTHON INTS — stdlib wave decode,
+    per-sample square-sum loops, cross-multiplied strict-mean threshold,
+    hand-rolled run-length scan — and require exact row equality with the
+    Spark kernel's numpy math over every audio item."""
+    import io
+    import wave
+
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        _SEGMENT_FRAME_MS,
+        audio_energy_segments,
+    )
+
+    expected = []
+    for item in _twin_items():
+        if item["kind"] != "audio":
+            continue
+        with wave.open(io.BytesIO(item["content"])) as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        pcm = [
+            int.from_bytes(raw[j : j + 2], "little", signed=True)
+            for j in range(0, len(raw), 2)
+        ]
+        flen = max(1, rate * _SEGMENT_FRAME_MS // 1000)
+        nf = len(pcm) // flen
+        energies = [
+            sum(s * s for s in pcm[k * flen : (k + 1) * flen]) for k in range(nf)
+        ]
+        total = sum(energies)
+        act = [e * nf > total for e in energies]
+        runs, run = [], 0
+        for a in act:
+            if a:
+                run += 1
+            elif run:
+                runs.append(run)
+                run = 0
+        if run:
+            runs.append(run)
+        n_active = sum(act)
+        expected.append(
+            (
+                item["media_id"],
+                nf,
+                n_active,
+                len(runs),
+                max(runs) if runs else 0,
+                n_active * _SEGMENT_FRAME_MS,
+                act.index(True) if n_active else -1,
+            )
+        )
+    got = [tuple(r) for r in audio_energy_segments(spark, SF).collect()]
+    assert got == expected
+    # the corpus must exercise BOTH profile shapes: constant-energy tones
+    # (no strict-mean exceeders) and noise items with real segment runs
+    assert any(r[3] == 0 for r in got) and any(r[3] >= 2 for r in got)

@@ -50,6 +50,8 @@ _PLAN_BOUNDS = {
     # vocab²-bounded (persisted edge frame reprinted per consumer inflates
     # the TEXTUAL count: 3 sweeps × (outw join + inflow agg) + deg/top-k)
     "textrank_keywords": (48, 0),
+    # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
+    "audio_energy_segments": (2, 0),
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
