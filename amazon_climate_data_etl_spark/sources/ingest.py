@@ -160,6 +160,25 @@ def _decode_time_units(values, units: str):
     ]
 
 
+def _gate_cf_calendar(calendar) -> None:
+    """Shared CF-calendar gate (NetCDF + Zarr minimal decode paths):
+    noleap/365_day/360_day etc. are common in climate model output, and
+    decoding them as proleptic-Gregorian silently shifts every date — so
+    fail loudly and point at the full-featured decode path."""
+    if isinstance(calendar, bytes):
+        calendar = calendar.decode("ascii", "replace")
+    if calendar is not None and str(calendar).lower() not in (
+        "standard",
+        "gregorian",
+        "proleptic_gregorian",
+    ):
+        raise NotImplementedError(
+            f"CF calendar {calendar!r} is not supported by the minimal "
+            "decoder (standard/gregorian/proleptic_gregorian only); use "
+            "the xarray path"
+        )
+
+
 def decode_classic_long(
     content: bytes, var_name: str, bounds: dict | None = None
 ) -> pd.DataFrame:
@@ -190,22 +209,7 @@ def decode_classic_long(
     lon_vals = np.asarray(nc.variables[lon_dim].data, dtype=np.float64)
     tvar = nc.variables[time_dim]
     units = tvar.attrs.get("units")
-    calendar = tvar.attrs.get("calendar")
-    if isinstance(calendar, bytes):
-        calendar = calendar.decode("ascii", "replace")
-    if calendar is not None and str(calendar).lower() not in (
-        "standard",
-        "gregorian",
-        "proleptic_gregorian",
-    ):
-        # noleap/365_day/360_day etc. are common in climate model output;
-        # decoding them as proleptic-Gregorian silently shifts every date,
-        # so fail loudly and point at the full-featured decode path
-        raise NotImplementedError(
-            f"CF calendar {calendar!r} is not supported by the minimal "
-            "decoder (standard/gregorian/proleptic_gregorian only); use "
-            "the xarray path"
-        )
+    _gate_cf_calendar(tvar.attrs.get("calendar"))
     dates = (
         _decode_time_units(tvar.data, units)
         if isinstance(units, str)
@@ -358,6 +362,164 @@ def ingest_geotiff_to_parquet(
         lambda it: _decode_geotiff_batch(it, var_name, bounds),
         schema=GRID_DAILY_SCHEMA,
     )
+    (
+        grid.withColumn("year", F.year("date"))
+        .repartition("year")
+        .write.partitionBy("year")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def probe_zarr_climate(store_path: str, var_name: str):
+    """Driver-side Zarr probe: variable metadata + decoded coordinate axes.
+
+    Touches ONLY metadata objects and the 1-D coordinate arrays (a few KB
+    even for a 100 TB store) — never a data chunk. Dimension names come
+    from xarray's public ``_ARRAY_DIMENSIONS`` store convention, then go
+    through the same name probing as the NetCDF path; the CF time axis
+    (units/calendar) is decoded with the shared helpers, calendar gate
+    included."""
+    import os as _os
+
+    from amazon_climate_data_etl_spark.sources.zarr_min import (
+        open_group_array_meta,
+        read_zarr_array,
+        read_zattrs,
+    )
+
+    meta, attrs = open_group_array_meta(store_path, var_name)
+    dims = attrs.get("_ARRAY_DIMENSIONS")
+    if not dims or len(dims) != len(meta.shape):
+        raise NotImplementedError(
+            f"array {var_name!r} carries no usable _ARRAY_DIMENSIONS "
+            "attribute; name-free Zarr layouts need the xarray decode path"
+        )
+    lon_dim, lat_dim = probe_coord_dims(dims)
+    time_dim = probe_time_dim(dims)
+    for d in (time_dim, lat_dim, lon_dim):
+        if d not in dims or not _os.path.isdir(_os.path.join(store_path, d)):
+            raise NotImplementedError(
+                f"dimension {d!r} has no coordinate array in this store"
+            )
+    t_attrs = read_zattrs(_os.path.join(store_path, time_dim))
+    _gate_cf_calendar(t_attrs.get("calendar"))
+    t_vals = read_zarr_array(_os.path.join(store_path, time_dim))
+    units = t_attrs.get("units")
+    dates = (
+        _decode_time_units(t_vals, units)
+        if isinstance(units, str)
+        else list(pd.to_datetime(np.asarray(t_vals)).date)
+    )
+    lat_vals = read_zarr_array(_os.path.join(store_path, lat_dim)).astype(np.float64)
+    lon_vals = read_zarr_array(_os.path.join(store_path, lon_dim)).astype(np.float64)
+    return meta, dims, (time_dim, lat_dim, lon_dim), dates, lat_vals, lon_vals
+
+
+def decode_zarr_chunk_long(
+    content: bytes,
+    key: str,
+    meta,
+    dims,
+    axis_names,
+    dates,
+    lat_vals,
+    lon_vals,
+    var_name: str,
+    bounds: dict | None = None,
+) -> pd.DataFrame:
+    """ONE Zarr chunk object → its slab of the canonical long grid frame.
+
+    This is the per-task unit of the distributed ingest: the chunk is
+    decoded standalone (its key encodes its grid position), transposed to
+    (time, lat, lon), clipped against the broadcast coordinate axes, and
+    relationalized — no cross-chunk coordination of any kind."""
+    from amazon_climate_data_etl_spark.sources.zarr_min import (
+        chunk_slices,
+        decode_chunk,
+    )
+
+    time_dim, lat_dim, lon_dim = axis_names
+    slices = chunk_slices(meta, key)
+    block = decode_chunk(content, meta)
+    # trim the (always-full-size) stored chunk to the array extent
+    block = block[tuple(slice(0, s.stop - s.start) for s in slices)]
+    order = [dims.index(d) for d in (time_dim, lat_dim, lon_dim)]
+    cube = np.transpose(block, order).astype(np.float64)
+    by_dim = dict(zip(dims, slices))
+    c_dates = np.array(dates, dtype=object)[
+        by_dim[time_dim].start : by_dim[time_dim].stop
+    ]
+    c_lat = lat_vals[by_dim[lat_dim].start : by_dim[lat_dim].stop]
+    c_lon = lon_vals[by_dim[lon_dim].start : by_dim[lon_dim].stop]
+    if bounds is not None:
+        lat_m = (c_lat >= bounds["lat_min"]) & (c_lat <= bounds["lat_max"])
+        lon_m = (c_lon >= bounds["lon_min"]) & (c_lon <= bounds["lon_max"])
+        cube = cube[:, lat_m][:, :, lon_m]
+        c_lat, c_lon = c_lat[lat_m], c_lon[lon_m]
+    nt, nlat, nlon = cube.shape
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(c_dates, nlat * nlon),
+            "lat": np.tile(np.repeat(c_lat, nlon), nt),
+            "lon": np.tile(np.tile(c_lon, nlat), nt),
+            "value": cube.ravel(),
+        }
+    )
+    long["var"] = var_name
+    return long[["date", "lat", "lon", "var", "value"]]
+
+
+def ingest_zarr_to_parquet(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    var_name: str,
+    bounds: dict | None = None,
+) -> None:
+    """Distributed Zarr → Parquet relationalization (S1 boundary, third
+    grid format — the cloud-native chunk store).
+
+    The scale story differs from the NetCDF/GeoTIFF boundaries in the one
+    way that matters at 100 TB: a Zarr variable is MILLIONS of independent
+    chunk objects, so the binaryFile scan of the chunk keys gives
+    chunk-level parallelism directly — no one-task-per-file bottleneck, no
+    intra-file split problem. The driver probes only metadata + 1-D
+    coordinate axes (KB-scale) and ships them by closure; every data chunk
+    is fetched, decoded, clipped and relationalized in its own task.
+    Missing chunk keys (fill-value-only regions, the spec's sparse-write
+    rule) simply contribute no rows — the same end state the downstream
+    pipeline gives NaN cells. Output layout (year partitioning) matches
+    the other ingest boundaries, so the whole climate pipeline runs
+    unchanged on Zarr-sourced grids."""
+    import os as _os
+
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(spark)
+    meta, dims, axis_names, dates, lat_vals, lon_vals = probe_zarr_climate(
+        store_path, var_name
+    )
+    var_root = _os.path.join(_os.path.abspath(store_path), var_name)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "[0-9]*")
+        .option("recursiveFileLookup", "true")
+        .load(var_root)
+    )
+    marker = var_name + "/"
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rel = str(row["path"]).rsplit(marker, 1)[-1]
+                key = rel.replace("/", meta.separator)
+                yield decode_zarr_chunk_long(
+                    bytes(row["content"]), key, meta, dims, axis_names,
+                    dates, lat_vals, lon_vals, var_name, bounds,
+                )
+
+    grid = raw.mapInPandas(worker, schema=GRID_DAILY_SCHEMA)
     (
         grid.withColumn("year", F.year("date"))
         .repartition("year")

@@ -1,0 +1,341 @@
+"""Zarr v2 codec + distributed ingest boundary.
+
+Codec-level: writer↔reader roundtrips across dtypes/chunkings/compressors/
+separators, sparse (missing-chunk) reads, fail-loud gates on the
+unsupported corners, and a hypothesis fuzz roundtrip. Ingest-level: the
+chunk-parallel Spark boundary against a store built by OUR writer, value-
+compared cell-by-cell to the source cube, plus a cross-format twin — the
+SAME cube ingested via the classic-NetCDF boundary must produce the
+IDENTICAL relational frame (two independent decode stacks agreeing is the
+strongest in-container certification either has)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_climate_data_etl_spark.sources.zarr_min import (
+    chunk_slices,
+    open_group_array_meta,
+    parse_zarray,
+    read_zarr_array,
+    read_zattrs,
+    write_zarr_array,
+    write_zarr_group,
+)
+
+# --- codec roundtrips -------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<f4", "<i4", "<i2", "|u1"])
+def test_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(7)
+    arr = (rng.uniform(0, 100, (7, 5)) ).astype(np.dtype(dtype))
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(3, 4))
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+@pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
+def test_roundtrip_compressors(tmp_path, compressor):
+    arr = np.arange(60, dtype="<f8").reshape(3, 4, 5)
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(2, 3, 2), compressor=compressor)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_roundtrip_slash_separator(tmp_path):
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(3, 2), separator="/")
+    assert (tmp_path / "a" / "0" / "1").exists()  # nested chunk keys
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_roundtrip_1d_and_exact_chunk_fit(tmp_path):
+    arr = np.linspace(-5, 5, 12)
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(4,))  # 12 % 4 == 0: no edge trim
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_missing_chunk_reads_fill_value(tmp_path):
+    arr = np.ones((4, 4), dtype="<f8")
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(2, 2), fill_value=-9.5)
+    (tmp_path / "a" / "1.0").unlink()  # sparse store: drop one chunk
+    out = read_zarr_array(p)
+    np.testing.assert_array_equal(out[:2, :2], 1.0)
+    np.testing.assert_array_equal(out[2:, :2], -9.5)
+    np.testing.assert_array_equal(out[:, 2:], 1.0)
+
+
+def test_nan_fill_value_json_roundtrip(tmp_path):
+    arr = np.full((2, 2), 3.0)
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(1, 2), fill_value=float("nan"))
+    (tmp_path / "a" / "1.0").unlink()
+    out = read_zarr_array(p)
+    assert np.isnan(out[1]).all() and (out[0] == 3.0).all()
+
+
+def test_edge_chunks_stored_full_size(tmp_path):
+    """Spec rule: edge chunks are padded to full chunk shape on disk."""
+    arr = np.arange(10, dtype="|u1").reshape(2, 5)
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(2, 4), compressor=None)
+    assert (tmp_path / "a" / "0.1").stat().st_size == 8  # 2x4, not 2x1
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+# --- gates ------------------------------------------------------------------
+
+
+def _meta(**over):
+    base = {
+        "zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f8",
+        "fill_value": 0, "order": "C", "filters": None, "compressor": None,
+    }
+    base.update(over)
+    import json
+
+    return json.dumps(base).encode()
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {"zarr_format": 3},
+        {"order": "F"},
+        {"filters": [{"id": "delta"}]},
+        {"compressor": {"id": "blosc", "cname": "lz4"}},
+        {"compressor": {"id": "zstd"}},
+        {"dtype": "|S8"},
+        {"dtype": "<U4"},
+        {"dimension_separator": "-"},
+        {"fill_value": "0x7fc00000"},
+    ],
+)
+def test_unsupported_corners_fail_loudly(over):
+    with pytest.raises(NotImplementedError):
+        parse_zarray(_meta(**over))
+
+
+def test_missing_chunk_with_null_fill_gates(tmp_path):
+    arr = np.ones((4,), dtype="<f8")
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, chunks=(2,), fill_value=None)
+    (tmp_path / "a" / "1").unlink()
+    with pytest.raises(NotImplementedError):
+        read_zarr_array(p)
+
+
+def test_chunk_key_rank_mismatch():
+    meta = parse_zarray(_meta(shape=[4, 4], chunks=[2, 2]))
+    with pytest.raises(ValueError):
+        chunk_slices(meta, "1.0.0")
+
+
+# --- fuzz -------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ndim=st.integers(1, 3),
+    data=st.data(),
+    compressor=st.sampled_from([None, "zlib", "gzip"]),
+    separator=st.sampled_from([".", "/"]),
+)
+def test_fuzz_roundtrip(tmp_path_factory, ndim, data, compressor, separator):
+    shape = tuple(data.draw(st.integers(1, 9)) for _ in range(ndim))
+    chunks = tuple(data.draw(st.integers(1, 9)) for _ in range(ndim))
+    seed = data.draw(st.integers(0, 2**31))
+    arr = np.random.default_rng(seed).normal(size=shape)
+    p = str(tmp_path_factory.mktemp("z") / "a")
+    write_zarr_array(p, arr, chunks=chunks, compressor=compressor, separator=separator)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+# --- group + attrs ----------------------------------------------------------
+
+
+def test_group_roundtrip_with_attrs(tmp_path):
+    p = str(tmp_path / "g")
+    t = np.arange(3, dtype="<f8")
+    v = np.arange(12, dtype="<f8").reshape(3, 2, 2)
+    write_zarr_group(
+        p,
+        {
+            "time": (t, {"units": "days since 2001-01-01", "calendar": "standard"}),
+            "tmax": (v, {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]}, (2, 2, 1)),
+        },
+    )
+    assert (tmp_path / "g" / ".zgroup").exists()
+    np.testing.assert_array_equal(read_zarr_array(p + "/time"), t)
+    np.testing.assert_array_equal(read_zarr_array(p + "/tmax"), v)
+    meta, attrs = open_group_array_meta(p, "tmax")
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+    assert meta.chunks == (2, 2, 1)
+    assert read_zattrs(p + "/time")["units"].startswith("days since")
+
+
+# --- distributed ingest boundary -------------------------------------------
+
+
+def _climate_store(path, nt=6, nlat=5, nlon=4, separator=".", calendar="standard"):
+    """A small but structurally real climate store: descending latitudes
+    (north-up), CF day offsets, chunked so the variable spans MULTIPLE
+    chunk objects along every axis (incl. partial edge chunks)."""
+    rng = np.random.default_rng(11)
+    lat = np.linspace(2.0, -6.0, nlat)  # descending, crosses the equator
+    lon = np.linspace(-73.0, -60.0, nlon)
+    tvals = np.arange(nt, dtype="<f8")
+    cube = np.round(rng.uniform(15, 35, (nt, nlat, nlon)), 2)
+    write_zarr_group(
+        str(path),
+        {
+            "time": (
+                tvals,
+                {
+                    "units": "days since 2001-02-27",
+                    "calendar": calendar,
+                    "_ARRAY_DIMENSIONS": ["time"],
+                },
+            ),
+            "lat": (lat, {"_ARRAY_DIMENSIONS": ["lat"]}),
+            "lon": (lon, {"_ARRAY_DIMENSIONS": ["lon"]}),
+            "tmax": (
+                cube,
+                {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
+                (4, 2, 3),
+            ),
+        },
+        separator=separator,
+    )
+    dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
+    return cube, dates, lat, lon
+
+
+def _expected_long(cube, dates, lat, lon, bounds=None):
+    rows = {}
+    for ti, d in enumerate(dates):
+        for yi, la in enumerate(lat):
+            for xi, lo in enumerate(lon):
+                if bounds is not None and not (
+                    bounds["lat_min"] <= la <= bounds["lat_max"]
+                    and bounds["lon_min"] <= lo <= bounds["lon_max"]
+                ):
+                    continue
+                rows[(d, round(float(la), 9), round(float(lo), 9))] = float(
+                    cube[ti, yi, xi]
+                )
+    return rows
+
+
+def _ingested_rows(spark, out):
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got[(r.date, round(r.lat, 9), round(r.lon, 9))] = r.value
+    return got
+
+
+@pytest.mark.parametrize("separator", [".", "/"])
+def test_ingest_zarr_chunk_parallel(spark, tmp_path, separator):
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    store = tmp_path / "store.zarr"
+    cube, dates, lat, lon = _climate_store(store, separator=separator)
+    out = str(tmp_path / "grid")
+    ingest_zarr_to_parquet(spark, str(store), out, "tmax")
+    got = _ingested_rows(spark, out)
+    exp = _expected_long(cube, dates, lat, lon)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=0, rel=0), k
+    # year partitioning actually materialized
+    assert any("year=2001" in str(p) for p in (tmp_path / "grid").iterdir())
+
+
+def test_ingest_zarr_bounds_clip(spark, tmp_path):
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    store = tmp_path / "store.zarr"
+    cube, dates, lat, lon = _climate_store(store)
+    bounds = {"lat_min": -4.0, "lat_max": 1.0, "lon_min": -70.0, "lon_max": -62.0}
+    out = str(tmp_path / "grid")
+    ingest_zarr_to_parquet(spark, str(store), out, "tmax", bounds=bounds)
+    got = _ingested_rows(spark, out)
+    exp = _expected_long(cube, dates, lat, lon, bounds)
+    assert got == {k: pytest.approx(v) for k, v in exp.items()}
+    assert 0 < len(got) < len(dates) * len(lat) * len(lon)
+
+
+def test_ingest_zarr_sparse_chunks_drop_rows(spark, tmp_path):
+    """Missing chunk objects (fill-value-only regions) contribute no rows."""
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    store = tmp_path / "store.zarr"
+    cube, dates, lat, lon = _climate_store(store)
+    (store / "tmax" / "0.0.0").unlink()
+    out = str(tmp_path / "grid")
+    ingest_zarr_to_parquet(spark, str(store), out, "tmax")
+    got = _ingested_rows(spark, out)
+    exp = _expected_long(cube, dates, lat, lon)
+    dropped = set(exp) - set(got)
+    # chunk (0,0,0) covers t 0-3, lat rows 0-1, lon cols 0-2
+    assert dropped == {
+        k
+        for k in exp
+        if k[0] in dates[:4] and k[1] in {round(float(v), 9) for v in lat[:2]}
+        and k[2] in {round(float(v), 9) for v in lon[:3]}
+    }
+
+
+def test_ingest_zarr_calendar_gate(spark, tmp_path):
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    store = tmp_path / "store.zarr"
+    _climate_store(store, calendar="noleap")
+    with pytest.raises(NotImplementedError, match="calendar"):
+        ingest_zarr_to_parquet(spark, str(store), str(tmp_path / "g"), "tmax")
+
+
+def test_ingest_zarr_matches_netcdf_twin(spark, tmp_path):
+    """Cross-format certification: the SAME cube through the Zarr boundary
+    and the classic-NetCDF boundary must produce identical relational
+    frames — two independent decode stacks agreeing end-to-end."""
+    from amazon_climate_data_etl_spark.sources.ingest import (
+        ingest_netcdf_to_parquet,
+        ingest_zarr_to_parquet,
+    )
+    from amazon_climate_data_etl_spark.sources.netcdf_classic import (
+        NcFile,
+        NcVar,
+        write_classic,
+    )
+
+    store = tmp_path / "store.zarr"
+    cube, dates, lat, lon = _climate_store(store)
+    nc = NcFile(
+        dims={"time": len(dates), "lat": len(lat), "lon": len(lon)},
+        variables={
+            "time": NcVar(
+                "time", ("time",),
+                np.arange(len(dates), dtype="<f8"),
+                {"units": "days since 2001-02-27", "calendar": "standard"},
+            ),
+            "lat": NcVar("lat", ("lat",), lat, {}),
+            "lon": NcVar("lon", ("lon",), lon, {}),
+            "tmax": NcVar("tmax", ("time", "lat", "lon"), cube, {}),
+        },
+    )
+    ncp = tmp_path / "cube.nc"
+    ncp.write_bytes(write_classic(nc))
+    out_z, out_n = str(tmp_path / "gz"), str(tmp_path / "gn")
+    ingest_zarr_to_parquet(spark, str(store), out_z, "tmax")
+    ingest_netcdf_to_parquet(spark, str(ncp), out_n, "tmax")
+    assert _ingested_rows(spark, out_z) == _ingested_rows(spark, out_n)
