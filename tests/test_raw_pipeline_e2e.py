@@ -85,6 +85,28 @@ def _write_raw_inputs(tmp_path, flavor="classic"):
             ],
             dtype=np.float64,
         )
+        if flavor == "zarr":
+            from amazon_climate_data_etl_spark.sources.zarr_min import (
+                write_zarr_group,
+            )
+
+            # chunked so each variable spans multiple chunk OBJECTS (the
+            # unit of ingest parallelism), incl. partial edge chunks
+            write_zarr_group(
+                str(raw / f"{v}.zarr"),
+                {
+                    "time": (
+                        np.arange(NDAYS, dtype="<f8"),
+                        {"units": "days since 2001-01-01",
+                         "_ARRAY_DIMENSIONS": ["time"]},
+                    ),
+                    "latitude": (LATS, {"_ARRAY_DIMENSIONS": ["latitude"]}),
+                    "longitude": (LONS, {"_ARRAY_DIMENSIONS": ["longitude"]}),
+                    v: (cube, {"_ARRAY_DIMENSIONS":
+                               ["time", "latitude", "longitude"]}, (1, 2, 2)),
+                },
+            )
+            continue
         nc = NcFile(
             dims={"time": NDAYS, "latitude": len(LATS), "longitude": len(LONS)},
             variables={
@@ -148,15 +170,24 @@ def _expected_annual(cd_mun, nm_mun, uf, la_idx, lo_idx):
 import pytest
 
 
-@pytest.mark.parametrize("flavor", ["classic", "netcdf4_utm"])
+@pytest.mark.parametrize("flavor", ["classic", "netcdf4_utm", "zarr"])
 def test_reference_pipeline_from_raw_inputs(spark, tmp_path, flavor):
     raw_dir, shp_path = _write_raw_inputs(tmp_path, flavor)
 
-    # S1: one distributed ingest job per variable file
+    # S1: one distributed ingest job per variable (file- or chunk-parallel)
     for v in VARS:
-        ingest_netcdf_to_parquet(
-            spark, f"{raw_dir}/{v}.nc", str(tmp_path / "grid" / v), v
-        )
+        if flavor == "zarr":
+            from amazon_climate_data_etl_spark.sources.ingest import (
+                ingest_zarr_to_parquet,
+            )
+
+            ingest_zarr_to_parquet(
+                spark, f"{raw_dir}/{v}.zarr", str(tmp_path / "grid" / v), v
+            )
+        else:
+            ingest_netcdf_to_parquet(
+                spark, f"{raw_dir}/{v}.nc", str(tmp_path / "grid" / v), v
+            )
     long = None
     for v in VARS:
         part = spark.read.parquet(str(tmp_path / "grid" / v)).drop("year")
