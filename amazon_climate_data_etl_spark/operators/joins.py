@@ -952,6 +952,76 @@ def _bucketed_table(
     return spark.table(name)
 
 
+def _year_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders materialized as a year-partitioned parquet layout (the
+    ``partitionBy`` storage pattern every 100 TB fact table uses — same
+    layout the ingest boundaries write), cached per sf_dir like the
+    bucketed tables."""
+    token = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "."
+    path = os.path.join(warehouse, f"part_orders_year_{token}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+# static era dim covering the TPC-H-ish date span; the filtered slice is
+# what dynamic partition pruning turns into a runtime partition filter
+_ERA_YEARS = tuple(range(1992, 2002))
+_MODERN_FROM = 1999
+
+
+def dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the runtime counterpart of static
+    partition pruning, and (with bucketing) the second storage-level
+    technique a 100 TB fact layout exists for. orders lives year-
+    partitioned on disk; the era dimension is filtered at runtime, and
+    Catalyst injects the broadcast's year set into the fact scan's
+    PartitionFilters (``dynamicpruningexpression``) — so the scan reads
+    ONLY the matching year directories even though the matching years are
+    not known until the dim is evaluated. The plan contract (DPP actually
+    firing) is pinned in test_plan_quality.test_dpp_partition_filter.
+
+    Reference analog: the year-chunked file loop in
+    process_climate_amazon_annual.py:58-62 — its manual "open only the
+    years I need" becomes a runtime property of the storage layout."""
+    fact = _year_partitioned_orders(spark, sf_dir)
+    era = spark.createDataFrame(
+        [(y, "modern" if y >= _MODERN_FROM else "classic") for y in _ERA_YEARS],
+        "yr int, era string",
+    )
+    return (
+        fact.join(F.broadcast(era.filter(F.col("era") == "modern")),
+                  fact.o_year == F.col("yr"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DPP_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+WHERE year(o_orderdate) >= {_MODERN_FROM}
+  AND year(o_orderdate) <= {max(_ERA_YEARS)}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-co-located join: the write-once / join-free-forever pattern
     for the case J3's broadcast posture can't cover — BOTH join sides are
@@ -995,6 +1065,7 @@ ORDER BY c_mktsegment
 
 
 QUERIES = {
+    "dpp_pruned_join": dpp_pruned_join,
     "bucketed_join_revenue": bucketed_join_revenue,
     "q10_returned_items": q10_returned_items,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1015,6 +1086,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dpp_pruned_join": DPP_JOIN_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "q10_returned_items": Q10_SQL,
     "q7_volume_shipping": Q7_SQL,

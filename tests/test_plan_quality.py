@@ -44,6 +44,8 @@ _PLAN_BOUNDS = {
     # property, see test_bucketed_join_no_join_exchange); the 2 are the
     # distinct-agg hash exchange + the output range sort
     "bucketed_join_revenue": (2, 0),
+    # broadcast era dim into the partitioned fact; agg + output sort
+    "dpp_pruned_join": (2, 1),
     # map + explode fan-out only; the 1 is the output sort
     "doc_chunk_plan": (1, 0),
     # one corpus pass into the directed-pair agg; everything after is
@@ -435,6 +437,15 @@ def test_bucketed_join_no_join_exchange(spark, sf_dir):
     # split at the join: no Exchange may appear below it
     below = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below, below
+
+
+def test_dpp_partition_filter(spark, sf_dir):
+    """dpp_pruned_join's contract: the year-partitioned fact scan carries a
+    runtime ``dynamicpruningexpression`` PartitionFilter fed by the
+    broadcast era dim — the scan reads only matching year directories, not
+    the whole table (the TPC-DS date-dim pattern at 100 TB)."""
+    plan = I.plan_string(QUERIES["dpp_pruned_join"](spark, sf_dir), "simple")
+    assert "dynamicpruningexpression" in plan, plan
 
 
 def test_q19_disjunction_pushdown(spark, sf_dir):
