@@ -27,6 +27,8 @@ from amazon_climate_data_etl_spark.functions.text import (
     ascii_lower,
     doc_fingerprint,
     doc_fingerprint_sql,
+    quality_score,
+    quality_score_sql,
     tokens,
 )
 from amazon_climate_data_etl_spark.operators._portable import stable_round
@@ -537,6 +539,60 @@ ORDER BY d.doc_id
 """
 
 
+def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup component
+    keep the HIGHEST-quality member (ties → min doc_id), not the minimum
+    id — the policy real pretraining dedup uses (when a page cluster has
+    a clean copy and a boilerplate-ridden copy, keep the clean one;
+    min-id keeps whichever was crawled first).
+
+    Shape: the component labels join (same as ``neardup_keep_corpus``)
+    plus ONE component-keyed window for the per-component argmax. The
+    quality score is the decimal-rounded heuristic (functions/text.py),
+    bit-identical cross-engine, so the argmax — and therefore every
+    keep verdict — replays exactly in the DuckDB oracle. Singles are
+    their own component and keep themselves by construction."""
+    labels = dedup_components(spark, sf_dir).withColumnRenamed("doc_id", "ldoc")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    comp = (
+        d.join(labels, d["doc_id"] == labels["ldoc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component_id", "quality", (F.col("rn") == 1).alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
+NEARDUP_KEEP_BEST_SQL = f"""
+WITH labels AS ({_DEDUP_COMPONENTS_BODY}),
+comp AS (
+  SELECT d.doc_id,
+         COALESCE(l.component_id, d.doc_id) AS component_id,
+         {quality_score_sql('d.text')} AS quality
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component_id
+                               ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM comp
+)
+SELECT doc_id, component_id, quality, rn = 1 AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW batch of documents (the delta — here the
     deterministic 20% slice ``doc_id % 5 == 4``) deduped AGAINST the
@@ -904,6 +960,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
     "neardup_keep_corpus": neardup_keep_corpus,
+    "neardup_keep_best_quality": neardup_keep_best_quality,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -918,6 +975,7 @@ ORACLE = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "neardup_keep_corpus": NEARDUP_KEEP_SQL,
+    "neardup_keep_best_quality": NEARDUP_KEEP_BEST_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,

@@ -41,7 +41,7 @@ _DOC_QUERIES = [
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
-    "neardup_keep_corpus", "incremental_dedup",
+    "neardup_keep_corpus", "neardup_keep_best_quality", "incremental_dedup",
     "duplicate_span_stats", "duplicate_spans_exact",
     # curation
     "doc_chunk_plan",

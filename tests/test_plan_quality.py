@@ -182,6 +182,8 @@ _PLAN_BOUNDS = {
     "dedup_components": (1, 0),
     # checkpointed labels ⋈ corpus ids (shuffle join, see _SMJ_EXEMPT) + sort
     "neardup_keep_corpus": (3, 0),
+    # keep_corpus's label join + ONE component-keyed argmax window + sort
+    "neardup_keep_best_quality": (4, 0),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
@@ -338,6 +340,8 @@ _SMJ_EXEMPT = {
     # the correct 100 TB plan; the label side is checkpointed (no stats),
     # which also blocks the fixture-scale broadcast.
     "neardup_keep_corpus",
+    # same corpus ⋈ component-labels join as neardup_keep_corpus
+    "neardup_keep_best_quality",
     # delta ⋈ corpus on fp / shingle-set joins on doc ids: both sides grow
     # with the data (the corpus index is never dim-sized), so the keyed
     # shuffle joins are the correct plan; the persisted shingle frame
