@@ -929,6 +929,36 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable variant of A7's percentiles (`quantiles`): single-pass
+    Greenwald-Khanna sketch via ``approx_percentile`` per return flag.
+    At 100 TB exact percentiles materialize the full sorted column; the
+    sketch is bounded-size per group, merges map-side, and guarantees
+    rank error ≤ ε·n (ε = 1/accuracy = 0.01 here). Registered WITHOUT a
+    SQL oracle — sketch results depend on merge order and engine
+    implementation, so the driver records the rows-only check; the test
+    suite asserts the rank-error guarantee against the exact sorted data
+    (tests/test_rows_only_queries.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 100)"
+            ).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("approx")[0].alias("p50"),
+            F.col("approx")[1].alias("p90"),
+            F.col("approx")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-shaped forecast revenue: the purest pushdown query — every
     predicate (date range, discount band, quantity cap) reaches the
@@ -1601,6 +1631,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "table_quality_audit": table_quality_audit,
     "approx_distinct_users": approx_distinct_users,
+    "approx_quantiles_sketch": approx_quantiles_sketch,
     "monthly_agg": monthly_agg,
     "rollup_year_month": rollup_year_month,
     "filter_in_list": filter_in_list,

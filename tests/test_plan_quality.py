@@ -46,6 +46,8 @@ _PLAN_BOUNDS = {
     "bucketed_join_revenue": (2, 0),
     # broadcast era dim into the partitioned fact; agg + output sort
     "dpp_pruned_join": (2, 1),
+    # one map-side-merged sketch agg + output sort
+    "approx_quantiles_sketch": (2, 0),
     # map + explode fan-out only; the 1 is the output sort
     "doc_chunk_plan": (1, 0),
     # one corpus pass into the directed-pair agg; everything after is

@@ -24,3 +24,36 @@ def test_media_feature_summary_deterministic(spark, sf_dir):
     assert sum(r.n_items for r in a) == 96
     # compressible payloads must score lower entropy than random ones
     assert all(0.0 < r.avg_entropy <= 1.0 for r in a)
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """GK sketch guarantee: each reported quantile's RANK in the exact
+    sorted column is within eps*n of the target rank (eps = 1/accuracy =
+    1/100 here, with slack for the tiny per-group n at test scale)."""
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators.relational import (
+        approx_quantiles_sketch,
+    )
+
+    rows = approx_quantiles_sketch(spark, sf_dir).collect()
+    assert rows, "no return flags"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).toPandas()
+    for r in rows:
+        vals = sorted(li[li.l_returnflag == r.l_returnflag].l_extendedprice)
+        n = len(vals)
+        assert n == r.n_rows
+        for q, got in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            # rank interval of the returned value must be within eps*n
+            eps = 1.0 / 100
+            assert lo - eps * n - 1 <= target <= hi + eps * n + 1, (
+                r.l_returnflag, q, got, lo, hi, target, n,
+            )
+            # and the value itself must be a member of the column
+            assert lo < hi, (r.l_returnflag, q, got)
