@@ -569,6 +569,97 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: closed-form least-squares slope/intercept of
+    event value over time — the drift-detection primitive (is a metric
+    creeping up?) and the regression member of the aggregate family.
+
+    Portability: the regression is computed from EXACT decimal moments —
+    x is the integer day index (kept decimal(10,0)-narrow so the x·y
+    product obeys DuckDB's p1+p2 ≤ 38 multiply rule), y goes through the
+    exact-decimal cast, so Σx, Σx², Σy, Σxy are order-independent exact
+    decimals; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) then runs as ONE
+    double expression of identical shape in both engines (no per-row
+    float accumulation anywhere). Shape: one map-side-combined agg to 5
+    moments per type, map-only arithmetic, sort; constant-x groups are
+    excluded by the exact min(x) = max(x) guard, never the cancellable
+    double denominator."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).cast("long")
+    # y through the exact-decimal cast; x kept NARROW (decimal(10,0)) so
+    # the x·y cross-product stays inside DuckDB's p1+p2 <= 38 multiply
+    # rule — the sums are exact decimals, and only the final closed-form
+    # arithmetic runs in double (identical expression shape both engines)
+    y = F.col("value").cast("decimal(18,6)")
+    base = e.select(
+        "event_type", x.alias("x"), x.cast("decimal(10,0)").alias("xd"), y.alias("y")
+    )
+    # x-moment sums widen to decimal BEFORE aggregation: a LongType sum
+    # wraps silently past 2^63 at extreme row counts while DuckDB's
+    # sum(BIGINT) promotes to HUGEINT — the same cross-engine divergence
+    # the covariance matrix guards against
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xd") * F.col("y")).alias("sxy"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+    )
+    n_d = F.col("n_events").cast("double")
+    sx_d, sxx_d = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy_d, sxy_d = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    den = n_d * sxx_d - sx_d * sx_d
+    slope = stable_round((n_d * sxy_d - sx_d * sy_d) / den, 8)
+    intercept = stable_round((sy_d * sxx_d - sx_d * sxy_d) / den, 8)
+    return (
+        # degenerate guard on EXACT integers (x variance is zero iff the
+        # group's day index is constant), never the cancellable double den
+        s.filter(F.col("x_min") != F.col("x_max"))
+        .select(
+            "event_type",
+            "n_events",
+            slope.alias("slope_per_day"),
+            intercept.alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_TREND_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DECIMAL(10,0)) AS xd,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n_events,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(y) AS sy,
+         sum(xd * y) AS sxy,
+         min(x) AS x_min,
+         max(x) AS x_max
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n_events,
+       round((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope_per_day,
+       round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS intercept
+FROM s
+WHERE x_min <> x_max
+ORDER BY event_type
+"""
+
+
 LATEST_EVENT_SQL = """
 WITH ranked AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -587,6 +678,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "latest_event_per_user": latest_event_per_user,
     "daily_volume_anomalies": daily_volume_anomalies,
+    "event_value_trend": event_value_trend,
     "user_funnel_conversion": user_funnel_conversion,
     "user_retention_cohorts": user_retention_cohorts,
     "tumbling_hourly": tumbling_hourly,
@@ -602,6 +694,7 @@ ORACLE = {
     "asof_join_forward": ASOF_FORWARD_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
+    "event_value_trend": EVENT_TREND_SQL,
     "user_funnel_conversion": FUNNEL_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "tumbling_hourly": TUMBLING_SQL,

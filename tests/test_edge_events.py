@@ -35,7 +35,7 @@ _EVENT_QUERIES = [
     "tumbling_hourly", "sliding_windows", "session_windows",
     "event_dedup_first", "json_props_stats", "asof_join_purchases",
     "pivot_daily_activity", "user_funnel_conversion",
-    "user_retention_cohorts",
+    "user_retention_cohorts", "event_value_trend",
 ]
 
 

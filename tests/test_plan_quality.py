@@ -48,6 +48,8 @@ _PLAN_BOUNDS = {
     "dpp_pruned_join": (2, 1),
     # one map-side-merged sketch agg + output sort
     "approx_quantiles_sketch": (2, 0),
+    # one 5-moment agg per type + map-only slope arithmetic + sort
+    "event_value_trend": (2, 0),
     # map + explode fan-out only; the 1 is the output sort
     "doc_chunk_plan": (1, 0),
     # one corpus pass into the directed-pair agg; everything after is
