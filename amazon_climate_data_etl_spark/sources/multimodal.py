@@ -510,6 +510,77 @@ def audio_energy_segments_stage(media: DataFrame, fake: bool = True) -> DataFram
     )
 
 
+SCENE_CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_cuts", T.IntegerType()),
+        T.StructField("first_cut", T.IntegerType()),
+        T.StructField("max_diff", T.LongType()),
+        T.StructField("total_diff", T.LongType()),
+    ]
+)
+
+
+def _scene_change_profile(content: bytes):
+    """Shot-boundary profile of one intra-only AVI, ALL-INTEGER math:
+    consecutive decoded frames diff as exact int64 sums of absolute pixel
+    deltas; a boundary is a diff STRICTLY above the item mean (cross-
+    multiplied — no division), the same portable threshold rule as the
+    audio profiler. Single-frame videos have no diffs → no cuts."""
+    from amazon_climate_data_etl_spark.sources.avi_min import read_avi
+
+    video = read_avi(content)
+    if video.codec.upper() not in ("MPNG", "MJPG") or not video.frames:
+        raise NotImplementedError(
+            f"AVI codec {video.codec!r} is interframe-compressed; frame "
+            "decode requires ffmpeg (MPNG/MJPG are decodable in-container)"
+        )
+    frames = [_decode_image(f).astype(np.int64) for f in video.frames]
+    nf = len(frames)
+    if nf < 2:
+        return nf, 0, -1, 0, 0
+    diffs = np.array(
+        [int(np.abs(frames[i] - frames[i - 1]).sum()) for i in range(1, nf)],
+        dtype=np.int64,
+    )
+    total = int(diffs.sum())
+    cuts = (diffs * len(diffs)) > total
+    n_cuts = int(cuts.sum())
+    first = int(np.flatnonzero(cuts)[0]) + 1 if n_cuts else -1
+    return nf, n_cuts, first, int(diffs.max()), total
+
+
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-item shot-boundary profiles over the
+    synthesized media table's video rows — the video-analysis member of
+    the multimodal family (frame sampling and perceptual hashing cover
+    extraction/dedup; this is the temporal-structure kernel a video
+    curation pipeline runs to split clips at cuts). Rows-only at the
+    driver (the container/frame decode is not SQL-expressible); VALUES
+    are certified exactly by the pure-Python recomputation twin in
+    tests/test_media_twin.py. Scale: kind-pruned synthesis, one map-only
+    Arrow-batched pass, one short row per item, sort-only exchange."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir), kinds=("video",))
+    ship_package_to_workers(spark)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(m), *_scene_change_profile(bytes(c)))
+                for m, c in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_CHANGES_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .mapInPandas(worker, schema=SCENE_CHANGES_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
 def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: per-item audio activity profiles over the
     synthesized media table (tone/noise-half WAVs → real segment
@@ -776,6 +847,7 @@ QUERIES = {
     "media_frame_pipeline": media_frame_pipeline,
     "image_phash_neardup": image_phash_neardup,
     "audio_energy_segments": audio_energy_segments,
+    "video_scene_changes": video_scene_changes,
 }
 ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
 

@@ -258,3 +258,58 @@ def test_audio_energy_segments_twin_exact(spark):
     # the corpus must exercise BOTH profile shapes: constant-energy tones
     # (no strict-mean exceeders) and noise items with real segment runs
     assert any(r[3] == 0 for r in got) and any(r[3] >= 2 for r in got)
+
+
+def test_video_scene_changes_twin_exact(spark):
+    """Replay the shot-boundary profile with PLAIN PYTHON INTS — AVI
+    container parse + per-frame PNG decode via the shared codecs, then
+    pixel-by-pixel absolute-diff loops over python lists, the cross-
+    multiplied strict-mean threshold, and first-cut scan — exact row
+    equality with the Spark kernel's numpy math over every video item."""
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        video_scene_changes,
+    )
+
+    expected = []
+    for item in _twin_items():
+        if item["kind"] != "video":
+            continue
+        video = read_avi(item["content"])
+        frames = [_png_decode_minimal(f).tolist() for f in video.frames]
+        nf = len(frames)
+        if nf < 2:
+            expected.append((item["media_id"], nf, 0, -1, 0, 0))
+            continue
+        diffs = []
+        for i in range(1, nf):
+            d = 0
+            for ra, rb in zip(frames[i], frames[i - 1]):
+                for pa, pb in zip(ra, rb):
+                    for ca, cb in zip(pa, pb):
+                        d += abs(ca - cb)
+            diffs.append(d)
+        total = sum(diffs)
+        cuts = [d * len(diffs) > total for d in diffs]
+        n_cuts = sum(cuts)
+        first = cuts.index(True) + 1 if n_cuts else -1
+        expected.append(
+            (item["media_id"], nf, n_cuts, first, max(diffs), total)
+        )
+    got = [tuple(r) for r in video_scene_changes(spark, SF).collect()]
+    assert got == expected
+    # the corpus must exercise real temporal structure: every item is
+    # multi-frame (durations are >= 1 s at 2 fps) and cut boundaries occur
+    # (random MPNG frames put diffs above/below the strict mean)
+    assert all(r[1] >= 2 for r in got) and any(r[2] >= 1 for r in got)
+    # the single-frame degenerate is pinned kernel-level instead
+    from amazon_climate_data_etl_spark.sources.avi_min import write_avi
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        _scene_change_profile,
+        png_encode_minimal,
+    )
+
+    one = write_avi(
+        [png_encode_minimal(np.zeros((8, 8, 3), dtype=np.uint8))], 8, 8,
+        us_per_frame=500_000,
+    )
+    assert _scene_change_profile(one) == (1, 0, -1, 0, 0)

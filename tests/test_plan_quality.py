@@ -58,6 +58,8 @@ _PLAN_BOUNDS = {
     "textrank_keywords": (48, 0),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
     "audio_energy_segments": (2, 0),
+    # video-pruned map-only Arrow pass; AQE reshuffle + output sort
+    "video_scene_changes": (2, 0),
     # spine: scan -> filter -> rebalance (under-split scan fan-out; no-op
     # at 100 TB) -> 2-phase agg -> sort
     "q1_pricing_summary": (3, 0),
