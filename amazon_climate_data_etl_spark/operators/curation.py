@@ -31,6 +31,7 @@ from pyspark.storagelevel import StorageLevel
 from amazon_climate_data_etl_spark.catalog import load_table
 from amazon_climate_data_etl_spark.functions.text import (
     doc_fingerprint_sql,
+    quality_score,
     quality_score_sql,
     token_count,
     token_count_sql,
@@ -966,6 +967,80 @@ ORDER BY segment
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED Bernoulli sampling: each document's
+    selection probability is proportional to its quality score within its
+    source (the best doc samples at ~100%, a zero-quality doc never) —
+    the curation step between uniform stratified sampling and hard
+    quality cutoffs, with the same seedless reproducibility contract as
+    the content-hash splits.
+
+    Portability: the per-doc threshold is INTEGER arithmetic — quality
+    quantized through the exact-decimal cast to wq ∈ [0, 10000], thr =
+    (wq·65536) div max-source-wq (div by greatest(·,1): an all-zero
+    source thresholds at 0 and selects nothing, no division guard
+    branching) — and membership compares a 4-hex-digit md5 prefix
+    against ``%04x``-rendered thr, so both engines draw identical
+    per-document cut lines. Shape: one tiny per-source max broadcast
+    back onto the scan, one output agg; the sampled-quality mass is an
+    exact integer sum."""
+    d = load_table(spark, sf_dir, "documents")
+    wq = (quality_score(F.col("text")).cast("decimal(6,4)") * 10000).cast("long")
+    base = d.select("source", "doc_id", wq.alias("wq"))
+    mx = base.groupBy("source").agg(F.max("wq").alias("wq_max"))
+    thr = F.least(
+        F.expr("(wq * 65536) DIV greatest(wq_max, 1L)"),
+        F.lit(65535).cast("bigint"),
+    )
+    j = base.join(F.broadcast(mx), "source").withColumn("thr", thr)
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.format_string(
+        "%04x", F.col("thr")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("int")).alias("n_sampled"),
+            stable_round(
+                F.sum("thr").cast("double") / (F.count(F.lit(1)) * F.lit(65536.0)),
+                4,
+            ).alias("expected_rate"),
+            F.sum(F.when(keep, F.col("wq")).otherwise(F.lit(0))).alias(
+                "sampled_wq_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH q AS (
+  SELECT source, doc_id,
+         CAST(CAST({quality_score_sql('text')} AS DECIMAL(6,4)) * 10000 AS BIGINT) AS wq
+  FROM documents
+),
+mx AS (SELECT source, max(wq) AS wq_max FROM q GROUP BY source),
+m AS (
+  SELECT q.source, q.doc_id, q.wq,
+         least((q.wq * 65536) // greatest(mx.wq_max, 1), 65535) AS thr
+  FROM q JOIN mx ON q.source = mx.source
+),
+k AS (
+  SELECT source, wq, thr,
+         (substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)) AS keep
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(CAST(sum(thr) AS DOUBLE) / (count(*) * 65536.0), 4) AS expected_rate,
+       CAST(sum(CASE WHEN keep THEN wq ELSE 0 END) AS BIGINT) AS sampled_wq_sum
+FROM k
+GROUP BY source
+ORDER BY source
+"""
+
+
 _CHUNK_W = 64  # tokens per training/RAG window
 _CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
 
@@ -1035,6 +1110,7 @@ ORDER BY doc_id, chunk_id
 
 
 QUERIES = {
+    "quality_weighted_sample": quality_weighted_sample,
     "doc_chunk_plan": doc_chunk_plan,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "pii_redaction_stats": pii_redaction_stats,
@@ -1050,6 +1126,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
     "doc_chunk_plan": DOC_CHUNK_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "pii_redaction_stats": PII_REDACTION_SQL,

@@ -764,6 +764,37 @@ def _textrank_step(g: DataFrame, scores: DataFrame) -> DataFrame:
     )
 
 
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted token co-occurrence edges (u, v, w), persisted —
+    the shared graph substrate of ``textrank_keywords`` and
+    ``token_triangle_census``. One corpus pass builds directed adjacent-
+    pair counts; symmetrization happens on the vocab²-bounded aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(ascii_lower(F.col("text")))
+    n = F.size(toks)
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
+    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
+    pairs = (
+        rebalance_for_compute(d)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.a").alias("u"), F.col("bg.b").alias("v"))
+        .filter(
+            (F.col("u") != F.col("v"))
+            & F.col("u").rlike("^[a-z]{3,}$")
+            & F.col("v").rlike("^[a-z]{3,}$")
+        )
+    )
+    directed = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        directed.unionAll(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").cast("long").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over the
     token co-occurrence graph — the graph-centrality member of the text
@@ -785,33 +816,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused by all sweeps + the final profile join. Sweep count is fixed
     (3), so the unrolled plan stays shallow — no checkpointing needed.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens(ascii_lower(F.col("text")))
-    n = F.size(toks)
-    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
-    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
-    pairs = (
-        rebalance_for_compute(d)
-        .select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.a").alias("u"), F.col("bg.b").alias("v"))
-        .filter(
-            (F.col("u") != F.col("v"))
-            & F.col("u").rlike("^[a-z]{3,}$")
-            & F.col("v").rlike("^[a-z]{3,}$")
-        )
-    )
-    # aggregate DIRECTED counts first (one corpus pass, map-side combined),
-    # then symmetrize the vocab²-bounded aggregate — symmetrizing the raw
-    # pair stream would run the scan+explode once per union branch
-    directed = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
-    edges = (
-        directed.unionAll(
-            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("c").cast("long").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    edges = _cooc_edges(spark, sf_dir)
     outw = edges.groupBy("u").agg(F.sum("w").alias("ow"))
     # derived per-consumer from the persisted (tiny, vocab²-bounded) edge
     # frame — persisting g too would just duplicate it in the block store
@@ -842,8 +847,8 @@ _TR_TOKS_SQL = (
     f"string_split_regex(trim({ascii_lower_sql('text')}, ' '), '{WS}+')"
 )
 
-TEXTRANK_SQL = f"""
-WITH t AS (
+# shared co-occurrence-graph CTE chain (the SQL twin of _cooc_edges)
+_COOC_CTE = f"""t AS (
   SELECT {_TR_TOKS_SQL} AS toks
   FROM documents WHERE length(trim(text, ' ')) > 0
 ),
@@ -859,7 +864,10 @@ pairs AS (
               AND regexp_matches(v, '^[a-z]{{3,}}$')
 ),
 sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
-edges AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY u, v),
+edges AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY u, v)"""
+
+TEXTRANK_SQL = f"""
+WITH {_COOC_CTE},
 outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY u),
 g AS (SELECT e.u, e.v, e.w, o.ow FROM edges e JOIN outw o ON e.u = o.u),
 s0 AS (SELECT u AS node, CAST({_TR_SCALE} AS BIGINT) AS s FROM outw),
@@ -882,8 +890,69 @@ LIMIT {_TR_TOPK}
 """
 
 
+def token_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the token co-occurrence graph: corpus triangle
+    count + the tokens participating in the most triangles — the
+    clustering-structure member of the graph family (components measure
+    connectivity, PageRank measures centrality, triangles measure local
+    cohesion; high-triangle tokens sit inside dense phrase clusters).
+
+    Enumeration is the canonical two-join form over ORDERED edges
+    (a<b<c, binary string order on ASCII-only tokens — identical in both
+    engines): wedge join on the shared middle vertex, closure semi-check
+    against the third edge. All three joins key on single tokens. On
+    this vocab-bounded graph that is exact and cheap; on a general
+    power-law graph the same plan holds with degree-ordering replacing
+    lexicographic ordering (each edge oriented low-degree → high-degree
+    bounds wedge fan-out, the standard MapReduce triangle recipe). The
+    corpus total rides every row via the broadcast scalar-subquery
+    shape."""
+    e = _cooc_edges(spark, sf_dir).filter(F.col("u") < F.col("v")).select("u", "v")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .join(e3, (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")), "left_semi")
+    )
+    counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).cast("long").alias("corpus_triangles"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), F.asc("token"))
+        .limit(15)
+    )
+
+
+TRIANGLE_CENSUS_SQL = f"""
+WITH {_COOC_CTE},
+e AS (SELECT u, v FROM edges WHERE u < v),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+nodes AS (SELECT unnest([a, b, c]) AS token FROM tri),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM nodes GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_triangles FROM tri)
+SELECT token, n_triangles, corpus_triangles
+FROM counts, tot
+ORDER BY n_triangles DESC, token ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
     "textrank_keywords": textrank_keywords,
+    "token_triangle_census": token_triangle_census,
     "tokenizer_fertility": tokenizer_fertility,
     "doc_repetition_scores": doc_repetition_scores,
     "vocab_coverage": vocab_coverage,
@@ -903,6 +972,7 @@ QUERIES = {
 
 ORACLE = {
     "textrank_keywords": TEXTRANK_SQL,
+    "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,

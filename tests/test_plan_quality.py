@@ -56,6 +56,11 @@ _PLAN_BOUNDS = {
     # vocab²-bounded (persisted edge frame reprinted per consumer inflates
     # the TEXTUAL count: 3 sweeps × (outw join + inflow agg) + deg/top-k)
     "textrank_keywords": (48, 0),
+    # persisted-edge reprints again; real exchanges: edge build + 2 wedge
+    # joins + node-count agg + scalar total + top-k sort
+    "token_triangle_census": (40, 0),
+    # per-source max agg broadcast back + one output agg + sort
+    "quality_weighted_sample": (3, 1),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
     "audio_energy_segments": (2, 0),
     # video-pruned map-only Arrow pass; AQE reshuffle + output sort
