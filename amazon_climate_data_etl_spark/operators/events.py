@@ -425,6 +425,14 @@ def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return anomaly_flags_from_daily(daily)
+
+
+def anomaly_flags_from_daily(daily: DataFrame) -> DataFrame:
+    """The z-score/flag arithmetic of ``daily_volume_anomalies``, factored
+    over any (event_type, day, n) frame — shared by the batch operator and
+    the streaming twin's foreachBatch stage (same expressions, so the
+    stream certifies bit-equality against the batch answer)."""
     moments = daily.groupBy(F.col("event_type").alias("et")).agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n").alias("s1"),

@@ -343,6 +343,48 @@ def climate_stream_daily(
     )
 
 
+def daily_counts_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Watermarked per-(type, day) volume counts — the streaming state
+    under the anomaly monitor: one windowed aggregate, state bounded to
+    the watermark horizon per (type, day) key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.to_date("w.start").alias("day"), "n")
+    )
+
+
+def run_anomaly_monitor(counts_stream: DataFrame, snapshots: list) -> None:
+    """Streaming twin of ``daily_volume_anomalies``: the windowed count
+    aggregate is the ONLY stream state; the per-type moment re-aggregation
+    and z-score flags are re-derived per trigger inside foreachBatch with
+    the SAME factored expressions the batch operator uses
+    (``anomaly_flags_from_daily``), on the full counts the complete-mode
+    batch hands over. That split is the production monitor shape: cheap
+    incremental state in the stream, model re-fit per trigger batch-side —
+    Spark would otherwise reject the moments agg as a second stateful
+    operator over an aggregated stream. Each trigger's flag table is
+    appended to ``snapshots``; the last snapshot is the final answer and
+    is asserted bit-equal to the batch operator in tests."""
+    from amazon_climate_data_etl_spark.operators.events import (
+        anomaly_flags_from_daily,
+    )
+
+    def sink(batch_df, _batch_id) -> None:
+        snapshots.append(anomaly_flags_from_daily(batch_df).toPandas())
+
+    q = (
+        counts_stream.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 DOCS_DDL = "doc_id long, ts timestamp, text string"
 
 

@@ -431,3 +431,38 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(batch_fps) == 2  # one per novel fingerprint
     # the first-seen doc wins the in-stream race
     assert set(got["doc_id"]) == {11, 13}
+
+
+def test_streaming_anomaly_monitor_equals_batch(spark, events_json_dir):
+    """The streamed monitor's FINAL trigger snapshot must be bit-identical
+    to the batch daily_volume_anomalies answer on the same events: same
+    (type, day) rows, same exact counts, same 6-dp z-scores and flags."""
+    from amazon_climate_data_etl_spark.operators.events import (
+        daily_volume_anomalies,
+    )
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        daily_counts_stream,
+        run_anomaly_monitor,
+    )
+
+    snapshots: list = []
+    stream = stream_from_json_dir(spark, events_json_dir)
+    run_anomaly_monitor(daily_counts_stream(stream), snapshots)
+    assert snapshots, "no trigger fired"
+    got = (
+        snapshots[-1]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    want = (
+        daily_volume_anomalies(spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["event_type"].values == want["event_type"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["z_score"].values == want["z_score"].values).all()
+    assert (got["is_anomaly"].values == want["is_anomaly"].values).all()
+    assert bool(got["is_anomaly"].any())  # fixture actually has anomalies
