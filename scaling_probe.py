@@ -118,7 +118,16 @@ def _run_child() -> None:
     spec.loader.exec_module(entry)
     queries = entry.queries()
 
-    spark = get_spark(app_name="scaling_probe_child")
+    # a roomier heap than the 1g local default: the 5x corpus's explode
+    # stages otherwise flirt with GCLocker allocation failures (observed:
+    # ngram_jaccard_pairs child death). Ratio is heap-invariant — both
+    # scales run in the SAME child — this only buys stability.
+    spark = get_spark(
+        app_name="scaling_probe_child",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SCALING_DRIVER_MEM", "8g")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed(name: str, sf_dir: str) -> float:
@@ -164,18 +173,26 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         env = dict(os.environ, SCALING_QUERIES=name, SCALING_CHILD="1")
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith("##RESULT "):
-                rec = json.loads(line[len("##RESULT "):])
-                out[rec.pop("query")] = rec
+        # one retry: child JVMs occasionally die to transient allocation
+        # failures (GCLocker) unrelated to the query under test
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("##RESULT "):
+                    rec = json.loads(line[len("##RESULT "):])
+                    out[rec.pop("query")] = rec
+            if name in out:
+                break
+            print(f"{name}: child attempt {attempt} failed (rc={r.returncode})",
+                  flush=True)
         if name not in out:
-            print(f"{name}: child failed\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            print(f"{name}: child failed\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}",
+                  flush=True)
             sys.exit(1)
         print(name, out[name], flush=True)
 
