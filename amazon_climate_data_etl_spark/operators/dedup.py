@@ -539,6 +539,89 @@ ORDER BY d.doc_id
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every source pair, how much of
+    their shingle vocabulary is shared (count + Jaccard) — the corpus-
+    composition diagnostic behind mixture planning (two crawls of the
+    same sites should be merged, not double-weighted) and the
+    source-level view of contamination.
+
+    Scale shape: ONE tokenize→shingle pass to the distinct (source,
+    shingle) frame; the pair matrix is a self-join keyed on the SHINGLE
+    (uniform, high-cardinality) whose per-key fan-out is bounded by the
+    number of sources carrying that shingle — |sources| is dim-sized, so
+    the join does |shingle-universe|·O(|sources|²) work in the worst
+    case, never |docs|². Totals are a tiny per-source agg broadcast back
+    onto the matrix."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    per = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = per.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = per.alias("a"), per.alias("b")
+    shared = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    union_size = F.col("ta.n_sh") + F.col("tb.n_sh") - F.col("n_shared")
+    return (
+        shared.join(F.broadcast(ta), F.col("source_a") == F.col("ta.source"))
+        .join(F.broadcast(tb), F.col("source_b") == F.col("tb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("ta.n_sh").alias("n_sh_a"),
+            F.col("tb.n_sh").alias("n_sh_b"),
+            stable_round(
+                F.col("n_shared").cast("double") / union_size, 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_PER_SOURCE_SH = f"""t AS (
+  SELECT source, {_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text, ' ')) > 0
+),
+per AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source, unnest({_SHINGLES_SQL.format(t='toks')}) AS sh
+    FROM t WHERE len(toks) >= 3)
+)"""
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {_PER_SOURCE_SH},
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM per GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM per a JOIN per b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       ta.n_sh AS n_sh_a, tb.n_sh AS n_sh_b,
+       round(CAST(n_shared AS DOUBLE) / (ta.n_sh + tb.n_sh - n_shared), 6)
+         AS jaccard
+FROM shared
+JOIN totals ta ON source_a = ta.source
+JOIN totals tb ON source_b = tb.source
+ORDER BY source_a, source_b
+"""
+
+
 def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: within each near-dup component
     keep the HIGHEST-quality member (ties → min doc_id), not the minimum
@@ -961,6 +1044,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "neardup_keep_corpus": neardup_keep_corpus,
     "neardup_keep_best_quality": neardup_keep_best_quality,
+    "source_overlap_matrix": source_overlap_matrix,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -976,6 +1060,7 @@ ORACLE = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "neardup_keep_corpus": NEARDUP_KEEP_SQL,
     "neardup_keep_best_quality": NEARDUP_KEEP_BEST_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,

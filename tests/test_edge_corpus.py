@@ -43,6 +43,7 @@ _DOC_QUERIES = [
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
     "neardup_keep_corpus", "neardup_keep_best_quality", "incremental_dedup",
+    "source_overlap_matrix",
     "duplicate_span_stats", "duplicate_spans_exact",
     # curation
     "doc_chunk_plan",

@@ -195,6 +195,9 @@ _PLAN_BOUNDS = {
     "neardup_keep_corpus": (3, 0),
     # keep_corpus's label join + ONE component-keyed argmax window + sort
     "neardup_keep_best_quality": (4, 0),
+    # persisted (source, shingle) frame: distinct + shingle-keyed self-join
+    # + pair agg + 2 tiny total broadcasts + sort (textual reprints incl.)
+    "source_overlap_matrix": (12, 2),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
@@ -353,6 +356,10 @@ _SMJ_EXEMPT = {
     "neardup_keep_corpus",
     # same corpus ⋈ component-labels join as neardup_keep_corpus
     "neardup_keep_best_quality",
+    # (source, shingle) self-join on the shingle key: both sides are the
+    # same persisted corpus-scale frame (no stats, and at scale neither
+    # side is dim-sized) — the shingle-keyed shuffle join is the plan
+    "source_overlap_matrix",
     # delta ⋈ corpus on fp / shingle-set joins on doc ids: both sides grow
     # with the data (the corpus index is never dim-sized), so the keyed
     # shuffle joins are the correct plan; the persisted shingle frame

@@ -175,3 +175,37 @@ def test_upsert_partitioned_touches_only_delta_partitions(spark, tmp_path):
     # idempotent: same delta again -> same table
     upsert_partitioned(delta, path)
     assert spark.read.parquet(path).count() == 15
+
+
+def test_snapshot_versioning_roundtrip(spark, tmp_path):
+    """Snapshots are immutable + pinned: v1 stays byte-stable after v2 is
+    written, latest resolves to the newest COMMITTED manifest, and the
+    audit trail records counts/notes in order."""
+    from amazon_climate_data_etl_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_manifests,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snaps")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    assert write_snapshot(df1, base, note="initial") == 1
+    df2 = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    assert write_snapshot(df2, base, note="refreshed") == 2
+
+    assert read_snapshot(spark, base, version=1).count() == 10
+    assert read_snapshot(spark, base).count() == 25  # latest
+    mans = snapshot_manifests(base)
+    assert [m["version"] for m in mans] == [1, 2]
+    assert [m["n_rows"] for m in mans] == [10, 25]
+    assert mans[0]["note"] == "initial"
+
+    # an uncommitted data dir (no manifest) is invisible to readers
+    import os
+
+    os.makedirs(os.path.join(base, "v=3"))
+    assert read_snapshot(spark, base).count() == 25
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, base, version=3)
