@@ -20,6 +20,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.vectors import (
@@ -960,6 +961,150 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PI_SCALE = 1_000_000
+_PI_ITERS = 3
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment matrix via
+    POWER ITERATION — the iterative-linear-algebra member of the family
+    (kmeans: clustering; covariance: the matrix; this: its dominant
+    eigenvector, the whitening/OOD-scoring primitive).
+
+    Determinism contract (the kmeans/textrank recipe applied to linear
+    algebra): the Gram matrix S comes from the integer-quantized one-pass
+    aggregation (exact decimals, any partitioning); the matrix and each
+    iterate are then RE-QUANTIZED to ≤1e6 integers through the
+    double→decimal cast (the `stable_round` primitive — identical
+    rounding in both engines), so every multiply in the 3 unrolled sweeps
+    is exact 64-bit integer arithmetic and the DuckDB CTE replays the
+    trajectory bit-identically. Per-sweep rescaling by the max-|w|
+    component (not an L2 norm — no sqrt) keeps iterates in range with
+    sign-stable semantics from the all-positive start.
+
+    Scale: S is d²-bounded after the same map-side-combined pass the
+    covariance matrix uses; every iteration joins/aggregates d²-to-d-row
+    frames — driver never materializes anything.
+
+    Domain: like ``embedding_covariance``, exact for |v| ≤ 3 (q ≤ 3e9,
+    long products < 2^63); larger magnitudes FAIL LOUDLY with the ANSI
+    overflow error rather than silently wrapping (contract pinned in
+    tests/test_edge_embeddings.py)."""
+    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    eq = F.transform(
+        "embedding",
+        lambda x: (x.cast("double").cast("decimal(12,9)") * 1_000_000_000)
+        .cast("long"),
+    )
+    ex = e.select(eq.alias("eq"))
+    upper = (
+        ex.select(F.posexplode("eq").alias("i", "vi"), "eq")
+        .select("i", "vi", F.posexplode("eq").alias("j", "vj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)")).alias("s_ij"))
+    )
+    full = upper.unionAll(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_ij"
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    smax = full.agg(
+        F.greatest(F.max(F.abs(F.col("s_ij"))).cast("double"), F.lit(1.0)).alias(
+            "smax"
+        )
+    )
+    requant = lambda num, den: (
+        (F.col(num).cast("double") / F.col(den) * _PI_SCALE)
+        .cast("decimal(8,0)")
+        .cast("long")
+    )
+    m = (
+        full.crossJoin(F.broadcast(smax))
+        .select("i", "j", requant("s_ij", "smax").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = full.select(F.col("i").alias("k")).distinct().select(
+        "k", F.lit(_PI_SCALE).cast("long").alias("v")
+    )
+    for _ in range(_PI_ITERS):
+        ma, va = m.alias("ma"), v.alias("va")
+        w = (
+            ma.join(va, F.col("ma.j") == F.col("va.k"))
+            .groupBy(F.col("ma.i").alias("k"))
+            .agg(F.sum(F.col("ma.m") * F.col("va.v")).alias("w"))
+        )
+        wmax = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))).cast("double"), F.lit(1.0)).alias(
+                "wm"
+            )
+        )
+        v = w.crossJoin(F.broadcast(wmax)).select(
+            "k", requant("w", "wm").alias("v")
+        )
+    return v.select(
+        "k",
+        F.col("v").alias("component_q"),
+        stable_round(F.col("v").cast("double") / _PI_SCALE, 6).alias("component"),
+    ).orderBy("k")
+
+
+_PI_STEP_SQL = """
+it{n} AS (
+  SELECT m.i AS k, sum(m.m * v.v) AS w
+  FROM m JOIN v{p} v ON m.j = v.k GROUP BY m.i
+),
+w{n}max AS (SELECT greatest(CAST(max(abs(w)) AS DOUBLE), 1.0) AS wm FROM it{n}),
+v{n} AS (
+  SELECT k,
+         CAST(CAST(CAST(w AS DOUBLE) / wm * 1000000 AS DECIMAL(8,0)) AS BIGINT) AS v
+  FROM it{n}, w{n}max
+)"""
+
+EMB_TOP_COMPONENT_SQL = f"""
+WITH nz AS (
+  SELECT list_transform(
+           embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))
+                     * 1000000000 AS BIGINT)
+         ) AS eq
+  FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+),
+comp AS (
+  SELECT pos - 1 AS i, eq[pos] AS vi, eq
+  FROM (SELECT eq, unnest(range(1, len(eq) + 1)) AS pos FROM nz)
+),
+pr AS (
+  SELECT i, pos2 - 1 AS j, vi, eq[pos2] AS vj
+  FROM (SELECT i, vi, eq, unnest(range(1, len(eq) + 1)) AS pos2 FROM comp)
+  WHERE pos2 - 1 >= i
+),
+upper_s AS (
+  SELECT i, j, sum(CAST(vi * vj AS DECIMAL(38,0))) AS s_ij FROM pr GROUP BY i, j
+),
+s_full AS (
+  SELECT i, j, s_ij FROM upper_s
+  UNION ALL
+  SELECT j AS i, i AS j, s_ij FROM upper_s WHERE i <> j
+),
+smax_t AS (SELECT greatest(CAST(max(abs(s_ij)) AS DOUBLE), 1.0) AS smax FROM s_full),
+m AS (
+  SELECT i, j,
+         CAST(CAST(CAST(s_ij AS DOUBLE) / smax * 1000000 AS DECIMAL(8,0)) AS BIGINT) AS m
+  FROM s_full, smax_t
+),
+v0 AS (SELECT DISTINCT i AS k, CAST(1000000 AS BIGINT) AS v FROM s_full),
+{_PI_STEP_SQL.format(n=1, p=0)},
+{_PI_STEP_SQL.format(n=2, p=1)},
+{_PI_STEP_SQL.format(n=3, p=2)}
+SELECT k, v AS component_q,
+       round(CAST(v AS DOUBLE) / 1000000, 6) AS component
+FROM v3
+ORDER BY k
+"""
+
+
 EMB_COVARIANCE_SQL = """
 WITH nz AS (
   SELECT list_transform(
@@ -1001,6 +1146,7 @@ ORDER BY i, j
 
 QUERIES = {
     "embedding_covariance": embedding_covariance,
+    "embedding_top_component": embedding_top_component,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
@@ -1017,6 +1163,7 @@ ORACLE = {
     "kmeans_cluster_profile": KMEANS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_covariance": EMB_COVARIANCE_SQL,
+    "embedding_top_component": EMB_TOP_COMPONENT_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_label_stats": EMBEDDING_STATS_SQL,

@@ -36,6 +36,11 @@ _SIM_QUERIES = [
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_cosine_neardup", "semantic_lexical_neardup",
     "embedding_label_stats",
+    # embedding_covariance / embedding_top_component are NOT parity-run
+    # here: this fixture's |v| up to 9 sits outside their documented
+    # quantization domain (|v| ≤ 3 keeps the exact long products under
+    # 2^63) — the fail-loud overflow contract is pinned in
+    # test_gram_operators_fail_loud_out_of_domain instead
     # recall vs the ACTUAL truth-set size: the zero-vector probe shrinks
     # the ground truth below |queries|*k here, the case the old constant
     # denominator mis-scored
@@ -163,3 +168,21 @@ def test_edge_embeddings_fixture_semantics(spark, edge_emb_dir):
           QUERIES["embedding_cosine_neardup"](spark, edge_emb_dir).collect()}
     assert nd[(8, 13)] == 1.0
     assert (14, 16) not in nd
+
+
+def test_gram_operators_fail_loud_out_of_domain(spark, edge_emb_dir):
+    """The integer-quantized Gram operators promise EXACT long products
+    for |v| <= 3 (q <= 3e9, product < 2^63) and must FAIL LOUDLY — ANSI
+    overflow, never a silently wrapped matrix — on embeddings outside
+    that domain (this fixture carries components up to 9)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_top_component,
+    )
+
+    for fn in (embedding_covariance, embedding_top_component):
+        with _pytest.raises(ArithmeticException, match="overflow"):
+            fn(spark, edge_emb_dir).collect()

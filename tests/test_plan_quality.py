@@ -198,6 +198,9 @@ _PLAN_BOUNDS = {
     # persisted (source, shingle) frame: distinct + shingle-keyed self-join
     # + pair agg + 2 tiny total broadcasts + sort (textual reprints incl.)
     "source_overlap_matrix": (12, 2),
+    # one d²-keyed Gram agg (covariance's shape) + 3 tiny unrolled power
+    # sweeps over the persisted d²-row matrix; textual reprints dominate
+    "embedding_top_component": (120, 0),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
