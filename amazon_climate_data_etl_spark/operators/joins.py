@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
 from amazon_climate_data_etl_spark.functions.climate import grid_snap, grid_snap_sql
@@ -952,6 +953,171 @@ def _bucketed_table(
     return spark.table(name)
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (schema-adapted: no partsupp in the testdata, so
+    the observed per-(part, supplier) minimum line price plays
+    ps_supplycost): for PROMO parts under size 15, find each part's
+    cheapest ASIA supplier(s) — the correlated-min-subquery pattern
+    resolved as aggregate + join-back, exactly the ``q20`` recipe.
+
+    Shape: part and the supplier⋈nation⋈region chain broadcast into the
+    fact; one (part, supp) agg; the per-part min re-aggregates the
+    persisted frame and joins back on the partkey (at scale both sides
+    are part-cardinality — the keyed shuffle join is the plan, as in
+    q20); supplier attributes re-attach by broadcast. Costs are exact
+    decimal mins, so the min-cost tie set replays identically in the
+    oracle."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") < 15)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sdim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mn = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("mcost")
+    )
+    win = cost.join(
+        mn, (cost.l_partkey == mn.mk) & (cost.cost == mn.mcost)
+    ).select("l_partkey", "l_suppkey", "cost")
+    return (
+        win.join(F.broadcast(sdim), win.l_suppkey == sdim.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH sdim AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN sdim ON l_suppkey = s_suppkey
+  WHERE p_type = 'PROMO' AND p_size < 15
+  GROUP BY l_partkey, l_suppkey
+),
+mn AS (SELECT l_partkey AS mk, min(cost) AS mcost FROM cost GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+       CAST(cost AS DOUBLE) AS min_cost
+FROM cost
+JOIN mn ON l_partkey = mk AND cost = mcost
+JOIN sdim ON l_suppkey = s_suppkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (schema-adapted: observed line value
+    extendedprice·quantity plays supplycost·availqty): the parts whose
+    value supplied from the top supplier nation exceeds 2× the mean
+    per-part value — the scalar-subquery-threshold pattern over a
+    grouped aggregate. Two parameters are made data-driven so the
+    report is non-empty at every SF: the nation (Q11's literal nation
+    would not exist at tiny SFs) and the threshold (Q11's fixed
+    fraction is scale-DEpendent — at 10× the parts each share shrinks
+    10× and the report empties; cutting against the mean keeps the
+    "disproportionately valuable parts" semantics everywhere).
+
+    Shape: supplier⋈nation dim broadcast into the fact, one partkey agg
+    (exact decimal value), the grand total re-aggregates the persisted
+    frame and broadcasts back as a 1-row scalar; the threshold compares
+    the SAME double expression shape in both engines. Output order is
+    value-desc with the partkey tiebreak."""
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    # Q11's nation parameter, made data-driven so the report is non-empty
+    # at every SF: the nation with the most suppliers (name tiebreak)
+    top_nation = (
+        sn.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "n_name")
+        .limit(1)
+        .select("n_name")
+    )
+    sdim = sn.join(F.broadcast(top_nation), "n_name").select("s_suppkey")
+    value = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(10,0)")
+    v = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("val"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = v.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double") * F.col("n_parts")
+            > F.col("total").cast("double") * 2
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH top_nation AS (
+  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name ORDER BY count(*) DESC, n_name LIMIT 1
+),
+v AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(10,0))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = (SELECT n_name FROM top_nation)
+  GROUP BY l_partkey
+),
+tot AS (SELECT sum(val) AS total, count(*) AS n_parts FROM v)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM v, tot
+WHERE CAST(val AS DOUBLE) * n_parts > CAST(total AS DOUBLE) * 2
+ORDER BY stock_value DESC, p_partkey
+"""
+
+
 def _year_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders materialized as a year-partitioned parquet layout (the
     ``partitionBy`` storage pattern every 100 TB fact table uses — same
@@ -1065,6 +1231,8 @@ ORDER BY c_mktsegment
 
 
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
     "dpp_pruned_join": dpp_pruned_join,
     "bucketed_join_revenue": bucketed_join_revenue,
     "q10_returned_items": q10_returned_items,
@@ -1086,6 +1254,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
     "dpp_pruned_join": DPP_JOIN_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "q10_returned_items": Q10_SQL,

@@ -46,6 +46,13 @@ _PLAN_BOUNDS = {
     "bucketed_join_revenue": (2, 0),
     # broadcast era dim into the partitioned fact; agg + output sort
     "dpp_pruned_join": (2, 1),
+    # part + supplier-chain broadcasts into the fact; (part,supp) agg,
+    # per-part min re-agg + partkey join-back (persisted frame reprints),
+    # supplier re-attach broadcast + TakeOrdered
+    "q2_min_cost_supplier": (7, 4),
+    # supplier⋈nation broadcast (argmax-nation scalar inside), partkey
+    # agg, scalar total broadcast back, sort
+    "q11_important_stock": (8, 3),
     # one map-side-merged sketch agg + output sort
     "approx_quantiles_sketch": (2, 0),
     # one 5-moment agg per type + map-only slope arithmetic + sort
@@ -373,6 +380,8 @@ _SMJ_EXEMPT = {
     # at scale the totals side is part-cardinality, not dim-sized), so
     # the partkey-keyed shuffle join is the correct plan.
     "q20_dominant_suppliers",
+    # same min-per-part join-back shape as q20 (both sides part-cardinality)
+    "q2_min_cost_supplier",
 }
 
 
