@@ -577,6 +577,64 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered pair of
+    event types, how often does the second DIRECTLY follow the first in a
+    user's stream, and with what row-normalized probability — the Markov
+    view of user behavior under session mining and next-action modeling.
+
+    Determinism: successor pairs come from one per-user lead() window
+    with the unique (ts, event_id) order; counts are exact and the
+    probability is one count ratio rounded to 6 dp. Shape: one user-keyed
+    window exchange, one pair agg (map-side combined), a |types|-row
+    margin broadcast back, sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+    )
+    c = trans.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    margin = c.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        c.join(F.broadcast(margin), c.event_type == margin.et)
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            stable_round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH trans AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM trans WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+margin AS (SELECT event_type AS et, CAST(sum(n) AS BIGINT) AS row_n
+           FROM c GROUP BY event_type)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE) / row_n, 6) AS p_next
+FROM c JOIN margin ON event_type = et
+ORDER BY event_type, next_type
+"""
+
+
 def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend: closed-form least-squares slope/intercept of
     event value over time — the drift-detection primitive (is a metric
@@ -687,6 +745,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "daily_volume_anomalies": daily_volume_anomalies,
     "event_value_trend": event_value_trend,
+    "event_transition_matrix": event_transition_matrix,
     "user_funnel_conversion": user_funnel_conversion,
     "user_retention_cohorts": user_retention_cohorts,
     "tumbling_hourly": tumbling_hourly,
@@ -703,6 +762,7 @@ ORACLE = {
     "latest_event_per_user": LATEST_EVENT_SQL,
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "event_value_trend": EVENT_TREND_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_SQL,
     "user_funnel_conversion": FUNNEL_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "tumbling_hourly": TUMBLING_SQL,

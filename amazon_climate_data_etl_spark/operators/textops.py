@@ -890,6 +890,98 @@ LIMIT {_TR_TOPK}
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs whose co-occurrence beats chance, PMI = ln(c₁₂·T / (c₁·c₂)) —
+    the classic collocation detector (Church & Hanks 1990), and the
+    lexical-statistics sibling of the co-occurrence graph queries.
+
+    Determinism: all counts are exact integers from one corpus pass (the
+    DIRECTED pair aggregate + its margin re-aggregations); the only float
+    is the final ln of an exact-count ratio, computed with the identical
+    expression shape in both engines and decimal-rounded to 6 dp before
+    the rank sort — order ties broken by the pair text. Pairs under
+    ``_PMI_MIN_COUNT`` are dropped first (PMI's low-frequency pathology).
+
+    Scale: token-keyed exchanges only; margins are vocab-bounded
+    re-aggregations of the persisted pair frame; TakeOrdered top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(ascii_lower(F.col("text")))
+    n = F.size(toks)
+    z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
+    bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
+    pairs = (
+        rebalance_for_compute(d)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.a").alias("w1"), F.col("bg.b").alias("w2"))
+        .filter(
+            F.col("w1").rlike("^[a-z]{3,}$") & F.col("w2").rlike("^[a-z]{3,}$")
+        )
+    )
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("t"))
+    pmi = stable_round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("t")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+PMI_SQL = f"""
+WITH t AS (
+  SELECT {_TR_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text, ' ')) > 0
+),
+flat AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+    FROM t WHERE len(toks) > 1)
+),
+p AS (
+  SELECT w1, w2 FROM flat
+  WHERE regexp_matches(w1, '^[a-z]{{3,}}$')
+    AND regexp_matches(w2, '^[a-z]{{3,}}$')
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c12)
+SELECT c12.w1, c12.w2, c12.c12,
+       round(ln(CAST(c12.c12 AS DOUBLE) * t / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6)
+         AS pmi
+FROM c12
+JOIN c1 ON c12.w1 = c1.w1
+JOIN c2 ON c12.w2 = c2.w2
+CROSS JOIN tot
+WHERE c12.c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, c12.w1, c12.w2
+LIMIT {_PMI_TOPK}
+"""
+
+
 def token_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the token co-occurrence graph: corpus triangle
     count + the tokens participating in the most triangles — the
@@ -953,6 +1045,7 @@ LIMIT 15
 QUERIES = {
     "textrank_keywords": textrank_keywords,
     "token_triangle_census": token_triangle_census,
+    "pmi_collocations": pmi_collocations,
     "tokenizer_fertility": tokenizer_fertility,
     "doc_repetition_scores": doc_repetition_scores,
     "vocab_coverage": vocab_coverage,
@@ -973,6 +1066,7 @@ QUERIES = {
 ORACLE = {
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
+    "pmi_collocations": PMI_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,

@@ -38,7 +38,7 @@ _DOC_QUERIES = [
     "doc_length_histogram", "top_terms", "doc_repetition_scores",
     "tfidf_top_terms", "sample_split_stats", "val_split_docs",
     "vocab_coverage", "bm25_search", "textrank_keywords",
-    "token_triangle_census", "quality_weighted_sample",
+    "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",

@@ -66,6 +66,11 @@ _PLAN_BOUNDS = {
     # persisted-edge reprints again; real exchanges: edge build + 2 wedge
     # joins + node-count agg + scalar total + top-k sort
     "token_triangle_census": (40, 0),
+    # persisted pair frame + vocab-bounded margin re-aggs broadcast back
+    # + scalar total + TakeOrdered (textual reprints included)
+    "pmi_collocations": (11, 2),
+    # one user-keyed lead() window + pair agg + tiny margin broadcast + sort
+    "event_transition_matrix": (6, 1),
     # per-source max agg broadcast back + one output agg + sort
     "quality_weighted_sample": (3, 1),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
