@@ -578,9 +578,12 @@ def test_salted_join_beats_unsalted_under_adversarial_skew(spark):
         salted_equi_join,
     )
 
-    n, hot_frac_mod = 4_000_000, 10  # id % 10 < 7 → 70% on key 1
+    # 90% of rows on ONE key: naive/salted separation ~1.6x, wide enough
+    # that suite-ambient noise cannot flip the verdict (70% left only
+    # ~1.4x and flaked under load even with a retry)
+    n, hot_frac_mod = 4_000_000, 10  # id % 10 < 9 → 90% on key 1
     fact = spark.range(n).select(
-        F.when(F.col("id") % hot_frac_mod < 7, F.lit(1))
+        F.when(F.col("id") % hot_frac_mod < 9, F.lit(1))
         .otherwise(F.pmod(F.col("id"), F.lit(20_000)) + 2)
         .alias("k"),
         F.col("id").alias("v"),
@@ -604,7 +607,7 @@ def test_salted_join_beats_unsalted_under_adversarial_skew(spark):
     salted = fact.withColumn(
         "salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)).cast("int")
     )
-    assert max_share(fact, "k") > 0.65          # naive: one reducer drowns
+    assert max_share(fact, "k") > 0.85          # naive: one reducer drowns
     assert max_share(salted, "k", "salt") < 0.2  # salted: spread flat(ish)
 
     conf = spark.conf
@@ -632,7 +635,7 @@ def test_salted_join_beats_unsalted_under_adversarial_skew(spark):
         # (a) identical results
         assert naive.collect() == fast.collect()
 
-        def median_time(df, reps=3):
+        def median_time(df, reps=5):
             df.write.mode("overwrite").format("noop").save()  # warm
             ts = []
             for _ in range(reps):
