@@ -608,7 +608,9 @@ def test_salted_join_beats_unsalted_under_adversarial_skew(spark):
         "salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)).cast("int")
     )
     assert max_share(fact, "k") > 0.85          # naive: one reducer drowns
-    assert max_share(salted, "k", "salt") < 0.2  # salted: spread flat(ish)
+    # salted: spread flat(ish) — per salt bucket 90%/N_SALT ≈ 5.6%, and a
+    # 32-partition hash can co-locate a few buckets, so < 0.3 (vs 0.9+)
+    assert max_share(salted, "k", "salt") < 0.3
 
     conf = spark.conf
     saved = {
