@@ -997,18 +997,22 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     ex = e.select(eq.alias("eq"))
+    # persist the UPPER triangle (the output of the expensive corpus
+    # explode): the symmetrizing union consumes it once per branch, and
+    # an unpersisted upper would re-run the d²-fan-out corpus pass twice
     upper = (
         ex.select(F.posexplode("eq").alias("i", "vi"), "eq")
         .select("i", "vi", F.posexplode("eq").alias("j", "vj"))
         .filter(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
         .agg(F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)")).alias("s_ij"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     full = upper.unionAll(
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "s_ij"
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     smax = full.agg(
         F.greatest(F.max(F.abs(F.col("s_ij"))).cast("double"), F.lit(1.0)).alias(
             "smax"
