@@ -429,7 +429,102 @@ ORDER BY gid, UF
 """
 
 
+def climate_precip_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized precipitation anomaly (SPI-1-simplified): each
+    municipality-month's precipitation total z-scored against that
+    municipality×calendar-month climatology across years, with a drought
+    flag at z ≤ −1 — the monitoring report the reference's annual/monthly
+    tables exist to feed (drought detection over the BR-DWGD-style grid).
+
+    Portability: monthly totals are exact decimals (the grid's pr is
+    1-dp-quantized, so the narrowed decimal(12,1) cast is lossless and
+    keeps every climatology moment inside DuckDB's p1+p2 ≤ 38 multiply
+    rule); mean/σ derive from exact (Σ, Σ²) and the z-score is one
+    double expression of identical shape in both engines, 6-dp-rounded
+    BEFORE the −1 threshold. Degenerate climatologies (constant totals)
+    are excluded by the exact min = max guard. Shape: the broadcast-join
+    daily frame, one (mun, year, month) agg, a mun×12-row climatology
+    re-agg broadcast back, map-only z/flag, sort."""
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    mp = (
+        daily.groupBy(
+            "CD_MUN",
+            "UF",
+            F.year("date").alias("year"),
+            F.month("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("pr").cast("decimal(24,8)"))
+            .cast("decimal(12,1)")
+            .alias("prd")
+        )
+    )
+    clim = mp.groupBy(F.col("CD_MUN").alias("cm"), F.col("month").alias("mm")).agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("prd").alias("s1"),
+        F.sum((F.col("prd") * F.col("prd")).cast("decimal(24,2)")).alias("s2"),
+        F.min("prd").alias("pmin"),
+        F.max("prd").alias("pmax"),
+    )
+    n = F.col("n_years").cast("double")
+    mean = F.col("s1").cast("double") / n
+    z = stable_round(
+        (F.col("prd").cast("double") - mean)
+        / F.sqrt(F.col("s2").cast("double") / n - mean * mean),
+        6,
+    )
+    return (
+        mp.join(
+            F.broadcast(clim),
+            (F.col("CD_MUN") == F.col("cm")) & (F.col("month") == F.col("mm")),
+        )
+        .filter(F.col("pmin") != F.col("pmax"))
+        .select(
+            "CD_MUN",
+            "UF",
+            "year",
+            "month",
+            stable_round(F.col("prd").cast("double"), 2).alias("pr_total"),
+            z.alias("z_score"),
+            (z <= -1.0).alias("is_drought"),
+        )
+        .orderBy("CD_MUN", "year", "month")
+    )
+
+
+_Z_SQL = (
+    "round((CAST(prd AS DOUBLE) - CAST(s1 AS DOUBLE)/n_years)"
+    " / sqrt(CAST(s2 AS DOUBLE)/n_years"
+    " - (CAST(s1 AS DOUBLE)/n_years)*(CAST(s1 AS DOUBLE)/n_years)), 6)"
+)
+
+CLIMATE_PRECIP_ANOMALY_SQL = f"""{_DAILY_CTE},
+mp AS (
+  SELECT CD_MUN, UF, year, month,
+         CAST(sum(CAST(pr AS DECIMAL(24,8))) AS DECIMAL(12,1)) AS prd
+  FROM daily GROUP BY CD_MUN, UF, year, month
+),
+clim AS (
+  SELECT CD_MUN AS cm, month AS mm, count(*) AS n_years,
+         sum(prd) AS s1,
+         sum(CAST(prd * prd AS DECIMAL(24,2))) AS s2,
+         min(prd) AS pmin, max(prd) AS pmax
+  FROM mp GROUP BY CD_MUN, month
+)
+SELECT CD_MUN, UF, year, month,
+       round(CAST(prd AS DOUBLE), 2) AS pr_total,
+       {_Z_SQL} AS z_score,
+       ({_Z_SQL} <= -1.0) AS is_drought
+FROM mp JOIN clim ON CD_MUN = cm AND month = mm
+WHERE pmin <> pmax
+ORDER BY CD_MUN, year, month
+"""
+
+
 QUERIES = {
+    "climate_precip_anomaly": climate_precip_anomaly,
     "climate_annual": climate_annual,
     "climate_monthly": climate_monthly,
     "climate_rollup": climate_rollup,
@@ -439,6 +534,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "climate_precip_anomaly": CLIMATE_PRECIP_ANOMALY_SQL,
     "climate_annual": CLIMATE_ANNUAL_SQL,
     "climate_monthly": CLIMATE_MONTHLY_SQL,
     "climate_rollup": CLIMATE_ROLLUP_SQL,

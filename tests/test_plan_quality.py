@@ -71,6 +71,9 @@ _PLAN_BOUNDS = {
     "pmi_collocations": (11, 2),
     # one user-keyed lead() window + pair agg + tiny margin broadcast + sort
     "event_transition_matrix": (6, 1),
+    # broadcast-dim daily join + (mun,year,month) agg; mun×12 climatology
+    # re-agg broadcast back; map-only z/flag + sort
+    "climate_precip_anomaly": (6, 2),
     # per-source max agg broadcast back + one output agg + sort
     "quality_weighted_sample": (3, 1),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
