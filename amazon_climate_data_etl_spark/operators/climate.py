@@ -523,8 +523,71 @@ ORDER BY CD_MUN, year, month
 """
 
 
+_HEAT_THRESHOLD = 34.0  # °C daily-peak cut; the fixture grid spans 28-36
+
+
+def climate_heatwave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heat-wave detection: maximal runs of CONSECUTIVE days whose daily
+    peak Tmax meets the threshold, per municipality — the extreme-event
+    report (onset, duration, peak) the anomaly/climatology tables feed.
+
+    Portability: daily peaks are exact decimal maxes of the 1-dp grid
+    values, so threshold membership is exact; runs use the
+    gaps-and-islands identity (day-index − row_number is constant within
+    a consecutive run — the ``duplicate_spans_exact`` recipe on the
+    calendar axis). Shape: per-(mun, date) peak agg, ONE mun-keyed window
+    over the hot-day subset, per-run agg, sort — the window partitions by
+    municipality, so state is bounded by each municipality's hot days."""
+    daily = daily_enriched(
+        synthetic_grid_daily(spark, sf_dir), synthetic_municipalities(spark, sf_dir)
+    )
+    d1 = daily.groupBy("CD_MUN", "UF", "date").agg(
+        F.max(F.col("Tmax").cast("decimal(6,1)")).alias("tmax")
+    )
+    hot = d1.filter(F.col("tmax") >= _HEAT_THRESHOLD)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("CD_MUN").orderBy("date")
+    grp = F.datediff(F.col("date"), F.to_date(F.lit("1970-01-01"))) - F.row_number().over(w)
+    return (
+        hot.withColumn("grp", grp)
+        .groupBy("CD_MUN", "UF", "grp")
+        .agg(
+            F.min("date").alias("run_start"),
+            F.max("date").alias("run_end"),
+            F.count(F.lit(1)).alias("run_days"),
+            F.max("tmax").cast("double").alias("peak_tmax"),
+        )
+        .drop("grp")
+        .orderBy("CD_MUN", "run_start")
+    )
+
+
+CLIMATE_HEATWAVE_SQL = f"""{_DAILY_CTE},
+d1 AS (
+  SELECT CD_MUN, UF, date, max(CAST(Tmax AS DECIMAL(6,1))) AS tmax
+  FROM daily GROUP BY CD_MUN, UF, date
+),
+hot AS (SELECT * FROM d1 WHERE tmax >= {_HEAT_THRESHOLD}),
+runs AS (
+  SELECT CD_MUN, UF, date, tmax,
+         datediff('day', DATE '1970-01-01', date)
+           - row_number() OVER (PARTITION BY CD_MUN ORDER BY date) AS grp
+  FROM hot
+)
+SELECT CD_MUN, UF,
+       min(date) AS run_start, max(date) AS run_end,
+       count(*) AS run_days,
+       CAST(max(tmax) AS DOUBLE) AS peak_tmax
+FROM runs
+GROUP BY CD_MUN, UF, grp
+ORDER BY CD_MUN, run_start
+"""
+
+
 QUERIES = {
     "climate_precip_anomaly": climate_precip_anomaly,
+    "climate_heatwave_runs": climate_heatwave_runs,
     "climate_annual": climate_annual,
     "climate_monthly": climate_monthly,
     "climate_rollup": climate_rollup,
@@ -535,6 +598,7 @@ QUERIES = {
 
 ORACLE = {
     "climate_precip_anomaly": CLIMATE_PRECIP_ANOMALY_SQL,
+    "climate_heatwave_runs": CLIMATE_HEATWAVE_SQL,
     "climate_annual": CLIMATE_ANNUAL_SQL,
     "climate_monthly": CLIMATE_MONTHLY_SQL,
     "climate_rollup": CLIMATE_ROLLUP_SQL,

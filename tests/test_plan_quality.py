@@ -74,6 +74,8 @@ _PLAN_BOUNDS = {
     # broadcast-dim daily join + (mun,year,month) agg; mun×12 climatology
     # re-agg broadcast back; map-only z/flag + sort
     "climate_precip_anomaly": (6, 2),
+    # daily-peak agg + one mun-keyed islands window + run agg + sort
+    "climate_heatwave_runs": (4, 1),
     # per-source max agg broadcast back + one output agg + sort
     "quality_weighted_sample": (3, 1),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
