@@ -967,6 +967,84 @@ ORDER BY segment
 """
 
 
+def source_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration profile: Gini coefficient + top-source shares
+    of the corpus token mass — the one-row skew diagnostic behind mixture
+    planning (a corpus where three crawls hold 80% of tokens needs
+    quota caps before training; `source_mixture_plan` prescribes, this
+    measures).
+
+    Determinism: token masses are exact integers; the discrete Gini
+    G = 2·Σ(i·mᵢ)/(n·T) − (n+1)/n uses the ascending (mass, source) rank,
+    so Σ(i·mᵢ) is an exact decimal and the only doubles are the final
+    ratios, rounded to 6 dp with identical expression shape in both
+    engines. Shape: one map-side-combined per-source agg, two
+    |sources|-row windows (global order over a dim-sized frame — NOT a
+    corpus-scale sort), one single-row reduction."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("m"))
+    asc = Window.orderBy("m", "source")
+    desc = Window.orderBy(F.desc("m"), F.desc("source"))
+    ranked = m.withColumn("i", F.row_number().over(asc)).withColumn(
+        "rd", F.row_number().over(desc)
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("m").alias("total_tokens"),
+        F.sum(
+            F.col("i").cast("decimal(18,0)") * F.col("m").cast("decimal(19,0)")
+        ).alias("s_im"),
+        F.sum(F.when(F.col("rd") == 1, F.col("m")).otherwise(F.lit(0))).alias(
+            "top1"
+        ),
+        F.sum(F.when(F.col("rd") <= 3, F.col("m")).otherwise(F.lit(0))).alias(
+            "top3"
+        ),
+    )
+    n_d = F.col("n_sources").cast("double")
+    t_d = F.col("total_tokens").cast("double")
+    gini = stable_round(
+        2.0 * F.col("s_im").cast("double") / (n_d * t_d) - (n_d + 1.0) / n_d, 6
+    )
+    return agg.select(
+        "n_sources",
+        "total_tokens",
+        gini.alias("gini"),
+        stable_round(F.col("top1").cast("double") / t_d, 6).alias("top1_share"),
+        stable_round(F.col("top3").cast("double") / t_d, 6).alias("top3_share"),
+    )
+
+
+SOURCE_GINI_SQL = f"""
+WITH m AS (
+  SELECT source, CAST(sum({token_count_sql('text')}) AS BIGINT) AS m
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT m.*,
+         row_number() OVER (ORDER BY m, source) AS i,
+         row_number() OVER (ORDER BY m DESC, source DESC) AS rd
+  FROM m
+),
+agg AS (
+  SELECT count(*) AS n_sources,
+         CAST(sum(m) AS BIGINT) AS total_tokens,
+         sum(CAST(i AS DECIMAL(18,0)) * CAST(m AS DECIMAL(19,0))) AS s_im,
+         CAST(sum(CASE WHEN rd = 1 THEN m ELSE 0 END) AS BIGINT) AS top1,
+         CAST(sum(CASE WHEN rd <= 3 THEN m ELSE 0 END) AS BIGINT) AS top3
+  FROM ranked
+)
+SELECT n_sources, total_tokens,
+       round(2.0 * CAST(s_im AS DOUBLE)
+             / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+             - (CAST(n_sources AS DOUBLE) + 1.0) / CAST(n_sources AS DOUBLE),
+             6) AS gini,
+       round(CAST(top1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS top1_share,
+       round(CAST(top3 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS top3_share
+FROM agg
+"""
+
+
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic QUALITY-WEIGHTED Bernoulli sampling: each document's
     selection probability is proportional to its quality score within its
@@ -1111,6 +1189,7 @@ ORDER BY doc_id, chunk_id
 
 QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
+    "source_concentration_gini": source_concentration_gini,
     "doc_chunk_plan": doc_chunk_plan,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "pii_redaction_stats": pii_redaction_stats,
@@ -1127,6 +1206,7 @@ QUERIES = {
 
 ORACLE = {
     "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
+    "source_concentration_gini": SOURCE_GINI_SQL,
     "doc_chunk_plan": DOC_CHUNK_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "pii_redaction_stats": PII_REDACTION_SQL,

@@ -39,6 +39,7 @@ _DOC_QUERIES = [
     "tfidf_top_terms", "sample_split_stats", "val_split_docs",
     "vocab_coverage", "bm25_search", "textrank_keywords",
     "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
+    "source_concentration_gini",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",

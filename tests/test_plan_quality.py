@@ -78,6 +78,8 @@ _PLAN_BOUNDS = {
     "climate_heatwave_runs": (4, 1),
     # per-source max agg broadcast back + one output agg + sort
     "quality_weighted_sample": (3, 1),
+    # per-source mass agg + two dim-sized rank windows + 1-row reduction
+    "source_concentration_gini": (2, 0),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
     "audio_energy_segments": (2, 0),
     # video-pruned map-only Arrow pass; AQE reshuffle + output sort
