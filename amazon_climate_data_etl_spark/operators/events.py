@@ -577,6 +577,62 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: the time gaps between a user's
+    CONSECUTIVE events of the same type — the rate/burstiness profile
+    (alert tuning, bot detection, watermark sizing) that complements the
+    transition matrix's what-comes-next view.
+
+    Portability: gaps are exact integer MICROSECONDS (unix_micros /
+    epoch_us — the fixture timestamps carry sub-second components, so
+    second-truncating diffs would be engine-trap territory) over the
+    unique (ts, event_id) per-(user, type) order; count / min / max /
+    exact-decimal mean are order-independent; the mean converts to
+    seconds in one mirrored double expression, rounded to 2 dp. Shape:
+    one (user, type)-keyed lag window + one per-type agg (map-side
+    combined), sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).alias("gap_us")
+    gaps = e.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            stable_round(
+                F.sum(F.col("gap_us").cast("decimal(24,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                2,
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       round(CAST(sum(CAST(gap_us AS DECIMAL(24,0))) AS DOUBLE) / count(*)
+             / 1e6, 2) AS mean_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral transition matrix: for each ordered pair of
     event types, how often does the second DIRECTLY follow the first in a
@@ -746,6 +802,7 @@ QUERIES = {
     "daily_volume_anomalies": daily_volume_anomalies,
     "event_value_trend": event_value_trend,
     "event_transition_matrix": event_transition_matrix,
+    "event_interarrival_stats": event_interarrival_stats,
     "user_funnel_conversion": user_funnel_conversion,
     "user_retention_cohorts": user_retention_cohorts,
     "tumbling_hourly": tumbling_hourly,
@@ -763,6 +820,7 @@ ORACLE = {
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "event_value_trend": EVENT_TREND_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "event_interarrival_stats": EVENT_INTERARRIVAL_SQL,
     "user_funnel_conversion": FUNNEL_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "tumbling_hourly": TUMBLING_SQL,

@@ -36,7 +36,7 @@ _EVENT_QUERIES = [
     "event_dedup_first", "json_props_stats", "asof_join_purchases",
     "pivot_daily_activity", "user_funnel_conversion",
     "user_retention_cohorts", "event_value_trend",
-    "event_transition_matrix",
+    "event_transition_matrix", "event_interarrival_stats",
 ]
 
 

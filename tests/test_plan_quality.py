@@ -76,6 +76,8 @@ _PLAN_BOUNDS = {
     "climate_precip_anomaly": (6, 2),
     # daily-peak agg + one mun-keyed islands window + run agg + sort
     "climate_heatwave_runs": (4, 1),
+    # one (user,type)-keyed lag window + per-type agg + sort
+    "event_interarrival_stats": (3, 0),
     # per-source max agg broadcast back + one output agg + sort
     "quality_weighted_sample": (3, 1),
     # per-source mass agg + two dim-sized rank windows + 1-row reduction
