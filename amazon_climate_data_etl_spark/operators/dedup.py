@@ -539,6 +539,58 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup component sizes — the dedup pipeline's
+    summary report: how much of the corpus sits in clusters of 2, 3, …,
+    and what fraction of documents a keep-one policy would drop.
+
+    Derivation: the keep/drop frame (components already closed over the
+    whole corpus, singles = their own component) → per-component size →
+    size histogram with exact document accounting. drop_fraction is the
+    per-size (size−1)/size mass over the corpus, rounded to 6 dp. Two
+    tiny aggregations over component-cardinality frames — every exchange
+    is keyed on component_id or size."""
+    keep = neardup_keep_corpus(spark, sf_dir)
+    sizes = keep.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("size")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # corpus total as a lazy broadcast scalar (never a driver-side action)
+    tot = sizes.agg(F.sum("size").alias("t"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("size") * F.col("n_clusters"))
+        .withColumn("docs_dropped", (F.col("size") - 1) * F.col("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "corpus_share",
+            stable_round(F.col("n_docs").cast("double") / F.col("t"), 6),
+        )
+        .drop("t")
+        .orderBy("size")
+    )
+
+
+DEDUP_CLUSTER_HIST_SQL = f"""
+WITH keep AS (
+  SELECT d.doc_id, COALESCE(l.component_id, d.doc_id) AS component_id
+  FROM documents d
+  LEFT JOIN ({_DEDUP_COMPONENTS_BODY}) l ON d.doc_id = l.doc_id
+),
+sizes AS (SELECT component_id, count(*) AS size FROM keep GROUP BY component_id),
+tot AS (SELECT count(*) AS t FROM keep)
+SELECT size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_docs,
+       CAST((size - 1) * count(*) AS BIGINT) AS docs_dropped,
+       round(CAST(size * count(*) AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS corpus_share
+FROM sizes
+GROUP BY size
+ORDER BY size
+"""
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix: for every source pair, how much of
     their shingle vocabulary is shared (count + Jaccard) — the corpus-
@@ -1045,6 +1097,7 @@ QUERIES = {
     "neardup_keep_corpus": neardup_keep_corpus,
     "neardup_keep_best_quality": neardup_keep_best_quality,
     "source_overlap_matrix": source_overlap_matrix,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -1061,6 +1114,7 @@ ORACLE = {
     "neardup_keep_corpus": NEARDUP_KEEP_SQL,
     "neardup_keep_best_quality": NEARDUP_KEEP_BEST_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "dedup_cluster_size_histogram": DEDUP_CLUSTER_HIST_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,

@@ -8,7 +8,7 @@ in the loop; at 100 TB these run inside whole-stage codegen at scan speed.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1042,8 +1042,106 @@ LIMIT 15
 """
 
 
+_ZIPF_MAX_RANK = 10_000
+
+
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the corpus
+    term-frequency distribution (slope ≈ −1 for natural language) — the
+    single-number lexical-health check data-quality dashboards track
+    (templated/generated corpora bend the tail visibly).
+
+    Determinism: term counts are exact; each ln is decimal-rounded to
+    10 dp (the logprob-filter recipe) so the four regression moments are
+    ORDER-INDEPENDENT exact decimals with operand widths inside DuckDB's
+    p1+p2 ≤ 38 multiply rule; slope/intercept/r² then evaluate as
+    mirrored double expressions. Vocabulary is capped at the top
+    ``_ZIPF_MAX_RANK`` ranks (deterministic (freq desc, term) order) so
+    the dim-sized rank window never grows with the corpus tail."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(ascii_lower(F.col("text")))
+    counts = (
+        rebalance_for_compute(d)
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "term")
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _ZIPF_MAX_RANK
+    )
+    dec = "decimal(18,12)"
+    x = stable_round(F.log(F.col("r").cast("double")), 10).cast(dec)
+    y = stable_round(F.log(F.col("c").cast("double")), 10).cast(dec)
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n_terms").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n_d * sxy_d - sx_d * sy_d
+    varx = n_d * sxx_d - sx_d * sx_d
+    vary = n_d * syy_d - sy_d * sy_d
+    return s.filter(F.col("n_terms") >= 2).select(
+        "n_terms",
+        stable_round(cov / varx, 6).alias("zipf_slope"),
+        stable_round((sy_d * sxx_d - sx_d * sxy_d) / varx, 6).alias("intercept"),
+        stable_round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TR_TOKS_SQL}) AS t
+        FROM documents WHERE length(trim(text, ' ')) > 0)
+  GROUP BY t
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM counts
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(18,12)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(18,12)) AS y
+  FROM ranked WHERE r <= {_ZIPF_MAX_RANK}
+),
+s AS (
+  SELECT count(*) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+)
+SELECT n_terms,
+       round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+       round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s WHERE n_terms >= 2
+"""
+
+
 QUERIES = {
     "textrank_keywords": textrank_keywords,
+    "zipf_law_fit": zipf_law_fit,
     "token_triangle_census": token_triangle_census,
     "pmi_collocations": pmi_collocations,
     "tokenizer_fertility": tokenizer_fertility,
@@ -1067,6 +1165,7 @@ ORACLE = {
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "pmi_collocations": PMI_SQL,
+    "zipf_law_fit": ZIPF_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,

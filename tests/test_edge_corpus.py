@@ -39,7 +39,8 @@ _DOC_QUERIES = [
     "tfidf_top_terms", "sample_split_stats", "val_split_docs",
     "vocab_coverage", "bm25_search", "textrank_keywords",
     "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
-    "source_concentration_gini",
+    "source_concentration_gini", "zipf_law_fit",
+    "dedup_cluster_size_histogram",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprints", "simhash_near_pairs", "dedup_components",

@@ -82,6 +82,11 @@ _PLAN_BOUNDS = {
     "quality_weighted_sample": (3, 1),
     # per-source mass agg + two dim-sized rank windows + 1-row reduction
     "source_concentration_gini": (2, 0),
+    # term-count agg + vocab-bounded rank window + 1-row moment reduction
+    "zipf_law_fit": (3, 0),
+    # keep_corpus's label join + component-size agg + size histogram agg
+    # + scalar total broadcast + sort
+    "dedup_cluster_size_histogram": (9, 0),
     # audio-pruned map-only Arrow pass; AQE reshuffle + output sort
     "audio_energy_segments": (2, 0),
     # video-pruned map-only Arrow pass; AQE reshuffle + output sort
@@ -380,6 +385,7 @@ _SMJ_EXEMPT = {
     "neardup_keep_corpus",
     # same corpus ⋈ component-labels join as neardup_keep_corpus
     "neardup_keep_best_quality",
+    "dedup_cluster_size_histogram",
     # (source, shingle) self-join on the shingle key: both sides are the
     # same persisted corpus-scale frame (no stats, and at scale neither
     # side is dim-sized) — the shingle-keyed shuffle join is the plan
