@@ -27,8 +27,10 @@ history:
 with registration (module) order as the deterministic tiebreak. Under this
 rule the window cycles the whole registry oldest-first: at 100 queries
 that meant a green driver row at least every other round; at the current
-registry size (115 after round 5's additions) the steady-state cycle is
-ceil(115/50) ≈ 2.3 rounds, so an individual query's driver row may be up
+registry size (146 after round 6's additions) the steady-state cycle is
+ceil(146/50) ≈ 3 rounds — at the staleness budget the rotation gate
+enforces (tests/test_gate_rotation.py caps the cycle at 3 rounds, i.e.
+150 queries) — so an individual query's driver row may be up
 to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves
 hash-exactness for EVERY oracled query regardless of the driver window —
