@@ -80,22 +80,24 @@ _MODULES = (
 # the driver verifies this many leading registry entries per round
 GATE_WINDOW = 50
 
-# name -> round the semantic change landed. Round-6 change: the synthetic
-# media table's image/audio rows became REAL payloads (PNG with planted
-# perceptual near-dup pairs; 16-bit PCM WAV) and both media queries
-# switched fully to the real decode kernels — different values by design,
-# so they must re-earn their rows-only green ahead of the oldest-green
-# cohort. Their VALUES are now certified end-to-end by the pure-Python
-# recomputation twins in tests/test_media_twin.py. Entries expire
-# automatically once a green row >= the recorded round exists.
-# ann_ivf_topk/ann_recall_eval: round-6 nlist-growth change (nlist =
-# max(16, floor(√N)) — different cell structure, different candidate sets
-# by design; both re-proven hash-green locally).
+# name -> round the semantic change landed. (Round-6 entries — media real
+# payloads, IVF nlist growth — all earned green r6 rows and have expired.)
+# Round-7 change: stable_round moved from the decimal(24,10) route (whose
+# bit-exactness contract the round-6 review falsified) to the floor-based
+# IEEE form floor(x·10^s + 0.5)/10^s, identical operation sequence in both
+# engines. Values change ONLY for results that land exactly on a decimal
+# half-tie; a DuckDB old-form-vs-new-form sweep over all 139 oracled
+# queries at sf0.01 found exactly these six with any value drift (one ulp
+# of the last rounded digit, both engines moving together — parity suite
+# re-proven 141/141 green). They re-earn their driver row ahead of the
+# oldest-green cohort; entries expire once a green row >= 7 exists.
 CHANGED_SINCE_GREEN = {
-    "media_feature_summary": 6,
-    "media_frame_pipeline": 6,
-    "ann_ivf_topk": 6,
-    "ann_recall_eval": 6,
+    "climate_annual": 7,
+    "climate_monthly": 7,
+    "climate_rollup": 7,
+    "window_rolling_avg": 7,
+    "window_cume_dist": 7,
+    "embedding_covariance": 7,
 }
 
 

