@@ -6,6 +6,15 @@ keyed by name; each callable is ``(spark, sf_dir) -> DataFrame``.
 ``oracle_sql()`` — DuckDB-runnable ANSI-SQL twin for each query (omitted
 only for genuinely non-SQL-expressible ops, which get rows-only checks).
 
+Cache-lifetime contract: several queries ``persist()`` intermediates that
+remain in the returned DataFrame's lineage (branch points whose recompute
+would double a corpus pass). Those blocks can only be released AFTER the
+caller's action, so any harness sweeping many queries in one session must
+call ``spark.catalog.clearCache()`` between queries — bench.py and
+tests/check_parity.py both do. A single query leaves at most its own
+intermediates cached (all are sub-linear in the input: pair frames,
+component frames, d²-row frames).
+
 Registry ORDER is load-bearing: the driver's correctness gate checks the
 first ``GATE_WINDOW`` registered queries. The rotation rule (codified per
 the round-3 review) is data-driven from the committed ``CORRECTNESS_r*.json``

@@ -385,9 +385,9 @@ tot_s AS (SELECT source, count(*) AS src_tokens FROM ex GROUP BY source),
 tot_c AS (SELECT count(*) AS corpus_tokens FROM ex),
 scored AS (
   SELECT st.source, st.term, tot_s.src_tokens,
-         CAST(round(CAST((CAST(tf_st AS DOUBLE) / src_tokens)
+         CAST(round((CAST(tf_st AS DOUBLE) / src_tokens)
                * ln((CAST(tf_st AS DOUBLE) / src_tokens)
-                    / (CAST(tf_t AS DOUBLE) / corpus_tokens)) AS DECIMAL(24,10)), 10)
+                    / (CAST(tf_t AS DOUBLE) / corpus_tokens)), 10)
               AS DECIMAL(28,12)) AS contrib
   FROM st JOIN ct ON st.term = ct.term
           JOIN tot_s ON st.source = tot_s.source, tot_c
@@ -471,8 +471,8 @@ ct AS (SELECT term, count(*) AS tf FROM ex GROUP BY term),
 tot AS (SELECT count(*) AS corpus_tokens FROM ex),
 scored AS (
   SELECT dt.doc_id, dt.n_dt,
-         CAST(round(CAST(ln(CAST(tf AS DOUBLE) / corpus_tokens)
-                         AS DECIMAL(24,10)), 10) AS DECIMAL(18,12))
+         CAST(round(ln(CAST(tf AS DOUBLE) / corpus_tokens), 10)
+              AS DECIMAL(18,12))
            * CAST(dt.n_dt AS DECIMAL(10,0)) AS contrib
   FROM dt JOIN ct ON dt.term = ct.term, tot
 ),
@@ -628,8 +628,8 @@ cbg AS (SELECT w1, w2, CAST(sum(n_dbg) AS BIGINT) AS c12 FROM db GROUP BY w1, w2
 cu AS (SELECT w1, CAST(sum(n_dbg) AS BIGINT) AS c1 FROM db GROUP BY w1),
 scored AS (
   SELECT db.doc_id, db.n_dbg,
-         CAST(round(CAST(ln(CAST(c12 AS DOUBLE) / c1)
-                         AS DECIMAL(24,10)), 10) AS DECIMAL(18,12))
+         CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 10)
+              AS DECIMAL(18,12))
            * CAST(db.n_dbg AS DECIMAL(10,0)) AS contrib
   FROM db JOIN cbg ON db.w1 = cbg.w1 AND db.w2 = cbg.w2
           JOIN cu ON db.w1 = cu.w1
@@ -743,14 +743,14 @@ WITH t AS (
 flags AS (
   SELECT n_tok,
          {quality_score_sql('text')} >= 0.5 AS q_keep,
-         (round(CAST((CASE WHEN len(toks) = 0 THEN 0.0
+         (round((CASE WHEN len(toks) = 0 THEN 0.0
                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                 END) AS DECIMAL(24,10)), 4) <= 0.6
-          AND round(CAST((CASE WHEN len(toks) < 2 THEN 0.0
+                 END), 4) <= 0.6
+          AND round((CASE WHEN len(toks) < 2 THEN 0.0
                  ELSE 1.0 - CAST(len(list_distinct(
                         list_transform(range(1, len(toks)),
                                        i -> toks[i] || ' ' || toks[i+1])
-                      )) AS DOUBLE) / (len(toks) - 1) END) AS DECIMAL(24,10)), 4)
+                      )) AS DOUBLE) / (len(toks) - 1) END), 4)
               <= 0.3) AS r_keep,
          row_number() OVER (
            PARTITION BY {doc_fingerprint_sql('text')}

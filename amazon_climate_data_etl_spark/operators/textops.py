@@ -649,12 +649,12 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         CAST(round(CAST(
+         CAST(round(
              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
              * CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0}
              / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
                 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
-           AS DECIMAL(24,10)), 10) AS DECIMAL(18,12)) AS contrib
+           , 10) AS DECIMAL(18,12)) AS contrib
   FROM tf JOIN dfreq ON tf.term = dfreq.term
           JOIN dl ON tf.doc_id = dl.doc_id, stats
 )

@@ -862,7 +862,7 @@ _AUDIO_HZ = 4000
 def _synth_image_pixels(k: int, seed: int) -> np.ndarray:
     """Pixels for image index ``k`` (media_id = 3k). Images come in PAIRS:
     group g = k//2 owns the base pixels; the odd member (k = 2g+1) is the
-    base with 3 pixels bumped by +16 mod 256 — a planted perceptual
+    base with 3 pixels bumped by +128 mod 256 — a planted perceptual
     NEAR-duplicate whose dHash differs by at most 6 bits (each perturbed
     pixel lands on at most one downsample cell → at most 2 gradient
     comparisons flip), while staying sha256-distinct. Even groups are full
