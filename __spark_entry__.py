@@ -36,11 +36,21 @@ history:
 with registration (module) order as the deterministic tiebreak. Under this
 rule the window cycles the whole registry oldest-first: at 100 queries
 that meant a green driver row at least every other round; at the current
-registry size (146 after round 6's additions) the steady-state cycle is
-ceil(146/50) ≈ 3 rounds — at the staleness budget the rotation gate
-enforces (tests/test_gate_rotation.py caps the cycle at 3 rounds, i.e.
-150 queries) — so an individual query's driver row may be up
-to ~3 rounds old at the moment it rotates back in. The local DuckDB
+registry size the steady-state cycle is ceil(N/50) rounds, and the
+rotation gate (tests/test_gate_rotation.py) caps the cycle at 3 rounds,
+i.e. 150 queries. Registry-size decision (round 7): the window is
+DRIVER-fixed at 50 (every CORRECTNESS_r*.json has exactly 50 rows), so
+raising GATE_WINDOW unilaterally would only falsify the cycle math; the
+registry was instead consolidated from 146 to 140 by merging six
+near-duplicate query shapes (window_lag_delta+window_rolling_avg →
+window_frame_profile; intersect+except_custkeys → setop_custkeys;
+doc_token_stats+bpe_token_stats → lang_token_profile; uni+bigram_logprob
+→ ngram_logprob_quality; doc_fingerprints+simhash_fingerprints →
+doc_fingerprint_profile; sample_split_stats+val_split_docs →
+split_assignment — each merge preserves every operator shape and
+column family under one oracle). That leaves 10 slots of headroom under
+the 150-query cap; an individual query's driver row may be up to ~3
+rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves
 hash-exactness for EVERY oracled query regardless of the driver window —
 the rotation governs independent re-attestation, not whether correctness
@@ -104,7 +114,8 @@ CHANGED_SINCE_GREEN = {
     "climate_annual": 7,
     "climate_monthly": 7,
     "climate_rollup": 7,
-    "window_rolling_avg": 7,
+    # window_rolling_avg also drifted at a tie but was consolidated into
+    # window_frame_profile (never-gated, tier 0) the same round
     "window_cume_dist": 7,
     "embedding_covariance": 7,
 }

@@ -408,7 +408,7 @@ ORDER BY source
 _LOGPROB_KEEP_THRESHOLD = -3.45
 
 
-def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus unigram
     distribution — the degenerate (order-0) case of the KenLM perplexity
     filter used by CCNet/LLaMA-style pipelines: documents whose tokens are
@@ -454,40 +454,10 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            stable_round(avg, 6).alias("avg_logprob"),
-            (stable_round(avg, 6) >= _LOGPROB_KEEP_THRESHOLD).alias("keep"),
+            stable_round(avg, 6).alias("uni_logprob"),
+            (stable_round(avg, 6) >= _LOGPROB_KEEP_THRESHOLD).alias("uni_keep"),
         )
-        .orderBy("doc_id")
     )
-
-
-UNIGRAM_LOGPROB_SQL = f"""
-WITH ex AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS term
-  FROM documents WHERE length(trim(text, ' ')) > 0
-),
-dt AS (SELECT doc_id, term, count(*) AS n_dt FROM ex GROUP BY doc_id, term),
-ct AS (SELECT term, count(*) AS tf FROM ex GROUP BY term),
-tot AS (SELECT count(*) AS corpus_tokens FROM ex),
-scored AS (
-  SELECT dt.doc_id, dt.n_dt,
-         CAST(round(ln(CAST(tf AS DOUBLE) / corpus_tokens), 10)
-              AS DECIMAL(18,12))
-           * CAST(dt.n_dt AS DECIMAL(10,0)) AS contrib
-  FROM dt JOIN ct ON dt.term = ct.term, tot
-),
-agg AS (
-  SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
-         sum(contrib) AS sum_logp
-  FROM scored GROUP BY doc_id
-)
-SELECT doc_id, n_tokens,
-       round(CAST(sum_logp AS DOUBLE) / n_tokens, 6) AS avg_logprob,
-       round(CAST(sum_logp AS DOUBLE) / n_tokens, 6)
-         >= {_LOGPROB_KEEP_THRESHOLD} AS keep
-FROM agg
-ORDER BY doc_id
-"""
 
 
 # --------------------------------------------------------------------------
@@ -552,10 +522,10 @@ ORDER BY source
 _BIGRAM_KEEP_THRESHOLD = -3.44
 
 
-def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-1 LM quality proxy: per-document mean conditional bigram
     log-probability ln P(w2|w1) under the corpus bigram model — one step
-    up the CCNet ladder from ``unigram_logprob_quality`` (unigram scores
+    up the CCNet ladder from the unigram score (unigram scores
     word choice; this scores word ORDER, catching shuffled/templated text
     a unigram filter cannot).
 
@@ -602,15 +572,60 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            stable_round(avg, 6).alias("avg_logprob"),
-            (stable_round(avg, 6) >= _BIGRAM_KEEP_THRESHOLD).alias("keep"),
+            stable_round(avg, 6).alias("bi_logprob"),
+            (stable_round(avg, 6) >= _BIGRAM_KEEP_THRESHOLD).alias("bi_keep"),
         )
+    )
+
+
+def ngram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram LM quality ladder in one frame: the order-0
+    (unigram) and order-1 (conditional bigram) mean log-probabilities with
+    their keep verdicts. (Round-7 consolidation of
+    ``unigram_logprob_quality`` + ``bigram_logprob_quality`` — same
+    per-document grain over the same corpus; a real CCNet-style filter
+    thresholds both scores together.) Docs with <2 tokens have no bigrams
+    (LEFT join): their count coalesces to 0 and the keep verdict to false
+    — a word-order filter cannot vouch for an orderless doc — while the
+    score itself stays NULL (no evidence ≠ a score; nullable doubles are
+    driver-hash-safe, nullable booleans/ints are not: the engines
+    stringify missing non-float values differently). Each side keeps its
+    own documented scale shape (see ``_unigram_scores`` /
+    ``_bigram_scores``); the final join is doc-keyed, uniform, and
+    carries only scored rows."""
+    uni = _unigram_scores(spark, sf_dir)
+    bi = _bigram_scores(spark, sf_dir)
+    return (
+        uni.join(bi, "doc_id", "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+        .withColumn("bi_keep", F.coalesce(F.col("bi_keep"), F.lit(False)))
         .orderBy("doc_id")
     )
 
 
-BIGRAM_LOGPROB_SQL = f"""
-WITH t AS (
+NGRAM_LOGPROB_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text, ' ')) > 0
+),
+dt AS (SELECT doc_id, term, count(*) AS n_dt FROM ex GROUP BY doc_id, term),
+ct AS (SELECT term, count(*) AS tf FROM ex GROUP BY term),
+tot AS (SELECT count(*) AS corpus_tokens FROM ex),
+uni_scored AS (
+  SELECT dt.doc_id, dt.n_dt,
+         CAST(round(ln(CAST(tf AS DOUBLE) / corpus_tokens), 10)
+              AS DECIMAL(18,12))
+           * CAST(dt.n_dt AS DECIMAL(10,0)) AS contrib
+  FROM dt JOIN ct ON dt.term = ct.term, tot
+),
+uni AS (
+  SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
+         round(CAST(sum(contrib) AS DOUBLE) / sum(n_dt), 6) AS uni_logprob,
+         round(CAST(sum(contrib) AS DOUBLE) / sum(n_dt), 6)
+           >= {_LOGPROB_KEEP_THRESHOLD} AS uni_keep
+  FROM uni_scored GROUP BY doc_id
+),
+t AS (
   SELECT doc_id, {_TOKS_SQL} AS toks
   FROM documents WHERE length(trim(text, ' ')) > 0
 ),
@@ -626,7 +641,7 @@ db AS (
 ),
 cbg AS (SELECT w1, w2, CAST(sum(n_dbg) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
 cu AS (SELECT w1, CAST(sum(n_dbg) AS BIGINT) AS c1 FROM db GROUP BY w1),
-scored AS (
+bi_scored AS (
   SELECT db.doc_id, db.n_dbg,
          CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 10)
               AS DECIMAL(18,12))
@@ -634,17 +649,18 @@ scored AS (
   FROM db JOIN cbg ON db.w1 = cbg.w1 AND db.w2 = cbg.w2
           JOIN cu ON db.w1 = cu.w1
 ),
-agg AS (
+bi AS (
   SELECT doc_id, CAST(sum(n_dbg) AS BIGINT) AS n_bigrams,
-         sum(contrib) AS sum_logp
-  FROM scored GROUP BY doc_id
+         round(CAST(sum(contrib) AS DOUBLE) / sum(n_dbg), 6) AS bi_logprob,
+         round(CAST(sum(contrib) AS DOUBLE) / sum(n_dbg), 6)
+           >= {_BIGRAM_KEEP_THRESHOLD} AS bi_keep
+  FROM bi_scored GROUP BY doc_id
 )
-SELECT doc_id, n_bigrams,
-       round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
-       round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6)
-         >= {_BIGRAM_KEEP_THRESHOLD} AS keep
-FROM agg
-ORDER BY doc_id
+SELECT uni.doc_id, uni.n_tokens, uni.uni_logprob, uni.uni_keep,
+       COALESCE(bi.n_bigrams, 0) AS n_bigrams, bi.bi_logprob,
+       COALESCE(bi.bi_keep, FALSE) AS bi_keep
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+ORDER BY uni.doc_id
 """
 
 
@@ -1194,8 +1210,7 @@ QUERIES = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "pii_redaction_stats": pii_redaction_stats,
     "contamination_overlap": contamination_overlap,
-    "unigram_logprob_quality": unigram_logprob_quality,
-    "bigram_logprob_quality": bigram_logprob_quality,
+    "ngram_logprob_quality": ngram_logprob_quality,
     "source_quota_cap": source_quota_cap,
     "corpus_filter_funnel": corpus_filter_funnel,
     "pack_sequences": pack_sequences,
@@ -1211,8 +1226,7 @@ ORACLE = {
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "pii_redaction_stats": PII_REDACTION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
-    "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
-    "bigram_logprob_quality": BIGRAM_LOGPROB_SQL,
+    "ngram_logprob_quality": NGRAM_LOGPROB_SQL,
     "source_quota_cap": SOURCE_QUOTA_SQL,
     "corpus_filter_funnel": FILTER_FUNNEL_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

@@ -1100,7 +1100,6 @@ QUERIES = {
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
     "incremental_dedup": incremental_dedup,
 }
@@ -1117,6 +1116,5 @@ ORACLE = {
     "dedup_cluster_size_histogram": DEDUP_CLUSTER_HIST_SQL,
     "minhash_lsh_pairs": MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
-    "simhash_fingerprints": SIMHASH_SQL,
     "simhash_near_pairs": SIMHASH_PAIRS_SQL,
 }

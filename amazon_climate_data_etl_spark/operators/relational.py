@@ -464,10 +464,21 @@ ORDER BY o_custkey
 """
 
 
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag(): order-to-order revenue delta per customer."""
+def window_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window pair in ONE pass: lag() order-to-order revenue
+    delta AND the rolling 3-order average (ROWS BETWEEN 2 PRECEDING) per
+    customer. (Round-7 consolidation of ``window_lag_delta`` +
+    ``window_rolling_avg`` — identical partition/order spec, so the two
+    queries were one window exchange computed twice; merged they share a
+    single shuffle on the customer key.)"""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    # exact decimal rolling sum / count for cross-engine determinism
+    rolling_sum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wf).cast("double")
+    )
+    rolling_n = F.count(F.lit(1)).over(wf)
     return (
         o.select(
             "o_custkey",
@@ -476,86 +487,61 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(
                 F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
             ).alias("delta_prev"),
+            stable_round(rolling_sum / rolling_n, 2).alias("rolling_avg3"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
-WINDOW_LAG_SQL = """
+WINDOW_FRAME_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       round(o_totalprice - lag(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wf AS DOUBLE)
+             / count(*) OVER wf, 2) AS rolling_avg3
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
-def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame spec: rolling 3-order average per customer (ROWS BETWEEN)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-2, 0)
-    )
-    # exact decimal rolling sum / count for cross-engine determinism
-    rolling_sum = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
-    rolling_n = F.count(F.lit(1)).over(w)
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            stable_round(rolling_sum / rolling_n, 2).alias("rolling_avg3"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
-    )
-
-
-WINDOW_ROLLING_SQL = """
-SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-             / count(*) OVER w, 2) AS rolling_avg3
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-ORDER BY o_custkey, o_orderkey
-"""
-
-
-def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct): customers who placed BOTH an urgent and a
-    finished order. Completes the set-op family (U1 union is the only one
-    the reference uses, §2.7). Lowers to a left-semi hash join over
-    deduplicated sides — one shuffle per side on the compared key."""
+def setop_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled set-op family over the same two sides (round-7 consolidation
+    of ``intersect_custkeys`` + ``except_custkeys``): customers who placed
+    BOTH an urgent and a finished order tagged ``both`` (INTERSECT), and
+    urgent-order customers who never completed one tagged ``urgent_only``
+    (EXCEPT — the relational complement of the P8 skip-and-report path).
+    Completes the set-op family next to U1's union. Each branch lowers to
+    a left-semi/anti hash join over deduplicated sides — one shuffle per
+    side on the compared key; the branches are disjoint by construction so
+    the union is append-only."""
     o = load_table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return urgent.intersect(finished).orderBy("o_custkey")
-
-
-INTERSECT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-ORDER BY o_custkey
-"""
-
-
-def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): urgent-order customers who never completed an
-    order — the relational complement of the P8 skip-and-report path."""
-    o = load_table(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = urgent.intersect(finished).select(
+        F.lit("both").alias("setop"), "o_custkey"
+    )
     # subtract == EXCEPT DISTINCT (exceptAll is the bag-semantics variant)
-    return urgent.subtract(finished).orderBy("o_custkey")
+    only = urgent.subtract(finished).select(
+        F.lit("urgent_only").alias("setop"), "o_custkey"
+    )
+    return both.unionByName(only).orderBy("setop", "o_custkey")
 
 
-EXCEPT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-ORDER BY o_custkey
+SETOP_SQL = """
+SELECT 'both' AS setop, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'urgent_only' AS setop, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY setop, o_custkey
 """
 
 
@@ -1645,13 +1631,11 @@ QUERIES = {
     "multikey_sort": multikey_sort,
     "union_all_parts": union_all_parts,
     "window_top1_per_group": window_top1_per_group,
-    "window_lag_delta": window_lag_delta,
-    "window_rolling_avg": window_rolling_avg,
+    "window_frame_profile": window_frame_profile,
     "window_range_30d": window_range_30d,
     "cube_status_priority": cube_status_priority,
     "salted_group_agg": salted_group_agg,
-    "intersect_custkeys": intersect_custkeys,
-    "except_custkeys": except_custkeys,
+    "setop_custkeys": setop_custkeys,
     "left_join_order_gaps": left_join_order_gaps,
     "full_outer_order_profile": full_outer_order_profile,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -1687,13 +1671,11 @@ ORACLE = {
     "multikey_sort": MULTIKEY_SORT_SQL,
     "union_all_parts": UNION_SQL,
     "window_top1_per_group": WINDOW_TOP1_SQL,
-    "window_lag_delta": WINDOW_LAG_SQL,
-    "window_rolling_avg": WINDOW_ROLLING_SQL,
+    "window_frame_profile": WINDOW_FRAME_SQL,
     "window_range_30d": WINDOW_RANGE_SQL,
     "cube_status_priority": CUBE_SQL,
     "salted_group_agg": SALTED_AGG_SQL,
-    "intersect_custkeys": INTERSECT_SQL,
-    "except_custkeys": EXCEPT_SQL,
+    "setop_custkeys": SETOP_SQL,
     "left_join_order_gaps": LEFT_JOIN_GAPS_SQL,
     "full_outer_order_profile": FULL_OUTER_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,

@@ -32,29 +32,44 @@ from amazon_climate_data_etl_spark.functions.text import (
 from amazon_climate_data_etl_spark.operators._portable import stable_round
 
 
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus statistics: doc count, token/char volume."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = token_count(F.col("text"))
+def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus budget profile: doc count, whitespace-token and
+    char volumes, BPE-ish pre-tokenizer counts and the BPE-per-word
+    fertility ratio — the budgeting query a training pipeline runs before
+    tokenizing 100 TB for real. (Round-7 consolidation of
+    ``doc_token_stats`` + ``bpe_token_stats`` — same per-language grain
+    over the same scan; merged, the corpus is read and regex-tokenized
+    ONCE for both counter families.) One rebalanced scan (the BPE regex
+    is the per-row cost) + one tiny-key aggregate, no Python."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    ws = token_count(F.col("text"))
+    bpe = bpe_token_count(F.col("text"))
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(toks).alias("total_tokens"),
+            F.sum(ws).alias("ws_tokens"),
             stable_round(
-                F.sum(toks).cast("double") / F.count(F.lit(1)), 2
+                F.sum(ws).cast("double") / F.count(F.lit(1)), 2
             ).alias("avg_tokens"),
             F.sum("n_chars").alias("total_chars"),
+            F.sum(bpe).alias("bpe_tokens"),
+            stable_round(
+                F.sum(bpe).cast("double") / F.sum(ws), 4
+            ).alias("bpe_per_ws"),
         )
         .orderBy("lang")
     )
 
 
-DOC_TOKEN_STATS_SQL = f"""
+LANG_TOKEN_PROFILE_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       CAST(sum({token_count_sql('text')}) AS BIGINT) AS total_tokens,
+       CAST(sum({token_count_sql('text')}) AS BIGINT) AS ws_tokens,
        round(CAST(sum({token_count_sql('text')}) AS DOUBLE) / count(*), 2) AS avg_tokens,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum({bpe_token_count_sql('text')}) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum({bpe_token_count_sql('text')}) AS DOUBLE)
+             / sum({token_count_sql('text')}), 4) AS bpe_per_ws
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -109,62 +124,45 @@ ORDER BY lang, lang_pred
 """
 
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed fingerprints: md5 of normalized text + a rolling
-    prefix fingerprint (first-64-chars hash) for locality-sensitive grouping.
-    The scan is rebalanced first — two md5s + a regex per row dominate, and
-    a single-row-group file would serialize them (no-op at 100 TB)."""
+def doc_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint family in one frame: md5 of normalized
+    text (exact-dedup key), a prefix fingerprint (first-64-chars hash, for
+    locality-sensitive grouping), and the 16-bit SimHash (near-dup key).
+    (Round-7 consolidation of ``doc_fingerprints`` + ``simhash_fingerprints``
+    — same doc-level grain over the same table; the oracle certifies all
+    three hash families side by side.) SimHash is NULL for token-less
+    documents (the simhash frame drops them by construction); the md5
+    side keeps every row, so the profile is a LEFT join — at scale both
+    sides shuffle once on the uniform doc_id key. The scan is rebalanced
+    first — the per-row hash work dominates, and a single-row-group file
+    would serialize it (no-op at 100 TB)."""
+    from amazon_climate_data_etl_spark.operators.dedup import _simhash_frame
+
     d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    return (
-        d.select(
-            "doc_id",
-            doc_fingerprint(F.col("text")).alias("fp"),
-            F.md5(F.substring(F.trim(F.col("text")), 1, 64)).alias("fp_prefix64"),
-        )
-        .orderBy("doc_id")
+    md = d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.substring(F.trim(F.col("text")), 1, 64)).alias("fp_prefix64"),
     )
+    sh = _simhash_frame(spark, sf_dir)
+    return md.join(sh, "doc_id", "left").orderBy("doc_id")
 
 
-DOC_FINGERPRINT_SQL = f"""
-SELECT doc_id,
-       {doc_fingerprint_sql('text')} AS fp,
-       md5(substr(trim(text, ' '), 1, 64)) AS fp_prefix64
-FROM documents
-ORDER BY doc_id
+def _doc_fingerprint_profile_sql() -> str:
+    # deferred import keeps the fingerprint-body single-sourced in dedup.py
+    from amazon_climate_data_etl_spark.operators.dedup import _SIMHASH_BODY
+
+    return f"""
+SELECT d.doc_id,
+       {doc_fingerprint_sql('d.text')} AS fp,
+       md5(substr(trim(d.text, ' '), 1, 64)) AS fp_prefix64,
+       sh.simhash
+FROM documents d LEFT JOIN ({_SIMHASH_BODY}) sh ON d.doc_id = sh.doc_id
+ORDER BY d.doc_id
 """
 
 
-def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-ish token counts per language: the budgeting query
-    a training pipeline runs before tokenizing 100 TB for real. Both
-    counters are native regex expressions — one rebalanced scan (the BPE
-    regex is the per-row cost) + one tiny-key aggregate, no Python."""
-    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    ws = token_count(F.col("text"))
-    bpe = bpe_token_count(F.col("text"))
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.sum(ws).alias("ws_tokens"),
-            F.sum(bpe).alias("bpe_tokens"),
-            stable_round(
-                F.sum(bpe).cast("double") / F.sum(ws), 4
-            ).alias("bpe_per_ws"),
-        )
-        .orderBy("lang")
-    )
-
-
-BPE_TOKEN_STATS_SQL = f"""
-SELECT lang,
-       CAST(sum({token_count_sql('text')}) AS BIGINT) AS ws_tokens,
-       CAST(sum({bpe_token_count_sql('text')}) AS BIGINT) AS bpe_tokens,
-       round(CAST(sum({bpe_token_count_sql('text')}) AS DOUBLE)
-             / sum({token_count_sql('text')}), 4) AS bpe_per_ws
-FROM documents
-GROUP BY lang
-ORDER BY lang
-"""
+DOC_FINGERPRINT_PROFILE_SQL = _doc_fingerprint_profile_sql()
 
 
 # Deterministic sampling: md5(doc_id) prefix compared lexicographically —
@@ -189,45 +187,30 @@ _SPLIT_SQL_EXPR = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_
             ELSE 'test' END"""
 
 
-def sample_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split profile per language: doc and token volumes.
-    The split column is a pure map expression — assignment costs one md5
-    per row inside the scan, and the only exchange is the 15-group agg."""
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level train/val/test assignment for EVERY document, with its
+    token weight — the query a pipeline runs to materialize (and
+    re-materialize, identically) reproducible splits. (Round-7
+    consolidation of ``sample_split_stats`` + ``val_split_docs``: the
+    row-level assignment strictly subsumes both — the per-language volume
+    profile is a one-line aggregate of this frame, and the val holdout is
+    a filter on it — and the oracle now certifies every row's membership
+    rather than group totals.) Pure map expression: assignment costs one
+    md5 per row inside the scan; no shuffle but the ordered output."""
     d = load_table(spark, sf_dir, "documents")
     ws = token_count(F.col("text"))
     return (
-        d.select("lang", _split_col().alias("split"), ws.alias("ws"))
-        .groupBy("lang", "split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ws").alias("ws_tokens"))
-        .orderBy("lang", "split")
-    )
-
-
-SAMPLE_SPLIT_SQL = f"""
-SELECT lang, {_SPLIT_SQL_EXPR} AS split,
-       count(*) AS n_docs, CAST(sum({token_count_sql('text')}) AS BIGINT) AS ws_tokens
-FROM documents
-GROUP BY 1, 2
-ORDER BY lang, split
-"""
-
-
-def val_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level membership of the deterministic val split — the query a
-    pipeline runs to materialize (and re-materialize, identically) a
-    held-out set. Pure filter: pushdown-friendly, no shuffle but the sort."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "lang", _split_col().alias("split"))
-        .filter(F.col("split") == "val")
+        d.select(
+            "doc_id", "lang", _split_col().alias("split"), ws.alias("ws_tokens")
+        )
         .orderBy("doc_id")
     )
 
 
-VAL_SPLIT_SQL = f"""
-SELECT doc_id, lang, split FROM (
-  SELECT doc_id, lang, {_SPLIT_SQL_EXPR} AS split FROM documents
-) WHERE split = 'val'
+SPLIT_ASSIGNMENT_SQL = f"""
+SELECT doc_id, lang, {_SPLIT_SQL_EXPR} AS split,
+       {token_count_sql('text')} AS ws_tokens
+FROM documents
 ORDER BY doc_id
 """
 
@@ -1149,16 +1132,14 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "bm25_search": bm25_search,
     "tfidf_top_terms": tfidf_top_terms,
-    "doc_token_stats": doc_token_stats,
-    "bpe_token_stats": bpe_token_stats,
-    "sample_split_stats": sample_split_stats,
-    "val_split_docs": val_split_docs,
+    "lang_token_profile": lang_token_profile,
+    "split_assignment": split_assignment,
     "doc_rolling_fingerprints": doc_rolling_fingerprints,
     "doc_length_histogram": doc_length_histogram,
     "top_terms": top_terms,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_confusion": lang_id_confusion,
-    "doc_fingerprints": doc_fingerprints,
+    "doc_fingerprint_profile": doc_fingerprint_profile,
 }
 
 ORACLE = {
@@ -1171,14 +1152,12 @@ ORACLE = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "bm25_search": BM25_SQL,
     "tfidf_top_terms": TFIDF_SQL,
-    "doc_token_stats": DOC_TOKEN_STATS_SQL,
-    "bpe_token_stats": BPE_TOKEN_STATS_SQL,
-    "sample_split_stats": SAMPLE_SPLIT_SQL,
-    "val_split_docs": VAL_SPLIT_SQL,
+    "lang_token_profile": LANG_TOKEN_PROFILE_SQL,
+    "split_assignment": SPLIT_ASSIGNMENT_SQL,
     "doc_rolling_fingerprints": ROLLING_FP_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "top_terms": TOP_TERMS_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "lang_id_confusion": LANG_ID_SQL,
-    "doc_fingerprints": DOC_FINGERPRINT_SQL,
+    "doc_fingerprint_profile": DOC_FINGERPRINT_PROFILE_SQL,
 }

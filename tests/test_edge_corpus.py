@@ -33,17 +33,17 @@ ORACLE = entry_mod.oracle_sql()
 # documents-only query families (no events/embeddings/tpch dependencies)
 _DOC_QUERIES = [
     # textops
-    "doc_token_stats", "bpe_token_stats", "doc_quality_scores",
-    "lang_id_confusion", "doc_fingerprints", "doc_rolling_fingerprints",
+    "lang_token_profile", "doc_quality_scores",
+    "lang_id_confusion", "doc_fingerprint_profile", "doc_rolling_fingerprints",
     "doc_length_histogram", "top_terms", "doc_repetition_scores",
-    "tfidf_top_terms", "sample_split_stats", "val_split_docs",
+    "tfidf_top_terms", "split_assignment",
     "vocab_coverage", "bm25_search", "textrank_keywords",
     "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
     "source_concentration_gini", "zipf_law_fit",
     "dedup_cluster_size_histogram",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash_fingerprints", "simhash_near_pairs", "dedup_components",
+    "simhash_near_pairs", "dedup_components",
     "neardup_keep_corpus", "neardup_keep_best_quality", "incremental_dedup",
     "source_overlap_matrix",
     "duplicate_span_stats", "duplicate_spans_exact",
@@ -51,7 +51,7 @@ _DOC_QUERIES = [
     "doc_chunk_plan",
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
-    "unigram_logprob_quality", "bigram_logprob_quality", "source_quota_cap",
+    "ngram_logprob_quality", "source_quota_cap",
     "corpus_filter_funnel",
 ]
 

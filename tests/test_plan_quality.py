@@ -152,10 +152,8 @@ _PLAN_BOUNDS = {
     "semantic_lexical_neardup": (3, 3),
     # one explode→(doc,term) agg persisted; term totals + scalar broadcast
     # re-aggregate the cached frame (textual reprint per consumer)
-    "unigram_logprob_quality": (7, 2),
     # same shape one order up: (doc,w1,w2) agg persisted; C(w1,w2)/C(w1)
     # re-aggregate the cached frame and join back broadcast-side
-    "bigram_logprob_quality": (7, 2),
     # ONE persisted (doc,term) agg; vocab top-k + membership join both
     # re-derive from the cache (textual reprint per consumer) + doc agg
     "vocab_coverage": (5, 1),
@@ -204,7 +202,11 @@ _PLAN_BOUNDS = {
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
     "asof_join_purchases": (2, 0),
-    "bpe_token_stats": (3, 0),  # +scan rebalance (no-op at 100 TB)
+    # merged token budgeting (r7): rebalance + lang agg + sort
+    "lang_token_profile": (3, 0),
+    # merged CCNet ladder (r7): uni(7) + bi(7) chains share the final
+    # sort; doc-keyed left join folds into the uni agg exchange
+    "ngram_logprob_quality": (13, 2),
     "case_bucket_map": (1, 0),
     "climate_spot_check": (2, 1),  # +grid-scan rebalance
     "climate_state_metrics": (5, 1),  # +grid-scan rebalance
@@ -231,21 +233,22 @@ _PLAN_BOUNDS = {
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
     "distinct_counts": (3, 0),
-    "doc_fingerprints": (2, 0),  # +scan rebalance (no-op at 100 TB)
+    # merged fingerprint family (r7): 2 rebalances + simhash doc agg
+    # + sort; the doc-keyed join broadcasts at fixture scale only
+    "doc_fingerprint_profile": (4, 0),
     "doc_length_histogram": (2, 0),
     "doc_quality_scores": (1, 0),
     "doc_rolling_fingerprints": (2, 0),  # +Python-worker fan-out rebalance
-    "doc_token_stats": (2, 0),
     "embedding_cosine_neardup": (3, 1),
     "embedding_label_stats": (2, 0),
     "event_dedup_first": (2, 0),
-    "except_custkeys": (2, 1),
     "filter_in_list": (1, 0),
     "filter_range_box": (1, 0),
     # the one sanctioned SortMergeJoin (see _SMJ_EXEMPT)
     "full_outer_order_profile": (3, 0),
     "gap_fill_daily_revenue": (4, 2),
-    "intersect_custkeys": (2, 1),
+    # merged set-op family (r7): two semi/anti branches + sort
+    "setop_custkeys": (3, 1),
     "json_props_stats": (2, 0),
     "lang_id_confusion": (2, 0),
     "left_join_order_gaps": (2, 1),
@@ -267,9 +270,7 @@ _PLAN_BOUNDS = {
     # build side broadcasts at fixture scale; (3, 0) allows the salted
     # shuffle join this operator exists to demonstrate at skew scale
     "salted_skew_join": (3, 0),
-    "sample_split_stats": (2, 0),
     "session_windows": (2, 0),
-    "simhash_fingerprints": (3, 0),
     "simhash_near_pairs": (6, 1),
     "sliding_windows": (2, 0),
     # 3 measure branches each print the shared rebalanced-scan exchange +
@@ -282,10 +283,10 @@ _PLAN_BOUNDS = {
     "tumbling_hourly": (2, 0),
     "union_all_parts": (2, 0),
     "unpivot_lineitem_measures": (3, 0),  # +pre-Expand rebalance
-    "val_split_docs": (1, 0),
-    "window_lag_delta": (2, 0),
+    "split_assignment": (1, 0),
+    # merged frame-spec pair (r7): ONE window exchange + sort
+    "window_frame_profile": (2, 0),
     "window_ntile_quartiles": (2, 0),
-    "window_rolling_avg": (2, 0),
     "window_top1_per_group": (2, 0),
     # map-only regex detect/redact on the scan + tiny segment agg + sort
     "pii_redaction_stats": (2, 0),
