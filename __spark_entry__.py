@@ -118,6 +118,10 @@ CHANGED_SINCE_GREEN = {
     # window_frame_profile (never-gated, tier 0) the same round
     "window_cume_dist": 7,
     "embedding_covariance": 7,
+    # r7: GK approx_percentile replaced by the order-independent HDR
+    # histogram sketch — different (now deterministic) values by design,
+    # and the query gained a full DuckDB oracle (was rows-only)
+    "approx_quantiles_sketch": 7,
 }
 
 

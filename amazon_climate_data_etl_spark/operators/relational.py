@@ -915,34 +915,119 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HDR-histogram quantile sketch precision: buckets are power-of-two
+# octaves split into 2^_HDR_PREC sub-buckets, i.e. relative value width
+# 2^-_HDR_PREC ≈ 1.6% — comparable to approx_percentile(accuracy=100)'s
+# rank guarantee, but ORDER-INDEPENDENT (bucket counts merge additively).
+_HDR_PREC = 6
+_HDR_MAX_BIT = 50  # cents < 2^50 ≈ $11.3e12 per item — beyond any price
+
+
+def _hdr_bucket_width_sql(cents: str) -> str:
+    """CASE chain mapping an integer cents value to its bucket width
+    2^(msb-PREC) — pure integer comparisons, bit-identical in Spark and
+    DuckDB (the SAME SQL string runs in both engines)."""
+    whens = "\n".join(
+        f"  WHEN {cents} >= {1 << k} THEN {1 << (k - _HDR_PREC)}"
+        for k in range(_HDR_MAX_BIT, _HDR_PREC, -1)
+    )
+    return f"(CASE\n{whens}\n  ELSE 1 END)"
+
+
 def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalable variant of A7's percentiles (`quantiles`): single-pass
-    Greenwald-Khanna sketch via ``approx_percentile`` per return flag.
-    At 100 TB exact percentiles materialize the full sorted column; the
-    sketch is bounded-size per group, merges map-side, and guarantees
-    rank error ≤ ε·n (ε = 1/accuracy = 0.01 here). Registered WITHOUT a
-    SQL oracle — sketch results depend on merge order and engine
-    implementation, so the driver records the rows-only check; the test
-    suite asserts the rank-error guarantee against the exact sorted data
-    (tests/test_rows_only_queries.py)."""
+    """Scalable variant of A7's percentiles (`quantiles`): a single-pass
+    mergeable quantile sketch per return flag. At 100 TB exact percentiles
+    materialize the full sorted column; a sketch is bounded-size per group
+    and merges map-side.
+
+    Round 7 replaced ``approx_percentile`` (Greenwald-Khanna) with an
+    HDR-histogram sketch over exact integer cents: each value lands in a
+    power-of-two octave split into 2^6 sub-buckets (bucket width ≤ 2^-6 of
+    the value — pure integer arithmetic, no floats), and the quantile is
+    the lower bound of the bucket where the cumulative count crosses
+    ceil(q·n). GK's merge is ORDER-DEPENDENT (Spark's shuffle fetch order
+    is not a contract — an exactness claim built on it would be flaky by
+    construction), while histogram counts merge additively: any partition
+    order, any merge tree, same bits. That upgrade turns the query from
+    rows-only into a fully DuckDB-oracled one — the sketch state is
+    |buckets| ≤ octaves·2^6 per group regardless of corpus size, the agg
+    is map-side combined, and the guarantee is value-relative error
+    ≤ 2^-6 at every quantile (asserted against the exact sorted data in
+    tests/test_rows_only_queries.py)."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    width = _hdr_bucket_width_sql("cents")
+    b = li.selectExpr("l_returnflag", f"{cents} AS cents").selectExpr(
+        "l_returnflag", f"cents - (cents % {width}) AS bucket_lo"
+    )
+    counts = b.groupBy("l_returnflag", "bucket_lo").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "bucket_lo",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_rows"),
+    )
+
+    def pick(q: float):
+        target = F.ceil(F.lit(q) * F.col("n_rows").cast("double")).cast("long")
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("bucket_lo"))
+        ).cast("double") / F.lit(100.0)
+
     return (
-        li.groupBy("l_returnflag")
+        cum.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 100)"
-            ).alias("approx"),
-        )
-        .select(
-            "l_returnflag",
-            "n_rows",
-            F.col("approx")[0].alias("p50"),
-            F.col("approx")[1].alias("p90"),
-            F.col("approx")[2].alias("p99"),
+            F.max("n_rows").alias("n_rows"),
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
+
+
+APPROX_QUANTILES_SQL = f"""
+WITH cents_t AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         cents - (cents % {_hdr_bucket_width_sql('cents')}) AS bucket_lo
+  FROM cents_t
+),
+counts AS (
+  SELECT l_returnflag, bucket_lo, count(*) AS c
+  FROM b GROUP BY l_returnflag, bucket_lo
+),
+cum AS (
+  SELECT l_returnflag, bucket_lo,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket_lo
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n_rows
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * CAST(n_rows AS DOUBLE)) AS BIGINT)
+                     THEN bucket_lo END) AS DOUBLE) / 100.0 AS p50,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * CAST(n_rows AS DOUBLE)) AS BIGINT)
+                     THEN bucket_lo END) AS DOUBLE) / 100.0 AS p90,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * CAST(n_rows AS DOUBLE)) AS BIGINT)
+                     THEN bucket_lo END) AS DOUBLE) / 100.0 AS p99
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1738,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_quantiles_sketch": APPROX_QUANTILES_SQL,
     "window_cume_dist": WINDOW_CUME_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,

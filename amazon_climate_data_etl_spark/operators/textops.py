@@ -972,26 +972,58 @@ def token_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     connectivity, PageRank measures centrality, triangles measure local
     cohesion; high-triangle tokens sit inside dense phrase clusters).
 
-    Enumeration is the canonical two-join form over ORDERED edges
-    (a<b<c, binary string order on ASCII-only tokens — identical in both
-    engines): wedge join on the shared middle vertex, closure semi-check
-    against the third edge. All three joins key on single tokens. On
-    this vocab-bounded graph that is exact and cheap; on a general
-    power-law graph the same plan holds with degree-ordering replacing
-    lexicographic ordering (each edge oriented low-degree → high-degree
-    bounds wedge fan-out, the standard MapReduce triangle recipe). The
-    corpus total rides every row via the broadcast scalar-subquery
-    shape."""
-    e = _cooc_edges(spark, sf_dir).filter(F.col("u") < F.col("v")).select("u", "v")
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
-        )
-        .join(e3, (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")), "left_semi")
+    Enumeration is DEGREE-ORDERED (round 7, VERDICT r6 item 6 — the
+    standard MapReduce triangle recipe, Suri & Vassilvitskii 2011 /
+    Schank's node-iterator++): every undirected edge is oriented from its
+    lower-(degree, token) endpoint to the higher one, wedges pair two
+    out-edges of a shared apex, and the closure semi-check probes the
+    oriented third edge. Orientation caps out-degree at O(√m) on ANY
+    graph — on a power-law co-occurrence graph (which this is: Zipf
+    tokens) lexicographic orientation lets a low-sorting hub token fan
+    out to its full degree², while degree-ordering provably bounds wedge
+    fan-out at m^1.5 total. Every triangle is produced exactly once
+    (its vertices have a unique (degree, token) order), so the census is
+    orientation-invariant and the oracle keeps the simpler lexicographic
+    form — same rows, bit-identical. All joins key on single tokens; the
+    degree table is vocab-bounded. The corpus total rides every row via
+    the broadcast scalar-subquery shape."""
+    und = _cooc_edges(spark, sf_dir).filter(F.col("u") < F.col("v")).select("u", "v")
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ann = und.join(du, "u").join(dv, "v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    # persisted: referenced by both wedge sides and the closure probe —
+    # unpersisted, the degree-annotation joins would run 3× (vocab²-bounded
+    # frame; released by the harness clearCache between queries)
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
+        ),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    # the (b, c) closure edge, if present, is oriented b → c: b precedes c
+    # in (degree, token) order by the wedge inequality above
+    tri = wedge.join(
+        o3,
+        (F.col("b") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+        "left_semi",
     )
     counts = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("token"))

@@ -53,8 +53,9 @@ _PLAN_BOUNDS = {
     # supplier⋈nation broadcast (argmax-nation scalar inside), partkey
     # agg, scalar total broadcast back, sort
     "q11_important_stock": (8, 3),
-    # one map-side-merged sketch agg + output sort
-    "approx_quantiles_sketch": (2, 0),
+    # HDR histogram (r7): map-side-combined bucket agg + flag-keyed
+    # window (cum/total share one exchange) + final agg reuses it + sort
+    "approx_quantiles_sketch": (3, 0),
     # one 5-moment agg per type + map-only slope arithmetic + sort
     "event_value_trend": (2, 0),
     # map + explode fan-out only; the 1 is the output sort
@@ -63,9 +64,12 @@ _PLAN_BOUNDS = {
     # vocab²-bounded (persisted edge frame reprinted per consumer inflates
     # the TEXTUAL count: 3 sweeps × (outw join + inflow agg) + deg/top-k)
     "textrank_keywords": (48, 0),
-    # persisted-edge reprints again; real exchanges: edge build + 2 wedge
-    # joins + node-count agg + scalar total + top-k sort
-    "token_triangle_census": (40, 0),
+    # degree-ordered orientation (r7): persisted edge AND oriented frames
+    # reprint their pipelines per consumer in the textual plan (3 roles ×
+    # (edge build + degree agg + 2 annotation joins)); real exchanges:
+    # edge build + degree agg + 2 annotation joins + wedge join + closure
+    # semi-join + node-count agg + scalar total + top-k sort
+    "token_triangle_census": (110, 0),
     # persisted pair frame + vocab-bounded margin re-aggs broadcast back
     # + scalar total + TakeOrdered (textual reprints included)
     "pmi_collocations": (11, 2),
