@@ -501,9 +501,13 @@ def ingest_zarr_to_parquet(
         store_path, var_name
     )
     var_root = _os.path.join(_os.path.abspath(store_path), var_name)
+    # chunk objects only: v2 keys are digit-led ('0.1' files or '0/1'
+    # nesting), v3 'default' keys are digit-led under the 'c' prefix dir
+    # ('c/0/1') or flat 'c.0.1' files; metadata (.zarray/zarr.json/.zattrs)
+    # never matches either pattern
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "[0-9]*")
+        .option("pathGlobFilter", "{c.*,[0-9]*}")
         .option("recursiveFileLookup", "true")
         .load(var_root)
     )

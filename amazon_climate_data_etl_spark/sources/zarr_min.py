@@ -1,4 +1,4 @@
-"""Dependency-free Zarr v2 chunked-array reader + writer (spec subset).
+"""Dependency-free Zarr v2 + v3 chunked-array reader + writer (spec subset).
 
 Zarr is the cloud-native chunk-store format climate archives are moving
 to — the same logical model as the reference's NetCDF inputs (named N-D
@@ -25,9 +25,24 @@ Implemented subset of the public spec
   attributes (including xarray's public ``_ARRAY_DIMENSIONS`` convention
   for dimension naming)
 
+Round 7 adds the Zarr **v3** read subset (the spec is final and cloud
+archives are migrating; https://zarr-specs.readthedocs.io/, v3 core):
+- per-node ``zarr.json`` metadata (``node_type`` array/group), inline
+  ``attributes``, first-class ``dimension_names`` (mapped onto the same
+  ``_ARRAY_DIMENSIONS`` convention the ingest probe already speaks)
+- ``chunk_grid`` name ``regular``; ``chunk_key_encoding`` ``default``
+  (``c/0/1`` keys, '/' or '.' separator) and ``v2`` (bare ``0.1`` keys)
+- codec chains ``[bytes]`` and ``[bytes, gzip]``; both endians
+- missing chunks read as ``fill_value``; edge chunks stored full-size
+The chunk-parallel distributed ingest design carries over UNCHANGED: a
+v3 variable is still independent chunk objects under the array prefix,
+so the same binaryFile-scan → per-task decode plan applies
+(``ingest.ingest_zarr_to_parquet`` is version-agnostic via this module).
+
 Everything else FAILS LOUDLY with a pointer at the full ``zarr`` library:
-F order, filter chains, blosc/zstd/lz4 codecs, structured/string dtypes,
-zarr v3 stores. Same fail-loud posture as ``hdf5_min.py`` / ``crs_min.py``.
+F order, filter chains, blosc/zstd/lz4/crc32c codecs, transpose and
+sharding codecs, structured/string dtypes. Same fail-loud posture as
+``hdf5_min.py`` / ``crs_min.py``.
 """
 
 from __future__ import annotations
@@ -45,7 +60,7 @@ _ZARR_FORMAT = 2
 
 def _gate(msg: str) -> NotImplementedError:
     return NotImplementedError(
-        f"{msg}; this minimal Zarr reader covers the v2 C-order "
+        f"{msg}; this minimal Zarr reader covers the v2/v3 C-order "
         "raw/zlib/gzip subset — install 'zarr' for full coverage"
     )
 
@@ -58,6 +73,8 @@ class ZarrMeta:
     fill_value: object
     compressor_id: str | None  # None = raw
     separator: str
+    version: int = 2
+    key_prefix: str = ""  # v3 'default' chunk-key encoding prepends 'c'
 
 
 def parse_zarray(raw: bytes) -> ZarrMeta:
@@ -96,6 +113,91 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
     return ZarrMeta(shape, chunks, dt, fill, comp_id, sep)
 
 
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+def _parse_fill(fill):
+    if isinstance(fill, str):
+        got = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}.get(fill)
+        if got is None:
+            raise _gate(f"fill_value {fill!r}")
+        return got
+    return fill
+
+
+def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
+    """Parse and validate a v3 array ``zarr.json`` against the supported
+    subset → (meta, attributes, dimension_names)."""
+    meta = json.loads(raw.decode("utf-8"))
+    if meta.get("zarr_format") != 3:
+        raise _gate(f"zarr_format {meta.get('zarr_format')!r} in zarr.json")
+    if meta.get("node_type") != "array":
+        raise ValueError(f"node_type {meta.get('node_type')!r} is not an array")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise _gate(f"chunk_grid {grid.get('name')!r} (regular only)")
+    chunks = tuple(int(c) for c in grid.get("configuration", {})["chunk_shape"])
+    enc = meta.get("chunk_key_encoding", {"name": "default"})
+    enc_name = enc.get("name")
+    sep = enc.get("configuration", {}).get("separator")
+    if enc_name == "default":
+        prefix, sep = "c", sep or "/"
+    elif enc_name == "v2":
+        prefix, sep = "", sep or "."
+    else:
+        raise _gate(f"chunk_key_encoding {enc_name!r}")
+    if sep not in (".", "/"):
+        raise _gate(f"chunk-key separator {sep!r}")
+    codecs = meta.get("codecs") or []
+    names = [c.get("name") for c in codecs]
+    if not names or names[0] != "bytes" or any(
+        n not in ("bytes", "gzip") for n in names
+    ) or names.count("bytes") != 1 or len(names) > 2:
+        raise _gate(f"codec chain {names!r} ([bytes] or [bytes, gzip] only)")
+    endian = codecs[0].get("configuration", {}).get("endian", "little")
+    base = _V3_DTYPES.get(meta.get("data_type"))
+    if base is None:
+        raise _gate(f"data_type {meta.get('data_type')!r}")
+    order = "|" if base in ("b1", "i1", "u1") else ("<" if endian == "little" else ">")
+    dt = np.dtype(order + base)
+    shape = tuple(int(s) for s in meta["shape"])
+    if len(shape) != len(chunks) or not shape or any(c <= 0 for c in chunks):
+        raise ValueError(f"inconsistent shape {shape} / chunks {chunks}")
+    if "fill_value" not in meta:
+        raise ValueError("v3 arrays require fill_value")
+    fill = _parse_fill(meta["fill_value"])
+    dims = meta.get("dimension_names")
+    return (
+        ZarrMeta(shape, chunks, dt, fill, "gzip" if "gzip" in names else None,
+                 sep, version=3, key_prefix=prefix),
+        meta.get("attributes") or {},
+        list(dims) if dims else None,
+    )
+
+
+def _load_array_meta(path: str) -> tuple[ZarrMeta, dict]:
+    """Version-dispatching array-store probe → (meta, attrs). v3 folds
+    ``dimension_names`` into the ``_ARRAY_DIMENSIONS`` convention so every
+    downstream consumer (the climate ingest probe) speaks one dialect."""
+    v2 = os.path.join(path, ".zarray")
+    if os.path.exists(v2):
+        with open(v2, "rb") as f:
+            return parse_zarray(f.read()), read_zattrs(path)
+    v3 = os.path.join(path, "zarr.json")
+    if os.path.exists(v3):
+        with open(v3, "rb") as f:
+            meta, attrs, dims = parse_zarr_json(f.read())
+        if dims and "_ARRAY_DIMENSIONS" not in attrs:
+            attrs = dict(attrs, _ARRAY_DIMENSIONS=dims)
+        return meta, attrs
+    raise FileNotFoundError(f"{path}: neither .zarray (v2) nor zarr.json (v3)")
+
+
 def decode_chunk(raw: bytes, meta: ZarrMeta) -> np.ndarray:
     """One stored chunk object → full-size chunk array (edge trimming is
     the caller's job — stored chunks are always whole, per spec)."""
@@ -122,10 +224,14 @@ def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
 
 
 def chunk_grid(meta: ZarrMeta):
-    """Iterate (grid_index_tuple, key, slices) over the chunk grid."""
+    """Iterate (grid_index_tuple, key, slices) over the chunk grid. Keys
+    carry the version's encoding (v3 'default' prepends the 'c' token)."""
     counts = [-(-s // c) for s, c in zip(meta.shape, meta.chunks)]
     for idx in product(*(range(n) for n in counts)):
-        key = meta.separator.join(str(i) for i in idx)
+        parts = ([meta.key_prefix] if meta.key_prefix else []) + [
+            str(i) for i in idx
+        ]
+        key = meta.separator.join(parts)
         slices = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, meta.chunks, meta.shape)
@@ -134,8 +240,12 @@ def chunk_grid(meta: ZarrMeta):
 
 
 def chunk_slices(meta: ZarrMeta, key: str) -> tuple[slice, ...]:
-    """A stored chunk key ('2.0.1' or '2/0/1') → its array slices."""
-    idx = tuple(int(p) for p in key.split(meta.separator))
+    """A stored chunk key ('2.0.1', '2/0/1', or v3's 'c/2/0/1') → its
+    array slices."""
+    parts = key.split(meta.separator)
+    if meta.key_prefix and parts and parts[0] == meta.key_prefix:
+        parts = parts[1:]
+    idx = tuple(int(p) for p in parts)
     if len(idx) != len(meta.shape):
         raise ValueError(f"chunk key {key!r} does not match rank {len(meta.shape)}")
     return tuple(
@@ -146,10 +256,10 @@ def chunk_slices(meta: ZarrMeta, key: str) -> tuple[slice, ...]:
 
 def read_zarr_array(path: str) -> np.ndarray:
     """Driver-side full assembly of one array store (small arrays: tests,
-    coordinate axes). The distributed path never calls this on data
-    variables — it decodes chunk objects independently per task."""
-    with open(os.path.join(path, ".zarray"), "rb") as f:
-        meta = parse_zarray(f.read())
+    coordinate axes; either spec version). The distributed path never
+    calls this on data variables — it decodes chunk objects independently
+    per task."""
+    meta, _ = _load_array_meta(path)
     out = np.empty(meta.shape, dtype=meta.dtype)
     for _, key, slices in chunk_grid(meta):
         cpath = os.path.join(path, *key.split("/")) if meta.separator == "/" else os.path.join(path, key)
@@ -166,10 +276,20 @@ def read_zarr_array(path: str) -> np.ndarray:
 
 def read_zattrs(path: str) -> dict:
     p = os.path.join(path, ".zattrs")
-    if not os.path.exists(p):
-        return {}
-    with open(p, "rb") as f:
-        return json.loads(f.read().decode("utf-8"))
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return json.loads(f.read().decode("utf-8"))
+    # v3: attributes live inline in the node's zarr.json
+    p3 = os.path.join(path, "zarr.json")
+    if os.path.exists(p3):
+        with open(p3, "rb") as f:
+            node = json.loads(f.read().decode("utf-8"))
+        attrs = dict(node.get("attributes") or {})
+        dims = node.get("dimension_names")
+        if dims and "_ARRAY_DIMENSIONS" not in attrs:
+            attrs["_ARRAY_DIMENSIONS"] = list(dims)
+        return attrs
+    return {}
 
 
 def write_zarr_array(
@@ -238,10 +358,94 @@ def write_zarr_group(path: str, arrays: dict, attrs: dict | None = None, **kw) -
         )
 
 
+_V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def write_zarr_v3_array(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compress: bool = True,
+    fill_value: object = 0,
+    separator: str = "/",
+    attrs: dict | None = None,
+    dimension_names: list | None = None,
+) -> None:
+    """Write one array as a v3 store (test/fixture writer; also proof the
+    v3 reader's understanding of the spec is real, not fit-to-fixture)."""
+    arr = np.asarray(arr)
+    chunks = tuple(chunks) if chunks else arr.shape
+    os.makedirs(path, exist_ok=True)
+    base = arr.dtype.str.lstrip("<>|=")
+    if base not in _V3_DTYPE_NAMES:
+        raise _gate(f"dtype {arr.dtype!r} has no v3 data_type name")
+    fill = fill_value
+    if isinstance(fill, float) and not np.isfinite(fill):
+        fill = {np.inf: "Infinity", -np.inf: "-Infinity"}.get(fill, "NaN")
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compress:
+        codecs.append({"name": "gzip", "configuration": {"level": 6}})
+    node = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": _V3_DTYPE_NAMES[base],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": separator},
+        },
+        "fill_value": fill,
+        "codecs": codecs,
+        "attributes": attrs or {},
+    }
+    if dimension_names:
+        node["dimension_names"] = list(dimension_names)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(node, f)
+    le = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
+    meta = ZarrMeta(
+        arr.shape, chunks, le, fill_value,
+        "gzip" if compress else None, separator, version=3, key_prefix="c",
+    )
+    for _, key, slices in chunk_grid(meta):
+        block = np.full(
+            chunks, fill_value if fill_value is not None else 0, dtype=le
+        )
+        part = arr[slices]
+        block[tuple(slice(0, p) for p in part.shape)] = part
+        # '/' is the only path-forming separator; '.'-separated keys are
+        # single flat object names (e.g. the file "c.0.1")
+        parts = key.split("/") if separator == "/" else [key]
+        cpath = os.path.join(path, *parts)
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        with open(cpath, "wb") as f:
+            f.write(encode_chunk(block, meta))
+
+
+def write_zarr_v3_group(path: str, arrays: dict, attrs: dict | None = None, **kw) -> None:
+    """v3 group store: per-node ``zarr.json`` + one member sub-store per
+    array. ``arrays`` maps name → ndarray | (ndarray, attrs_or_dims_kw)
+    where the tuple's second element is a dict of per-array keyword
+    overrides (attrs=, dimension_names=, chunks=)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(
+            {"zarr_format": 3, "node_type": "group", "attributes": attrs or {}},
+            f,
+        )
+    for name, spec in arrays.items():
+        arr, overrides = spec, {}
+        if isinstance(spec, tuple):
+            arr, overrides = spec
+        write_zarr_v3_array(os.path.join(path, name), arr, **{**kw, **overrides})
+
+
 def open_group_array_meta(store: str, name: str) -> tuple[ZarrMeta, dict]:
     """(meta, attrs) of one member array — the cheap driver-side probe the
-    distributed ingest uses (never touches a data chunk)."""
-    apath = os.path.join(store, name)
-    with open(os.path.join(apath, ".zarray"), "rb") as f:
-        meta = parse_zarray(f.read())
-    return meta, read_zattrs(apath)
+    distributed ingest uses (never touches a data chunk). Speaks both
+    spec versions; v3 ``dimension_names`` arrive as ``_ARRAY_DIMENSIONS``."""
+    return _load_array_meta(os.path.join(store, name))

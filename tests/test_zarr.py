@@ -339,3 +339,182 @@ def test_ingest_zarr_matches_netcdf_twin(spark, tmp_path):
     ingest_zarr_to_parquet(spark, str(store), out_z, "tmax")
     ingest_netcdf_to_parquet(spark, str(ncp), out_n, "tmax")
     assert _ingested_rows(spark, out_z) == _ingested_rows(spark, out_n)
+
+
+# --- Zarr v3 (round 7) ------------------------------------------------------
+
+
+def _v3_meta(**over):
+    import json
+
+    base = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "attributes": {},
+    }
+    base.update(over)
+    return json.dumps(base).encode()
+
+
+@pytest.mark.parametrize("dtype", ["<f8", "<f4", "<i4", "<i2", "|u1"])
+@pytest.mark.parametrize("compress", [False, True])
+def test_v3_roundtrip_dtypes(tmp_path, dtype, compress):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    rng = np.random.default_rng(7)
+    arr = rng.uniform(0, 100, (7, 5)).astype(np.dtype(dtype))
+    p = str(tmp_path / "a")
+    write_zarr_v3_array(p, arr, chunks=(3, 4), compress=compress)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+@pytest.mark.parametrize("separator", ["/", "."])
+def test_v3_roundtrip_separators(tmp_path, separator):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = str(tmp_path / "a")
+    write_zarr_v3_array(p, arr, chunks=(2, 4), separator=separator)
+    # '/' nests chunk dirs under the c prefix; '.' stores flat c.i.j files
+    import os
+
+    names = sorted(os.listdir(p))
+    if separator == "/":
+        assert "c" in names
+    else:
+        assert any(n.startswith("c.") for n in names)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_v3_missing_chunk_reads_fill(tmp_path):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    arr = np.ones((4,), dtype="<f8")
+    p = tmp_path / "a"
+    write_zarr_v3_array(str(p), arr, chunks=(2,), fill_value=-5.0)
+    (p / "c" / "1").unlink()
+    got = read_zarr_array(str(p))
+    np.testing.assert_array_equal(got, np.array([1.0, 1.0, -5.0, -5.0]))
+
+
+def test_v3_nan_fill_json_roundtrip(tmp_path):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    arr = np.full((3,), 2.5, dtype="<f8")
+    p = tmp_path / "a"
+    write_zarr_v3_array(str(p), arr, chunks=(2,), fill_value=float("nan"))
+    (p / "c" / "1").unlink()
+    got = read_zarr_array(str(p))
+    assert got[0] == 2.5 and np.isnan(got[2])
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {"zarr_format": 2},
+        {"chunk_grid": {"name": "rectilinear", "configuration": {}}},
+        {"chunk_key_encoding": {"name": "morton"}},
+        {"codecs": []},
+        {"codecs": [{"name": "gzip"}]},  # missing the bytes codec
+        {"codecs": [{"name": "bytes"}, {"name": "zstd"}]},
+        {"codecs": [{"name": "bytes"}, {"name": "blosc"}]},
+        {"codecs": [{"name": "transpose"}, {"name": "bytes"}]},
+        {"codecs": [{"name": "sharding_indexed"}]},
+        {"data_type": "complex64"},
+        {"data_type": "r8"},
+    ],
+)
+def test_v3_unsupported_corners_fail_loudly(over):
+    from amazon_climate_data_etl_spark.sources.zarr_min import parse_zarr_json
+
+    with pytest.raises(NotImplementedError):
+        parse_zarr_json(_v3_meta(**over))
+
+
+def test_v3_group_dimension_names_probe(tmp_path):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_group
+
+    p = str(tmp_path / "g")
+    write_zarr_v3_group(
+        p,
+        {
+            "time": (np.arange(4, dtype="<f8"),
+                     {"attrs": {"units": "days since 2001-02-27",
+                                "calendar": "standard"},
+                      "dimension_names": ["time"]}),
+            "tmax": (np.zeros((4, 2, 3), dtype="<f8"),
+                     {"dimension_names": ["time", "lat", "lon"],
+                      "chunks": (2, 2, 2)}),
+        },
+        attrs={"title": "v3 group"},
+    )
+    meta, attrs = open_group_array_meta(p, "tmax")
+    # v3 dimension_names arrive through the same _ARRAY_DIMENSIONS dialect
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+    assert meta.version == 3 and meta.chunks == (2, 2, 2)
+    assert read_zattrs(p + "/time")["units"].startswith("days since")
+    assert read_zattrs(p + "/time")["_ARRAY_DIMENSIONS"] == ["time"]
+
+
+def _climate_store_v3(path, nt=6, nlat=5, nlon=4, separator="/"):
+    """The v3 twin of _climate_store: same cube, same descending-lat and
+    CF-time structure, written as a v3 group with dimension_names."""
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_group
+
+    rng = np.random.default_rng(11)
+    lat = np.linspace(2.0, -6.0, nlat)
+    lon = np.linspace(-73.0, -60.0, nlon)
+    tvals = np.arange(nt, dtype="<f8")
+    cube = np.round(rng.uniform(15, 35, (nt, nlat, nlon)), 2)
+    write_zarr_v3_group(
+        str(path),
+        {
+            "time": (tvals, {"attrs": {"units": "days since 2001-02-27",
+                                       "calendar": "standard"},
+                             "dimension_names": ["time"]}),
+            "lat": (lat, {"dimension_names": ["lat"]}),
+            "lon": (lon, {"dimension_names": ["lon"]}),
+            "tmax": (cube, {"dimension_names": ["time", "lat", "lon"],
+                            "chunks": (4, 2, 3)}),
+        },
+        separator=separator,
+    )
+    dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
+    return cube, dates, lat, lon
+
+
+@pytest.mark.parametrize("separator", ["/", "."])
+def test_ingest_zarr_v3_chunk_parallel(spark, tmp_path, separator):
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    store = tmp_path / "store3.zarr"
+    cube, dates, lat, lon = _climate_store_v3(store, separator=separator)
+    out = str(tmp_path / "grid3")
+    ingest_zarr_to_parquet(spark, str(store), out, "tmax")
+    got = _ingested_rows(spark, out)
+    exp = _expected_long(cube, dates, lat, lon)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=0, rel=0), k
+
+
+def test_ingest_zarr_v2_v3_cross_version_twin(spark, tmp_path):
+    """The SAME cube written as a v2 store and a v3 store must ingest to
+    the IDENTICAL relational frame — two metadata dialects, two chunk-key
+    encodings, one decode contract."""
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+
+    s2, s3 = tmp_path / "v2.zarr", tmp_path / "v3.zarr"
+    _climate_store(s2)           # rng(11) → same cube
+    _climate_store_v3(s3)
+    out2, out3 = str(tmp_path / "g2"), str(tmp_path / "g3")
+    ingest_zarr_to_parquet(spark, str(s2), out2, "tmax")
+    ingest_zarr_to_parquet(spark, str(s3), out3, "tmax")
+    assert _ingested_rows(spark, out2) == _ingested_rows(spark, out3)
