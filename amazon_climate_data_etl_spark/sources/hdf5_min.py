@@ -22,19 +22,26 @@ Reader surface:
   shuffle + deflate filter pipeline; unallocated storage → fill value;
 - global heap collections (vlen attribute payloads).
 
+- dense attribute and link storage (round 7): fractal heap (root direct
+  block, or root indirect block over direct rows) + depth-0 v2 B-tree
+  name indexes — the layout libhdf5 ≥1.10 "latest format" switches to
+  past its compact phase-change thresholds (8 attrs / 8 links), i.e. the
+  shape real NetCDF-4 files written with ``H5F_LIBVER_LATEST`` carry.
+
 Anything outside this raises ``NotImplementedError`` with a pointer at the
-full-featured (h5py/xarray) path: dense attribute/link storage (fractal
-heaps), the unlimited-dimension v4 chunk indexes (Extensible Array,
-v2 B-tree) and paged Fixed Array data blocks, compound/array datatypes in
-dataset data, and exotic filters.
+full-featured (h5py/xarray) path: filtered fractal heaps, indirect heap
+sub-blocks, huge/tiny heap IDs, v2 B-trees deeper than the root leaf
+(>100 attrs / >180 links at default node size), the unlimited-dimension
+v4 chunk indexes (Extensible Array, v2 B-tree) and paged Fixed Array data
+blocks, compound/array datatypes in dataset data, and exotic filters.
 
 The writer emits spec-valid files in BOTH flavors libhdf5 produces —
 superblock v0 + v1 object headers + symbol-table groups (the library
 default netCDF-4 files use) and superblock v2 + v2 object headers +
-compact link messages (``H5F_LIBVER_LATEST``) — with contiguous or
-gzip(+shuffle)-chunked dataset storage under any of the four chunk
-indexes, so tests can roundtrip REAL HDF5 bytes through every reader path
-without any library.
+compact link messages (``H5F_LIBVER_LATEST``), optionally with DENSE
+attribute/link storage — with contiguous or gzip(+shuffle)-chunked
+dataset storage under any of the four chunk indexes, so tests can
+roundtrip REAL HDF5 bytes through every reader path without any library.
 """
 
 from __future__ import annotations
@@ -349,6 +356,130 @@ class _H5Reader:
             raw = body[pos:]
         return name, self._decode_value(raw, dt, count)
 
+    # -- dense storage (fractal heap + v2 B-tree; HDF5 ≥1.10 "latest") --
+
+    def _fractal_heap(self, addr: int):
+        """Managed-object accessor for one fractal heap: heap_id → bytes.
+
+        Supported: unfiltered heaps whose root is a direct block, or a
+        root indirect block whose rows are all DIRECT blocks (the doubling
+        table's direct region — covers every attribute/link heap libhdf5
+        creates until a single object store passes the 64 KB max direct
+        block). Filtered heaps, indirect sub-blocks, and huge/tiny heap
+        IDs gate loudly."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        filt_len, = struct.unpack_from("<H", buf, addr + 7)
+        if filt_len:
+            raise NotImplementedError(
+                "filtered fractal heap not supported (needs the h5py path)"
+            )
+        flags = buf[addr + 9]
+        max_managed, = struct.unpack_from("<I", buf, addr + 10)
+        table_width, = struct.unpack_from("<H", buf, addr + 110)
+        start_block, = struct.unpack_from("<Q", buf, addr + 112)
+        max_direct, = struct.unpack_from("<Q", buf, addr + 120)
+        max_heap_bits, = struct.unpack_from("<H", buf, addr + 128)
+        root_addr, = struct.unpack_from("<Q", buf, addr + 132)
+        cur_rows, = struct.unpack_from("<H", buf, addr + 140)
+        off_size = (max_heap_bits + 7) // 8
+        len_size = (max(max_managed, 1).bit_length() + 7) // 8
+        blocks: list[tuple[int, int, int]] = []  # (linear off, size, file addr)
+        if cur_rows == 0:  # root IS a direct block (first block: start size)
+            blocks.append((0, start_block, root_addr))
+        else:
+            if buf[root_addr : root_addr + 4] != b"FHIB":
+                raise ValueError("bad fractal heap indirect block signature")
+            # rows beyond the direct region point at indirect sub-blocks
+            max_direct_rows = (
+                max_direct.bit_length() - start_block.bit_length() + 2
+            )
+            if cur_rows > max_direct_rows:
+                raise NotImplementedError(
+                    "fractal heap with indirect sub-blocks not supported "
+                    "(needs the h5py path)"
+                )
+            pos = root_addr + 4 + 1 + 8 + off_size
+            linear = 0
+            for row in range(cur_rows):
+                bsize = start_block if row < 2 else start_block << (row - 1)
+                for _ in range(table_width):
+                    a, = struct.unpack_from("<Q", buf, pos)
+                    pos += 8
+                    if a != UNDEF:
+                        blocks.append((linear, bsize, a))
+                    linear += bsize
+        for lo, sz, fa in blocks:
+            if buf[fa : fa + 4] != b"FHDB":
+                raise ValueError("bad fractal heap direct block signature")
+
+        def get(heap_id: bytes) -> bytes:
+            b0 = heap_id[0]
+            if (b0 >> 4) & 0x3 != 0:
+                raise NotImplementedError(
+                    "huge/tiny fractal-heap object IDs not supported "
+                    "(needs the h5py path)"
+                )
+            off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
+            ln = int.from_bytes(
+                heap_id[1 + off_size : 1 + off_size + len_size], "little"
+            )
+            for lo, sz, fa in blocks:
+                if lo <= off < lo + sz:
+                    p = fa + (off - lo)
+                    return buf[p : p + ln]
+            raise ValueError(f"fractal-heap offset {off} outside any block")
+
+        return get
+
+    def _v2_btree_records(self, addr: int, exp_type: int) -> list[bytes]:
+        """All records of a v2 B-tree, depth 0 (single root leaf — holds
+        >100 attribute / >180 link records at libhdf5's default node size
+        before the tree ever splits). Deeper trees gate loudly."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        btype = buf[addr + 5]
+        rec_size, = struct.unpack_from("<H", buf, addr + 10)
+        depth, = struct.unpack_from("<H", buf, addr + 12)
+        root, = struct.unpack_from("<Q", buf, addr + 16)
+        nrec, = struct.unpack_from("<H", buf, addr + 24)
+        if btype != exp_type:
+            raise ValueError(f"v2 B-tree type {btype}, expected {exp_type}")
+        if nrec == 0:
+            return []
+        if depth != 0:
+            raise NotImplementedError(
+                f"v2 B-tree depth {depth} not supported (needs the h5py path)"
+            )
+        if buf[root : root + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        pos = root + 6
+        return [
+            bytes(buf[pos + i * rec_size : pos + (i + 1) * rec_size])
+            for i in range(nrec)
+        ]
+
+    def _dense_attributes(self, fheap_addr: int, btree_addr: int) -> dict:
+        """Dense attribute storage: v2 B-tree type-8 records (heap ID in
+        the first 8 bytes) resolving to attribute messages in the heap."""
+        get = self._fractal_heap(fheap_addr)
+        out: dict[str, object] = {}
+        for rec in self._v2_btree_records(btree_addr, 8):
+            k, v = self._parse_attribute(get(rec[0:8]))
+            out[k] = v
+        return out
+
+    def _dense_links(self, fheap_addr: int, btree_addr: int):
+        """Dense link storage: v2 B-tree type-5 records (4-byte name hash
+        then a 7-byte heap ID) resolving to link messages in the heap."""
+        get = self._fractal_heap(fheap_addr)
+        return [
+            self._parse_link(get(rec[4:11]))
+            for rec in self._v2_btree_records(btree_addr, 5)
+        ]
+
     # -- groups --
 
     def _local_heap_name(self, heap_addr: int, offset: int) -> str:
@@ -461,11 +592,12 @@ class _H5Reader:
                 k, v = self._parse_attribute(body)
                 attrs[k] = v
             elif mtype == MSG_ATTRIBUTE_INFO:
-                fheap, = struct.unpack_from("<Q", body, 2)
+                # version(1) flags(1) [max creation index: 2 if flags&1]
+                # fractal heap addr(8) name-index v2 B-tree addr(8)
+                pos = 2 + (2 if body[1] & 1 else 0)
+                fheap, btree = struct.unpack_from("<QQ", body, pos)
                 if fheap != UNDEF:
-                    raise NotImplementedError(
-                        "dense attribute storage (fractal heap) not supported"
-                    )
+                    attrs.update(self._dense_attributes(fheap, btree))
         if dt is None or layout is None:
             raise ValueError(f"dataset {name!r}: missing datatype/layout")
         if dt.cls not in (0, 1):
@@ -684,11 +816,9 @@ class _H5Reader:
             elif mtype == MSG_LINK_INFO:
                 flags = body[1]
                 pos = 2 + (8 if flags & 1 else 0)
-                fheap, = struct.unpack_from("<Q", body, pos)
+                fheap, btree = struct.unpack_from("<QQ", body, pos)
                 if fheap != UNDEF:
-                    raise NotImplementedError(
-                        "dense link storage (fractal heap) not supported"
-                    )
+                    children.extend(self._dense_links(fheap, btree))
         for name, child_addr in children:
             self._walk(f"{prefix}{name}/", child_addr)
 
@@ -809,6 +939,8 @@ def write_hdf5(
     shuffle: bool = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
     chunk_index: str = "btree1",
+    dense_attrs: bool = False,
+    dense_links: bool = False,
 ) -> bytes:
     """Serialize datasets to HDF5 bytes.
 
@@ -821,9 +953,17 @@ def write_hdf5(
     message indexes ``single`` (whole dataset as one chunk), ``implicit``
     (dense row-major chunk region, unfiltered only), and ``fixed_array``
     (FAHD/FADB, filtered or not) — the writer half that proves the v4
-    reader by roundtrip."""
+    reader by roundtrip.
+
+    ``dense_attrs`` / ``dense_links`` (superblock 2 only) store attributes
+    and root-group links DENSELY — fractal heap + v2 B-tree name index,
+    the layout libhdf5 ≥1.10 switches to past its compact phase-change
+    thresholds (8 attributes / 8 links by default) — the writer half that
+    proves the dense reader by roundtrip."""
     if superblock not in (0, 2):
         raise ValueError("superblock must be 0 or 2")
+    if (dense_attrs or dense_links) and superblock != 2:
+        raise ValueError("dense storage requires superblock=2 (latest format)")
     if chunk_index not in ("btree1", "single", "implicit", "fixed_array"):
         raise ValueError(f"unknown chunk_index {chunk_index!r}")
     if chunk_index == "implicit" and (compress or shuffle):
@@ -853,6 +993,83 @@ def write_hdf5(
     class _DummyAddr(dict):
         def __getitem__(self, k):
             return 0
+
+    def add_dense_store(prefix: str, bodies: list, id_len: int,
+                        max_managed: int) -> list[bytes]:
+        """Register one fractal heap (header + single direct block) holding
+        the given message-body builders; returns their heap IDs. Mirrors
+        the reader subset: unfiltered, root direct block, managed IDs."""
+        dummy = _DummyAddr()
+        sizes = [len(b(dummy)) for b in bodies]
+        off_size = 4          # max heap size recorded as 32 bits below
+        len_size = id_len - 1 - off_size
+        db_hdr = 4 + 1 + 8 + off_size
+        offs, cur = [], db_hdr
+        for sz in sizes:
+            offs.append(cur)
+            cur += sz
+        block_size = 512
+        while block_size < cur:
+            block_size *= 2
+        if block_size > 65536:
+            raise NotImplementedError(
+                "writer: dense store exceeds one direct block"
+            )
+        heap_ids = [
+            bytes([0])
+            + off.to_bytes(off_size, "little")
+            + sz.to_bytes(len_size, "little")
+            for off, sz in zip(offs, sizes)
+        ]
+        used = cur
+
+        def frhp(m):
+            head = (
+                b"FRHP"
+                + struct.pack("<BHHBI", 0, id_len, 0, 0, max_managed)
+                + struct.pack("<QQ", 0, UNDEF)       # next huge id, huge bt
+                + struct.pack("<QQ", block_size - used, UNDEF)  # free, fs mgr
+                + struct.pack("<QQ", block_size, block_size)  # managed, alloc
+                + struct.pack("<QQ", used, len(bodies))  # iter off, n managed
+                + struct.pack("<QQQQ", 0, 0, 0, 0)   # huge/tiny size+count
+                + struct.pack("<HQQHH", 4, block_size, 65536, 32, 0)
+                + struct.pack("<QH", m[prefix + "db"], 0)  # root, cur rows
+            )
+            return head + struct.pack("<I", _lookup3(head))
+
+        def fhdb(m):
+            out = [
+                b"FHDB",
+                struct.pack("<BQ", 0, m[prefix + "fh"]),
+                (0).to_bytes(off_size, "little"),
+            ]
+            out.extend(b(m) for b in bodies)
+            blob = b"".join(out)
+            return blob + b"\x00" * (block_size - len(blob))
+
+        add_block(prefix + "fh", frhp)
+        add_block(prefix + "db", fhdb)
+        return heap_ids
+
+    def add_dense_btree(prefix: str, btype: int, records: list[bytes]) -> None:
+        """Register a depth-0 v2 B-tree (header + single root leaf)."""
+        rec_size = len(records[0])
+
+        def bthd(m):
+            head = (
+                b"BTHD"
+                + struct.pack("<BBIHHBB", 0, btype, 2048, rec_size, 0, 100, 40)
+                + struct.pack("<QHQ", m[prefix + "btlf"], len(records),
+                              len(records))
+            )
+            return head + struct.pack("<I", _lookup3(head))
+
+        def btlf(m):
+            blob = b"BTLF" + struct.pack("<BB", 0, btype) + b"".join(records)
+            return blob + struct.pack("<I", _lookup3(blob))
+
+        add_block(prefix + "bt", bthd)
+        add_block(prefix + "btlf", btlf)
 
     data_info: dict[str, dict] = {}
     for s in specs:
@@ -1018,11 +1235,20 @@ def write_hdf5(
                 return struct.pack("<BBQQ", 3, 1, m[f"data:{s.name}"], nbytes)
 
             msgs.append((MSG_LAYOUT, layout_msg))
-        for k, v in s.attrs.items():
+        if dense_attrs and s.attrs:
+            p = f"dattr:{s.name}:"
             msgs.append(
-                (MSG_ATTRIBUTE, _attr_message(k, v, 1 if version == 1 else 3,
-                                              gheap_slots))
+                (MSG_ATTRIBUTE_INFO,
+                 lambda m, p=p: struct.pack("<BBQQ", 0, 0, m[p + "fh"],
+                                            m[p + "bt"]))
             )
+        else:
+            for k, v in s.attrs.items():
+                msgs.append(
+                    (MSG_ATTRIBUTE,
+                     _attr_message(k, v, 1 if version == 1 else 3,
+                                   gheap_slots))
+                )
         return msgs
 
     def ohdr_v1(msgs):
@@ -1052,6 +1278,25 @@ def write_hdf5(
 
     ohdr = ohdr_v1 if superblock == 0 else ohdr_v2
     for s in specs:
+        if dense_attrs and s.attrs:
+            # dense attribute storage: fractal heap of v3 attribute
+            # messages + a type-8 name-index B-tree (records: heap ID 8,
+            # message flags 1, creation order 4, name hash 4 — hash-sorted
+            # like libhdf5's name index)
+            items = list(s.attrs.items())
+            bodies = [_attr_message(k, v, 3, gheap_slots) for k, v in items]
+            ids = add_dense_store(f"dattr:{s.name}:", bodies, 8, 65536)
+            recs = sorted(
+                (
+                    _lookup3(k.encode("utf-8")),
+                    hid + b"\x00" + struct.pack("<I", i),
+                )
+                for i, ((k, _), hid) in enumerate(zip(items, ids))
+            )
+            add_dense_btree(
+                f"dattr:{s.name}:", 8,
+                [rec + struct.pack("<I", h) for h, rec in recs],
+            )
         add_block(f"ohdr:{s.name}", ohdr(dataset_messages(s, 1 if superblock == 0 else 2)))
 
     # ---- global heap (DIMENSION_LIST object references) ----
@@ -1121,7 +1366,26 @@ def write_hdf5(
                 )
             return mk
 
-        root_msgs = [(MSG_LINK, link_msg(nm)) for nm in names]
+        if dense_links and names:
+            # dense link storage: fractal heap of link messages + a type-5
+            # name-index B-tree (records: name hash 4, heap ID 7)
+            bodies = [link_msg(nm) for nm in names]
+            ids = add_dense_store("dlink:", bodies, 7, 4096)
+            recs = sorted(
+                (_lookup3(nm.encode("utf-8")), hid)
+                for nm, hid in zip(names, ids)
+            )
+            add_dense_btree(
+                "dlink:", 5,
+                [struct.pack("<I", h) + hid for h, hid in recs],
+            )
+            root_msgs = [
+                (MSG_LINK_INFO,
+                 lambda m: struct.pack("<BBQQ", 0, 0, m["dlink:fh"],
+                                       m["dlink:bt"]))
+            ]
+        else:
+            root_msgs = [(MSG_LINK, link_msg(nm)) for nm in names]
         add_block("rootohdr", ohdr_v2(root_msgs))
 
     # ---- assign addresses & serialize ----

@@ -109,9 +109,13 @@ def write_netcdf4(
     shuffle: bool = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
     chunk_index: str = "btree1",
+    dense_attrs: bool = False,
+    dense_links: bool = False,
 ) -> bytes:
     """Serialize an NcFile as a NetCDF-4/HDF5 file (fixture generation;
-    inverse of ``read_netcdf4`` on the supported subset)."""
+    inverse of ``read_netcdf4`` on the supported subset). ``dense_*``
+    emit the HDF5 ≥1.10 fractal-heap attribute/link storage (superblock 2
+    only) — the H5F_LIBVER_LATEST shape."""
     dim_names = list(nc.dims)
     specs: list[H5WriteSpec] = []
     # dimension scales first: coordinate variables where one exists, else
@@ -154,4 +158,6 @@ def write_netcdf4(
         shuffle=shuffle,
         chunks=chunks,
         chunk_index=chunk_index,
+        dense_attrs=dense_attrs,
+        dense_links=dense_links,
     )

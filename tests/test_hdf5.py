@@ -311,3 +311,93 @@ def test_hdf5_roundtrip_property():
             assert g.attrs["idx"] == s.attrs["idx"]
 
     check()
+
+
+# --- dense attribute/link storage (round 7: HDF5 >=1.10 fractal heaps) ------
+
+
+def test_dense_attrs_and_links_roundtrip():
+    """Datasets with >8 attributes and a root group with many links,
+    stored DENSELY (fractal heap + v2 B-tree name index — the layout
+    libhdf5 >=1.10 switches to past its compact phase-change thresholds),
+    roundtrip exactly, mixed value types included."""
+    specs = [
+        H5WriteSpec(
+            f"v{i}",
+            np.arange(6, dtype="<f8").reshape(2, 3) + i,
+            attrs={f"a{j:02d}": np.float64(j) for j in range(11)}
+            | {"units": "K", "cnt": np.int32(7 + i)},
+        )
+        for i in range(12)
+    ]
+    blob = write_hdf5(specs, superblock=2, dense_attrs=True, dense_links=True)
+    out = read_hdf5(blob)
+    assert sorted(out) == sorted(f"v{i}" for i in range(12))
+    for i in range(12):
+        d = out[f"v{i}"]
+        np.testing.assert_array_equal(
+            d.data, np.arange(6, dtype="<f8").reshape(2, 3) + i
+        )
+        assert len(d.attrs) == 13
+        assert d.attrs["a07"] == 7.0
+        assert d.attrs["units"] == "K"
+        assert d.attrs["cnt"] == 7 + i
+
+
+def test_dense_netcdf4_latest_format_end_to_end():
+    """A NetCDF-4 grid in the FULL 1.10 latest format — v2 superblock,
+    v4 Fixed Array chunk index, shuffle+deflate, AND dense attribute +
+    link storage (so DIMENSION_LIST vlen references resolve through the
+    fractal heap) — decodes through the complete ingest path."""
+    from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
+
+    nc, vals = _grid_ncfile(nlat=4, nlon=3)
+    buf = write_netcdf4(
+        nc, superblock=2, layout="chunked", compress=True, shuffle=True,
+        chunk_index="fixed_array", dense_attrs=True, dense_links=True,
+    )
+    long = decode_classic_long(buf, "Tmax")
+    assert len(long) == 2 * 4 * 3
+    assert np.allclose(np.sort(long["value"].to_numpy()), np.sort(vals.ravel()))
+    back = read_netcdf4(buf)
+    assert np.allclose(np.asarray(back.variables["Tmax"].data), vals)
+    assert back.variables["time"].attrs["units"] == "days since 2001-01-01"
+
+
+def test_dense_many_attrs_indirect_capable_and_gates():
+    """Dense-storage gates stay loud: deeper v2 B-trees, filtered heaps,
+    and huge/tiny heap IDs all point at the h5py path."""
+    import struct as _s
+
+    specs = [
+        H5WriteSpec("a", np.arange(4, dtype="<f8"),
+                    attrs={f"k{j:03d}": np.float64(j) for j in range(40)})
+    ]
+    blob = write_hdf5(specs, superblock=2, dense_attrs=True)
+    assert len(read_hdf5(blob)["a"].attrs) == 40  # one direct block, 40 objs
+
+    # depth > 0 B-tree: patch the BTHD depth field (offset 12 after sig)
+    pos = blob.index(b"BTHD")
+    patched = blob[:pos + 12] + _s.pack("<H", 1) + blob[pos + 14:]
+    with pytest.raises(NotImplementedError, match="depth"):
+        read_hdf5(patched)
+
+    # filtered fractal heap: patch the FRHP I/O-filter length (offset 7)
+    pos = blob.index(b"FRHP")
+    patched = blob[:pos + 7] + _s.pack("<H", 8) + blob[pos + 9:]
+    with pytest.raises(NotImplementedError, match="filtered fractal heap"):
+        read_hdf5(patched)
+
+    # tiny heap ID: flip the version/type bits of the first B-tree record
+    btlf = blob.index(b"BTLF")
+    patched = blob[:btlf + 6] + bytes([0x20]) + blob[btlf + 7:]
+    with pytest.raises(NotImplementedError, match="huge/tiny"):
+        read_hdf5(patched)
+
+
+def test_dense_requires_latest_format():
+    with pytest.raises(ValueError, match="superblock=2"):
+        write_hdf5(
+            [H5WriteSpec("a", np.arange(3, dtype="<f8"), attrs={"x": 1.0})],
+            superblock=0, dense_attrs=True,
+        )
