@@ -291,11 +291,6 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (see _simhash_frame), ordered output."""
-    return _simhash_frame(spark, sf_dir).orderBy("doc_id")
-
-
 # unordered body + thin ORDER BY wrapper: SIMHASH_PAIRS_SQL embeds the body
 # as a subquery (where a trailing ORDER BY would be illegal/meaningless), the
 # registered oracle uses the ordered wrapper — no post-hoc string surgery
@@ -319,7 +314,6 @@ SELECT doc_id,
 FROM votes
 """
 
-SIMHASH_SQL = _SIMHASH_BODY + "ORDER BY doc_id\n"
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

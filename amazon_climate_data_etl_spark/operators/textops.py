@@ -226,7 +226,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (Rabin-Karp over 8-char windows):
     per-doc window count, winnowed minimum hash, and distinct-hash count —
     the content-defined fingerprint family (winnowing/MOSS-style), distinct
-    from the whole-document md5 of ``doc_fingerprints``.
+    from the whole-document md5 of ``doc_fingerprint_profile``.
 
     The per-window hash stream is inherently O(len) sequential per row, so
     this is a legitimate Pandas-UDF hot path (SURVEY.md §2.10): numpy
@@ -485,7 +485,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, PERSISTED — Catalyst does not CSE across join branches, so
     without the persist the vocab build and the membership join would
     each re-scan and re-tokenize the corpus (the same hazard
-    ``unigram_logprob_quality`` documents). The vocab is a heavy-hitter
+    ``ngram_logprob_quality`` documents). The vocab is a heavy-hitter
     top-k over the cached frame (partial agg + TakeOrdered), small by
     construction (V rows), so it BROADCASTS back onto the cached
     (doc, term) counts; the only corpus-scale shuffle is the one behind
