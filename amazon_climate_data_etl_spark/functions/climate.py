@@ -52,14 +52,29 @@ def grid_snap(coord: Column, step: float = 0.25) -> Column:
     the *dimension* side turns the NN join into a broadcast equi-join with no
     shuffle of the fact table (SURVEY.md §2 J-NN).
 
-    Note: Spark's ``round`` is HALF_UP for positives / HALF_DOWN for negatives
-    (i.e. half-away-from-zero), matching DuckDB's ``round`` — ties snap
-    deterministically away from zero in both engines.
+    Round 7: snapping is computed as sign-split floor arithmetic —
+    ``±floor(|x·inv| + 0.5) / inv`` — so the Spark column and the SQL twin
+    execute the IDENTICAL IEEE operation sequence (same multiply, abs,
+    add, floor in both engines). Previously Spark used ``F.round``
+    (BigDecimal HALF_UP on the exact binary value) while the oracle's
+    ``round`` was rewritten to the portable floor form: a one-ulp
+    divergence waiting on a coordinate landing exactly on a half-step
+    tie. Ties snap HALF-AWAY-FROM-ZERO, the behavior the climate goldens
+    pin (test_tie_break_snaps_away_from_zero) — the floor split preserves
+    it exactly while removing the cross-engine ambiguity.
     """
     inv = 1.0 / step
-    return F.round(coord * F.lit(inv), 0) / F.lit(inv)
+    y = coord * F.lit(inv)
+    snapped = F.when(y < 0, -F.floor(-y + F.lit(0.5))).otherwise(
+        F.floor(y + F.lit(0.5))
+    )
+    return snapped.cast("double") / F.lit(inv)
 
 
 def grid_snap_sql(expr: str, step: float = 0.25) -> str:
     inv = 1.0 / step
-    return f"(round(({expr}) * {inv!r}, 0) / {inv!r})"
+    y = f"(({expr}) * {inv!r})"
+    return (
+        f"(CAST(CASE WHEN {y} < 0 THEN -floor(-{y} + 0.5) "
+        f"ELSE floor({y} + 0.5) END AS DOUBLE) / {inv!r})"
+    )
