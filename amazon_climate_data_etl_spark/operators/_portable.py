@@ -40,23 +40,52 @@ def davg_sql(expr: str) -> str:
 
 
 def dstddev(col: Column) -> Column:
-    """Order-independent sample stddev.
+    """Order-independent sample stddev from exact decimal moments.
 
-    The square is computed in double (deterministic per-row — identical
-    IEEE multiply in both engines), then rounded into a decimal for the
-    order-independent sum; sum and sum-of-squares feed the textbook formula.
+    Both moments are computed in EXACT decimal arithmetic: the input is
+    cast to decimal(18,4) once (exact for money-shaped stored columns,
+    the dsum contract) and SQUARED IN DECIMAL — decimal×decimal is exact
+    in both engines, where the previous double-square-then-cast route hit
+    DuckDB's lossy double→wide-decimal cast (the same defect class the
+    round-6 review found in stable_round; hypothesis falsified it here
+    with [0.0, 1e10] — decimal overflow — and near-ties below that).
+
+    The variance term is clamped at 0 before the sqrt: with a huge mean
+    and a tiny spread the double cancellation ``sq - s²/n`` lands a few
+    ulps NEGATIVE, where Spark's sqrt returns NaN but DuckDB's sqrt
+    RAISES (hypothesis falsifier: [1e9, 1e9, 1e9+0.01]). greatest(x, 0.0)
+    is the same IEEE comparison in both engines (and both propagate the
+    n=1 NaN through greatest and sqrt), so the clamp keeps bit-equality
+    while turning cancellation noise into the mathematically-right 0.0.
+
+    Domain contract: bit-exact for ≤4-decimal inputs while the exact
+    moments convert to double without double-rounding divergence —
+    |Σx|·10⁴ < 2^53 and |Σx²|·10⁸ < 2^53 (inside it, DuckDB's
+    int→double→÷10^k two-step and Spark's single BigDecimal conversion
+    are both exact). Beyond it both engines stay deterministic and agree
+    except when the int→double rounding lands exactly on a ÷10^k tie —
+    which the engine's own summary-stat columns (prices ≤ 1e5) round
+    away; a 100 TB revenue column would budget wider decimal moments.
     """
     n = F.count(col).cast("double")
-    s = F.sum(col.cast(_DEC)).cast("double")
-    sq = F.sum((col * col).cast("decimal(30,10)")).cast("double")
-    return F.sqrt((sq - s * s / n) / (n - F.lit(1.0)))
+    d = col.cast(_DEC)
+    s = F.sum(d).cast("double")
+    sq = F.sum(d * d).cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return F.sqrt(F.greatest(var, F.lit(0.0)))
 
 
 def dstddev_sql(expr: str) -> str:
     n = f"CAST(count({expr}) AS DOUBLE)"
-    s = f"CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
-    sq = f"CAST(sum(CAST((({expr}) * ({expr})) AS DECIMAL(30,10))) AS DOUBLE)"
-    return f"sqrt(({sq} - {s} * {s} / {n}) / ({n} - 1.0))"
+    d = f"CAST(({expr}) AS DECIMAL(18,4))"
+    s = f"CAST(sum({d}) AS DOUBLE)"
+    # DECIMAL(19,4) operands force DuckDB's int128 multiply path — at
+    # width 18 it multiplies in int64 storage and overflows on values
+    # past ~9.6e5 (same exact products either way; Spark's (18,4)² is
+    # already a (37,8) exact multiply)
+    d2 = f"CAST(({expr}) AS DECIMAL(19,4))"
+    sq = f"CAST(sum({d2} * {d2}) AS DOUBLE)"
+    return f"sqrt(greatest(({sq} - {s} * {s} / {n}) / ({n} - 1.0), 0.0))"
 
 
 def dec(col: Column, precision: int = 18, scale: int = 4) -> Column:

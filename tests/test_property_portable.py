@@ -34,6 +34,8 @@ from amazon_climate_data_etl_spark.functions.text import (
     token_count_sql,
 )
 from amazon_climate_data_etl_spark.operators._portable import (
+    dstddev,
+    dstddev_sql,
     dsum,
     dsum_sql,
     portable_sql_rounds,
@@ -130,6 +132,31 @@ def test_stable_round_bit_identical(spark, xs_scale):
     xs, scale = xs_scale
     got = _spark_col(spark, xs, stable_round(F.col("x"), scale), "r")
     want = _duck_col(xs, stable_round_sql("x", scale), "r")
+    assert exact_float_mismatches(got, want) == 0
+
+
+# dstddev's provable domain (see its docstring): price-shaped ≤2-decimal
+# inputs whose exact moments stay inside 2^53 after scaling — |x| ≤ 1000 at
+# ≤60 values keeps Σx²·10⁸ ≤ 6e15 < 2^53.
+_prices = st.integers(min_value=-(10**5), max_value=10**5).map(
+    lambda i: i / 100
+)
+
+
+@given(xs=st.lists(_prices, min_size=2, max_size=60))
+@example(xs=[0.01, 0.01, 0.01])        # zero variance, tiny values
+@example(xs=[1000.0, 1000.0, 999.99])  # cancellation: big mean, tiny spread
+#   (the unclamped form made DuckDB's sqrt RAISE on a few-ulp-negative
+#   radicand here while Spark returned NaN)
+@example(xs=[-5.25] * 30 + [5.25])     # heavy repetition + outlier
+@settings(**_SETTINGS)
+def test_dstddev_order_independent_and_portable(spark, xs):
+    """The exact-decimal-moment sample stddev must match its SQL twin
+    bit-for-bit across its documented domain, with the oracle fed the
+    REVERSED list — both the cross-engine claim and the order-independence
+    claim every summary_stats-family hash leans on."""
+    got = _spark_col(spark, xs, dstddev(F.col("x")), "s")
+    want = _duck_col(list(reversed(xs)), dstddev_sql("x"), "s")
     assert exact_float_mismatches(got, want) == 0
 
 
