@@ -393,6 +393,24 @@ def skew_salt_col() -> F.Column:
     ).cast("int")
 
 
+def adversarial_skew_frames(spark: SparkSession, n: int = 4_000_000):
+    """Synthetic (fact, build) pair with 90% of fact rows on ONE join key
+    — the fixture both the structural salting test
+    (tests/test_plan_quality.py) and the bench harness's quiesced
+    salted-vs-naive wall-clock race (bench.py) are built on. 90% on one
+    key gives ~1.6× naive/salted separation on an idle machine."""
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(F.pmod(F.col("id"), F.lit(20_000)) + 2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.range(20_002).select(
+        F.col("id").alias("bk"), (F.col("id") * 3).alias("w")
+    )
+    return fact, build
+
+
 def salted_equi_join(
     fact: DataFrame,
     build: DataFrame,

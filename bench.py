@@ -190,6 +190,53 @@ def main() -> None:
         if name in prev:
             isolated[name]["prev_round"] = prev[name]
 
+    # salted-vs-naive skew race (round 7, VERDICT r6 item 2): a wall-clock
+    # measurement is only attributable to the plans on a quiesced machine,
+    # which is this harness's whole job — the pytest suite asserts the
+    # STRUCTURAL salting contract (identical results + flat reducer
+    # spread) and the timing evidence is recorded here instead of flaking
+    # there. BENCH_SALTED=0 skips it.
+    salted_race = None
+    if not subset and os.environ.get("BENCH_SALTED", "1") != "0":
+        from pyspark.sql import functions as F
+
+        from amazon_climate_data_etl_spark.operators.joins import (
+            adversarial_skew_frames,
+            salted_equi_join,
+        )
+
+        fact, build = adversarial_skew_frames(spark)
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            agg = lambda df: df.groupBy().agg(  # noqa: E731
+                F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+            )
+            naive = agg(fact.join(build, fact["k"] == build["bk"]))
+            fast = agg(salted_equi_join(fact, build, "k", "bk", ("v",)))
+            _quiesce(spark, max(cooldown, 0.5))
+            t_naive = _time_query(spark, lambda *_: naive, sf_dir, 3)
+            _quiesce(spark, max(cooldown, 0.5))
+            t_fast = _time_query(spark, lambda *_: fast, sf_dir, 3)
+            salted_race = {
+                "naive": t_naive,
+                "salted": t_fast,
+                "speedup": round(t_naive / t_fast, 3) if t_fast else None,
+            }
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     payload = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
@@ -205,6 +252,8 @@ def main() -> None:
     }
     if isolated:
         payload["isolated"] = isolated
+    if salted_race:
+        payload["salted_race"] = salted_race
     # The driver keeps only the stdout TAIL, which truncates ~28 queries'
     # timings per round; persist the complete result in-repo (slowest
     # first, so a truncated human glance still sees the hot spots) so
