@@ -17,9 +17,13 @@ Reader surface:
   object references, variable-length sequences (for ``DIMENSION_LIST``);
 - dataspaces v1/v2, attributes v1/v2/v3 (compact storage);
 - data layouts: contiguous and chunked — the v3 message (v1 B-tree index)
-  AND the HDF5 ≥1.10 v4 message with its fixed-shape chunk indexes
-  (Single Chunk, Implicit, Fixed Array incl. filtered elements), with the
-  shuffle + deflate filter pipeline; unallocated storage → fill value;
+  AND the HDF5 ≥1.10 v4 message with ALL FIVE of its chunk indexes:
+  the fixed-shape trio (Single Chunk, Implicit, Fixed Array) plus the
+  unlimited-dimension pair (round 7) — Extensible Array (EAHD/EAIB/EASB/
+  EADB, the index time-unlimited NetCDF-4 climate grids get) and the v2
+  chunk B-tree (record types 10/11, ≥2 unlimited dims) — filtered or
+  not, with the shuffle + deflate filter pipeline; unallocated storage →
+  fill value;
 - global heap collections (vlen attribute payloads).
 
 - dense attribute and link storage (round 7): fractal heap (root direct
@@ -31,9 +35,9 @@ Reader surface:
 Anything outside this raises ``NotImplementedError`` with a pointer at the
 full-featured (h5py/xarray) path: filtered fractal heaps, indirect heap
 sub-blocks, huge/tiny heap IDs, v2 B-trees deeper than the root leaf
-(>100 attrs / >180 links at default node size), the unlimited-dimension
-v4 chunk indexes (Extensible Array, v2 B-tree) and paged Fixed Array data
-blocks, compound/array datatypes in dataset data, and exotic filters.
+(>100 attrs / >180 links / ~60 chunk records at default node size),
+paged Fixed/Extensible Array data blocks (~16k+ chunks per dataset),
+compound/array datatypes in dataset data, and exotic filters.
 
 The writer emits spec-valid files in BOTH flavors libhdf5 produces —
 superblock v0 + v1 object headers + symbol-table groups (the library
@@ -708,10 +712,10 @@ class _H5Reader:
 
     def _v4_chunks(self, body, shape, dt, name):
         """Version-4 chunked layout → (chunk_shape, [(origin, mask, nbytes,
-        addr), ...]). Supports the three fixed-shape chunk indexes HDF5
-        ≥1.10 writers emit for non-extensible datasets — Single Chunk (1),
-        Implicit (2), Fixed Array (3); the unlimited-dimension indexes
-        (Extensible Array, v2 B-tree) stay gated."""
+        addr), ...]). Supports all five chunk indexes HDF5 ≥1.10 writers
+        emit — Single Chunk (1), Implicit (2), Fixed Array (3) for fixed
+        shapes, Extensible Array (4) for one unlimited dimension, v2
+        B-tree (5) for several."""
         flags, ndims, enc = body[2], body[3], body[4]
         pos = 5
         dims = [
@@ -749,10 +753,169 @@ class _H5Reader:
             if addr == UNDEF:
                 return chunk_shape, []
             return chunk_shape, self._fixed_array_chunks(addr, grid, csize, name)
+        if idx_type == 4:  # Extensible Array (one unlimited dimension)
+            # creation params: max bits, index elmts, min ptrs, min elmts,
+            # page bits — then the EAHD address
+            addr, = struct.unpack_from("<Q", body, pos + 5)
+            if addr == UNDEF:
+                return chunk_shape, []
+            return chunk_shape, self._extensible_array_chunks(
+                addr, grid, csize, name
+            )
+        if idx_type == 5:  # v2 B-tree (two or more unlimited dimensions)
+            # creation params: node size(4), split %(1), merge %(1) — then
+            # the BTHD address
+            addr, = struct.unpack_from("<Q", body, pos + 6)
+            if addr == UNDEF:
+                return chunk_shape, []
+            return chunk_shape, self._v2_chunk_btree_chunks(
+                addr, chunk_shape, csize, len(shape), name
+            )
         raise NotImplementedError(
-            f"v4 chunk index type {idx_type} (Extensible Array / v2 B-tree "
-            "serve unlimited dimensions; use the h5py path)"
+            f"v4 chunk index type {idx_type} (use the h5py path)"
         )
+
+    def _extensible_array_chunks(self, addr, grid, csize, name):
+        """Extensible Array chunk index (EAHD/EAIB/EASB/EADB) — what HDF5
+        ≥1.10 writers emit for datasets with exactly ONE unlimited
+        dimension, i.e. the time-unlimited climate grids NetCDF-4 tools
+        append to. Element→block mapping follows the published growth
+        schedule: the index block holds the first ``idx_blk_elmts``
+        elements, super block ``u`` holds ``2^(u/2)`` data blocks of
+        ``2^((u+1)/2) * data_blk_min_elmts`` elements each, and the data
+        blocks of the first ``2*log2(sup_blk_min_data_ptrs)`` super blocks
+        are addressed straight from the index block. Paged data blocks
+        (``dblk_nelmts`` past ``2^page_bits``, ~16k chunks at defaults)
+        stay gated at the h5py path."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"EAHD":
+            raise ValueError(f"dataset {name!r}: bad Extensible Array header")
+        client, elmt_size = buf[addr + 5], buf[addr + 6]
+        max_bits, ib_nelmts, min_elmts, min_ptrs, page_bits = buf[
+            addr + 7 : addr + 12
+        ]
+        if client not in (0, 1):
+            raise NotImplementedError(f"Extensible Array client {client}")
+        if min_ptrs & (min_ptrs - 1) or not min_ptrs:
+            raise ValueError(f"min data pointers {min_ptrs} not a power of 2")
+        iblk_addr, = struct.unpack_from("<Q", buf, addr + 12 + 6 * 8)
+        if iblk_addr == UNDEF:
+            return []
+        nsblks = 1 + (max_bits - min_elmts.bit_length() + 1)
+        first_sblk = 2 * (min_ptrs.bit_length() - 1)
+        ndblk_addrs = 2 * (min_ptrs - 1)
+        off_size = (max_bits + 7) // 8
+        size_len = elmt_size - 12  # filtered: addr(8) + size + mask(4)
+        sblk_info = []  # (start_idx, start_dblk, ndblks, dblk_nelmts)
+        start_idx = start_dblk = 0
+        for u in range(nsblks):
+            ndblks = 1 << (u // 2)
+            dblk_nelmts = (1 << ((u + 1) // 2)) * min_elmts
+            sblk_info.append((start_idx, start_dblk, ndblks, dblk_nelmts))
+            start_idx += ndblks * dblk_nelmts
+            start_dblk += ndblks
+
+        def elmt(raw):
+            a, = struct.unpack_from("<Q", raw, 0)
+            if client == 0:
+                return a, csize, 0
+            nbytes = int.from_bytes(raw[8 : 8 + size_len], "little")
+            mask, = struct.unpack_from("<I", raw, 8 + size_len)
+            return a, nbytes, mask
+
+        if buf[iblk_addr : iblk_addr + 4] != b"EAIB":
+            raise ValueError(f"dataset {name!r}: bad Extensible Array "
+                             "index block")
+        pos = iblk_addr + 4 + 1 + 1 + 8  # sig, version, client, header addr
+        ib_elmts = [
+            elmt(buf[pos + i * elmt_size : pos + (i + 1) * elmt_size])
+            for i in range(ib_nelmts)
+        ]
+        pos += ib_nelmts * elmt_size
+        dblk_addrs = struct.unpack_from(f"<{ndblk_addrs}Q", buf, pos)
+        pos += ndblk_addrs * 8
+        sblk_addrs = struct.unpack_from(f"<{nsblks - first_sblk}Q", buf, pos)
+
+        dblk_cache: dict[tuple[int, int], list] = {}
+
+        def data_block(daddr, nelmts):
+            key = (daddr, nelmts)
+            if key not in dblk_cache:
+                if nelmts > (1 << page_bits):
+                    raise NotImplementedError(
+                        "paged Extensible Array data block (use the h5py path)"
+                    )
+                if buf[daddr : daddr + 4] != b"EADB":
+                    raise ValueError(f"dataset {name!r}: bad Extensible "
+                                     "Array data block")
+                p = daddr + 4 + 1 + 1 + 8 + off_size  # + block offset
+                dblk_cache[key] = [
+                    elmt(buf[p + i * elmt_size : p + (i + 1) * elmt_size])
+                    for i in range(nelmts)
+                ]
+            return dblk_cache[key]
+
+        sblk_cache: dict[int, tuple] = {}
+
+        def super_block(saddr, ndblks):
+            if saddr not in sblk_cache:
+                if buf[saddr : saddr + 4] != b"EASB":
+                    raise ValueError(f"dataset {name!r}: bad Extensible "
+                                     "Array super block")
+                p = saddr + 4 + 1 + 1 + 8 + off_size  # + block offset
+                sblk_cache[saddr] = struct.unpack_from(f"<{ndblks}Q", buf, p)
+            return sblk_cache[saddr]
+
+        out = []
+        for i, origin in enumerate(grid):
+            if i < ib_nelmts:
+                a, nbytes, mask = ib_elmts[i]
+            else:
+                e = i - ib_nelmts
+                u = (e // min_elmts + 1).bit_length() - 1
+                s_idx, s_dblk, ndblks, dblk_nelmts = sblk_info[u]
+                dblk_i, within = divmod(e - s_idx, dblk_nelmts)
+                if u < first_sblk:
+                    daddr = dblk_addrs[s_dblk + dblk_i]
+                else:
+                    saddr = sblk_addrs[u - first_sblk]
+                    if saddr == UNDEF:
+                        continue
+                    daddr = super_block(saddr, ndblks)[dblk_i]
+                if daddr == UNDEF:
+                    continue
+                a, nbytes, mask = data_block(daddr, dblk_nelmts)[within]
+            if a != UNDEF:
+                out.append((origin, mask, nbytes, a))
+        return out
+
+    def _v2_chunk_btree_chunks(self, addr, chunk_shape, csize, rank, name):
+        """v2 B-tree chunk index (record types 10/11) — what HDF5 ≥1.10
+        writers emit for datasets with TWO OR MORE unlimited dimensions.
+        Records carry the chunk address plus per-dimension SCALED offsets
+        (origin / chunk dim); filtered records (type 11) add the stored
+        size and filter mask. Depth-0 root leaf via the shared v2 B-tree
+        walker (deeper trees gate there)."""
+        btype = self.buf[addr + 5]
+        if btype not in (10, 11):
+            raise ValueError(
+                f"dataset {name!r}: v2 B-tree type {btype}, expected 10/11"
+            )
+        out = []
+        for rec in self._v2_btree_records(addr, btype):
+            a, = struct.unpack_from("<Q", rec, 0)
+            if btype == 10:  # unfiltered: address + scaled offsets
+                nbytes, mask, pos = csize, 0, 8
+            else:  # filtered: address + stored size + filter mask + offsets
+                size_len = len(rec) - 8 - 4 - 8 * rank
+                nbytes = int.from_bytes(rec[8 : 8 + size_len], "little")
+                mask, = struct.unpack_from("<I", rec, 8 + size_len)
+                pos = 8 + size_len + 4
+            scaled = struct.unpack_from(f"<{rank}Q", rec, pos)
+            origin = tuple(s * c for s, c in zip(scaled, chunk_shape))
+            if a != UNDEF:
+                out.append((origin, mask, nbytes, a))
+        return out
 
     def _fixed_array_chunks(self, addr, grid, csize, name):
         buf = self.buf
@@ -951,9 +1114,12 @@ def write_hdf5(
     chunks; ``chunk_index`` picks the index structure: ``btree1`` (the v3
     layout message real netCDF-4 files use), or the HDF5 ≥1.10 version-4
     message indexes ``single`` (whole dataset as one chunk), ``implicit``
-    (dense row-major chunk region, unfiltered only), and ``fixed_array``
-    (FAHD/FADB, filtered or not) — the writer half that proves the v4
-    reader by roundtrip.
+    (dense row-major chunk region, unfiltered only), ``fixed_array``
+    (FAHD/FADB), ``extensible_array`` (EAHD/EAIB/EASB/EADB at libhdf5's
+    default creation parameters — the index one unlimited dimension gets)
+    and ``btree2`` (BTHD/BTLF type-10/11 records — two or more unlimited
+    dims), each filtered or not — the writer halves that prove the v4
+    reader paths by roundtrip.
 
     ``dense_attrs`` / ``dense_links`` (superblock 2 only) store attributes
     and root-group links DENSELY — fractal heap + v2 B-tree name index,
@@ -964,7 +1130,8 @@ def write_hdf5(
         raise ValueError("superblock must be 0 or 2")
     if (dense_attrs or dense_links) and superblock != 2:
         raise ValueError("dense storage requires superblock=2 (latest format)")
-    if chunk_index not in ("btree1", "single", "implicit", "fixed_array"):
+    if chunk_index not in ("btree1", "single", "implicit", "fixed_array",
+                           "extensible_array", "btree2"):
         raise ValueError(f"unknown chunk_index {chunk_index!r}")
     if chunk_index == "implicit" and (compress or shuffle):
         raise ValueError("implicit chunk index cannot carry filters")
@@ -1161,6 +1328,175 @@ def write_hdf5(
 
                 add_block(f"fahd:{s.name}", fahd)
                 add_block(f"fadb:{s.name}", fadb)
+            elif chunk_index == "extensible_array":
+                # libhdf5's default creation parameters for chunked
+                # datasets: 32 max-index bits, 4 index-block elements,
+                # 4 min super-block pointers, 16 min data-block elements,
+                # 2^10-element pages (our blocks stay under a page)
+                EA_BITS, EA_IB, EA_PTRS, EA_MIN, EA_PB = 32, 4, 4, 16, 10
+                ea_client = 1 if filters else 0
+                ea_elmt = 8 if ea_client == 0 else 20
+                ea_off = (EA_BITS + 7) // 8
+                nsblks = EA_BITS - EA_MIN.bit_length() + 2
+                first_sblk = 2 * (EA_PTRS.bit_length() - 1)
+                sblk_info, si, sd = [], 0, 0
+                for u in range(nsblks):
+                    nd = 1 << (u // 2)
+                    ne = (1 << ((u + 1) // 2)) * EA_MIN
+                    sblk_info.append((si, sd, nd, ne))
+                    si += nd * ne
+                    sd += nd
+
+                def ea_elmt_bytes(m, entry):
+                    if entry is None:
+                        return (
+                            struct.pack("<Q", UNDEF)
+                            if ea_client == 0
+                            else struct.pack("<QQI", UNDEF, 0, 0)
+                        )
+                    _origin, nbytes, key = entry
+                    if ea_client == 0:
+                        return struct.pack("<Q", m[key])
+                    return struct.pack("<QQI", m[key], nbytes, 0)
+
+                # partition elements: index block, then data blocks
+                nelmts = len(chunk_keys)
+                ib_entries = chunk_keys[:EA_IB]
+                dblks = []  # (sblk idx, dblk idx-in-sblk, abs off, entries)
+                e = EA_IB
+                while e < nelmts:
+                    u = ((e - EA_IB) // EA_MIN + 1).bit_length() - 1
+                    s_idx, _s_dblk, _nd, ne = sblk_info[u]
+                    dblk_i = (e - EA_IB - s_idx) // ne
+                    dblks.append(
+                        (u, dblk_i, e, chunk_keys[e : e + ne] +
+                         [None] * max(0, ne - (nelmts - e)))
+                    )
+                    e += ne
+
+                for u, dblk_i, off, entries in dblks:
+                    def eadb(m, entries=entries, off=off, nm=s.name):
+                        blob = (
+                            b"EADB"
+                            + struct.pack("<BB", 0, ea_client)
+                            + struct.pack("<Q", m[f"eahd:{nm}"])
+                            + off.to_bytes(ea_off, "little")
+                            + b"".join(ea_elmt_bytes(m, x) for x in entries)
+                        )
+                        return blob + struct.pack("<I", _lookup3(blob))
+
+                    add_block(f"eadb:{s.name}:{u}:{dblk_i}", eadb)
+
+                used_sblks = sorted(
+                    {u for u, _, _, _ in dblks if u >= first_sblk}
+                )
+                for u in used_sblks:
+                    s_idx, _sd, nd, ne = sblk_info[u]
+
+                    def easb(m, u=u, nd=nd, ne=ne, s_idx=s_idx, nm=s.name):
+                        keys = [f"eadb:{nm}:{u}:{i}" for i in range(nd)]
+                        addrs = [m[k] if k in m else UNDEF for k in keys]
+                        blob = (
+                            b"EASB"
+                            + struct.pack("<BB", 0, ea_client)
+                            + struct.pack("<Q", m[f"eahd:{nm}"])
+                            + (EA_IB + s_idx).to_bytes(ea_off, "little")
+                            + struct.pack(f"<{nd}Q", *addrs)
+                        )
+                        return blob + struct.pack("<I", _lookup3(blob))
+
+                    add_block(f"easb:{s.name}:{u}", easb)
+
+                def eaib(m, nm=s.name, ib=ib_entries, dblks=dblks,
+                         used=used_sblks):
+                    direct = {
+                        (u, i): f"eadb:{nm}:{u}:{i}"
+                        for u, i, _, _ in dblks
+                        if u < first_sblk
+                    }
+                    dblk_addrs = []
+                    for u in range(first_sblk):
+                        _si, _sd, nd, _ne = sblk_info[u]
+                        for i in range(nd):
+                            k = direct.get((u, i))
+                            dblk_addrs.append(m[k] if k else UNDEF)
+                    sblk_addrs = [
+                        m[f"easb:{nm}:{u}"] if u in used else UNDEF
+                        for u in range(first_sblk, nsblks)
+                    ]
+                    blob = (
+                        b"EAIB"
+                        + struct.pack("<BB", 0, ea_client)
+                        + struct.pack("<Q", m[f"eahd:{nm}"])
+                        + b"".join(ea_elmt_bytes(m, x) for x in ib)
+                        + b"".join(
+                            ea_elmt_bytes(m, None)
+                            for _ in range(EA_IB - len(ib))
+                        )
+                        + struct.pack(f"<{len(dblk_addrs)}Q", *dblk_addrs)
+                        + struct.pack(f"<{len(sblk_addrs)}Q", *sblk_addrs)
+                    )
+                    return blob + struct.pack("<I", _lookup3(blob))
+
+                def eahd(m, nm=s.name, nel=nelmts, ndb=len(dblks),
+                         nsb=len(used_sblks)):
+                    blob = (
+                        b"EAHD"
+                        + struct.pack("<BB", 0, ea_client)
+                        + struct.pack(
+                            "<BBBBBB", ea_elmt, EA_BITS, EA_IB, EA_MIN,
+                            EA_PTRS, EA_PB,
+                        )
+                        + struct.pack("<6Q", nsb, 0, ndb, 0, nel, nel)
+                        + struct.pack("<Q", m[f"eaib:{nm}"])
+                    )
+                    return blob + struct.pack("<I", _lookup3(blob))
+
+                add_block(f"eahd:{s.name}", eahd)
+                add_block(f"eaib:{s.name}", eaib)
+            elif chunk_index == "btree2":
+                bt2_type = 11 if filters else 10
+                rank = arr.ndim
+                rec_size = (8 + 8 * rank) if bt2_type == 10 else (
+                    8 + 8 + 4 + 8 * rank
+                )
+                if len(chunk_keys) > (2048 - 10) // rec_size:
+                    raise ValueError(
+                        "writer: chunk count exceeds one v2 B-tree leaf"
+                    )
+
+                def bt2_rec(m, entry, cs=cshape, rank=rank, bt=bt2_type):
+                    origin, nbytes, key = entry
+                    scaled = tuple(o // c for o, c in zip(origin, cs))
+                    if bt == 10:
+                        return struct.pack("<Q", m[key]) + struct.pack(
+                            f"<{rank}Q", *scaled
+                        )
+                    return (
+                        struct.pack("<QQI", m[key], nbytes, 0)
+                        + struct.pack(f"<{rank}Q", *scaled)
+                    )
+
+                def bt2hd(m, nm=s.name, nrec=len(chunk_keys),
+                          rs=rec_size, bt=bt2_type):
+                    head = (
+                        b"BTHD"
+                        + struct.pack("<BBIHHBB", 0, bt, 2048, rs, 0,
+                                      100, 40)
+                        + struct.pack("<QHQ", m[f"bt2lf:{nm}"], nrec, nrec)
+                    )
+                    return head + struct.pack("<I", _lookup3(head))
+
+                def bt2lf(m, ck=chunk_keys, bt=bt2_type, rec=bt2_rec):
+                    blob = (
+                        b"BTLF"
+                        + struct.pack("<BB", 0, bt)
+                        + b"".join(rec(m, e) for e in ck)
+                    )
+                    return blob + struct.pack("<I", _lookup3(blob))
+
+                add_block(f"bt2hd:{s.name}", bt2hd)
+                add_block(f"bt2lf:{s.name}", bt2lf)
             # 'single' and 'implicit' need no index structure: the layout
             # message itself carries the (first) chunk address
         else:
@@ -1211,6 +1547,13 @@ def write_hdf5(
                     elif idx == "implicit":
                         out.append(b"\x02")
                         out.append(struct.pack("<Q", m[info["chunk_keys"][0][2]]))
+                    elif idx == "extensible_array":
+                        # creation params mirror the emitted EAHD
+                        out.append(b"\x04" + bytes([32, 4, 4, 16, 10]))
+                        out.append(struct.pack("<Q", m[f"eahd:{s.name}"]))
+                    elif idx == "btree2":
+                        out.append(b"\x05" + struct.pack("<IBB", 2048, 100, 40))
+                        out.append(struct.pack("<Q", m[f"bt2hd:{s.name}"]))
                     else:  # fixed_array
                         out.append(b"\x03" + bytes([13]))
                         out.append(struct.pack("<Q", m[f"fahd:{s.name}"]))

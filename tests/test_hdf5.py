@@ -197,13 +197,21 @@ def test_real_netcdf4_ingest_end_to_end(spark, tmp_path):
         ("fixed_array", False, False),
         ("fixed_array", True, False),
         ("fixed_array", True, True),
+        ("extensible_array", False, False),
+        ("extensible_array", True, False),
+        ("extensible_array", True, True),
+        ("btree2", False, False),
+        ("btree2", True, False),
+        ("btree2", True, True),
     ],
 )
 def test_hdf5_v4_chunk_indexes(sb, idx, compress, shuffle):
-    """HDF5 ≥1.10 'latest format' version-4 layout message: Single Chunk /
-    Implicit / Fixed Array (filtered and not) roundtrip exactly, including
-    a chunk grid that does not divide the shape (edge-chunk clipping) —
-    closes the round-5 residual gap #2 for fixed-shape datasets."""
+    """HDF5 ≥1.10 'latest format' version-4 layout message: all five chunk
+    indexes (filtered and not) roundtrip exactly, including a chunk grid
+    that does not divide the shape (edge-chunk clipping). Single Chunk /
+    Implicit / Fixed Array closed the round-5 residual gap #2 for
+    fixed-shape datasets; Extensible Array / v2 B-tree (round 7) close
+    the unlimited-dimension half."""
     rng = np.random.default_rng(17)
     a = rng.normal(0, 9, (7, 9)).astype("<f4")
     b = rng.integers(-500, 500, (5,)).astype("<i2")
@@ -219,32 +227,56 @@ def test_hdf5_v4_chunk_indexes(sb, idx, compress, shuffle):
 
 
 def test_hdf5_v4_gates():
-    """The unlimited-dimension v4 indexes stay loudly gated."""
+    """Unknown v4 index types stay loudly gated."""
     base = write_hdf5(
         [H5WriteSpec("a", np.arange(12, dtype="<f4").reshape(3, 4))],
         layout="chunked", chunk_index="fixed_array", chunks={"a": (2, 2)},
     )
-    # patch the index-type byte (0x03 right after the v4 dims) to 4
-    # (Extensible Array): locate the layout message by its unique prefix
+    # patch the index-type byte (0x03 right after the v4 dims) to 6 (no
+    # such index exists): locate the layout message by its unique prefix
     import struct as _s
 
     prefix = _s.pack("<BBBBB", 4, 2, 0, 3, 8) + _s.pack("<3Q", 2, 2, 4)
     pos = base.index(prefix) + len(prefix)
-    patched = base[:pos] + b"\x04" + base[pos + 1 :]
-    with pytest.raises(NotImplementedError, match="Extensible Array"):
+    patched = base[:pos] + b"\x06" + base[pos + 1 :]
+    with pytest.raises(NotImplementedError, match="index type 6"):
         read_hdf5(patched)
 
 
-def test_netcdf4_v4_latest_format_end_to_end():
+def test_hdf5_extensible_array_growth_schedule():
+    """The Extensible Array element→block mapping across its growth
+    schedule: ≤4 chunks live in the index block alone, ≤244 span the six
+    directly-addressed data blocks, and past 244 the reader must walk
+    EASB super blocks (the shape a long time-unlimited append history
+    produces). Boundary counts hit each transition exactly."""
+    for n in (1, 4, 5, 20, 52, 243, 244, 300, 499):
+        arr = np.arange(n * 2, dtype="<i4").reshape(n, 2)
+        buf = write_hdf5(
+            [H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+            chunk_index="extensible_array", chunks={"x": (1, 2)},
+            compress=(n % 2 == 0),
+        )
+        if n > 244:
+            assert b"EASB" in buf  # super blocks actually exercised
+        back = read_hdf5(buf)
+        assert np.array_equal(back["x"].data, arr), n
+
+
+@pytest.mark.parametrize(
+    "chunk_index", ["fixed_array", "extensible_array", "btree2"]
+)
+def test_netcdf4_v4_latest_format_end_to_end(chunk_index):
     """A NetCDF-4 grid written entirely in the 1.10 latest format (v2
-    superblock + v4 Fixed Array chunk index + shuffle+deflate) decodes
-    through the FULL ingest path, dimension scales included."""
+    superblock + a v4 chunk index + shuffle+deflate) decodes through the
+    FULL ingest path, dimension scales included. ``extensible_array`` is
+    the index a time-UNLIMITED grid gets (every appendable climate
+    archive); ``btree2`` covers ≥2 unlimited dims."""
     from amazon_climate_data_etl_spark.sources.ingest import decode_classic_long
 
     nc, vals = _grid_ncfile(nlat=4, nlon=3)
     buf = write_netcdf4(
         nc, superblock=2, layout="chunked", compress=True, shuffle=True,
-        chunk_index="fixed_array",
+        chunk_index=chunk_index,
     )
     long = decode_classic_long(buf, "Tmax")
     assert len(long) == 2 * 4 * 3
@@ -272,7 +304,9 @@ def test_hdf5_roundtrip_property():
         sb = draw(st.sampled_from([0, 2]))
         layout = draw(st.sampled_from(["contiguous", "chunked"]))
         chunk_index = (
-            draw(st.sampled_from(["btree1", "single", "implicit", "fixed_array"]))
+            draw(st.sampled_from(["btree1", "single", "implicit",
+                                  "fixed_array", "extensible_array",
+                                  "btree2"]))
             if layout == "chunked"
             else "btree1"
         )
@@ -290,9 +324,16 @@ def test_hdf5_roundtrip_property():
                 data = rng.normal(size=shape).astype(dt)
             specs.append(H5WriteSpec(f"v{i}", data, {"idx": np.int32(i)}))
             if layout == "chunked":
-                chunks[f"v{i}"] = tuple(
-                    draw(st.integers(1, s)) for s in shape
-                )
+                cdims = tuple(draw(st.integers(1, s)) for s in shape)
+                if chunk_index == "btree2":
+                    # one-leaf writer cap (~46 filtered rank-3 records):
+                    # grow chunk dims until the grid fits
+                    while int(np.prod(
+                        [-(-s // c) for s, c in zip(shape, cdims)]
+                    )) > 40:
+                        cdims = tuple(min(c * 2, s)
+                                      for c, s in zip(cdims, shape))
+                chunks[f"v{i}"] = cdims
         return specs, sb, layout, compress, shuffle, chunks, chunk_index
 
     @given(case=cases())
