@@ -33,6 +33,11 @@ archives are migrating; https://zarr-specs.readthedocs.io/, v3 core):
 - ``chunk_grid`` name ``regular``; ``chunk_key_encoding`` ``default``
   (``c/0/1`` keys, '/' or '.' separator) and ``v2`` (bare ``0.1`` keys)
 - codec chains ``[bytes]`` and ``[bytes, gzip]``; both endians
+- the ``sharding_indexed`` codec (ZEP 2): each stored object is one
+  SHARD of many inner chunks behind a crc32c-checked ``(offset, nbytes)``
+  index (start- or end-located) — the layout cloud archives use to keep
+  object counts down; pure-Python CRC-32C included. A shard is still one
+  independently decodable object, so the chunk-parallel plan holds.
 - missing chunks read as ``fill_value``; edge chunks stored full-size
 The chunk-parallel distributed ingest design carries over UNCHANGED: a
 v3 variable is still independent chunk objects under the array prefix,
@@ -40,9 +45,9 @@ so the same binaryFile-scan → per-task decode plan applies
 (``ingest.ingest_zarr_to_parquet`` is version-agnostic via this module).
 
 Everything else FAILS LOUDLY with a pointer at the full ``zarr`` library:
-F order, filter chains, blosc/zstd/lz4/crc32c codecs, transpose and
-sharding codecs, structured/string dtypes. Same fail-loud posture as
-``hdf5_min.py`` / ``crs_min.py``.
+F order, filter chains, blosc/zstd/lz4 codecs, the transpose codec,
+structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
+``crs_min.py``.
 """
 
 from __future__ import annotations
@@ -68,13 +73,18 @@ def _gate(msg: str) -> NotImplementedError:
 @dataclass
 class ZarrMeta:
     shape: tuple[int, ...]
-    chunks: tuple[int, ...]
+    chunks: tuple[int, ...]  # stored-object grid: the SHARD shape if sharded
     dtype: np.dtype
     fill_value: object
-    compressor_id: str | None  # None = raw
+    compressor_id: str | None  # None = raw (inner chain when sharded)
     separator: str
     version: int = 2
     key_prefix: str = ""  # v3 'default' chunk-key encoding prepends 'c'
+    # v3 sharding_indexed codec (None = unsharded): inner chunk shape,
+    # 'start'/'end' index placement, crc32c on the index
+    inner_chunks: tuple[int, ...] | None = None
+    index_location: str = "end"
+    index_crc32c: bool = True
 
 
 def parse_zarray(raw: bytes) -> ZarrMeta:
@@ -154,6 +164,31 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
     if sep not in (".", "/"):
         raise _gate(f"chunk-key separator {sep!r}")
     codecs = meta.get("codecs") or []
+    inner_chunks, index_location, index_crc32c = None, "end", True
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # ZEP 2: the chunk-grid shape is the SHARD; inner chunks tile it
+        cfg = codecs[0].get("configuration", {})
+        inner_chunks = tuple(int(c) for c in cfg["chunk_shape"])
+        if len(inner_chunks) != len(chunks) or any(
+            s % i for s, i in zip(chunks, inner_chunks)
+        ):
+            raise ValueError(
+                f"inner chunk shape {inner_chunks} does not evenly divide "
+                f"the shard shape {chunks}"
+            )
+        index_location = cfg.get("index_location", "end")
+        if index_location not in ("start", "end"):
+            raise _gate(f"index_location {index_location!r}")
+        idx_names = [c.get("name") for c in cfg.get("index_codecs") or []]
+        if idx_names not in (["bytes"], ["bytes", "crc32c"]):
+            raise _gate(f"shard index codecs {idx_names!r}")
+        index_crc32c = idx_names == ["bytes", "crc32c"]
+        for c in cfg.get("index_codecs") or []:
+            if c.get("name") == "bytes" and c.get("configuration", {}).get(
+                "endian", "little"
+            ) != "little":
+                raise _gate("big-endian shard index")
+        codecs = cfg.get("codecs") or []
     names = [c.get("name") for c in codecs]
     if not names or names[0] != "bytes" or any(
         n not in ("bytes", "gzip") for n in names
@@ -174,7 +209,9 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
     dims = meta.get("dimension_names")
     return (
         ZarrMeta(shape, chunks, dt, fill, "gzip" if "gzip" in names else None,
-                 sep, version=3, key_prefix=prefix),
+                 sep, version=3, key_prefix=prefix,
+                 inner_chunks=inner_chunks, index_location=index_location,
+                 index_crc32c=index_crc32c),
         meta.get("attributes") or {},
         list(dims) if dims else None,
     )
@@ -198,13 +235,82 @@ def _load_array_meta(path: str) -> tuple[ZarrMeta, dict]:
     raise FileNotFoundError(f"{path}: neither .zarray (v2) nor zarr.json (v3)")
 
 
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum the
+    v3 ``crc32c`` codec appends to shard indexes. Table-driven pure
+    Python; shard indexes are 16 bytes per inner chunk, so this never
+    sees bulk data."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    c = 0xFFFFFFFF
+    for b in data:
+        c = (c >> 8) ^ _CRC32C_TABLE[(c ^ b) & 0xFF]
+    return c ^ 0xFFFFFFFF
+
+
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
+
+
+def _inner_grid(meta: ZarrMeta):
+    counts = [s // i for s, i in zip(meta.chunks, meta.inner_chunks)]
+    return counts, list(product(*(range(n) for n in counts)))
+
+
+def _decode_inner(raw: bytes, meta: ZarrMeta) -> bytes:
+    if meta.compressor_id == "zlib":
+        return zlib.decompress(raw)
+    if meta.compressor_id == "gzip":
+        return zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+    return raw
+
+
 def decode_chunk(raw: bytes, meta: ZarrMeta) -> np.ndarray:
     """One stored chunk object → full-size chunk array (edge trimming is
-    the caller's job — stored chunks are always whole, per spec)."""
-    if meta.compressor_id == "zlib":
-        raw = zlib.decompress(raw)
-    elif meta.compressor_id == "gzip":
-        raw = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+    the caller's job — stored chunks are always whole, per spec). A
+    sharded store's object is a whole SHARD: inner chunks are sliced out
+    via the shard index and assembled (missing → fill_value)."""
+    if meta.inner_chunks is not None:
+        counts, grid = _inner_grid(meta)
+        idx_size = 16 * len(grid) + (4 if meta.index_crc32c else 0)
+        if len(raw) < idx_size:
+            raise ValueError(f"shard of {len(raw)} bytes cannot hold its "
+                             f"{idx_size}-byte index")
+        idx_raw = (raw[:idx_size] if meta.index_location == "start"
+                   else raw[-idx_size:])
+        if meta.index_crc32c:
+            body, tail = idx_raw[:-4], idx_raw[-4:]
+            if crc32c(body) != int.from_bytes(tail, "little"):
+                raise ValueError("shard index crc32c mismatch")
+            idx_raw = body
+        table = np.frombuffer(idx_raw, dtype="<u8").reshape(len(grid), 2)
+        out = np.full(
+            meta.chunks,
+            meta.fill_value if meta.fill_value is not None else 0,
+            dtype=meta.dtype,
+        )
+        inner = ZarrMeta(meta.inner_chunks, meta.inner_chunks, meta.dtype,
+                         meta.fill_value, meta.compressor_id, meta.separator)
+        for (off, nbytes), pos in zip(table.tolist(), grid):
+            if off == _SHARD_MISSING and nbytes == _SHARD_MISSING:
+                continue
+            block = decode_chunk(raw[off : off + nbytes], inner)
+            sel = tuple(
+                slice(p * c, (p + 1) * c)
+                for p, c in zip(pos, meta.inner_chunks)
+            )
+            out[sel] = block
+        return out
+    raw = _decode_inner(raw, meta)
     n = int(np.prod(meta.chunks))
     if len(raw) != n * meta.dtype.itemsize:
         raise ValueError(
@@ -214,6 +320,27 @@ def decode_chunk(raw: bytes, meta: ZarrMeta) -> np.ndarray:
 
 
 def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
+    if meta.inner_chunks is not None:
+        counts, grid = _inner_grid(meta)
+        inner = ZarrMeta(meta.inner_chunks, meta.inner_chunks, meta.dtype,
+                         meta.fill_value, meta.compressor_id, meta.separator)
+        idx_size = 16 * len(grid) + (4 if meta.index_crc32c else 0)
+        payloads, table = [], []
+        offset = idx_size if meta.index_location == "start" else 0
+        for pos in grid:
+            sel = tuple(
+                slice(p * c, (p + 1) * c)
+                for p, c in zip(pos, meta.inner_chunks)
+            )
+            enc = encode_chunk(np.ascontiguousarray(block[sel]), inner)
+            table.append((offset, len(enc)))
+            payloads.append(enc)
+            offset += len(enc)
+        idx = np.asarray(table, dtype="<u8").tobytes()
+        if meta.index_crc32c:
+            idx += crc32c(idx).to_bytes(4, "little")
+        body = b"".join(payloads)
+        return idx + body if meta.index_location == "start" else body + idx
     raw = np.ascontiguousarray(block, dtype=meta.dtype).tobytes()
     if meta.compressor_id == "zlib":
         return zlib.compress(raw)
@@ -370,11 +497,27 @@ def write_zarr_v3_array(
     separator: str = "/",
     attrs: dict | None = None,
     dimension_names: list | None = None,
+    shards: tuple[int, ...] | None = None,
+    index_location: str = "end",
 ) -> None:
     """Write one array as a v3 store (test/fixture writer; also proof the
-    v3 reader's understanding of the spec is real, not fit-to-fixture)."""
+    v3 reader's understanding of the spec is real, not fit-to-fixture).
+
+    ``shards`` turns on the ``sharding_indexed`` codec (ZEP 2): each
+    stored object is one shard of that shape, tiled by ``chunks``-shaped
+    inner chunks behind a crc32c-checked binary index — the layout cloud
+    archives use to keep object counts down without giving up sub-object
+    reads."""
     arr = np.asarray(arr)
     chunks = tuple(chunks) if chunks else arr.shape
+    if shards is not None:
+        shards = tuple(shards)
+        if len(shards) != len(chunks) or any(
+            s % c for s, c in zip(shards, chunks)
+        ):
+            raise ValueError(
+                f"chunks {chunks} must evenly divide shards {shards}"
+            )
     os.makedirs(path, exist_ok=True)
     base = arr.dtype.str.lstrip("<>|=")
     if base not in _V3_DTYPE_NAMES:
@@ -385,6 +528,19 @@ def write_zarr_v3_array(
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if compress:
         codecs.append({"name": "gzip", "configuration": {"level": 6}})
+    if shards is not None:
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": index_location,
+            },
+        }]
     node = {
         "zarr_format": 3,
         "node_type": "array",
@@ -392,7 +548,7 @@ def write_zarr_v3_array(
         "data_type": _V3_DTYPE_NAMES[base],
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": list(chunks)},
+            "configuration": {"chunk_shape": list(shards or chunks)},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -408,9 +564,12 @@ def write_zarr_v3_array(
         json.dump(node, f)
     le = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     meta = ZarrMeta(
-        arr.shape, chunks, le, fill_value,
+        arr.shape, shards or chunks, le, fill_value,
         "gzip" if compress else None, separator, version=3, key_prefix="c",
+        inner_chunks=chunks if shards is not None else None,
+        index_location=index_location,
     )
+    chunks = shards or chunks  # stored-object shape for the write loop
     for _, key, slices in chunk_grid(meta):
         block = np.full(
             chunks, fill_value if fill_value is not None else 0, dtype=le

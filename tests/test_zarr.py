@@ -426,7 +426,20 @@ def test_v3_nan_fill_json_roundtrip(tmp_path):
         {"codecs": [{"name": "bytes"}, {"name": "zstd"}]},
         {"codecs": [{"name": "bytes"}, {"name": "blosc"}]},
         {"codecs": [{"name": "transpose"}, {"name": "bytes"}]},
-        {"codecs": [{"name": "sharding_indexed"}]},
+        # sharding corners: bad index location / index codecs / inner chain
+        {"codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2],
+            "codecs": [{"name": "bytes"}],
+            "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+            "index_location": "middle"}}]},
+        {"codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2],
+            "codecs": [{"name": "bytes"}],
+            "index_codecs": [{"name": "zstd"}]}}]},
+        {"codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2],
+            "codecs": [{"name": "bytes"}, {"name": "zstd"}],
+            "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}]}}]},
         {"data_type": "complex64"},
         {"data_type": "r8"},
     ],
@@ -518,3 +531,127 @@ def test_ingest_zarr_v2_v3_cross_version_twin(spark, tmp_path):
     ingest_zarr_to_parquet(spark, str(s2), out2, "tmax")
     ingest_zarr_to_parquet(spark, str(s3), out3, "tmax")
     assert _ingested_rows(spark, out2) == _ingested_rows(spark, out3)
+
+# --- Zarr v3 sharding_indexed codec (round 7) -------------------------------
+
+
+def test_crc32c_known_vectors():
+    """The pure-Python CRC-32C against the RFC 3720 test vectors."""
+    from amazon_climate_data_etl_spark.sources.zarr_min import crc32c
+
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(bytes([0xFF]) * 32) == 0x62A8AB43
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("index_location", ["end", "start"])
+@pytest.mark.parametrize(
+    "shape,chunks,shards",
+    [
+        ((12, 8), (2, 2), (4, 4)),
+        ((10, 7), (3, 2), (6, 4)),  # edge shards clip against the shape
+        ((30,), (5,), (10,)),
+    ],
+)
+def test_v3_sharded_roundtrip(tmp_path, compress, index_location, shape,
+                              chunks, shards):
+    """sharding_indexed stores: inner chunks behind a crc32c-checked
+    (offset, nbytes) index, start- or end-located, raw or gzip inner
+    chain, edge shards included."""
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    rng = np.random.default_rng(23)
+    arr = rng.normal(0, 5, shape).astype("<f4")
+    p = str(tmp_path / "a")
+    write_zarr_v3_array(p, arr, chunks=chunks, shards=shards,
+                        compress=compress, index_location=index_location,
+                        fill_value=0.0)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_v3_shard_index_corruption_fails_loudly(tmp_path):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    p = tmp_path / "a"
+    arr = np.arange(16, dtype="<i4").reshape(4, 4)
+    write_zarr_v3_array(str(p), arr, chunks=(2, 2), shards=(4, 4),
+                        compress=False)
+    shard = p / "c" / "0" / "0"
+    blob = bytearray(shard.read_bytes())
+    blob[-1] ^= 0xFF  # flip a byte of the end-located index checksum
+    shard.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="crc32c"):
+        read_zarr_array(str(p))
+
+
+def test_v3_sharded_missing_inner_chunk_reads_fill(tmp_path):
+    """An all-ones offset/nbytes pair marks an unwritten inner chunk; the
+    reader fills it — sparse writes inside a shard, per ZEP 2."""
+    from amazon_climate_data_etl_spark.sources.zarr_min import (
+        _SHARD_MISSING, crc32c, write_zarr_v3_array)
+
+    p = tmp_path / "a"
+    arr = np.arange(16, dtype="<i4").reshape(4, 4)
+    write_zarr_v3_array(str(p), arr, chunks=(2, 2), shards=(4, 4),
+                        compress=False, fill_value=-9)
+    shard = p / "c" / "0" / "0"
+    blob = bytearray(shard.read_bytes())
+    # 4 inner chunks -> 68-byte end index; mark inner chunk (1, 1) missing
+    idx = np.frombuffer(bytes(blob[-68:-4]), dtype="<u8").reshape(4, 2).copy()
+    idx[3] = (_SHARD_MISSING, _SHARD_MISSING)
+    body = idx.tobytes()
+    blob[-68:] = body + crc32c(body).to_bytes(4, "little")
+    shard.write_bytes(bytes(blob))
+    got = read_zarr_array(str(p))
+    exp = arr.copy()
+    exp[2:, 2:] = -9
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_v3_missing_whole_shard_reads_fill(tmp_path):
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_array
+
+    p = tmp_path / "a"
+    arr = np.ones((8,), dtype="<f8")
+    write_zarr_v3_array(str(p), arr, chunks=(2,), shards=(4,),
+                        fill_value=-5.0)
+    (p / "c" / "1").unlink()
+    got = read_zarr_array(str(p))
+    np.testing.assert_array_equal(got, np.r_[np.ones(4), np.full(4, -5.0)])
+
+
+def test_ingest_zarr_v3_sharded_chunk_parallel(spark, tmp_path):
+    """The distributed ingest over a SHARDED v3 store: each task decodes
+    one whole shard object (the chunk-parallel plan is unchanged — a
+    shard is still one independently decodable object), and the result
+    matches the unsharded twin row for row."""
+    from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
+    from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_group
+
+    rng = np.random.default_rng(11)
+    nt, nlat, nlon = 6, 5, 4
+    lat = np.linspace(2.0, -6.0, nlat)
+    lon = np.linspace(-73.0, -60.0, nlon)
+    tvals = np.arange(nt, dtype="<f8")
+    cube = np.round(rng.uniform(15, 35, (nt, nlat, nlon)), 2)
+    store = tmp_path / "sharded.zarr"
+    write_zarr_v3_group(
+        str(store),
+        {
+            "time": (tvals, {"attrs": {"units": "days since 2001-02-27",
+                                       "calendar": "standard"},
+                             "dimension_names": ["time"]}),
+            "lat": (lat, {"dimension_names": ["lat"]}),
+            "lon": (lon, {"dimension_names": ["lon"]}),
+            "tmax": (cube, {"dimension_names": ["time", "lat", "lon"],
+                            "chunks": (2, 1, 2), "shards": (4, 2, 4)}),
+        },
+    )
+    out = str(tmp_path / "grid_sharded")
+    ingest_zarr_to_parquet(spark, str(store), out, "tmax")
+    got = _ingested_rows(spark, out)
+    dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
+    exp = _expected_long(cube, dates, lat, lon)
+    assert got == exp
