@@ -32,11 +32,14 @@ Reader surface:
   past its compact phase-change thresholds (8 attrs / 8 links), i.e. the
   shape real NetCDF-4 files written with ``H5F_LIBVER_LATEST`` carry.
 
+v2 B-trees read at ANY depth (round 7: BTIN internal nodes with the
+published pointer-width arithmetic — records interleave between child
+pointers); the writer emits up to depth 1, which covers ~7000 records.
+
 Anything outside this raises ``NotImplementedError`` with a pointer at the
 full-featured (h5py/xarray) path: filtered fractal heaps, indirect heap
-sub-blocks, huge/tiny heap IDs, v2 B-trees deeper than the root leaf
-(>100 attrs / >180 links / ~60 chunk records at default node size),
-paged Fixed/Extensible Array data blocks (~16k+ chunks per dataset),
+sub-blocks, huge/tiny heap IDs, paged Fixed/Extensible Array data blocks
+(≳131k chunks per dataset at libhdf5's default creation parameters),
 compound/array datatypes in dataset data, and exotic filters.
 
 The writer emits spec-valid files in BOTH flavors libhdf5 produces —
@@ -438,13 +441,20 @@ class _H5Reader:
         return get
 
     def _v2_btree_records(self, addr: int, exp_type: int) -> list[bytes]:
-        """All records of a v2 B-tree, depth 0 (single root leaf — holds
-        >100 attribute / >180 link records at libhdf5's default node size
-        before the tree ever splits). Deeper trees gate loudly."""
+        """All records of a v2 B-tree, ANY depth, in tree order. Internal
+        (BTIN) nodes hold real records interleaved between child pointers
+        (child 0, record 0, child 1, ...); on disk the records come first,
+        then the ``nrec + 1`` child pointers, each ``addr + nrec-in-child``
+        (+ total-records-in-subtree below depth 1). The pointer field
+        widths follow the published size arithmetic: the per-node record
+        count is encoded in enough bytes for a LEAF's maximum (leaves
+        hold the most records), and each level's total-count width comes
+        from the cumulative maximum of the level below."""
         buf = self.buf
         if buf[addr : addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
         btype = buf[addr + 5]
+        node_size, = struct.unpack_from("<I", buf, addr + 6)
         rec_size, = struct.unpack_from("<H", buf, addr + 10)
         depth, = struct.unpack_from("<H", buf, addr + 12)
         root, = struct.unpack_from("<Q", buf, addr + 16)
@@ -453,17 +463,52 @@ class _H5Reader:
             raise ValueError(f"v2 B-tree type {btype}, expected {exp_type}")
         if nrec == 0:
             return []
-        if depth != 0:
-            raise NotImplementedError(
-                f"v2 B-tree depth {depth} not supported (needs the h5py path)"
-            )
-        if buf[root : root + 4] != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf signature")
-        pos = root + 6
-        return [
-            bytes(buf[pos + i * rec_size : pos + (i + 1) * rec_size])
-            for i in range(nrec)
-        ]
+        # per-depth capacity table (leaf = depth 0), mirroring libhdf5's
+        # H5B2 header init so pointer widths match real files exactly
+        def enc_size(limit: int) -> int:
+            return (limit.bit_length() - 1) // 8 + 1 if limit else 1
+
+        leaf_max = (node_size - 10) // rec_size
+        max_nrec_size = enc_size(leaf_max)
+        cum_max = [leaf_max]       # cumulative max records per subtree
+        cum_size = [0]             # bytes of the total-count pointer field
+        for d in range(1, depth + 1):
+            ptr = 8 + max_nrec_size + cum_size[d - 1]
+            int_max = (node_size - 10 - ptr) // (rec_size + ptr)
+            cum_max.append((int_max + 1) * cum_max[d - 1] + int_max)
+            cum_size.append(enc_size(cum_max[d]))
+
+        def walk(node_addr: int, d: int, count: int) -> list[bytes]:
+            if d == 0:
+                if buf[node_addr : node_addr + 4] != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                pos = node_addr + 6
+                return [
+                    bytes(buf[pos + i * rec_size : pos + (i + 1) * rec_size])
+                    for i in range(count)
+                ]
+            if buf[node_addr : node_addr + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node signature")
+            pos = node_addr + 6
+            recs = [
+                bytes(buf[pos + i * rec_size : pos + (i + 1) * rec_size])
+                for i in range(count)
+            ]
+            pos += count * rec_size
+            ptr_size = 8 + max_nrec_size + (cum_size[d - 1] if d > 1 else 0)
+            out: list[bytes] = []
+            for i in range(count + 1):
+                caddr, = struct.unpack_from("<Q", buf, pos)
+                cnrec = int.from_bytes(
+                    buf[pos + 8 : pos + 8 + max_nrec_size], "little"
+                )
+                pos += ptr_size
+                out.extend(walk(caddr, d - 1, cnrec))
+                if i < count:
+                    out.append(recs[i])
+            return out
+
+        return walk(root, depth, nrec)
 
     def _dense_attributes(self, fheap_addr: int, btree_addr: int) -> dict:
         """Dense attribute storage: v2 B-tree type-8 records (heap ID in
@@ -1219,24 +1264,82 @@ def write_hdf5(
         return heap_ids
 
     def add_dense_btree(prefix: str, btype: int, records: list[bytes]) -> None:
-        """Register a depth-0 v2 B-tree (header + single root leaf)."""
-        rec_size = len(records[0])
+        """Register a v2 B-tree over sorted records: depth 0 (header +
+        root leaf) while they fit one leaf, else depth 1 (root internal
+        node with separator records between evenly-filled leaves) — the
+        shape libhdf5 splits into past ~119 attrs / ~185 links / ~63
+        chunk records at the default 2048-byte node size. Two levels
+        bound: depth 2 would need ~7000 records in one dense store.
+        Records may be bytes or ``m -> bytes`` builders (chunk records
+        embed addresses); either way their width must be fixed."""
+
+        def mat(rec, m):
+            return rec(m) if callable(rec) else rec
+
+        rec_size = len(mat(records[0], _DummyAddr()))
+        node_size = 2048
+        leaf_max = (node_size - 10) // rec_size
+        max_nrec_size = (leaf_max.bit_length() - 1) // 8 + 1
+        n = len(records)
+
+        def leaf(recs):
+            def btlf(m, recs=recs):
+                blob = b"BTLF" + struct.pack("<BB", 0, btype) + b"".join(
+                    mat(r, m) for r in recs
+                )
+                return blob + struct.pack("<I", _lookup3(blob))
+            return btlf
+
+        if n <= leaf_max:
+            root_key, root_nrec = prefix + "btlf", n
+            add_block(root_key, leaf(records))
+        else:
+            ptr = 8 + max_nrec_size
+            int_max = (node_size - 10 - ptr) // (rec_size + ptr)
+            nleaves = -(-(n + 1) // (leaf_max + 1))
+            if nleaves - 1 > int_max:
+                raise NotImplementedError(
+                    f"writer: {n} records need a depth-2 v2 B-tree"
+                )
+            in_leaves = n - (nleaves - 1)
+            base, rem = divmod(in_leaves, nleaves)
+            leaf_counts = [base + (1 if i < rem else 0)
+                           for i in range(nleaves)]
+            pos, seps, leaf_keys = 0, [], []
+            for i, c in enumerate(leaf_counts):
+                key = f"{prefix}btlf{i}"
+                add_block(key, leaf(records[pos : pos + c]))
+                leaf_keys.append((key, c))
+                pos += c
+                if i < nleaves - 1:
+                    seps.append(records[pos])
+                    pos += 1
+
+            def btin(m, seps=seps, leaf_keys=leaf_keys):
+                blob = (
+                    b"BTIN" + struct.pack("<BB", 0, btype)
+                    + b"".join(mat(r, m) for r in seps)
+                    + b"".join(
+                        struct.pack("<Q", m[k])
+                        + c.to_bytes(max_nrec_size, "little")
+                        for k, c in leaf_keys
+                    )
+                )
+                return blob + struct.pack("<I", _lookup3(blob))
+
+            root_key, root_nrec = prefix + "btin", nleaves - 1
+            add_block(root_key, btin)
 
         def bthd(m):
             head = (
                 b"BTHD"
-                + struct.pack("<BBIHHBB", 0, btype, 2048, rec_size, 0, 100, 40)
-                + struct.pack("<QHQ", m[prefix + "btlf"], len(records),
-                              len(records))
+                + struct.pack("<BBIHHBB", 0, btype, node_size, rec_size,
+                              0 if n <= leaf_max else 1, 100, 40)
+                + struct.pack("<QHQ", m[root_key], root_nrec, n)
             )
             return head + struct.pack("<I", _lookup3(head))
 
-        def btlf(m):
-            blob = b"BTLF" + struct.pack("<BB", 0, btype) + b"".join(records)
-            return blob + struct.pack("<I", _lookup3(blob))
-
         add_block(prefix + "bt", bthd)
-        add_block(prefix + "btlf", btlf)
 
     data_info: dict[str, dict] = {}
     for s in specs:
@@ -1457,46 +1560,29 @@ def write_hdf5(
             elif chunk_index == "btree2":
                 bt2_type = 11 if filters else 10
                 rank = arr.ndim
-                rec_size = (8 + 8 * rank) if bt2_type == 10 else (
-                    8 + 8 + 4 + 8 * rank
-                )
-                if len(chunk_keys) > (2048 - 10) // rec_size:
-                    raise ValueError(
-                        "writer: chunk count exceeds one v2 B-tree leaf"
-                    )
 
-                def bt2_rec(m, entry, cs=cshape, rank=rank, bt=bt2_type):
+                def bt2_rec(entry, cs=cshape, rank=rank, bt=bt2_type):
                     origin, nbytes, key = entry
-                    scaled = tuple(o // c for o, c in zip(origin, cs))
-                    if bt == 10:
-                        return struct.pack("<Q", m[key]) + struct.pack(
-                            f"<{rank}Q", *scaled
+
+                    def build(m):
+                        scaled = tuple(o // c for o, c in zip(origin, cs))
+                        if bt == 10:
+                            return struct.pack("<Q", m[key]) + struct.pack(
+                                f"<{rank}Q", *scaled
+                            )
+                        return (
+                            struct.pack("<QQI", m[key], nbytes, 0)
+                            + struct.pack(f"<{rank}Q", *scaled)
                         )
-                    return (
-                        struct.pack("<QQI", m[key], nbytes, 0)
-                        + struct.pack(f"<{rank}Q", *scaled)
-                    )
 
-                def bt2hd(m, nm=s.name, nrec=len(chunk_keys),
-                          rs=rec_size, bt=bt2_type):
-                    head = (
-                        b"BTHD"
-                        + struct.pack("<BBIHHBB", 0, bt, 2048, rs, 0,
-                                      100, 40)
-                        + struct.pack("<QHQ", m[f"bt2lf:{nm}"], nrec, nrec)
-                    )
-                    return head + struct.pack("<I", _lookup3(head))
+                    return build
 
-                def bt2lf(m, ck=chunk_keys, bt=bt2_type, rec=bt2_rec):
-                    blob = (
-                        b"BTLF"
-                        + struct.pack("<BB", 0, bt)
-                        + b"".join(rec(m, e) for e in ck)
-                    )
-                    return blob + struct.pack("<I", _lookup3(blob))
-
-                add_block(f"bt2hd:{s.name}", bt2hd)
-                add_block(f"bt2lf:{s.name}", bt2lf)
+                # chunk_keys iterate the grid lexicographically by origin,
+                # which IS the scaled-offset record order the tree requires
+                add_dense_btree(
+                    f"bt2:{s.name}:", bt2_type,
+                    [bt2_rec(e) for e in chunk_keys],
+                )
             # 'single' and 'implicit' need no index structure: the layout
             # message itself carries the (first) chunk address
         else:
@@ -1553,7 +1639,7 @@ def write_hdf5(
                         out.append(struct.pack("<Q", m[f"eahd:{s.name}"]))
                     elif idx == "btree2":
                         out.append(b"\x05" + struct.pack("<IBB", 2048, 100, 40))
-                        out.append(struct.pack("<Q", m[f"bt2hd:{s.name}"]))
+                        out.append(struct.pack("<Q", m[f"bt2:{s.name}:bt"]))
                     else:  # fixed_array
                         out.append(b"\x03" + bytes([13]))
                         out.append(struct.pack("<Q", m[f"fahd:{s.name}"]))

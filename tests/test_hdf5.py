@@ -406,8 +406,9 @@ def test_dense_netcdf4_latest_format_end_to_end():
 
 
 def test_dense_many_attrs_indirect_capable_and_gates():
-    """Dense-storage gates stay loud: deeper v2 B-trees, filtered heaps,
-    and huge/tiny heap IDs all point at the h5py path."""
+    """Dense-storage corruption and gates stay loud: a depth field that
+    disagrees with the node signatures, filtered heaps, and huge/tiny
+    heap IDs all fail with pointed errors."""
     import struct as _s
 
     specs = [
@@ -417,10 +418,11 @@ def test_dense_many_attrs_indirect_capable_and_gates():
     blob = write_hdf5(specs, superblock=2, dense_attrs=True)
     assert len(read_hdf5(blob)["a"].attrs) == 40  # one direct block, 40 objs
 
-    # depth > 0 B-tree: patch the BTHD depth field (offset 12 after sig)
+    # depth that lies about the node type: patch BTHD depth (offset 12)
+    # to 1 over a root LEAF — the walker must refuse the signature
     pos = blob.index(b"BTHD")
     patched = blob[:pos + 12] + _s.pack("<H", 1) + blob[pos + 14:]
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="internal node signature"):
         read_hdf5(patched)
 
     # filtered fractal heap: patch the FRHP I/O-filter length (offset 7)
@@ -441,4 +443,60 @@ def test_dense_requires_latest_format():
         write_hdf5(
             [H5WriteSpec("a", np.arange(3, dtype="<f8"), attrs={"x": 1.0})],
             superblock=0, dense_attrs=True,
+        )
+
+
+# --- depth-1 v2 B-trees (round 7: past-one-leaf dense stores) ----------------
+
+
+def test_v2_btree_depth1_dense_attrs_and_links():
+    """Dense stores past one leaf's capacity (~119 attrs / ~185 links at
+    the 2048-byte node size) split into a depth-1 tree: root BTIN with
+    separator records between leaves. 150 attrs + 200 root links
+    roundtrip, and the records the walker returns stay name-complete."""
+    attrs = {f"a{i:03d}": np.int32(i) for i in range(150)}
+    buf = write_hdf5(
+        [H5WriteSpec("x", np.arange(4, dtype="<f8"), attrs)],
+        superblock=2, dense_attrs=True,
+    )
+    assert b"BTIN" in buf
+    back = read_hdf5(buf)
+    assert len(back["x"].attrs) == 150
+    assert all(back["x"].attrs[f"a{i:03d}"] == i for i in range(150))
+
+    specs = [
+        H5WriteSpec(f"d{i:03d}", np.full((2,), i, dtype="<i4"))
+        for i in range(200)
+    ]
+    buf = write_hdf5(specs, superblock=2, dense_links=True)
+    assert b"BTIN" in buf
+    back = read_hdf5(buf)
+    assert len(back) == 200
+    assert back["d137"].data[0] == 137
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_v2_btree_depth1_chunk_index(compress):
+    """A btree2-indexed dataset past one leaf of chunk records (84
+    unfiltered / 56 filtered at rank 2) gets a depth-1 tree; every chunk
+    resolves through the internal node."""
+    a = np.arange(100, dtype="<f4").reshape(10, 10)
+    buf = write_hdf5(
+        [H5WriteSpec("a", a)], superblock=2, layout="chunked",
+        chunk_index="btree2", chunks={"a": (1, 1)}, compress=compress,
+    )
+    assert b"BTIN" in buf
+    assert np.array_equal(read_hdf5(buf)["a"].data, a)
+
+
+def test_v2_btree_depth2_writer_gate():
+    """Past depth 1 the writer gates loudly (readers handle any depth,
+    but thousands of records in one tree is past the emitted subset).
+    Rank-3 filtered chunk records (44 bytes) cap depth 1 at 1832, so a
+    13³ unit-chunk grid (2197 records) trips the gate."""
+    a = np.zeros((13, 13, 13), dtype="<u1")
+    with pytest.raises(NotImplementedError, match="depth-2"):
+        write_hdf5(
+            [H5WriteSpec("x", a)], superblock=2, layout="chunked",
+            chunk_index="btree2", chunks={"x": (1, 1, 1)}, compress=True,
         )
