@@ -9,13 +9,16 @@ what climate rasters actually use, and failing LOUDLY with a pointer at
 the full-featured library (rasterio/rioxarray) on format corners outside
 the subset:
 
-supported   little/big endian classic TIFF; single band; strip AND tile
+supported   little/big endian classic TIFF AND BigTIFF (round 7: magic
+            43, 8-byte offsets/counts, 20-byte IFD entries, LONG8/SLONG8
+            value types — the layout every >4 GB raster uses, i.e. any
+            continental-scale daily grid); single band; strip AND tile
             layouts; uint8/16/32, int16/32, float32/64 samples;
             compression none + DEFLATE (zlib, codes 8 and 32946) with
             horizontal-differencing predictor (2) for integer samples;
             PixelIsArea / PixelIsPoint raster space; geographic CRS
             GeoKeys; GDAL_NODATA → NaN
-gated       BigTIFF (43 magic), multi-band, LZW/JPEG/PackBits, planar
+gated       multi-band, LZW/JPEG/PackBits, planar
             configuration 2, floating-point predictor (3),
             ModelTransformation affine grids, projected model types
 
@@ -32,8 +35,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}  # 16-18: BigTIFF LONG8s
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 # tags
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
@@ -66,21 +71,32 @@ def _gate(msg: str) -> "NotImplementedError":
     )
 
 
-def _read_entries(buf: bytes, off: int, en: str) -> dict[int, tuple[int, int, int]]:
-    (n,) = struct.unpack_from(en + "H", buf, off)
-    out = {}
-    for k in range(n):
-        tag, typ, cnt = struct.unpack_from(en + "HHI", buf, off + 2 + 12 * k)
-        out[tag] = (typ, cnt, off + 2 + 12 * k + 8)
+def _read_entries(buf: bytes, off: int, en: str,
+                  big: bool = False) -> dict[int, tuple[int, int, int]]:
+    # classic: 2-byte count, 12-byte entries (4-byte count + value slot);
+    # BigTIFF: 8-byte count, 20-byte entries (8-byte count + value slot)
+    if big:
+        (n,) = struct.unpack_from(en + "Q", buf, off)
+        head, esize, cfmt = 8, 20, "HHQ"
+    else:
+        (n,) = struct.unpack_from(en + "H", buf, off)
+        head, esize, cfmt = 2, 12, "HHI"
+    out = {"_big": big}  # string key cannot collide with integer tags
+    for k in range(int(n)):
+        tag, typ, cnt = struct.unpack_from(en + cfmt, buf, off + head + esize * k)
+        out[tag] = (typ, int(cnt), off + head + esize * k + (12 if big else 8))
     return out
 
 
-def _values(buf: bytes, en: str, typ: int, cnt: int, vpos: int):
+def _values(buf: bytes, en: str, typ: int, cnt: int, vpos: int,
+            big: bool = False):
     size = _TYPE_SIZE.get(typ)
     if size is None:
         raise _gate(f"TIFF value type {typ}")
     total = size * cnt
-    pos = vpos if total <= 4 else struct.unpack_from(en + "I", buf, vpos)[0]
+    inline_cap, off_fmt = (8, "Q") if big else (4, "I")
+    pos = (vpos if total <= inline_cap
+           else struct.unpack_from(en + off_fmt, buf, vpos)[0])
     if typ == 2:  # ASCII, NUL-terminated
         return buf[pos : pos + cnt].split(b"\x00")[0].decode("ascii", "replace")
     if typ == 5:  # RATIONAL
@@ -94,7 +110,7 @@ def _tag(buf, en, entries, tag, default=None):
     if tag not in entries:
         return default
     typ, cnt, vpos = entries[tag]
-    v = _values(buf, en, typ, cnt, vpos)
+    v = _values(buf, en, typ, cnt, vpos, entries.get("_big", False))
     return v
 
 
@@ -144,12 +160,17 @@ def read_geotiff(content: bytes) -> GeoRaster:
     else:
         raise ValueError("not a TIFF (II/MM byte-order mark expected)")
     (magic,) = struct.unpack_from(en + "H", content, 2)
-    if magic == 43:
-        raise _gate("BigTIFF")
-    if magic != 42:
+    if magic == 43:  # BigTIFF: 8-byte offsets everywhere
+        offsize, zero = struct.unpack_from(en + "HH", content, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {offsize})")
+        (ifd_off,) = struct.unpack_from(en + "Q", content, 8)
+        e = _read_entries(content, ifd_off, en, big=True)
+    elif magic == 42:
+        (ifd_off,) = struct.unpack_from(en + "I", content, 4)
+        e = _read_entries(content, ifd_off, en)
+    else:
         raise ValueError(f"bad TIFF magic {magic}")
-    (ifd_off,) = struct.unpack_from(en + "I", content, 4)
-    e = _read_entries(content, ifd_off, en)
 
     width = _scalar(content, en, e, _W)
     height = _scalar(content, en, e, _H)
@@ -255,12 +276,15 @@ def write_geotiff(
     tile: tuple[int, int] | None = None,
     pixel_is_point: bool = False,
     epsg: int = 4326,
+    bigtiff: bool = False,
 ) -> bytes:
     """Single-band little-endian GeoTIFF. ``lat0``/``lon0`` are the CENTER
     of the top-left pixel; ``scale`` is the (square) pixel size in
     degrees. PixelIsArea by default (tiepoint written at the pixel
     corner), PixelIsPoint on request — both roundtrip to identical
-    center axes through ``read_geotiff``."""
+    center axes through ``read_geotiff``. ``bigtiff`` emits the magic-43
+    layout (8-byte offsets, 20-byte IFD entries, LONG8 block offsets and
+    counts) — byte-identical pixel payloads, >4 GB-capable structure."""
     data = np.asarray(data)
     if data.ndim != 2:
         raise ValueError("write_geotiff expects a 2-D single-band array")
@@ -321,26 +345,34 @@ def write_geotiff(
     ]
     if predictor:
         entries.append((_PREDICTOR, 3, [2]))
+    off_typ = 16 if bigtiff else 4  # LONG8 block offsets/counts in BigTIFF
     if tile:
         entries += [
             (_TILE_W, 3, [tile[0]]),
             (_TILE_H, 3, [tile[1]]),
-            (_TILE_OFF, 4, [0] * len(blocks)),   # patched below
-            (_TILE_CNT, 4, [len(b) for b in blocks]),
+            (_TILE_OFF, off_typ, [0] * len(blocks)),   # patched below
+            (_TILE_CNT, off_typ, [len(b) for b in blocks]),
         ]
     else:
         entries += [
-            (_STRIP_OFF, 4, [0] * len(blocks)),  # patched below
+            (_STRIP_OFF, off_typ, [0] * len(blocks)),  # patched below
             (_ROWS_PER_STRIP, 3, [rows_per_strip or height]),
-            (_STRIP_CNT, 4, [len(b) for b in blocks]),
+            (_STRIP_CNT, off_typ, [len(b) for b in blocks]),
         ]
     if nd_ascii:
         entries.append((_GDAL_NODATA, 2, [nd_ascii]))
     entries.sort(key=lambda t: t[0])
 
-    # layout: header(8) | IFD | out-of-line values | blocks
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | out-of-line values | blocks
+    # classic: 8-byte header, 12-byte entries, 4-byte inline values;
+    # BigTIFF: 16-byte header, 20-byte entries, 8-byte inline values
+    if bigtiff:
+        ifd_off, head_n, esize, cap = 16, 8, 20, 8
+        efmt, nextfmt = "<HHQ", "<Q"
+    else:
+        ifd_off, head_n, esize, cap = 8, 2, 12, 4
+        efmt, nextfmt = "<HHI", "<I"
+    ifd_size = head_n + esize * len(entries) + struct.calcsize(nextfmt)
     heap = bytearray()
     heap_base = ifd_off + ifd_size
 
@@ -355,7 +387,7 @@ def write_geotiff(
         raw = val_bytes(typ, vals)
         cnt = len(vals[0]) if typ == 2 else len(vals)
         packed.append((tag, typ, cnt, raw))
-        if len(raw) > 4:
+        if len(raw) > cap:
             heap.extend(raw)
             if len(heap) % 2:
                 heap.append(0)
@@ -365,22 +397,27 @@ def write_geotiff(
         offs.append(pos)
         pos += len(b) + (len(b) % 2)
 
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", len(entries))
+    if bigtiff:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off))
+        out += struct.pack("<Q", len(entries))
+    else:
+        out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+        out += struct.pack("<H", len(entries))
     heap = bytearray()
     hpos = heap_base
     for tag, typ, cnt, raw in packed:
         if tag in (_STRIP_OFF, _TILE_OFF):
-            raw = struct.pack(f"<{len(offs)}I", *offs)
-        if len(raw) <= 4:
-            out += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+            raw = struct.pack(f"<{len(offs)}{_TYPE_FMT[off_typ]}", *offs)
+        if len(raw) <= cap:
+            out += struct.pack(efmt, tag, typ, cnt) + raw.ljust(cap, b"\x00")
         else:
-            out += struct.pack("<HHII", tag, typ, cnt, hpos)
+            out += struct.pack(efmt, tag, typ, cnt)
+            out += struct.pack(nextfmt, hpos)
             heap.extend(raw)
             if len(heap) % 2:
                 heap.append(0)
             hpos = heap_base + len(heap)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack(nextfmt, 0)  # no next IFD
     out += heap
     for b in blocks:
         out += b

@@ -31,6 +31,10 @@ from amazon_climate_data_etl_spark.sources.geotiff_min import (
         {"tile": (4, 4)},
         {"tile": (4, 4), "compress": True},
         {"pixel_is_point": True},
+        # BigTIFF (round 7): magic-43 structure, same pixel payloads
+        {"bigtiff": True},
+        {"bigtiff": True, "compress": True, "rows_per_strip": 2},
+        {"bigtiff": True, "tile": (4, 4), "compress": True},
     ],
 )
 def test_roundtrip_matrix(dtype, kw):
@@ -111,8 +115,9 @@ def test_gates_raise_loudly():
     base = write_geotiff(np.ones((2, 2), dtype="f4"), 0.0, 0.0, 1.0)
     with pytest.raises(ValueError, match="byte-order"):
         read_geotiff(b"XX" + base[2:])
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        read_geotiff(struct.pack("<2sH", b"II", 43) + base[4:])
+    # BigTIFF with a non-8 offset size is malformed, not merely unsupported
+    with pytest.raises(ValueError, match="offset size"):
+        read_geotiff(struct.pack("<2sHHH", b"II", 43, 4, 0) + base[8:])
     with pytest.raises(ValueError, match="predictor is integer-only"):
         write_geotiff(np.ones((2, 2), dtype="f4"), 0, 0, 1.0, predictor=True)
 
@@ -168,6 +173,8 @@ def test_geotiff_fuzz_roundtrip():
             kw["predictor"] = True
         if draw(st.booleans()):
             kw["pixel_is_point"] = True
+        if draw(st.booleans()):
+            kw["bigtiff"] = True
         return a, draw(st.floats(-80, 80)), draw(st.floats(-170, 170)), kw
 
     @given(case=cases())
@@ -195,7 +202,7 @@ def test_ingest_geotiff_pipeline_e2e(spark, tmp_path):
     rasters = {}
     d = tmp_path / "tifs"
     d.mkdir()
-    for day in days:
+    for i, day in enumerate(days):
         a = rng.normal(28.0, 3.0, (6, 8)).astype("f4")
         a[0, 0] = -999.0  # nodata cell must drop out as NaN
         rasters[day] = a
@@ -203,6 +210,8 @@ def test_ingest_geotiff_pipeline_e2e(spark, tmp_path):
             write_geotiff(
                 a, lat0=-2.0, lon0=-62.0, scale=0.25, nodata=-999.0,
                 compress=True, rows_per_strip=2,
+                bigtiff=(i == 1),  # mixed classic/BigTIFF days: per-file
+                                   # magic dispatch inside the same glob
             )
         )
     out = str(tmp_path / "grid_parquet")
