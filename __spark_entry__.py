@@ -48,7 +48,8 @@ doc_token_stats+bpe_token_stats → lang_token_profile; uni+bigram_logprob
 → ngram_logprob_quality; doc_fingerprints+simhash_fingerprints →
 doc_fingerprint_profile; sample_split_stats+val_split_docs →
 split_assignment — each merge preserves every operator shape and
-column family under one oracle). That leaves 10 slots of headroom under
+column family under one oracle). With the round-7 ``ann_pq_topk``
+addition the registry stands at 141, 9 slots of headroom under
 the 150-query cap; an individual query's driver row may be up to ~3
 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

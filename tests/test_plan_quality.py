@@ -202,6 +202,9 @@ _PLAN_BOUNDS = {
     # probe-set and probe-selection broadcasts remain
     "ann_recall_eval": (14, 7),
     "ann_ivf_topk": (4, 2),
+    # PQ (r7): map-only encode (rebalance) + shared query_id window
+    # partitioning for shortlist+rerank + final sort; query set broadcast
+    "ann_pq_topk": (3, 1),
     # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
