@@ -288,3 +288,80 @@ def test_doc_fingerprint_portable(spark, ts):
         f"SELECT {doc_fingerprint_sql('x')} AS fp FROM t"
     ).df()
     assert list(got["fp"]) == list(want["fp"])
+
+
+# ---------------------------------------------------------------------------
+# Bulk near-tie sweep: the volume complement to the hypothesis properties
+# above (8 shrink-guided examples per run). One Spark job and one DuckDB
+# query carry ~100k adversarial doubles — every decimal half-tie
+# neighborhood an LCG can reach across scales 0-10 — so the stable_round
+# docstring's "adversarial sweep, zero mismatches" claim is pinned in the
+# suite rather than asserted from a one-off run. The old decimal(24,10)
+# route fails this sweep hundreds of times; the IEEE floor form must never.
+# ---------------------------------------------------------------------------
+
+
+def _lcg(seed: int):
+    """Deterministic 63-bit LCG (no RNG state: same stream every run)."""
+    x = seed
+    while True:
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        yield x
+
+
+def _near_tie_corpus(per_scale: int = 3000):
+    """(x, scale) pairs: ties (k+0.5)/10^s, their ±1-ulp neighbors, and
+    LCG-uniform in-domain doubles, for every scale 0-10. k stays under
+    2^51 (half the documented |x|·10^s ≤ 2^52 domain); the exact boundary
+    magnitudes are pinned as @example rows in the hypothesis property."""
+    import math
+
+    rows = []
+    for scale in range(11):
+        p10 = 10**scale
+        kmax = (1 << 51) - 2
+        g = _lcg(seed=scale + 1)
+        for i in range(per_scale):
+            k = next(g) % kmax
+            if i % 2:
+                k = -k
+            t = (k + 0.5) / p10
+            rows.append((t, scale))
+            rows.append((math.nextafter(t, math.inf), scale))
+            rows.append((math.nextafter(t, -math.inf), scale))
+    return rows
+
+
+def test_stable_round_bulk_near_tie_sweep(spark):
+    """~99k tie-adjacent doubles through both engines in ONE job each:
+    zero bit-mismatches allowed anywhere in the documented domain."""
+    rows = _near_tie_corpus()
+    pdf = pd.DataFrame(rows, columns=["x", "s"])
+    assert len(pdf) >= 90_000
+
+    col = None
+    for scale in range(11):
+        branch = stable_round(F.col("x"), scale)
+        col = branch if col is None else F.when(F.col("s") == scale, branch).otherwise(col)
+        # (chained otherwise keeps one expression; order doesn't matter —
+        # exactly one branch matches per row)
+    got = (
+        spark.createDataFrame(pdf)
+        .select(F.col("s"), F.col("x"), col.alias("r"))
+        .toPandas()
+        .sort_values(["s", "x"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    cases = " ".join(
+        f"WHEN s = {scale} THEN {stable_round_sql('x', scale)}"
+        for scale in range(11)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (
+        con.execute(f"SELECT s, x, CASE {cases} END AS r FROM t ORDER BY s, x")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert exact_float_mismatches(got[["r"]], want[["r"]]) == 0
