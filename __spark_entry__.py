@@ -48,10 +48,12 @@ doc_token_stats+bpe_token_stats → lang_token_profile; uni+bigram_logprob
 → ngram_logprob_quality; doc_fingerprints+simhash_fingerprints →
 doc_fingerprint_profile; sample_split_stats+val_split_docs →
 split_assignment — each merge preserves every operator shape and
-column family under one oracle). With the round-7 ``ann_pq_topk``
-addition the registry stands at 141, 9 slots of headroom under
-the 150-query cap; an individual query's driver row may be up to ~3
-rounds old at the moment it rotates back in. The local DuckDB
+column family under one oracle; a seventh merge later in round 7 —
+window_cume_dist+window_ntile_quartiles → window_rank_profile, the full
+rank-function family sharing one window spec — paid for the round's
+``ann_pq_topk`` addition). The registry stands at 140, 10 slots of
+headroom under the 150-query cap; an individual query's driver row may
+be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves
 hash-exactness for EVERY oracled query regardless of the driver window —
 the rotation governs independent re-attestation, not whether correctness
@@ -115,9 +117,9 @@ CHANGED_SINCE_GREEN = {
     "climate_annual": 7,
     "climate_monthly": 7,
     "climate_rollup": 7,
-    # window_rolling_avg also drifted at a tie but was consolidated into
-    # window_frame_profile (never-gated, tier 0) the same round
-    "window_cume_dist": 7,
+    # window_rolling_avg and window_cume_dist also drifted at a tie but
+    # were consolidated into window_frame_profile / window_rank_profile
+    # (never-gated, tier 0) the same round
     "embedding_covariance": 7,
     # r7: GK approx_percentile replaced by the order-independent HDR
     # histogram sketch — different (now deterministic) values by design,

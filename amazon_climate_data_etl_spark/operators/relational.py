@@ -634,47 +634,6 @@ ORDER BY o_custkey
 """
 
 
-def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution ranking windows: ntile(4) + percent_rank + cume_dist of
-    order value within each priority class. Partitioned by priority so no
-    partition is global; a truly global quantile assignment at 100 TB is a
-    range-partitioned sort or percentile_approx cutoffs instead (see
-    ``quantiles``), never a single-partition window. Output thinned to a
-    deterministic 1-in-50 keyspace sample AFTER the window (ranks are
-    computed over the full partition, the sample only bounds the result)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.select(
-            "o_orderkey",
-            "o_orderpriority",
-            "o_totalprice",
-            F.ntile(4).over(w).alias("quartile"),
-            stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            stable_round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .filter(F.col("o_orderkey") % 50 == 0)
-        .orderBy("o_orderkey")
-    )
-
-
-WINDOW_NTILE_SQL = """
-SELECT o_orderkey, o_orderpriority, o_totalprice, quartile, pct_rank, cume
-FROM (
-  SELECT o_orderkey, o_orderpriority, o_totalprice,
-         ntile(4) OVER w AS quartile,
-         round(percent_rank() OVER w, 6) AS pct_rank,
-         round(cume_dist() OVER w, 6) AS cume
-  FROM orders
-  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
-)
-WHERE o_orderkey % 50 = 0
-ORDER BY o_orderkey
-"""
-
-
 def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + fill-forward: daily revenue per priority on a
     dense calendar, missing days carried forward (the gap-filling /
@@ -1629,18 +1588,22 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
-def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative-distribution windows: percent_rank and cume_dist of
-    each customer's balance within their market segment — the
-    distributional ranking pair (how deep into the segment's balance
-    distribution each customer sits), completing the rank-function family
-    alongside ntile/row_number/rank.
+def window_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional ranking windows: percent_rank, cume_dist, and
+    ntile(4) of each customer's balance within their market segment —
+    the full rank-function family (row_number appears in the decile-edge
+    thinning below) in ONE window pass. Merged r7 from the former
+    ``window_cume_dist`` + ``window_ntile_quartiles`` pair (registry
+    headroom, same consolidation wave as ``window_frame_profile``): all
+    three functions share one window spec, so the merge costs nothing —
+    they ride the same sort within the same exchange.
 
-    Both functions are exact rational values (rank arithmetic over
-    counts); computed as doubles they are single divisions of exact
-    integers — deterministic cross-engine. One window shuffle on the
-    segment key + output sort; returns one decile-edge row per segment
-    per decile bucket to keep the gated output small and stable."""
+    percent_rank/cume_dist are exact rational values (rank arithmetic
+    over counts); computed as doubles they are single divisions of exact
+    integers — deterministic cross-engine; ntile is pure integer bucket
+    arithmetic. One window shuffle on the segment key + output sort;
+    returns one decile-edge row per segment per decile bucket to keep
+    the gated output small and stable."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal"), F.col("c_custkey")
@@ -1650,6 +1613,7 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
     )
     # decile edges: the first customer at or past each 10% cume_dist step
     bucket = F.ceil(F.col("cd") * 10).cast("int")
@@ -1666,22 +1630,23 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             stable_round(F.col("pr"), 8).alias("percent_rank"),
             stable_round(F.col("cd"), 8).alias("cume_dist"),
+            "quartile",
         )
         .orderBy("segment", "decile")
     )
 
 
-WINDOW_CUME_SQL = """
+WINDOW_RANK_SQL = """
 WITH scored AS (
   SELECT c_mktsegment, c_custkey,
-         percent_rank() OVER (PARTITION BY c_mktsegment
-                              ORDER BY c_acctbal, c_custkey) AS pr,
-         cume_dist() OVER (PARTITION BY c_mktsegment
-                           ORDER BY c_acctbal, c_custkey) AS cd
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         ntile(4) OVER w AS quartile
   FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 ),
 bucketed AS (
-  SELECT c_mktsegment, c_custkey, pr, cd,
+  SELECT c_mktsegment, c_custkey, pr, cd, quartile,
          CAST(ceil(cd * 10) AS INT) AS decile,
          row_number() OVER (PARTITION BY c_mktsegment, CAST(ceil(cd * 10) AS INT)
                             ORDER BY cd, c_custkey) AS rn
@@ -1689,14 +1654,15 @@ bucketed AS (
 )
 SELECT c_mktsegment AS segment, decile, c_custkey,
        round(pr, 8) AS percent_rank,
-       round(cd, 8) AS cume_dist
+       round(cd, 8) AS cume_dist,
+       quartile
 FROM bucketed WHERE rn = 1
 ORDER BY segment, decile
 """
 
 
 QUERIES = {
-    "window_cume_dist": window_cume_dist,
+    "window_rank_profile": window_rank_profile,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1724,7 +1690,6 @@ QUERIES = {
     "left_join_order_gaps": left_join_order_gaps,
     "full_outer_order_profile": full_outer_order_profile,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
-    "window_ntile_quartiles": window_ntile_quartiles,
     "gap_fill_daily_revenue": gap_fill_daily_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q4_priority_late_ship": q4_priority_late_ship,
@@ -1739,7 +1704,7 @@ QUERIES = {
 
 ORACLE = {
     "approx_quantiles_sketch": APPROX_QUANTILES_SQL,
-    "window_cume_dist": WINDOW_CUME_SQL,
+    "window_rank_profile": WINDOW_RANK_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
@@ -1765,7 +1730,6 @@ ORACLE = {
     "left_join_order_gaps": LEFT_JOIN_GAPS_SQL,
     "full_outer_order_profile": FULL_OUTER_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
-    "window_ntile_quartiles": WINDOW_NTILE_SQL,
     "gap_fill_daily_revenue": GAP_FILL_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q4_priority_late_ship": Q4_SQL,

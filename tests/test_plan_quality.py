@@ -293,7 +293,6 @@ _PLAN_BOUNDS = {
     "split_assignment": (1, 0),
     # merged frame-spec pair (r7): ONE window exchange + sort
     "window_frame_profile": (2, 0),
-    "window_ntile_quartiles": (2, 0),
     "window_top1_per_group": (2, 0),
     # map-only regex detect/redact on the scan + tiny segment agg + sort
     "pii_redaction_stats": (2, 0),
@@ -334,8 +333,8 @@ _PLAN_BOUNDS = {
     "asof_join_forward": (2, 0),
     # one map-side-combined max_by agg + output sort; no window over the log
     "latest_event_per_user": (2, 0),
-    # one segment-keyed window pass (pr/cd/decile share the sort) + sort
-    "window_cume_dist": (2, 0),
+    # one segment-keyed window pass (pr/cd/ntile/decile share the sort) + sort
+    "window_rank_profile": (2, 0),
     # banded dHash candidates: band equi-join (broadcasts at fixture
     # scale; min stays 0 — the band universe grows with the corpus) +
     # pair distinct + sort; hashes persisted so decode runs once
