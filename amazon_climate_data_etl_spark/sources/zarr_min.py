@@ -17,7 +17,10 @@ Implemented subset of the public spec
 (https://zarr-specs.readthedocs.io/, v2):
 - ``.zarray`` metadata: shape / chunks / dtype / fill_value / order /
   compressor / filters / dimension_separator ('.' default, '/' supported)
-- C order, numeric dtypes, raw (null) or zlib/gzip compression
+- C order, numeric dtypes, raw (null), zlib/gzip, or blosc compression
+  (the numcodecs default — lz4/lz4hc/zlib cnames with byte-shuffle, via
+  the dependency-free ``blosc_min`` container codec; zstd/snappy/blosclz
+  cnames and bit-shuffle stay gated at the ``blosc`` library)
 - missing chunk keys read as ``fill_value`` (the spec's sparse-write rule)
 - edge chunks stored full-size (written padded with fill_value, trimmed on
   read), per spec
@@ -32,7 +35,8 @@ archives are migrating; https://zarr-specs.readthedocs.io/, v3 core):
   ``_ARRAY_DIMENSIONS`` convention the ingest probe already speaks)
 - ``chunk_grid`` name ``regular``; ``chunk_key_encoding`` ``default``
   (``c/0/1`` keys, '/' or '.' separator) and ``v2`` (bare ``0.1`` keys)
-- codec chains ``[bytes]`` and ``[bytes, gzip]``; both endians
+- codec chains ``[bytes]``, ``[bytes, gzip]``, ``[bytes, blosc]``
+  (same blosc subset as v2); both endians
 - the ``sharding_indexed`` codec (ZEP 2): each stored object is one
   SHARD of many inner chunks behind a crc32c-checked ``(offset, nbytes)``
   index (start- or end-located) — the layout cloud archives use to keep
@@ -45,8 +49,8 @@ so the same binaryFile-scan → per-task decode plan applies
 (``ingest.ingest_zarr_to_parquet`` is version-agnostic via this module).
 
 Everything else FAILS LOUDLY with a pointer at the full ``zarr`` library:
-F order, filter chains, blosc/zstd/lz4 codecs, the transpose codec,
-structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
+F order, filter chains, zstd/snappy/blosclz blosc cnames, bit-shuffle,
+the transpose codec, structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
 ``crs_min.py``.
 """
 
@@ -60,13 +64,15 @@ from itertools import product
 
 import numpy as np
 
+from amazon_climate_data_etl_spark.sources import blosc_min
+
 _ZARR_FORMAT = 2
 
 
 def _gate(msg: str) -> NotImplementedError:
     return NotImplementedError(
         f"{msg}; this minimal Zarr reader covers the v2/v3 C-order "
-        "raw/zlib/gzip subset — install 'zarr' for full coverage"
+        "raw/zlib/gzip/blosc(lz4) subset — install 'zarr' for full coverage"
     )
 
 
@@ -85,6 +91,9 @@ class ZarrMeta:
     inner_chunks: tuple[int, ...] | None = None
     index_location: str = "end"
     index_crc32c: bool = True
+    # blosc write-side parameters (cname, byte_shuffle); reading a blosc
+    # chunk needs none — the container header is self-describing
+    blosc_cfg: tuple | None = None
 
 
 def parse_zarray(raw: bytes) -> ZarrMeta:
@@ -98,9 +107,21 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
         raise _gate(f"filter chain {meta['filters']!r}")
     comp = meta.get("compressor")
     comp_id = None
+    blosc_cfg = None
     if comp is not None:
         comp_id = comp.get("id")
-        if comp_id not in ("zlib", "gzip"):
+        if comp_id == "blosc":
+            cname = comp.get("cname", "blosclz")
+            # lz4hc shares the lz4 block format, so reading is identical
+            if cname not in ("lz4", "lz4hc", "zlib"):
+                raise _gate(f"blosc cname {cname!r}")
+            sh = comp.get("shuffle", 1)
+            if sh == 2:
+                raise _gate("blosc bit-shuffle")
+            # numcodecs AUTOSHUFFLE (-1) resolves to byte-shuffle for
+            # typesize > 1; harmless either way — decode is header-driven
+            blosc_cfg = ("lz4" if cname == "lz4hc" else cname, sh != 0)
+        elif comp_id not in ("zlib", "gzip"):
             raise _gate(f"compressor {comp_id!r}")
     try:
         dt = np.dtype(meta["dtype"])
@@ -120,7 +141,7 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
     sep = meta.get("dimension_separator", ".")
     if sep not in (".", "/"):
         raise _gate(f"dimension_separator {sep!r}")
-    return ZarrMeta(shape, chunks, dt, fill, comp_id, sep)
+    return ZarrMeta(shape, chunks, dt, fill, comp_id, sep, blosc_cfg=blosc_cfg)
 
 
 _V3_DTYPES = {
@@ -191,9 +212,21 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
         codecs = cfg.get("codecs") or []
     names = [c.get("name") for c in codecs]
     if not names or names[0] != "bytes" or any(
-        n not in ("bytes", "gzip") for n in names
+        n not in ("bytes", "gzip", "blosc") for n in names
     ) or names.count("bytes") != 1 or len(names) > 2:
-        raise _gate(f"codec chain {names!r} ([bytes] or [bytes, gzip] only)")
+        raise _gate(
+            f"codec chain {names!r} ([bytes], [bytes, gzip], or [bytes, blosc] only)"
+        )
+    blosc_cfg = None
+    if "blosc" in names:
+        bcfg = codecs[names.index("blosc")].get("configuration", {})
+        cname = bcfg.get("cname", "zstd")
+        if cname not in ("lz4", "lz4hc", "zlib"):
+            raise _gate(f"blosc cname {cname!r}")
+        sh = bcfg.get("shuffle", "noshuffle")
+        if sh == "bitshuffle":
+            raise _gate("blosc bit-shuffle")
+        blosc_cfg = ("lz4" if cname == "lz4hc" else cname, sh == "shuffle")
     endian = codecs[0].get("configuration", {}).get("endian", "little")
     base = _V3_DTYPES.get(meta.get("data_type"))
     if base is None:
@@ -208,10 +241,11 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
     fill = _parse_fill(meta["fill_value"])
     dims = meta.get("dimension_names")
     return (
-        ZarrMeta(shape, chunks, dt, fill, "gzip" if "gzip" in names else None,
+        ZarrMeta(shape, chunks, dt, fill,
+                 "blosc" if blosc_cfg else ("gzip" if "gzip" in names else None),
                  sep, version=3, key_prefix=prefix,
                  inner_chunks=inner_chunks, index_location=index_location,
-                 index_crc32c=index_crc32c),
+                 index_crc32c=index_crc32c, blosc_cfg=blosc_cfg),
         meta.get("attributes") or {},
         list(dims) if dims else None,
     )
@@ -271,6 +305,8 @@ def _decode_inner(raw: bytes, meta: ZarrMeta) -> bytes:
         return zlib.decompress(raw)
     if meta.compressor_id == "gzip":
         return zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+    if meta.compressor_id == "blosc":
+        return blosc_min.decompress(raw)
     return raw
 
 
@@ -299,7 +335,8 @@ def decode_chunk(raw: bytes, meta: ZarrMeta) -> np.ndarray:
             dtype=meta.dtype,
         )
         inner = ZarrMeta(meta.inner_chunks, meta.inner_chunks, meta.dtype,
-                         meta.fill_value, meta.compressor_id, meta.separator)
+                         meta.fill_value, meta.compressor_id, meta.separator,
+                         blosc_cfg=meta.blosc_cfg)
         for (off, nbytes), pos in zip(table.tolist(), grid):
             if off == _SHARD_MISSING and nbytes == _SHARD_MISSING:
                 continue
@@ -323,7 +360,8 @@ def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
     if meta.inner_chunks is not None:
         counts, grid = _inner_grid(meta)
         inner = ZarrMeta(meta.inner_chunks, meta.inner_chunks, meta.dtype,
-                         meta.fill_value, meta.compressor_id, meta.separator)
+                         meta.fill_value, meta.compressor_id, meta.separator,
+                         blosc_cfg=meta.blosc_cfg)
         idx_size = 16 * len(grid) + (4 if meta.index_crc32c else 0)
         payloads, table = [], []
         offset = idx_size if meta.index_location == "start" else 0
@@ -347,6 +385,11 @@ def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
     if meta.compressor_id == "gzip":
         co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
         return co.compress(raw) + co.flush()
+    if meta.compressor_id == "blosc":
+        cname, do_shuffle = meta.blosc_cfg or ("lz4", True)
+        return blosc_min.compress(
+            raw, meta.dtype.itemsize, cname=cname, do_shuffle=do_shuffle
+        )
     return raw
 
 
@@ -444,7 +487,12 @@ def write_zarr_array(
         "fill_value": fill,
         "order": "C",
         "filters": None,
-        "compressor": {"id": compressor} if compressor else None,
+        "compressor": (
+            {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+             "blocksize": 0}
+            if compressor == "blosc"
+            else {"id": compressor} if compressor else None
+        ),
         "dimension_separator": separator,
     }
     with open(os.path.join(path, ".zarray"), "w") as f:
@@ -452,7 +500,9 @@ def write_zarr_array(
     if attrs is not None:
         with open(os.path.join(path, ".zattrs"), "w") as f:
             json.dump(attrs, f)
-    meta = ZarrMeta(arr.shape, chunks, arr.dtype, fill_value, compressor, separator)
+    meta = ZarrMeta(arr.shape, chunks, arr.dtype, fill_value, compressor,
+                    separator,
+                    blosc_cfg=("lz4", True) if compressor == "blosc" else None)
     for _, key, slices in chunk_grid(meta):
         block = np.full(chunks, fill_value if fill_value is not None else 0, dtype=arr.dtype)
         part = arr[slices]
@@ -492,7 +542,7 @@ def write_zarr_v3_array(
     path: str,
     arr: np.ndarray,
     chunks: tuple[int, ...] | None = None,
-    compress: bool = True,
+    compress: bool | str = True,
     fill_value: object = 0,
     separator: str = "/",
     attrs: dict | None = None,
@@ -526,7 +576,15 @@ def write_zarr_v3_array(
     if isinstance(fill, float) and not np.isfinite(fill):
         fill = {np.inf: "Infinity", -np.inf: "-Infinity"}.get(fill, "NaN")
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-    if compress:
+    if compress == "blosc":
+        codecs.append({
+            "name": "blosc",
+            "configuration": {
+                "cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+                "typesize": int(arr.dtype.itemsize), "blocksize": 0,
+            },
+        })
+    elif compress:
         codecs.append({"name": "gzip", "configuration": {"level": 6}})
     if shards is not None:
         codecs = [{
@@ -565,9 +623,11 @@ def write_zarr_v3_array(
     le = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     meta = ZarrMeta(
         arr.shape, shards or chunks, le, fill_value,
-        "gzip" if compress else None, separator, version=3, key_prefix="c",
+        ("blosc" if compress == "blosc" else "gzip") if compress else None,
+        separator, version=3, key_prefix="c",
         inner_chunks=chunks if shards is not None else None,
         index_location=index_location,
+        blosc_cfg=("lz4", True) if compress == "blosc" else None,
     )
     chunks = shards or chunks  # stored-object shape for the write loop
     for _, key, slices in chunk_grid(meta):

@@ -1,0 +1,212 @@
+"""Blosc1 container codec tests (``sources/blosc_min.py``).
+
+Three independent attack angles so the reader isn't merely fit to our own
+writer: (1) hand-built byte vectors written straight from the published
+c-blosc format docs — header fields, block index, split streams — decoded
+without ever touching ``compress``; (2) encoder/decoder round-trips across
+the codec × shuffle × size matrix, including memcpy fallback, leftover
+blocks, and the split/no-split boundary; (3) the Zarr integration lives in
+``tests/test_zarr.py`` (compressor matrix + chunk-parallel ingest e2e).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_climate_data_etl_spark.sources import blosc_min as B
+
+# --- LZ4 block format: spec-derived hand vectors ---------------------------
+
+
+def test_lz4_literals_only():
+    # token 0x50: 5 literals, no match (legal last sequence)
+    assert B.lz4_decompress(bytes([0x50]) + b"abcde", 5) == b"abcde"
+
+
+def test_lz4_simple_match():
+    # 4 literals 'abcd', match offset 4 len 4, then final 5 literals
+    blk = bytes([0x40]) + b"abcd" + bytes([4, 0]) + bytes([0x50]) + b"vwxyz"
+    assert B.lz4_decompress(blk, 13) == b"abcdabcdvwxyz"
+
+
+def test_lz4_overlapping_match_is_a_run():
+    # 1 literal 'a', match offset 1 len 8 -> 'a' * 9 (RLE via overlap)
+    blk = bytes([0x14]) + b"a" + bytes([1, 0]) + bytes([0x50]) + b"bcdef"
+    assert B.lz4_decompress(blk, 14) == b"a" * 9 + b"bcdef"
+
+
+def test_lz4_length_extension_bytes():
+    # literal run of 15+255+3 = 273 'x's encoded with two extension bytes
+    lits = b"x" * 273
+    blk = bytes([0xF0, 255, 3]) + lits
+    assert B.lz4_decompress(blk, 273) == lits
+    # match-length extension: token mlen=15 -> 15+4+extension(2) = 21
+    blk = (
+        bytes([0x1F]) + b"q" + bytes([1, 0]) + bytes([2])
+        + bytes([0x50]) + b"abcde"
+    )
+    assert B.lz4_decompress(blk, 27) == b"q" * 22 + b"abcde"
+
+
+def test_lz4_corrupt_offset_fails_loudly():
+    with pytest.raises(ValueError, match="offset"):
+        B.lz4_decompress(bytes([0x10]) + b"a" + bytes([9, 0]), 6)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_lz4_roundtrip_arbitrary(data):
+    assert B.lz4_decompress(B.lz4_compress(data), len(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 5000),
+    alphabet=st.integers(2, 6),
+    seed=st.integers(0, 2**31),
+)
+def test_lz4_roundtrip_repetitive(n, alphabet, seed):
+    data = bytes(np.random.default_rng(seed).integers(0, alphabet, n, dtype=np.uint8))
+    comp = B.lz4_compress(data)
+    assert B.lz4_decompress(comp, n) == data
+    if n > 600:  # repetitive data must actually compress
+        assert len(comp) < n
+
+
+# --- blosc container: hand-built vectors (decoder vs the format doc) --------
+
+
+def _header(flags, typesize, nbytes, blocksize, cbytes):
+    return struct.pack("<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, cbytes)
+
+
+def test_container_memcpy_mode_hand_built():
+    payload = bytes(range(200)) * 3
+    buf = _header(B._FLAG_MEMCPY, 8, len(payload), 65536, len(payload) + 16) + payload
+    assert B.decompress(buf) == payload
+
+
+def test_container_zlib_dont_split_hand_built():
+    # one block, zlib codec (id 3), dont_split set (as c-blosc >= 1.14
+    # writes for zlib), no shuffle
+    raw = (b"climate" * 100)[:512]
+    comp = zlib.compress(raw)
+    payload = struct.pack("<i", len(comp)) + comp
+    cbytes = 16 + 4 + len(payload)
+    buf = (
+        _header((B._CODEC_ZLIB << 5) | B._FLAG_DONT_SPLIT, 4, 512, 512, cbytes)
+        + struct.pack("<i", 20)  # bstarts[0]: first block right after index
+        + payload
+    )
+    assert B.decompress(buf) == raw
+
+
+def test_container_split_shuffled_lz4_hand_built():
+    # typesize 4, blocksize 512 -> 128 elements: split mode engages
+    # (typesize <= 16, blocksize/typesize = 128 >= MIN_BUFFERSIZE).
+    # Build the 4 byte-plane splits by hand: shuffle = transpose.
+    arr = np.arange(128, dtype="<u4")
+    raw = arr.tobytes()
+    planes = np.frombuffer(raw, np.uint8).reshape(128, 4).T
+    splits = []
+    for k in range(4):
+        piece = planes[k].tobytes()
+        comp = B.lz4_compress(piece)
+        if len(comp) >= len(piece):  # stored-raw split
+            comp = piece
+        splits.append(struct.pack("<i", len(comp)) + comp)
+    payload = b"".join(splits)
+    cbytes = 16 + 4 + len(payload)
+    buf = (
+        _header((B._CODEC_LZ4 << 5) | B._FLAG_SHUFFLE, 4, 512, 512, cbytes)
+        + struct.pack("<i", 20)
+        + payload
+    )
+    assert B.decompress(buf) == raw
+
+
+def test_container_gates_fail_loudly():
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        B.decompress(_header(B._FLAG_BITSHUFFLE | (1 << 5), 4, 64, 64, 16))
+    with pytest.raises(NotImplementedError, match="zstd"):
+        B.decompress(_header(B._CODEC_ZSTD << 5, 4, 64, 64, 16))
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        B.decompress(_header(0, 4, 64, 64, 16))
+    with pytest.raises(NotImplementedError, match="snappy"):
+        B.decompress(_header(B._CODEC_SNAPPY << 5, 4, 64, 64, 16))
+    with pytest.raises(ValueError, match="header"):
+        B.decompress(b"short")
+    with pytest.raises(ValueError, match="buffer has"):
+        B.decompress(_header(B._FLAG_MEMCPY, 1, 4, 4, 999) + b"abcd")
+    with pytest.raises(NotImplementedError, match="version"):
+        B.decompress(_header(0, 4, 64, 64, 16).replace(b"\x02", b"\x09", 1))
+
+
+# --- encoder/decoder matrix --------------------------------------------------
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib"])
+@pytest.mark.parametrize("do_shuffle", [True, False])
+@pytest.mark.parametrize(
+    "case",
+    [
+        ("f8-grid", np.linspace(0, 1, 9000).astype("<f8")),
+        ("i4-runs", np.repeat(np.arange(700, dtype="<i4"), 13)),
+        ("u1-odd-leftover", np.arange(123457) % 251),
+        ("u2-tiny", np.arange(7, dtype="<u2")),
+        ("empty", np.array([], dtype="<f8")),
+    ],
+    ids=lambda c: c[0] if isinstance(c, tuple) else c,
+)
+def test_container_roundtrip_matrix(cname, do_shuffle, case):
+    _, arr = case
+    arr = np.asarray(arr)
+    data = arr.tobytes()
+    ts = arr.dtype.itemsize
+    enc = B.compress(data, ts, cname=cname, do_shuffle=do_shuffle)
+    assert B.decompress(enc) == data
+
+
+def test_container_incompressible_falls_back_to_memcpy():
+    data = np.random.default_rng(5).integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    enc = B.compress(data, 1, cname="lz4")
+    assert len(enc) == len(data) + 16  # memcpy container: header + raw
+    assert enc[2] & B._FLAG_MEMCPY
+    assert B.decompress(enc) == data
+
+
+def test_container_split_boundary_both_sides():
+    # 128 elements/block -> split engages; 127 -> it must not
+    for nelem, expect_split in [(128, True), (127, False)]:
+        arr = np.arange(nelem, dtype="<u4")
+        enc = B.compress(arr.tobytes(), 4, cname="lz4", blocksize=nelem * 4)
+        assert B.decompress(enc) == arr.tobytes()
+        if not enc[2] & B._FLAG_MEMCPY:
+            nsplits = B._nsplits(enc[2], 4, nelem * 4, False)
+            assert (nsplits == 4) is expect_split
+
+
+def test_container_multiblock_with_leftover():
+    # 3 full blocks + a leftover block that must decode with nsplits=1
+    arr = np.arange(3 * 1024 + 133, dtype="<f4")
+    enc = B.compress(arr.tobytes(), 4, cname="lz4", blocksize=4096)
+    assert B.decompress(enc) == arr.tobytes()
+
+
+def test_shuffle_unshuffle_inverse_with_remainder():
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 7, 8, 801, 8000):
+        for ts in (1, 2, 4, 8, 16):
+            buf = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            assert B.unshuffle(B.shuffle(buf, ts), ts) == buf
+
+
+def test_writer_gates_unsupported_cnames():
+    with pytest.raises(NotImplementedError, match="zstd"):
+        B.compress(b"x" * 64, 4, cname="zstd")

@@ -40,7 +40,7 @@ def test_roundtrip_dtypes(tmp_path, dtype):
     np.testing.assert_array_equal(read_zarr_array(p), arr)
 
 
-@pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
+@pytest.mark.parametrize("compressor", [None, "zlib", "gzip", "blosc"])
 def test_roundtrip_compressors(tmp_path, compressor):
     arr = np.arange(60, dtype="<f8").reshape(3, 4, 5)
     p = str(tmp_path / "a")
@@ -112,7 +112,8 @@ def _meta(**over):
         {"zarr_format": 3},
         {"order": "F"},
         {"filters": [{"id": "delta"}]},
-        {"compressor": {"id": "blosc", "cname": "lz4"}},
+        {"compressor": {"id": "blosc", "cname": "zstd"}},
+        {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}},
         {"compressor": {"id": "zstd"}},
         {"dtype": "|S8"},
         {"dtype": "<U4"},
@@ -147,7 +148,7 @@ def test_chunk_key_rank_mismatch():
 @given(
     ndim=st.integers(1, 3),
     data=st.data(),
-    compressor=st.sampled_from([None, "zlib", "gzip"]),
+    compressor=st.sampled_from([None, "zlib", "gzip", "blosc"]),
     separator=st.sampled_from([".", "/"]),
 )
 def test_fuzz_roundtrip(tmp_path_factory, ndim, data, compressor, separator):
@@ -186,7 +187,8 @@ def test_group_roundtrip_with_attrs(tmp_path):
 # --- distributed ingest boundary -------------------------------------------
 
 
-def _climate_store(path, nt=6, nlat=5, nlon=4, separator=".", calendar="standard"):
+def _climate_store(path, nt=6, nlat=5, nlon=4, separator=".",
+                   calendar="standard", compressor="zlib"):
     """A small but structurally real climate store: descending latitudes
     (north-up), CF day offsets, chunked so the variable spans MULTIPLE
     chunk objects along every axis (incl. partial edge chunks)."""
@@ -215,6 +217,7 @@ def _climate_store(path, nt=6, nlat=5, nlon=4, separator=".", calendar="standard
             ),
         },
         separator=separator,
+        compressor=compressor,
     )
     dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
     return cube, dates, lat, lon
@@ -243,12 +246,16 @@ def _ingested_rows(spark, out):
     return got
 
 
-@pytest.mark.parametrize("separator", [".", "/"])
-def test_ingest_zarr_chunk_parallel(spark, tmp_path, separator):
+@pytest.mark.parametrize(
+    "separator,compressor", [(".", "zlib"), ("/", "zlib"), (".", "blosc")]
+)
+def test_ingest_zarr_chunk_parallel(spark, tmp_path, separator, compressor):
     from amazon_climate_data_etl_spark.sources.ingest import ingest_zarr_to_parquet
 
     store = tmp_path / "store.zarr"
-    cube, dates, lat, lon = _climate_store(store, separator=separator)
+    cube, dates, lat, lon = _climate_store(
+        store, separator=separator, compressor=compressor
+    )
     out = str(tmp_path / "grid")
     ingest_zarr_to_parquet(spark, str(store), out, "tmax")
     got = _ingested_rows(spark, out)
@@ -476,7 +483,8 @@ def test_v3_group_dimension_names_probe(tmp_path):
     assert read_zattrs(p + "/time")["_ARRAY_DIMENSIONS"] == ["time"]
 
 
-def _climate_store_v3(path, nt=6, nlat=5, nlon=4, separator="/"):
+def _climate_store_v3(path, nt=6, nlat=5, nlon=4, separator="/",
+                      compressor="gzip"):
     """The v3 twin of _climate_store: same cube, same descending-lat and
     CF-time structure, written as a v3 group with dimension_names."""
     from amazon_climate_data_etl_spark.sources.zarr_min import write_zarr_v3_group
@@ -498,6 +506,7 @@ def _climate_store_v3(path, nt=6, nlat=5, nlon=4, separator="/"):
                             "chunks": (4, 2, 3)}),
         },
         separator=separator,
+        compress="blosc" if compressor == "blosc" else True,
     )
     dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
     return cube, dates, lat, lon
