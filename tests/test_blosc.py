@@ -210,3 +210,38 @@ def test_shuffle_unshuffle_inverse_with_remainder():
 def test_writer_gates_unsupported_cnames():
     with pytest.raises(NotImplementedError, match="zstd"):
         B.compress(b"x" * 64, 4, cname="zstd")
+
+
+# --- adversarial robustness: malformed containers must fail CLEANLY ---------
+
+
+@settings(max_examples=150, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_decompress_junk_fails_cleanly(junk):
+    """Arbitrary bytes must raise ValueError / NotImplementedError (or
+    decode, for the rare junk that parses) — never hang, never IndexError,
+    never return silently-wrong sizes."""
+    try:
+        B.decompress(junk)
+    except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=2000),
+    flip=st.integers(0, 10**9),
+    seed=st.integers(0, 2**31),
+)
+def test_decompress_bitflipped_container_never_wrong_size(data, flip, seed):
+    """Corrupt a valid container anywhere: the decoder either raises or
+    (if the flip lands in a don't-care byte or payload that still parses)
+    returns a buffer of exactly nbytes — it must never return a
+    wrong-length result."""
+    enc = bytearray(B.compress(data, 4, cname="lz4"))
+    enc[flip % len(enc)] ^= 1 << (seed % 8)
+    try:
+        out = B.decompress(bytes(enc))
+    except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
+        return
+    assert len(out) in (len(data), int.from_bytes(enc[4:8], "little", signed=True))
