@@ -36,11 +36,17 @@ v2 B-trees read at ANY depth (round 7: BTIN internal nodes with the
 published pointer-width arithmetic — records interleave between child
 pointers); the writer emits up to depth 1, which covers ~7000 records.
 
+PAGED Fixed/Extensible Array data blocks (what libhdf5 switches to past
+2^page_bits chunks — ≳131k fixed / ≳2k-per-block unlimited at default
+creation parameters, i.e. the chunk counts a 100 TB archive actually
+holds) read AND write: page-init bitmaps (H5VM MSB-first bit order) in
+the FA data block / EA super block, element pages trailing each block.
+
 Anything outside this raises ``NotImplementedError`` with a pointer at the
 full-featured (h5py/xarray) path: filtered fractal heaps, indirect heap
-sub-blocks, huge/tiny heap IDs, paged Fixed/Extensible Array data blocks
-(≳131k chunks per dataset at libhdf5's default creation parameters),
-compound/array datatypes in dataset data, and exotic filters.
+sub-blocks, huge/tiny heap IDs, paged data blocks addressed straight from
+an EA index block (a creation-parameter corner libhdf5's defaults cannot
+produce), compound/array datatypes in dataset data, and exotic filters.
 
 The writer emits spec-valid files in BOTH flavors libhdf5 produces —
 superblock v0 + v1 object headers + symbol-table groups (the library
@@ -62,6 +68,12 @@ import numpy as np
 
 SIGNATURE = b"\x89HDF\r\n\x1a\n"
 UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# writer-side chunk-index creation parameters (libhdf5 defaults). Module
+# level so tests can shrink the page sizes and exercise the PAGED
+# Fixed/Extensible Array shapes without 131k-chunk fixtures.
+_FA_PAGE_BITS = 13
+_EA_PARAMS = (32, 4, 4, 16, 10)  # max bits, ib elmts, min ptrs, min elmts, page bits
 
 # message type ids
 MSG_NIL = 0x00
@@ -830,8 +842,8 @@ class _H5Reader:
         ``2^((u+1)/2) * data_blk_min_elmts`` elements each, and the data
         blocks of the first ``2*log2(sup_blk_min_data_ptrs)`` super blocks
         are addressed straight from the index block. Paged data blocks
-        (``dblk_nelmts`` past ``2^page_bits``, ~16k chunks at defaults)
-        stay gated at the h5py path."""
+        (``dblk_nelmts`` past ``2^page_bits``) are read via the parent
+        super block's page-init bitmap; see ``paged_element``."""
         buf = self.buf
         if buf[addr : addr + 4] != b"EAHD":
             raise ValueError(f"dataset {name!r}: bad Extensible Array header")
@@ -881,34 +893,68 @@ class _H5Reader:
         pos += ndblk_addrs * 8
         sblk_addrs = struct.unpack_from(f"<{nsblks - first_sblk}Q", buf, pos)
 
+        page_nelmts = 1 << page_bits
+        dblk_hdr = 4 + 1 + 1 + 8 + off_size  # sig, ver, client, hdr, offset
+
+        def check_eadb(daddr):
+            if buf[daddr : daddr + 4] != b"EADB":
+                raise ValueError(f"dataset {name!r}: bad Extensible "
+                                 "Array data block")
+
         dblk_cache: dict[tuple[int, int], list] = {}
 
         def data_block(daddr, nelmts):
+            """Unpaged data block: elements inline after the header."""
             key = (daddr, nelmts)
             if key not in dblk_cache:
-                if nelmts > (1 << page_bits):
-                    raise NotImplementedError(
-                        "paged Extensible Array data block (use the h5py path)"
-                    )
-                if buf[daddr : daddr + 4] != b"EADB":
-                    raise ValueError(f"dataset {name!r}: bad Extensible "
-                                     "Array data block")
-                p = daddr + 4 + 1 + 1 + 8 + off_size  # + block offset
+                check_eadb(daddr)
+                p = daddr + dblk_hdr
                 dblk_cache[key] = [
                     elmt(buf[p + i * elmt_size : p + (i + 1) * elmt_size])
                     for i in range(nelmts)
                 ]
             return dblk_cache[key]
 
+        def paged_element(daddr, within, init_bit):
+            """PAGED data block (dblk_nelmts > 2^page_bits — the shape a
+            time-unlimited dataset reaches past ~2k chunks at libhdf5
+            defaults): the block stores NO inline elements — its pages
+            follow the header+checksum contiguously, each 2^page_bits
+            elements + a checksum. Page-init lives in the parent super
+            block's bitmap (H5VM bit order: MSB-first per byte)."""
+            if not init_bit:
+                return UNDEF, 0, 0
+            check_eadb(daddr)
+            page, j = divmod(within, page_nelmts)
+            base = (daddr + dblk_hdr + 4  # + data-block checksum
+                    + page * (page_nelmts * elmt_size + 4)
+                    + j * elmt_size)
+            return elmt(buf[base : base + elmt_size])
+
         sblk_cache: dict[int, tuple] = {}
 
-        def super_block(saddr, ndblks):
+        def super_block(saddr, ndblks, dblk_nelmts):
+            """→ (data block addresses, page-init bitmap or None). The
+            bitmap is present exactly when this super block's data blocks
+            are paged, sized ndblks · npages-per-block bits."""
             if saddr not in sblk_cache:
                 if buf[saddr : saddr + 4] != b"EASB":
                     raise ValueError(f"dataset {name!r}: bad Extensible "
                                      "Array super block")
                 p = saddr + 4 + 1 + 1 + 8 + off_size  # + block offset
-                sblk_cache[saddr] = struct.unpack_from(f"<{ndblks}Q", buf, p)
+                bitmap = None
+                if dblk_nelmts > page_nelmts:
+                    if dblk_nelmts % page_nelmts:
+                        raise ValueError(
+                            f"paged data block of {dblk_nelmts} elements "
+                            f"not a multiple of the {page_nelmts} page"
+                        )
+                    nbits = ndblks * (dblk_nelmts // page_nelmts)
+                    bitmap = buf[p : p + (nbits + 7) // 8]
+                    p += (nbits + 7) // 8
+                sblk_cache[saddr] = (
+                    struct.unpack_from(f"<{ndblks}Q", buf, p), bitmap
+                )
             return sblk_cache[saddr]
 
         out = []
@@ -921,15 +967,33 @@ class _H5Reader:
                 s_idx, s_dblk, ndblks, dblk_nelmts = sblk_info[u]
                 dblk_i, within = divmod(e - s_idx, dblk_nelmts)
                 if u < first_sblk:
+                    if dblk_nelmts > page_nelmts:
+                        # libhdf5 constrains creation params so index-
+                        # block-addressed data blocks are never paged
+                        # (there is nowhere to store their page bitmap)
+                        raise NotImplementedError(
+                            "paged data block addressed from the index "
+                            "block (use the h5py path)"
+                        )
                     daddr = dblk_addrs[s_dblk + dblk_i]
+                    if daddr == UNDEF:
+                        continue
+                    a, nbytes, mask = data_block(daddr, dblk_nelmts)[within]
                 else:
                     saddr = sblk_addrs[u - first_sblk]
                     if saddr == UNDEF:
                         continue
-                    daddr = super_block(saddr, ndblks)[dblk_i]
-                if daddr == UNDEF:
-                    continue
-                a, nbytes, mask = data_block(daddr, dblk_nelmts)[within]
+                    addrs, bitmap = super_block(saddr, ndblks, dblk_nelmts)
+                    daddr = addrs[dblk_i]
+                    if daddr == UNDEF:
+                        continue
+                    if bitmap is None:
+                        a, nbytes, mask = data_block(daddr, dblk_nelmts)[within]
+                    else:
+                        npg = dblk_nelmts // page_nelmts
+                        bit = dblk_i * npg + within // page_nelmts
+                        init = bitmap[bit // 8] & (1 << (7 - bit % 8))
+                        a, nbytes, mask = paged_element(daddr, within, init)
             if a != UNDEF:
                 out.append((origin, mask, nbytes, a))
         return out
@@ -963,6 +1027,13 @@ class _H5Reader:
         return out
 
     def _fixed_array_chunks(self, addr, grid, csize, name):
+        """Fixed Array chunk index — including PAGED data blocks (what
+        libhdf5 switches to past 2^page_bits chunks, i.e. the ≥131k-chunk
+        datasets a 100 TB archive actually holds): the data block then
+        stores a page-init bitmap (H5VM bit order: MSB-first within each
+        byte) instead of inline elements, and the element pages follow it
+        contiguously, each page ``2^page_bits`` entries + a checksum,
+        the last page truncated to the remainder."""
         buf = self.buf
         if buf[addr : addr + 4] != b"FAHD":
             raise ValueError(f"dataset {name!r}: bad Fixed Array header")
@@ -970,28 +1041,46 @@ class _H5Reader:
         max_nelmts, dblk = struct.unpack_from("<QQ", buf, addr + 8)
         if client not in (0, 1):
             raise NotImplementedError(f"Fixed Array client {client}")
-        if max_nelmts > (1 << page_bits):
-            raise NotImplementedError(
-                "paged Fixed Array data block (use the h5py path)"
-            )
         if dblk == UNDEF:
             return []
         if buf[dblk : dblk + 4] != b"FADB":
             raise ValueError(f"dataset {name!r}: bad Fixed Array data block")
         pos = dblk + 4 + 1 + 1 + 8  # sig, version, client, header address
-        out = []
-        for i in range(int(max_nelmts)):
+
+        def parse(raw, i):
             if client == 0:  # unfiltered: address only
-                a, = struct.unpack_from("<Q", buf, pos)
+                a, = struct.unpack_from("<Q", raw, 0)
                 nbytes, mask = csize, 0
             else:  # filtered: address + chunk size + filter mask
-                a, = struct.unpack_from("<Q", buf, pos)
+                a, = struct.unpack_from("<Q", raw, 0)
                 size_len = entry_size - 12
-                nbytes = int.from_bytes(buf[pos + 8 : pos + 8 + size_len], "little")
-                mask, = struct.unpack_from("<I", buf, pos + 8 + size_len)
-            pos += entry_size
+                nbytes = int.from_bytes(raw[8 : 8 + size_len], "little")
+                mask, = struct.unpack_from("<I", raw, 8 + size_len)
             if a != UNDEF and i < len(grid):
                 out.append((grid[i], mask, nbytes, a))
+
+        out = []
+        page_nelmts = 1 << page_bits
+        if max_nelmts <= page_nelmts:  # unpaged: elements inline
+            for i in range(int(max_nelmts)):
+                parse(buf[pos : pos + entry_size], i)
+                pos += entry_size
+            return out
+        # paged: page-init bitmap + checksum in the data block, then pages
+        npages = -(-int(max_nelmts) // page_nelmts)
+        bitmap = buf[pos : pos + (npages + 7) // 8]
+        pages_start = pos + (npages + 7) // 8 + 4  # + data-block checksum
+        page_stride = page_nelmts * entry_size + 4  # + page checksum
+        for p in range(npages):
+            if not bitmap[p // 8] & (1 << (7 - p % 8)):  # H5VM_bit_get
+                continue  # uninitialized page: no allocated chunks
+            in_page = min(page_nelmts, int(max_nelmts) - p * page_nelmts)
+            base = pages_start + p * page_stride
+            for j in range(in_page):
+                parse(
+                    buf[base + j * entry_size : base + (j + 1) * entry_size],
+                    p * page_nelmts + j,
+                )
         return out
 
     def _fill_array(self, shape, dt, fill) -> np.ndarray:
@@ -1401,24 +1490,38 @@ def write_hdf5(
             elif chunk_index == "fixed_array":
                 fa_client = 1 if filters else 0
                 fa_entry = 8 if fa_client == 0 else 20  # addr / addr+size+mask
-                fa_pb = 13  # one unpaged data block up to 8192 chunks
-                if len(chunk_keys) > (1 << fa_pb):
-                    raise ValueError("writer: paged Fixed Array not emitted")
+                fa_pb = _FA_PAGE_BITS
 
-                def fadb(m, ck=chunk_keys, client=fa_client, nm=s.name):
-                    body = [
-                        b"FADB",
-                        struct.pack("<BB", 0, client),
-                        struct.pack("<Q", m[f"fahd:{nm}"]),
-                    ]
-                    for _origin, nbytes, key in ck:
-                        body.append(
+                def fadb(m, ck=chunk_keys, client=fa_client, nm=s.name,
+                         pb=fa_pb):
+                    def entry(item):
+                        _origin, nbytes, key = item
+                        return (
                             struct.pack("<Q", m[key])
                             if client == 0
                             else struct.pack("<QQI", m[key], nbytes, 0)
                         )
-                    blob = b"".join(body)
-                    return blob + struct.pack("<I", _lookup3(blob))
+
+                    hdr = (b"FADB" + struct.pack("<BB", 0, client)
+                           + struct.pack("<Q", m[f"fahd:{nm}"]))
+                    page = 1 << pb
+                    if len(ck) <= page:  # unpaged: elements inline
+                        blob = hdr + b"".join(entry(x) for x in ck)
+                        return blob + struct.pack("<I", _lookup3(blob))
+                    # paged: bitmap (all pages written -> all bits set,
+                    # H5VM MSB-first) + checksum, then the element pages
+                    npages = -(-len(ck) // page)
+                    bm = bytearray((npages + 7) // 8)
+                    for i in range(npages):
+                        bm[i // 8] |= 1 << (7 - i % 8)
+                    blob = hdr + bytes(bm)
+                    blob += struct.pack("<I", _lookup3(blob))
+                    for pgi in range(npages):
+                        pg = b"".join(
+                            entry(x) for x in ck[pgi * page : (pgi + 1) * page]
+                        )
+                        blob += pg + struct.pack("<I", _lookup3(pg))
+                    return blob
 
                 def fahd(m, nel=len(chunk_keys), client=fa_client,
                          es=fa_entry, nm=s.name):
@@ -1433,10 +1536,11 @@ def write_hdf5(
                 add_block(f"fadb:{s.name}", fadb)
             elif chunk_index == "extensible_array":
                 # libhdf5's default creation parameters for chunked
-                # datasets: 32 max-index bits, 4 index-block elements,
-                # 4 min super-block pointers, 16 min data-block elements,
-                # 2^10-element pages (our blocks stay under a page)
-                EA_BITS, EA_IB, EA_PTRS, EA_MIN, EA_PB = 32, 4, 4, 16, 10
+                # datasets (module constants so tests can exercise the
+                # paged shapes at small scale): 32 max-index bits, 4
+                # index-block elements, 4 min super-block pointers, 16
+                # min data-block elements, 2^10-element pages
+                EA_BITS, EA_IB, EA_PTRS, EA_MIN, EA_PB = _EA_PARAMS
                 ea_client = 1 if filters else 0
                 ea_elmt = 8 if ea_client == 0 else 20
                 ea_off = (EA_BITS + 7) // 8
@@ -1477,16 +1581,31 @@ def write_hdf5(
                     )
                     e += ne
 
+                ea_page = 1 << EA_PB
+
                 for u, dblk_i, off, entries in dblks:
                     def eadb(m, entries=entries, off=off, nm=s.name):
-                        blob = (
+                        hdr = (
                             b"EADB"
                             + struct.pack("<BB", 0, ea_client)
                             + struct.pack("<Q", m[f"eahd:{nm}"])
                             + off.to_bytes(ea_off, "little")
-                            + b"".join(ea_elmt_bytes(m, x) for x in entries)
                         )
-                        return blob + struct.pack("<I", _lookup3(blob))
+                        if len(entries) <= ea_page:  # unpaged: inline
+                            blob = hdr + b"".join(
+                                ea_elmt_bytes(m, x) for x in entries
+                            )
+                            return blob + struct.pack("<I", _lookup3(blob))
+                        # paged: header + checksum only; the element pages
+                        # (each + its own checksum) trail the block
+                        blob = hdr + struct.pack("<I", _lookup3(hdr))
+                        for pgi in range(0, len(entries), ea_page):
+                            pg = b"".join(
+                                ea_elmt_bytes(m, x)
+                                for x in entries[pgi : pgi + ea_page]
+                            )
+                            blob += pg + struct.pack("<I", _lookup3(pg))
+                        return blob
 
                     add_block(f"eadb:{s.name}:{u}:{dblk_i}", eadb)
 
@@ -1499,11 +1618,27 @@ def write_hdf5(
                     def easb(m, u=u, nd=nd, ne=ne, s_idx=s_idx, nm=s.name):
                         keys = [f"eadb:{nm}:{u}:{i}" for i in range(nd)]
                         addrs = [m[k] if k in m else UNDEF for k in keys]
+                        bitmap = b""
+                        if ne > ea_page:
+                            # paged data blocks: this super block carries
+                            # their page-init bitmap (every page of every
+                            # emitted block is written -> bits set; pages
+                            # of UNDEF blocks stay 0), H5VM MSB-first
+                            npg = ne // ea_page
+                            bm = bytearray((nd * npg + 7) // 8)
+                            for i, a in enumerate(addrs):
+                                if a == UNDEF:
+                                    continue
+                                for pg in range(npg):
+                                    b_i = i * npg + pg
+                                    bm[b_i // 8] |= 1 << (7 - b_i % 8)
+                            bitmap = bytes(bm)
                         blob = (
                             b"EASB"
                             + struct.pack("<BB", 0, ea_client)
                             + struct.pack("<Q", m[f"eahd:{nm}"])
                             + (EA_IB + s_idx).to_bytes(ea_off, "little")
+                            + bitmap
                             + struct.pack(f"<{nd}Q", *addrs)
                         )
                         return blob + struct.pack("<I", _lookup3(blob))

@@ -500,3 +500,89 @@ def test_v2_btree_depth2_writer_gate():
             [H5WriteSpec("x", a)], superblock=2, layout="chunked",
             chunk_index="btree2", chunks={"x": (1, 1, 1)}, compress=True,
         )
+
+
+def test_hdf5_paged_fixed_array_roundtrip(monkeypatch):
+    """PAGED Fixed Array data blocks — the index shape a ≥2^page_bits-chunk
+    fixed dataset gets (131k+ chunks at libhdf5's default 13 page bits;
+    shrunk to 8-element pages here so a 9..64-chunk fixture exercises the
+    same layout): page-init bitmap in the data block, element pages
+    trailing it, last page truncated."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    monkeypatch.setattr(H, "_FA_PAGE_BITS", 3)
+    for n, compress in ((9, False), (20, True), (64, False)):
+        arr = np.arange(n * 2, dtype="<i4").reshape(n, 2)
+        buf = H.write_hdf5(
+            [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+            chunk_index="fixed_array", chunks={"x": (1, 2)},
+            compress=compress,
+        )
+        assert n > 8  # paged path is the one under test
+        back = H.read_hdf5(buf)
+        assert np.array_equal(back["x"].data, arr), n
+
+
+def test_hdf5_paged_fixed_array_bitmap_is_honored(monkeypatch):
+    """Clearing a page-init bit must hide that page's chunks (they read as
+    fill), proving the reader consults the bitmap rather than blindly
+    walking pages — and pinning the H5VM MSB-first bit convention."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    monkeypatch.setattr(H, "_FA_PAGE_BITS", 3)
+    n = 20
+    arr = np.arange(n * 2, dtype="<i4").reshape(n, 2) + 1
+    buf = H.write_hdf5(
+        [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+        chunk_index="fixed_array", chunks={"x": (1, 2)},
+    )
+    pos = buf.index(b"FADB") + 4 + 1 + 1 + 8  # bitmap after the header
+    # clear page 0's bit (MSB of the first bitmap byte)
+    patched = bytearray(buf)
+    assert patched[pos] & 0x80
+    patched[pos] &= 0x7F
+    back = H.read_hdf5(bytes(patched))
+    got = back["x"].data
+    # first page = 8 chunks of shape (1, 2) -> rows 0..7 become fill (0)
+    assert np.array_equal(got[:8], np.zeros((8, 2), dtype="<i4"))
+    assert np.array_equal(got[8:], arr[8:])
+
+
+def test_hdf5_paged_extensible_array_roundtrip(monkeypatch):
+    """PAGED Extensible Array data blocks — the shape a time-unlimited
+    dataset reaches once its growth schedule's data blocks exceed
+    2^page_bits elements (~2k chunks at libhdf5 defaults; shrunk to
+    8-element pages / 2 min elements so ~70+ chunks get there): the
+    super block carries the page-init bitmap, the data block stores
+    header+checksum only, pages trail it. Boundary counts land 1 element
+    into a paged block, mid-page, and multi-superblock deep."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    monkeypatch.setattr(H, "_EA_PARAMS", (32, 4, 4, 2, 3))
+    # index block 4 + u0..4 hold 62 elements; paged blocks start at 67
+    for n, compress in ((67, False), (82, True), (200, False), (500, True)):
+        arr = np.arange(n * 2, dtype="<i4").reshape(n, 2)
+        buf = H.write_hdf5(
+            [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+            chunk_index="extensible_array", chunks={"x": (1, 2)},
+            compress=compress,
+        )
+        assert b"EASB" in buf
+        back = H.read_hdf5(buf)
+        assert np.array_equal(back["x"].data, arr), n
+
+
+def test_hdf5_paged_extensible_array_index_block_gate(monkeypatch):
+    """Creation parameters where even the index-block-addressed data
+    blocks would be paged (min elements > page) have nowhere to store a
+    page bitmap; the reader must gate loudly, not guess."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    monkeypatch.setattr(H, "_EA_PARAMS", (32, 4, 4, 16, 3))
+    arr = np.arange(40, dtype="<i4").reshape(20, 2)
+    buf = H.write_hdf5(
+        [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+        chunk_index="extensible_array", chunks={"x": (1, 2)},
+    )
+    with pytest.raises(NotImplementedError, match="index block"):
+        H.read_hdf5(buf)
