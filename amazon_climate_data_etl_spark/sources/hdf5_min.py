@@ -94,6 +94,55 @@ MSG_ATTRIBUTE_INFO = 0x15
 
 FILTER_DEFLATE = 1
 FILTER_SHUFFLE = 2
+FILTER_FLETCHER32 = 3
+
+
+def _h5z_shuffle(raw: bytes, elsize: int) -> bytes:
+    """H5Z shuffle filter, write direction: byte-plane transpose of the
+    COMPLETE elements; a trailing non-multiple remainder (e.g. the 4-byte
+    fletcher32 checksum a preceding pipeline stage appended) rides
+    verbatim — H5Zshuffle.c's leftover rule."""
+    n = len(raw) // elsize
+    head = n * elsize
+    return (
+        np.frombuffer(raw[:head], np.uint8).reshape(n, elsize).T.tobytes()
+        + raw[head:]
+    )
+
+
+def _h5z_unshuffle(raw: bytes, elsize: int) -> bytes:
+    n = len(raw) // elsize
+    head = n * elsize
+    return (
+        np.frombuffer(raw[:head], np.uint8).reshape(elsize, n).T.tobytes()
+        + raw[head:]
+    )
+
+
+def _fletcher32(data: bytes) -> int:
+    """HDF5's H5_checksum_fletcher32: Fletcher-32 over big-endian 16-bit
+    words with 360-word partial-reduction blocks and an odd trailing byte
+    promoted to a high byte (H5checksum.c)."""
+    ln = len(data) // 2
+    sum1 = sum2 = 0
+    pos = 0
+    while ln:
+        tlen = min(ln, 360)
+        ln -= tlen
+        for _ in range(tlen):
+            sum1 += (data[pos] << 8) | data[pos + 1]
+            sum2 += sum1
+            pos += 2
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
 
 
 def _lookup3(data: bytes, init: int = 0) -> int:
@@ -711,15 +760,19 @@ class _H5Reader:
             if fid == FILTER_DEFLATE:
                 raw = zlib.decompress(raw)
             elif fid == FILTER_SHUFFLE:
-                n = len(raw) // elsize
-                raw = (
-                    np.frombuffer(raw, np.uint8)
-                    .reshape(elsize, n)
-                    .T.tobytes()
-                )
+                raw = _h5z_unshuffle(raw, elsize)
+            elif fid == FILTER_FLETCHER32:
+                stored = int.from_bytes(raw[-4:], "little")
+                body = raw[:-4]
+                if _fletcher32(body) != stored:
+                    raise ValueError(
+                        "fletcher32 checksum mismatch in chunk data"
+                    )
+                raw = body
             else:
                 raise NotImplementedError(
-                    f"HDF5 filter id {fid} not supported (deflate/shuffle only)"
+                    f"HDF5 filter id {fid} not supported "
+                    "(deflate/shuffle/fletcher32 only)"
                 )
         return raw
 
@@ -1238,6 +1291,7 @@ def write_hdf5(
     chunk_index: str = "btree1",
     dense_attrs: bool = False,
     dense_links: bool = False,
+    fletcher32: bool = False,
 ) -> bytes:
     """Serialize datasets to HDF5 bytes.
 
@@ -1440,8 +1494,10 @@ def write_hdf5(
             )
             if chunk_index == "single":
                 cshape = arr.shape  # by definition: the dataset is 1 chunk
-            filters = ([(FILTER_SHUFFLE, 0)] if shuffle else []) + (
-                [(FILTER_DEFLATE, 0)] if compress else []
+            filters = (
+                ([(FILTER_FLETCHER32, 0)] if fletcher32 else [])
+                + ([(FILTER_SHUFFLE, 0)] if shuffle else [])
+                + ([(FILTER_DEFLATE, 0)] if compress else [])
             )
             chunk_keys = []
             grids = [range(0, d, c) for d, c in zip(arr.shape, cshape)]
@@ -1456,13 +1512,10 @@ def write_hdf5(
                 clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
                 full[clip] = arr[sel]
                 raw = full.tobytes()
+                if fletcher32:
+                    raw += _fletcher32(raw).to_bytes(4, "little")
                 if shuffle:
-                    n = len(raw) // arr.itemsize
-                    raw = (
-                        np.frombuffer(raw, np.uint8)
-                        .reshape(n, arr.itemsize)
-                        .T.tobytes()
-                    )
+                    raw = _h5z_shuffle(raw, arr.itemsize)
                 if compress:
                     raw = zlib.compress(raw, 6)
                 key = f"chunk:{s.name}:{origin}"

@@ -111,6 +111,7 @@ def write_netcdf4(
     chunk_index: str = "btree1",
     dense_attrs: bool = False,
     dense_links: bool = False,
+    fletcher32: bool = False,
 ) -> bytes:
     """Serialize an NcFile as a NetCDF-4/HDF5 file (fixture generation;
     inverse of ``read_netcdf4`` on the supported subset). ``dense_*``
@@ -160,4 +161,5 @@ def write_netcdf4(
         chunk_index=chunk_index,
         dense_attrs=dense_attrs,
         dense_links=dense_links,
+        fletcher32=fletcher32,
     )

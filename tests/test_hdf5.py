@@ -586,3 +586,71 @@ def test_hdf5_paged_extensible_array_index_block_gate(monkeypatch):
     )
     with pytest.raises(NotImplementedError, match="index block"):
         H.read_hdf5(buf)
+
+
+def test_hdf5_fletcher32_filter():
+    """The fletcher32 checksum filter (id 3) — the netcdf-c pipeline puts
+    it FIRST, so the checksum rides through shuffle+deflate appended to
+    the raw chunk (H5Z's shuffle leaves the non-multiple tail verbatim).
+    Roundtrips alone and composed; a flipped payload byte must be caught
+    by the checksum, not decoded silently."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    rng = np.random.default_rng(23)
+    arr = rng.normal(0, 7, (9, 5)).astype("<f8")
+    for compress, shuffle in ((False, False), (True, False), (True, True)):
+        buf = H.write_hdf5(
+            [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+            chunk_index="fixed_array", chunks={"x": (4, 3)},
+            compress=compress, shuffle=shuffle, fletcher32=True,
+        )
+        back = H.read_hdf5(buf)
+        assert np.array_equal(back["x"].data, arr), (compress, shuffle)
+
+    # teeth: corrupt one uncompressed chunk payload byte -> loud mismatch
+    buf = H.write_hdf5(
+        [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+        chunk_index="fixed_array", chunks={"x": (4, 3)}, fletcher32=True,
+    )
+    back = H.read_hdf5(buf)  # locate a chunk by its known first bytes
+    chunk0 = arr[:4, :3].tobytes()
+    pos = buf.index(chunk0)
+    patched = buf[:pos] + bytes([buf[pos] ^ 0xFF]) + buf[pos + 1 :]
+    with pytest.raises(ValueError, match="fletcher32"):
+        H.read_hdf5(patched)
+
+
+def test_hdf5_fletcher32_odd_itemsize_tail():
+    """i2 data: the appended 4-byte checksum is a MULTIPLE of the element
+    size, so H5Z's shuffle transposes it along with the data — the
+    exactness of the unshuffle/verify inverse is what this pins. Plus an
+    odd-length checksum input via a 1-byte dtype."""
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    a = np.arange(30, dtype="<i2").reshape(6, 5)
+    b = (np.arange(21) % 7).astype("|u1").reshape(3, 7)
+    buf = H.write_hdf5(
+        [H.H5WriteSpec("a", a), H.H5WriteSpec("b", b)],
+        superblock=2, layout="chunked", chunk_index="fixed_array",
+        chunks={"a": (2, 5), "b": (3, 4)},
+        shuffle=True, compress=True, fletcher32=True,
+    )
+    back = H.read_hdf5(buf)
+    assert np.array_equal(back["a"].data, a)
+    assert np.array_equal(back["b"].data, b)
+
+
+def test_fletcher32_algorithm_known_values():
+    """Pin H5_checksum_fletcher32's big-endian-word variant against
+    hand-computed values (independent of the writer)."""
+    from amazon_climate_data_etl_spark.sources.hdf5_min import _fletcher32
+
+    assert _fletcher32(b"") == 0
+    # one word 0x6162 ('ab'): sum1 = sum2 = 0x6162
+    assert _fletcher32(b"ab") == 0x61626162
+    # 'abcde': words 0x6162, 0x6364 + odd byte 0x65 promoted high
+    s1 = 0x6162 + 0x6364 + 0x6500
+    s2 = 0x6162 + (0x6162 + 0x6364) + s1
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    assert _fletcher32(b"abcde") == ((s2 << 16) | s1)
