@@ -22,7 +22,8 @@ Reader surface:
   unlimited-dimension pair (round 7) — Extensible Array (EAHD/EAIB/EASB/
   EADB, the index time-unlimited NetCDF-4 climate grids get) and the v2
   chunk B-tree (record types 10/11, ≥2 unlimited dims) — filtered or
-  not, with the shuffle + deflate filter pipeline; unallocated storage →
+  not, with the shuffle + deflate + fletcher32 filter pipeline (H5Z
+  leftover-tail shuffle semantics); unallocated storage →
   fill value;
 - global heap collections (vlen attribute payloads).
 
