@@ -14,11 +14,14 @@ supported   little/big endian classic TIFF AND BigTIFF (round 7: magic
             value types — the layout every >4 GB raster uses, i.e. any
             continental-scale daily grid); single band; strip AND tile
             layouts; uint8/16/32, int16/32, float32/64 samples;
-            compression none + DEFLATE (zlib, codes 8 and 32946) with
-            horizontal-differencing predictor (2) for integer samples;
+            compression none, DEFLATE (zlib, codes 8 and 32946) AND
+            LZW (code 5 — TIFF 6.0 §13 MSB-first variable-width codes
+            with the spec's early-change rule, both directions in pure
+            Python), each with the horizontal-differencing predictor (2)
+            for integer samples;
             PixelIsArea / PixelIsPoint raster space; geographic CRS
             GeoKeys; GDAL_NODATA → NaN
-gated       multi-band, LZW/JPEG/PackBits, planar
+gated       multi-band, JPEG/PackBits, planar
             configuration 2, floating-point predictor (3),
             ModelTransformation affine grids, projected model types
 
@@ -132,11 +135,121 @@ def _dtype(bits: int, fmt: int, en: str) -> np.dtype:
     return np.dtype(("<" if en == "<" else ">") + base)
 
 
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def lzw_decode(src: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9→12-bit codes with the
+    spec's EARLY-CHANGE rule (width bumps when the next free code reaches
+    2^w - 1, one code sooner than the GIF rule)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = bitlen = pos = 0
+    width = 9
+    prev: bytes | None = None
+
+    def next_code():
+        nonlocal bitbuf, bitlen, pos
+        while bitlen < width:
+            if pos >= len(src):
+                return _LZW_EOI  # truncated stream: treat as end
+            bitbuf = (bitbuf << 8) | src[pos]
+            pos += 1
+            bitlen += 8
+        bitlen -= width
+        code = (bitbuf >> bitlen) & ((1 << width) - 1)
+        return code
+
+    while True:
+        code = next_code()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            del table[_LZW_FIRST:]
+            width = 9
+            code = next_code()
+            if code == _LZW_EOI:
+                break
+            if code > 255:
+                raise ValueError(f"corrupt LZW: code {code} after clear")
+            out += table[code]
+            prev = table[code]
+            continue
+        if prev is None:
+            raise ValueError("corrupt LZW: stream does not start with clear")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW: code {code} beyond table")
+        out += entry
+        table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (the writer half proving the decoder by
+    roundtrip): leads with ClearCode, re-clears at table entry 4094."""
+    out = bytearray()
+    bitbuf = bitlen = 0
+
+    def put(code: int, width: int):
+        nonlocal bitbuf, bitlen
+        bitbuf = (bitbuf << width) | code
+        bitlen += width
+        while bitlen >= 8:
+            bitlen -= 8
+            out.append((bitbuf >> bitlen) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    put(_LZW_CLEAR, width)
+    table = fresh()
+    nxt = _LZW_FIRST
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = nxt
+        nxt += 1
+        # the decoder's table lags this one by exactly one entry, so its
+        # early-change trigger (len == 2^w - 1) fires here at nxt - 1
+        if nxt - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            put(_LZW_CLEAR, width)
+            table = fresh()
+            nxt = _LZW_FIRST
+            width = 9
+        run = bytes([b])
+    if run:
+        put(table[run], width)
+        # the decoder adds one entry after reading this final code,
+        # reaching exactly nxt; mirror its trigger for the EOI width
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+    put(_LZW_EOI, width)
+    if bitlen:
+        out.append((bitbuf << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_block(raw: bytes, comp: int, predictor: int, rows: int, cols: int, dt) -> np.ndarray:
     if comp in (8, 32946):
         raw = zlib.decompress(raw)
+    elif comp == 5:
+        raw = lzw_decode(raw)
     elif comp != 1:
-        raise _gate(f"compression {comp} (only none/DEFLATE)")
+        raise _gate(f"compression {comp} (only none/DEFLATE/LZW)")
     need = rows * cols * dt.itemsize
     if len(raw) < need:
         raise ValueError(f"GeoTIFF block short: {len(raw)} < {need} bytes")
@@ -270,7 +383,7 @@ def write_geotiff(
     lon0: float,
     scale: float,
     nodata: float | None = None,
-    compress: bool = False,
+    compress: bool | str = False,
     predictor: bool = False,
     rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None,
@@ -302,6 +415,8 @@ def write_geotiff(
             raw = b.astype(dt.str).tobytes()
         else:
             raw = block.astype(dt.str).tobytes()
+        if compress == "lzw":
+            return lzw_encode(raw)
         return zlib.compress(raw) if compress else raw
 
     blocks: list[bytes] = []
@@ -335,7 +450,7 @@ def write_geotiff(
         (_W, 4, [width]),
         (_H, 4, [height]),
         (_BITS, 3, [bits]),
-        (_COMP, 3, [8 if compress else 1]),
+        (_COMP, 3, [(5 if compress == "lzw" else 8) if compress else 1]),
         (_PHOTO, 3, [1]),
         (_SPP, 3, [1]),
         (_SAMPLE_FMT, 3, [fmt]),

@@ -30,6 +30,10 @@ from amazon_climate_data_etl_spark.sources.geotiff_min import (
         {"compress": True, "rows_per_strip": 2},
         {"tile": (4, 4)},
         {"tile": (4, 4), "compress": True},
+        {"compress": "lzw"},
+        {"compress": "lzw", "rows_per_strip": 2},
+        {"tile": (4, 4), "compress": "lzw"},
+        {"bigtiff": True, "compress": "lzw"},
         {"pixel_is_point": True},
         # BigTIFF (round 7): magic-43 structure, same pixel payloads
         {"bigtiff": True},
@@ -133,8 +137,8 @@ def test_gates_raise_loudly():
                 )
         raise AssertionError(f"tag {tag} absent")
 
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        read_geotiff(patch_tag_short(base, 259, 5))  # LZW
+    with pytest.raises(NotImplementedError, match="compression 32773"):
+        read_geotiff(patch_tag_short(base, 259, 32773))  # PackBits
     with pytest.raises(NotImplementedError, match="multi-band"):
         read_geotiff(patch_tag_short(base, 277, 3))
     with pytest.raises(NotImplementedError, match="projected"):
@@ -242,3 +246,45 @@ def test_ingest_geotiff_pipeline_e2e(spark, tmp_path):
     assert "year=2001" in ",".join(
         str(p) for p in (tmp_path / "grid_parquet").iterdir()
     )
+
+
+def test_lzw_hand_packed_stream():
+    """Absolute convention pin, independent of the encoder: a hand-packed
+    MSB-first 9-bit stream CLEAR(256) 'A'(65) 'B'(66) EOI(257) is exactly
+    80 10 48 50 10 and must decode to b"AB"."""
+    from amazon_climate_data_etl_spark.sources.geotiff_min import lzw_decode
+
+    assert lzw_decode(bytes([0x80, 0x10, 0x48, 0x50, 0x10])) == b"AB"
+
+
+def test_lzw_roundtrip_across_width_boundaries():
+    """The 9->10->11->12-bit early-change boundaries and the 4094-entry
+    re-clear, all crossed: incompressible bytes force one table add per
+    code, so 200k bytes sweep every width and several clears."""
+    from amazon_climate_data_etl_spark.sources.geotiff_min import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    for data in (
+        b"",
+        b"a",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 500,
+        bytes(rng.integers(0, 256, 200_000, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 50_000, dtype=np.uint8)),
+    ):
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_corrupt_streams_fail_cleanly():
+    from amazon_climate_data_etl_spark.sources.geotiff_min import lzw_decode
+
+    with pytest.raises(ValueError, match="start with clear"):
+        lzw_decode(bytes([0x20, 0x80, 0x00]))  # data code before any clear
+    # code far beyond the table: CLEAR, 'A', then code 400 (unassigned)
+    bits = "100000000" + "001000001" + "110010000"
+    bits += "0" * (-len(bits) % 8)  # right-pad: MSB-first byte packing
+    raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    with pytest.raises(ValueError, match="beyond table"):
+        lzw_decode(raw)
