@@ -17,11 +17,11 @@ supported   little/big endian classic TIFF AND BigTIFF (round 7: magic
             compression none, DEFLATE (zlib, codes 8 and 32946) AND
             LZW (code 5 — TIFF 6.0 §13 MSB-first variable-width codes
             with the spec's early-change rule, both directions in pure
-            Python), each with the horizontal-differencing predictor (2)
-            for integer samples;
+            Python) AND PackBits (code 32773, §9 RLE), each with the
+            horizontal-differencing predictor (2) for integer samples;
             PixelIsArea / PixelIsPoint raster space; geographic CRS
             GeoKeys; GDAL_NODATA → NaN
-gated       multi-band, JPEG/PackBits, planar
+gated       multi-band, JPEG, planar
             configuration 2, floating-point predictor (3),
             ModelTransformation affine grids, projected model types
 
@@ -133,6 +133,49 @@ def _dtype(bits: int, fmt: int, en: str) -> np.dtype:
     if base is None:
         raise _gate(f"sample layout bits={bits} format={fmt}")
     return np.dtype(("<" if en == "<" else ">") + base)
+
+
+def packbits_decode(src: bytes) -> bytes:
+    """TIFF PackBits (spec §9): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        n = src[i] - 256 if src[i] > 127 else src[i]
+        i += 1
+        if n >= 0:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += src[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs >= 3 become repeats, the rest literals."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
 
 
 _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
@@ -248,8 +291,10 @@ def _decode_block(raw: bytes, comp: int, predictor: int, rows: int, cols: int, d
         raw = zlib.decompress(raw)
     elif comp == 5:
         raw = lzw_decode(raw)
+    elif comp == 32773:
+        raw = packbits_decode(raw)
     elif comp != 1:
-        raise _gate(f"compression {comp} (only none/DEFLATE/LZW)")
+        raise _gate(f"compression {comp} (only none/DEFLATE/LZW/PackBits)")
     need = rows * cols * dt.itemsize
     if len(raw) < need:
         raise ValueError(f"GeoTIFF block short: {len(raw)} < {need} bytes")
@@ -417,6 +462,8 @@ def write_geotiff(
             raw = block.astype(dt.str).tobytes()
         if compress == "lzw":
             return lzw_encode(raw)
+        if compress == "packbits":
+            return packbits_encode(raw)
         return zlib.compress(raw) if compress else raw
 
     blocks: list[bytes] = []
@@ -450,7 +497,8 @@ def write_geotiff(
         (_W, 4, [width]),
         (_H, 4, [height]),
         (_BITS, 3, [bits]),
-        (_COMP, 3, [(5 if compress == "lzw" else 8) if compress else 1]),
+        (_COMP, 3, [{False: 1, "lzw": 5, "packbits": 32773}.get(compress, 8)
+                    if compress else 1]),
         (_PHOTO, 3, [1]),
         (_SPP, 3, [1]),
         (_SAMPLE_FMT, 3, [fmt]),

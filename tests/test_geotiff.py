@@ -34,6 +34,8 @@ from amazon_climate_data_etl_spark.sources.geotiff_min import (
         {"compress": "lzw", "rows_per_strip": 2},
         {"tile": (4, 4), "compress": "lzw"},
         {"bigtiff": True, "compress": "lzw"},
+        {"compress": "packbits"},
+        {"compress": "packbits", "tile": (4, 4)},
         {"pixel_is_point": True},
         # BigTIFF (round 7): magic-43 structure, same pixel payloads
         {"bigtiff": True},
@@ -137,8 +139,8 @@ def test_gates_raise_loudly():
                 )
         raise AssertionError(f"tag {tag} absent")
 
-    with pytest.raises(NotImplementedError, match="compression 32773"):
-        read_geotiff(patch_tag_short(base, 259, 32773))  # PackBits
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        read_geotiff(patch_tag_short(base, 259, 7))  # JPEG
     with pytest.raises(NotImplementedError, match="multi-band"):
         read_geotiff(patch_tag_short(base, 277, 3))
     with pytest.raises(NotImplementedError, match="projected"):
@@ -167,7 +169,7 @@ def test_geotiff_fuzz_roundtrip():
         ).astype(dtype)
         kw = {}
         if draw(st.booleans()):
-            kw["compress"] = True
+            kw["compress"] = draw(st.sampled_from([True, "lzw", "packbits"]))
         layout = draw(st.sampled_from(["whole", "strips", "tiles"]))
         if layout == "strips":
             kw["rows_per_strip"] = draw(st.integers(1, h))
@@ -288,3 +290,43 @@ def test_lzw_corrupt_streams_fail_cleanly():
     raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
     with pytest.raises(ValueError, match="beyond table"):
         lzw_decode(raw)
+
+
+def test_packbits_spec_example():
+    """The worked example from TIFF 6.0 §9 decodes to its published
+    expansion (absolute pin, independent of the encoder)."""
+    from amazon_climate_data_etl_spark.sources.geotiff_min import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    enc = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80, 0x00,
+         0x2A, 0x22, 0xF7, 0xAA]
+    )
+    want = bytes(
+        [0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA, 0x80,
+         0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+         0xAA, 0xAA]
+    )
+    assert packbits_decode(enc) == want
+    assert packbits_decode(packbits_encode(want)) == want
+    # -128 is a no-op byte
+    assert packbits_decode(bytes([0x80, 0x00, 0x41])) == b"A"
+
+
+def test_packbits_roundtrip_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.sources.geotiff_min import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=2000))
+    def rt(data):
+        assert packbits_decode(packbits_encode(data)) == data
+
+    rt()
