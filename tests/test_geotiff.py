@@ -330,3 +330,26 @@ def test_packbits_roundtrip_fuzz():
         assert packbits_decode(packbits_encode(data)) == data
 
     rt()
+
+
+def test_codec_junk_inputs_fail_cleanly():
+    """Arbitrary bytes through the block codecs must raise cleanly or
+    decode — never hang or escape with an unexpected exception type."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.sources.geotiff_min import (
+        lzw_decode,
+        packbits_decode,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=300))
+    def rt(junk):
+        try:
+            lzw_decode(junk)
+        except ValueError:
+            pass
+        packbits_decode(junk)  # PackBits decodes anything, by design
+
+    rt()
