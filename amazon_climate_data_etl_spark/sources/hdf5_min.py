@@ -1595,6 +1595,17 @@ def write_hdf5(
                 # index-block elements, 4 min super-block pointers, 16
                 # min data-block elements, 2^10-element pages
                 EA_BITS, EA_IB, EA_PTRS, EA_MIN, EA_PB = _EA_PARAMS
+                # an index-block-addressed data block has no page-bitmap
+                # home, so creation params where one would page are
+                # unrepresentable (libhdf5's defaults respect this too)
+                _first = 2 * (EA_PTRS.bit_length() - 1)
+                _max_direct = (1 << (_first // 2)) * EA_MIN
+                if _max_direct > (1 << EA_PB):
+                    raise ValueError(
+                        f"writer: EA params page 2^{EA_PB} smaller than the "
+                        f"largest index-block data block ({_max_direct} "
+                        "elements) — unrepresentable (no page bitmap)"
+                    )
                 ea_client = 1 if filters else 0
                 ea_elmt = 8 if ea_client == 0 else 20
                 ea_off = (EA_BITS + 7) // 8

@@ -574,18 +574,18 @@ def test_hdf5_paged_extensible_array_roundtrip(monkeypatch):
 
 def test_hdf5_paged_extensible_array_index_block_gate(monkeypatch):
     """Creation parameters where even the index-block-addressed data
-    blocks would be paged (min elements > page) have nowhere to store a
-    page bitmap; the reader must gate loudly, not guess."""
+    blocks would page (min elements > page) have nowhere to store a page
+    bitmap — the layout is unrepresentable, so the WRITER refuses up
+    front (the reader keeps a defensive gate for foreign files)."""
     from amazon_climate_data_etl_spark.sources import hdf5_min as H
 
     monkeypatch.setattr(H, "_EA_PARAMS", (32, 4, 4, 16, 3))
     arr = np.arange(40, dtype="<i4").reshape(20, 2)
-    buf = H.write_hdf5(
-        [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
-        chunk_index="extensible_array", chunks={"x": (1, 2)},
-    )
-    with pytest.raises(NotImplementedError, match="index block"):
-        H.read_hdf5(buf)
+    with pytest.raises(ValueError, match="no page bitmap"):
+        H.write_hdf5(
+            [H.H5WriteSpec("x", arr)], superblock=2, layout="chunked",
+            chunk_index="extensible_array", chunks={"x": (1, 2)},
+        )
 
 
 def test_hdf5_fletcher32_filter():
