@@ -78,7 +78,12 @@ def _gate(msg: str) -> NotImplementedError:
 
 
 def lz4_decompress(src: bytes, dst_size: int) -> bytes:
-    """Decode one LZ4 block into exactly ``dst_size`` bytes."""
+    """Decode one LZ4 block into exactly ``dst_size`` bytes.
+
+    Truncated or otherwise corrupt input always raises ``ValueError`` —
+    every read is bounds-checked before it happens, so a short literal
+    run can never silently shrink ``out`` and shift later back-references.
+    """
     out = bytearray(dst_size)
     n = len(src)
     ip = 0
@@ -89,17 +94,28 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if ip >= n:
+                    raise ValueError("corrupt LZ4 block: truncated literal length")
                 c = src[ip]
                 ip += 1
                 lit += c
                 if c != 255:
                     break
         if lit:
+            if ip + lit > n:
+                raise ValueError(
+                    f"corrupt LZ4 block: literal run of {lit} bytes at {ip} "
+                    f"overruns {n}-byte input"
+                )
+            if op + lit > dst_size:
+                raise ValueError("corrupt LZ4 block: literals overrun output")
             out[op : op + lit] = src[ip : ip + lit]
             ip += lit
             op += lit
         if ip >= n:  # last sequence carries literals only
             break
+        if ip + 2 > n:
+            raise ValueError("corrupt LZ4 block: truncated match offset")
         offset = src[ip] | (src[ip + 1] << 8)
         ip += 2
         if offset == 0 or offset > op:
@@ -107,11 +123,15 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
         mlen = (token & 0xF) + 4
         if mlen == 19:
             while True:
+                if ip >= n:
+                    raise ValueError("corrupt LZ4 block: truncated match length")
                 c = src[ip]
                 ip += 1
                 mlen += c
                 if c != 255:
                     break
+        if op + mlen > dst_size:
+            raise ValueError("corrupt LZ4 block: match overruns output")
         ref = op - offset
         if offset >= mlen:  # disjoint: one slice copy
             out[op : op + mlen] = out[ref : ref + mlen]
@@ -219,11 +239,19 @@ def unshuffle(buf: bytes, typesize: int) -> bytes:
 
 
 def _nsplits(flags: int, typesize: int, bsize: int, leftover: bool) -> int:
-    """c-blosc's deterministic split-count rule (blosc.c blosc_d)."""
+    """c-blosc's deterministic split-count rule (blosc.c blosc_d).
+
+    Matches the reference decode rule exactly: typesize <= MAX_SPLITS,
+    blocksize/typesize >= MIN_BUFFERSIZE, not the leftover block, and the
+    dont_split header bit clear. There is deliberately NO divisibility
+    condition — c-blosc does not check one (its writer always aligns
+    blocksize to typesize, so ``bsize // nsplits`` is exact for any
+    c-blosc-written buffer; a hypothetical non-aligned split block decodes
+    short and is caught loudly by the container's final nbytes check).
+    """
     if (
         not (flags & _FLAG_DONT_SPLIT)
         and 1 <= typesize <= _MAX_SPLITS
-        and bsize % typesize == 0
         and bsize // typesize >= _MIN_BUFFERSIZE
         and not leftover
     ):
@@ -237,7 +265,10 @@ def decompress(buf: bytes) -> bytes:
         raise ValueError(f"blosc buffer of {len(buf)} bytes has no header")
     version, _versionlz, flags, typesize = buf[0], buf[1], buf[2], buf[3]
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", buf, 4)
-    if version > _VERSION_FORMAT + 1:
+    if version > _VERSION_FORMAT:
+        # Strictly gate on the blosc1 format versions this module was
+        # written against — a higher version byte (blosc2 frame, future
+        # layout) carries no evidence it shares the blosc1 layout.
         raise _gate(f"blosc format version {version} (blosc2 frame?)")
     if cbytes != len(buf):
         raise ValueError(f"header says {cbytes} bytes, buffer has {len(buf)}")
@@ -255,11 +286,22 @@ def decompress(buf: bytes) -> bytes:
     if codec == _CODEC_LZ4:
         dec = lz4_decompress
     elif codec == _CODEC_ZLIB:
-        dec = lambda b, size: zlib.decompress(b)  # noqa: E731
+
+        def dec(b: bytes, size: int) -> bytes:  # noqa: ARG001
+            try:
+                return zlib.decompress(b)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt zlib split: {exc}") from exc
+
     else:
         raise _gate(f"blosc inner codec {_CODEC_NAMES.get(codec, codec)!r}")
 
     nblocks = -(-nbytes // blocksize)
+    if len(buf) < 16 + 4 * nblocks:
+        raise ValueError(
+            f"blosc buffer of {len(buf)} bytes truncates the "
+            f"{nblocks}-entry block index"
+        )
     bstarts = struct.unpack_from(f"<{nblocks}i", buf, 16)
     out = bytearray()
     for j in range(nblocks):
@@ -268,10 +310,19 @@ def decompress(buf: bytes) -> bytes:
         nsplits = _nsplits(flags, typesize, bsize, leftover)
         neblock = bsize // nsplits
         pos = bstarts[j]
+        if pos < 16 or pos > len(buf):
+            raise ValueError(f"corrupt blosc block index: start {pos}")
         block = bytearray()
         for _ in range(nsplits):
+            if pos + 4 > len(buf):
+                raise ValueError("truncated blosc split header")
             (csize,) = struct.unpack_from("<i", buf, pos)
             pos += 4
+            if csize < 0 or pos + csize > len(buf):
+                raise ValueError(
+                    f"corrupt blosc split: csize {csize} at {pos} overruns "
+                    f"{len(buf)}-byte buffer"
+                )
             payload = buf[pos : pos + csize]
             pos += csize
             if csize == neblock:  # stored-raw split

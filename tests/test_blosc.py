@@ -220,10 +220,12 @@ def test_writer_gates_unsupported_cnames():
 def test_decompress_junk_fails_cleanly(junk):
     """Arbitrary bytes must raise ValueError / NotImplementedError (or
     decode, for the rare junk that parses) — never hang, never IndexError,
-    never return silently-wrong sizes."""
+    never return silently-wrong sizes. Every read in ``decompress`` and
+    the LZ4 block decoder is bounds-checked, so truncation surfaces as
+    ValueError, not IndexError/struct.error/zlib.error."""
     try:
         B.decompress(junk)
-    except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
+    except (ValueError, NotImplementedError):
         pass
 
 
@@ -234,14 +236,79 @@ def test_decompress_junk_fails_cleanly(junk):
     seed=st.integers(0, 2**31),
 )
 def test_decompress_bitflipped_container_never_wrong_size(data, flip, seed):
-    """Corrupt a valid container anywhere: the decoder either raises or
-    (if the flip lands in a don't-care byte or payload that still parses)
-    returns a buffer of exactly nbytes — it must never return a
-    wrong-length result."""
+    """Corrupt a valid container anywhere: the decoder either raises a
+    clean ValueError/NotImplementedError or (if the flip lands in a
+    don't-care byte or payload that still parses) returns a buffer of
+    exactly nbytes — it must never return a wrong-length result and never
+    leak a low-level IndexError/struct.error."""
     enc = bytearray(B.compress(data, 4, cname="lz4"))
     enc[flip % len(enc)] ^= 1 << (seed % 8)
     try:
         out = B.decompress(bytes(enc))
-    except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
+    except (ValueError, NotImplementedError):
         return
     assert len(out) in (len(data), int.from_bytes(enc[4:8], "little", signed=True))
+
+
+def test_truncated_literal_run_raises_not_shrinks():
+    # token promises 5 literals but only 2 are present: must raise, never
+    # silently shrink the output (the pre-hardening failure mode)
+    with pytest.raises(ValueError, match="literal run"):
+        B.lz4_decompress(bytes([0x50]) + b"ab", 5)
+    # truncated offset: literals consumed, then only 1 offset byte
+    with pytest.raises(ValueError, match="truncated match offset"):
+        B.lz4_decompress(bytes([0x10]) + b"a" + bytes([1]), 6)
+
+
+def test_version_gate_is_strict():
+    # version byte 3 (> BLOSC_VERSION_FORMAT=2) must gate even if the rest
+    # of the header parses — no evidence it shares the blosc1 layout
+    enc = bytearray(B.compress(b"z" * 64, 4))
+    enc[0] = 3
+    with pytest.raises(NotImplementedError, match="version 3"):
+        B.decompress(bytes(enc))
+
+
+def test_nonaligned_split_block_decodes_like_cblosc():
+    # c-blosc's decode-side split rule has NO divisibility condition; a
+    # block with bsize // typesize >= 128 splits into `typesize` streams
+    # regardless of alignment. Verify _nsplits mirrors that exactly.
+    assert B._nsplits(0, 4, 4 * 128, False) == 4
+    assert B._nsplits(0, 4, 4 * 128 + 2, False) == 4  # non-aligned: still 4
+    assert B._nsplits(0, 4, 4 * 127, False) == 1  # under MIN_BUFFERSIZE
+    assert B._nsplits(B._FLAG_DONT_SPLIT, 4, 4 * 128, False) == 1
+    assert B._nsplits(0, 4, 4 * 128, True) == 1  # leftover never splits
+
+
+# --- optional-library interop: auto-unskip when the real codecs exist -------
+
+
+try:
+    import numcodecs  # noqa: F401
+
+    _HAVE_NUMCODECS = True
+except ImportError:
+    _HAVE_NUMCODECS = False
+
+
+@pytest.mark.skipif(not _HAVE_NUMCODECS, reason="numcodecs not installed")
+class TestNumcodecsInterop:
+    """Cross-checks vs python-blosc via numcodecs — skipped in the
+    dependency-free container, auto-unskips wherever numcodecs exists so
+    conformance is proven against the reference implementation, not only
+    hand-built vectors."""
+
+    @pytest.mark.parametrize("cname", ["lz4", "zlib"])
+    @pytest.mark.parametrize("shuffle_flag", [0, 1])  # NOSHUFFLE, SHUFFLE
+    def test_foreign_written_container_decodes(self, cname, shuffle_flag):
+        codec = numcodecs.Blosc(cname=cname, clevel=5, shuffle=shuffle_flag)
+        arr = np.arange(5000, dtype="<f4")
+        enc = codec.encode(arr.tobytes())
+        assert B.decompress(bytes(enc)) == arr.tobytes()
+
+    @pytest.mark.parametrize("cname", ["lz4", "zlib"])
+    def test_our_container_decodes_in_reference(self, cname):
+        codec = numcodecs.Blosc(cname=cname)
+        arr = np.arange(5000, dtype="<f4")
+        enc = B.compress(arr.tobytes(), 4, cname=cname)
+        assert bytes(codec.decode(enc)) == arr.tobytes()
