@@ -125,6 +125,13 @@ CHANGED_SINCE_GREEN = {
     # histogram sketch — different (now deterministic) values by design,
     # and the query gained a full DuckDB oracle (was rows-only)
     "approx_quantiles_sketch": 7,
+    # r8: ADC now computed from codes × a broadcast lookup table with the
+    # fold GROUPED BY SUBSPACE (per-subspace partial dots, then the
+    # 8-entry fold) instead of the flat 64-dim recon dot — the adc column
+    # can move in the last ulp where the groupings round differently, and
+    # near-ties at the shortlist boundary can legally reorder; the oracle
+    # computes the identical grouping (r7 review item 1)
+    "ann_pq_topk": 8,
 }
 
 

@@ -88,20 +88,54 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bruteforce_from(e: DataFrame) -> DataFrame:
     """Composable form over an already-filtered corpus frame (shared by
-    ann_recall_eval so the evaluation pays ONE corpus pass)."""
+    ann_recall_eval so the evaluation pays ONE corpus pass).
+
+    Two-stage top-k (round 8): scoring stays JVM-side (broadcast query
+    set against the streaming corpus — shuffle-free candidate
+    generation), then an Arrow-batched SELECTION-ONLY pre-pass keeps each
+    batch's top-TOP_K per query in the global window's exact total order
+    (cos DESC, cand_id ASC), so the per-query window — previously a
+    single reducer task sorting the whole N·Q stream — receives only
+    ≤ batches·TOP_K·Q slim rows. The kernel does no arithmetic (the
+    JVM-computed doubles pass through Arrow losslessly), so bit-exactness
+    vs the oracle is untouched, and the union-of-local-winners ⊇
+    global-top-k property makes the post-window result independent of
+    partitioning."""
+    import numpy as np
+
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            order = np.lexsort(
+                (pdf["cand_id"].to_numpy(), -pdf["cos"].to_numpy())
+            )
+            yield (
+                pdf.iloc[order]
+                .groupby("query_id", sort=False)
+                .head(TOP_K)
+            )
+
+    pruned = scored.mapInPandas(
+        local_topk, schema="query_id long, cand_id long, cos double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -492,33 +526,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine and the top-k returned — the standard re-ranking
     arrangement (Jégou et al. 2011, FAISS IndexPQ + refine).
 
-    Scale shape at 100 TB:
+    Scale shape at 100 TB (round 8 — the plan now IS the scale story):
     - The codebook (PQ_M·PQ_KS·PQ_DSUB doubles = 8 KB here, ~1 MB at
-      d=768/ks=256) is the ONLY driver-held state; like the IVF coarse
-      quantizer it is an offline-training artifact — seeded here
-      deterministically from the first PQ_KS corpus vectors so the
-      DuckDB oracle reproduces the whole index bit-exactly (real
-      deployments train codebooks with k-means offline; the plan shape
-      is identical).
-    - Encoding is a PURE MAP (Arrow-batched mapInPandas, the same
-      per-coordinate-fold numpy kernel as the IVF assignment, ~30×
-      the interpreted-expression throughput): the corpus is never
-      shuffled. The emitted frame carries codes + reconstruction; at
-      scale only codes + vec_id persist (8+8 B/vector — a 10⁹-vector
-      index fits in 16 GB across the cluster).
-    - ADC scoring joins the broadcast query set against the encoded
-      corpus (map-side), so candidate generation is shuffle-free; the
-      only exchanges are the two per-query top-k windows, which share
-      one hash partitioning on query_id.
+      d=768/ks=256), the N_QUERIES probe vectors, and the Q·PQ_M·PQ_KS
+      ADC lookup table derived from them (5·8·16 doubles here) are the
+      ONLY driver-held state; like the IVF coarse quantizer they are
+      offline-training artifacts — seeded here deterministically from
+      the first PQ_KS corpus vectors so the DuckDB oracle reproduces
+      the whole index bit-exactly (real deployments train codebooks
+      with k-means offline; the plan shape is identical).
+    - Encode + ADC-score + local top-k is ONE PURE MAP (Arrow-batched
+      mapInPandas): each batch snaps its vectors to codes, scores every
+      query against the codes via the precomputed ADC table (the
+      standard table-lookup ADC of Jégou et al. 2011 §5.2 / FAISS
+      IndexPQ), and emits only its per-batch top-PQ_SHORTLIST
+      (query_id, cand_id, adc) rows. The corpus is never shuffled, NO
+      raw vector survives past the kernel, and the per-query shortlist
+      exchange receives ≤ batches·PQ_SHORTLIST·Q slim 24-byte rows —
+      not the N·Q candidate stream (the round-7 plan carried the full
+      float corpus into a Q-reducer window; the round-7 review
+      correctly called that a contradiction of the PQ memory story).
+    - The global shortlist is the only per-query window; the exact
+      rerank then BROADCASTS the ≤ Q·PQ_SHORTLIST-row shortlist back
+      into a corpus scan (map-side join on cand_id — FAISS's refine
+      step re-fetching raw vectors), so the final window sorts
+      ≤ Q·PQ_SHORTLIST rows.
     - Composes with IVF cell pruning (scan only probed cells' codes —
-      FAISS IVFPQ) for a further N_PROBE·√N/N factor; the residual-PQ
-      variant is the documented design path, not implemented.
+      FAISS IVFPQ): implemented as ``ann_ivfpq_topk``.
 
-    Determinism: subspace argmax breaks ties toward the smallest
-    codeword id (np.argmax first-maximum over id-ascending codewords ≡
-    the oracle's ORDER BY score DESC, cid ASC); both shortlist and
-    final ranks order by (score DESC, cand_id ASC); every dot is the
-    engines' shared left-to-right double fold."""
+    Determinism: the per-batch local top-k uses the same total order as
+    the global window (adc DESC, cand_id ASC), so the union of local
+    winners contains the global top-PQ_SHORTLIST for ANY partitioning —
+    the emitted superset varies, the post-window result does not.
+    Subspace argmax breaks ties toward the smallest codeword id
+    (np.argmax first-maximum over id-ascending codewords ≡ the oracle's
+    ORDER BY score DESC, cid ASC). Bit-exactness of adc: the ADC table
+    entry LUT[q,s,c] accumulates the PQ_DSUB products coordinate-by-
+    coordinate from 0.0 (the engines' left-to-right fold), and the
+    final adc accumulates the PQ_M table entries in subspace order —
+    the oracle computes the identical grouping (per-subspace partial
+    dots, then list_sum in s order), so every IEEE add happens in the
+    same sequence in both engines."""
     return _pq_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
 
 
@@ -533,59 +581,100 @@ def _pq_from(e: DataFrame) -> DataFrame:
             "en"
         ),
     )
-    # offline codebook: subvectors of the first PQ_KS normalized vectors
+    # offline index state, driver-held and bounded: PQ_KS codebook rows +
+    # N_QUERIES probe rows -> the Q×M×KS ADC lookup table
     cb_rows = sorted(
         (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < PQ_KS).collect()
     )
-    cb_ids = np.array([c for c, _ in cb_rows], dtype=np.int64)
-    CB = np.array([v for _, v in cb_rows], dtype=np.float64)  # (ks, d)
+    CB = np.array([v for _, v in cb_rows], dtype=np.float64).reshape(
+        len(cb_rows), PQ_M * PQ_DSUB
+    )  # (ks, d); row order == cid order (sorted above)
+    q_rows = sorted(
+        (r["vec_id"], r["en"])
+        for r in n.filter(F.col("vec_id") < N_QUERIES).collect()
+    )
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    QM = np.array([v for _, v in q_rows], dtype=np.float64).reshape(
+        len(q_rows), PQ_M * PQ_DSUB
+    )
+    # ADC table: LUT[q, s, c] = dot(query subvector s, codeword c's
+    # subvector s), accumulated per-coordinate from 0.0 — the engines'
+    # left-to-right double fold, bit-exactly
+    LUT = np.zeros((len(QM), PQ_M, len(CB)))
+    for s in range(PQ_M):
+        for j in range(s * PQ_DSUB, (s + 1) * PQ_DSUB):
+            LUT[:, s, :] += QM[:, j, None] * CB[None, :, j]
 
-    def encode_kernel(batches):
+    def encode_score_kernel(batches):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "cand_id": pd.Series(dtype="int64"),
+                "adc": pd.Series(dtype="float64"),
+            }
+        )
         for pdf in batches:
             m = len(pdf)
-            codes = np.empty((m, PQ_M), dtype=np.int64)
-            recon = np.empty((m, PQ_M * PQ_DSUB), dtype=np.float64)
-            if m:
-                EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
+            if m == 0 or len(QM) == 0:
+                yield empty
+                continue
+            EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # encode: nearest codeword per subspace (first max = min cid)
+            code_pos = np.empty((m, PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                lo = s * PQ_DSUB
+                scores = np.zeros((m, len(CB)))
+                for j in range(lo, lo + PQ_DSUB):
+                    scores += EN[:, j, None] * CB[None, :, j]
+                code_pos[:, s] = np.argmax(scores, axis=1)
+            # ADC from codes × table only (raw vectors stop here), folded
+            # over subspaces in order: 0.0 + t0 + t1 + ... + t7
+            out = []
+            for qi in range(len(QM)):
+                adc = np.zeros(m)
                 for s in range(PQ_M):
-                    lo = s * PQ_DSUB
-                    # per-coordinate accumulation: 0.0 + p0 + p1 + ... is
-                    # the engines' left-to-right fold, bit-exactly
-                    scores = np.zeros((m, len(CB)))
-                    for j in range(lo, lo + PQ_DSUB):
-                        scores += EN[:, j, None] * CB[None, :, j]
-                    best = np.argmax(scores, axis=1)  # first max = min cid
-                    codes[:, s] = cb_ids[best]
-                    recon[:, lo : lo + PQ_DSUB] = CB[best, lo : lo + PQ_DSUB]
-            yield pd.DataFrame(
-                {
-                    "cand_id": pdf["vec_id"],
-                    "ce": pdf["en"],
-                    "codes": list(codes),
-                    "recon": list(recon),
-                }
-            )
+                    adc += LUT[qi, s, code_pos[:, s]]
+                idx = np.flatnonzero(cand != q_ids[qi])
+                # local top-k in the GLOBAL window's total order
+                # (adc DESC, cand_id ASC) -> union ⊇ global top-k
+                order = np.lexsort((cand[idx], -adc[idx]))[:PQ_SHORTLIST]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "cand_id": cand[sel],
+                            "adc": adc[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else empty
 
-    enc = rebalance_for_compute(n).mapInPandas(
-        encode_kernel,
-        schema="cand_id long, ce array<double>, codes array<long>, "
-               "recon array<double>",
-    )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
+    cand_stream = rebalance_for_compute(n).mapInPandas(
+        encode_score_kernel, schema="query_id long, cand_id long, adc double"
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("cand_id")
     )
+    short = (
+        cand_stream.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "cand_id", "adc")
+    )
+    # exact rerank: broadcast the ≤ Q·PQ_SHORTLIST-row shortlist (with its
+    # query vectors attached) back into a corpus scan — map-side re-fetch
+    # of the raw vectors, FAISS refine-style
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
+    )
+    short_q = short.join(F.broadcast(q), "query_id")
     w_final = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
     return (
-        enc.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .withColumn("adc", _dot(F.col("qe"), F.col("recon")))
-        .withColumn("srank", F.row_number().over(w_short))
-        .filter(F.col("srank") <= PQ_SHORTLIST)
-        .withColumn("cos", _dot(F.col("qe"), F.col("ce")))
+        n.join(F.broadcast(short_q), n["vec_id"] == short_q["cand_id"])
+        .withColumn("cos", _dot(F.col("qe"), F.col("en")))
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= TOP_K)
         .select(
@@ -620,21 +709,23 @@ best AS (
     FROM sscore
   ) WHERE rn = 1
 ),
--- reconstruction: concatenate the chosen codewords' subvectors in s order
-recon AS (
-  SELECT b.vec_id AS cand_id,
-         flatten(list(list_slice(cb.cv, b.s * {PQ_DSUB} + 1,
-                                 (b.s + 1) * {PQ_DSUB}) ORDER BY b.s))
-           AS recon
-  FROM best b JOIN cb ON cb.cid = b.cid
-  GROUP BY b.vec_id
+-- ADC by table lookup: per-subspace partial dots (query subvector ×
+-- chosen codeword's subvector), then the fold over subspaces in s order —
+-- the same IEEE grouping as the engine's LUT accumulation (0.0 + the 8
+-- coordinate products per subspace, then 0.0 + the 8 subspace partials)
+subadc AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS cand_id, b.s,
+         list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                  i -> q.en[b.s * {PQ_DSUB} + i] * cb.cv[b.s * {PQ_DSUB} + i]))
+           AS t
+  FROM best b
+  JOIN cb ON cb.cid = b.cid
+  CROSS JOIN (SELECT vec_id, en FROM n WHERE vec_id < {N_QUERIES}) q
+  WHERE b.vec_id <> q.vec_id
 ),
 adc AS (
-  SELECT q.vec_id AS query_id, r.cand_id,
-         {_DOT_EN.format(a='q.en', b='r.recon')} AS adc
-  FROM recon r
-  CROSS JOIN (SELECT vec_id, en FROM n WHERE vec_id < {N_QUERIES}) q
-  WHERE r.cand_id <> q.vec_id
+  SELECT query_id, cand_id, list_sum(list(t ORDER BY s)) AS adc
+  FROM subadc GROUP BY query_id, cand_id
 ),
 short AS (
   SELECT query_id, cand_id, adc FROM (

@@ -202,9 +202,10 @@ _PLAN_BOUNDS = {
     # probe-set and probe-selection broadcasts remain
     "ann_recall_eval": (14, 7),
     "ann_ivf_topk": (4, 2),
-    # PQ (r7): map-only encode (rebalance) + shared query_id window
-    # partitioning for shortlist+rerank + final sort; query set broadcast
-    "ann_pq_topk": (3, 1),
+    # PQ (r8): rebalance + slim shortlist window + rerank window + final
+    # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the
+    # corpus scan and the query set broadcasts onto the shortlist
+    "ann_pq_topk": (4, 2),
     # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
@@ -498,6 +499,42 @@ def test_bucketed_join_no_join_exchange(spark, sf_dir):
     # split at the join: no Exchange may appear below it
     below = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below, below
+
+
+def _keyed_exchange_inputs(plan: str) -> list[str]:
+    """The ``Input [...]`` schema line of every hash/range-partitioned
+    Exchange in a formatted plan (RoundRobin rebalances excluded — they
+    pre-date the kernel and legitimately carry vectors)."""
+    import re
+
+    blocks = re.split(r"\n\((\d+)\) ", plan)
+    inputs = []
+    for i in range(1, len(blocks) - 1, 2):
+        body = blocks[i + 1]
+        if not body.startswith("Exchange"):
+            continue
+        if "RoundRobinPartitioning" in body:
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", body)
+        if m:
+            inputs.append(m.group(1))
+    return inputs
+
+
+@pytest.mark.parametrize("name", ["ann_pq_topk", "ann_bruteforce_topk"])
+def test_ann_topk_exchanges_carry_no_vectors(spark, sf_dir, name):
+    """The round-7 review's PQ finding, pinned as a contract: after the
+    scoring kernel, NO raw vector (array column) may cross a keyed
+    exchange — the shortlist/top-k windows must receive only slim
+    (query_id, cand_id, score) rows, with the exact-rerank vectors
+    re-fetched map-side via broadcast. A violation means the N·Q
+    candidate stream is carrying ~KB rows into per-query reducers again."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = I.plan_string(df, "formatted")
+    keyed = _keyed_exchange_inputs(plan)
+    assert keyed, plan  # the windows/sort must exist
+    for schema in keyed:
+        assert "array<" not in schema, (schema, plan)
 
 
 def test_dpp_partition_filter(spark, sf_dir):
