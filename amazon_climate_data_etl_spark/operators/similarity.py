@@ -754,6 +754,272 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse cells prune the scan, PQ codes feed the ADC —
+    the composition both parent docstrings name as the actual 100 TB ANN
+    architecture (FAISS IndexIVFPQ; Jégou et al. 2011 §5.3).
+
+    Quantizes the NORMALIZED vectors directly (FAISS's
+    ``by_residual=False`` mode) so the same deterministic seeding as the
+    parents — centroids = first nlist vectors, codebook = first PQ_KS —
+    lets the DuckDB oracle reproduce the whole index bit-exactly;
+    residual PQ (by_residual=True) would need the oracle to re-derive
+    per-cell residuals and buys nothing at this codebook size.
+
+    Scale shape at 100 TB:
+    - Driver-held state is the union of the parents' bounded artifacts:
+      the ≤ NLIST_CAP·d centroid matrix, the PQ codebook, the probe
+      vectors, and the Q·M·KS ADC table derived from them. Probe-cell
+      selection (top-N_PROBE centroids per query) happens ON THE DRIVER
+      against that matrix — Q·nlist dots, no cluster work at all.
+    - ONE pure-map corpus pass (Arrow-batched mapInPandas) assigns each
+      vector's cell, encodes its PQ codes, and ADC-scores it ONLY for
+      the queries probing its cell — candidates outside probed cells are
+      skipped before any scoring, which is the IVF pruning factor
+      (N_PROBE/nlist of the corpus ever reaches the ADC lookup). Each
+      batch emits its local top-PQ_SHORTLIST per query in the global
+      window's total order, so the shortlist exchange again receives
+      only slim (query_id, cand_id, adc, cell) rows.
+    - Shortlist window + broadcast rerank join-back are identical to
+      ``ann_pq_topk``; the final window sorts ≤ Q·PQ_SHORTLIST rows.
+
+    Determinism: cell assignment and probe selection break ties by
+    (score DESC, cid ASC) exactly as ``ann_ivf_topk`` (np.argmax /
+    lexsort first-maximum over cid-ascending centroids ≡ the oracle's
+    row_number ORDER BY); encoding and the subspace-grouped ADC fold are
+    byte-for-byte the ``ann_pq_topk`` kernels."""
+    return _ivfpq_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+
+
+def _ivfpq_from(e: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    norm_sq = _norm_sq()
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(norm_sq)).alias(
+            "en"
+        ),
+    )
+    # offline index state, driver-held and bounded (see docstring)
+    nlist = _ivf_nlist(n.count())
+    cent_rows = sorted(
+        (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < nlist).collect()
+    )
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    # codebook = vectors with vec_id < PQ_KS (a prefix of the centroid
+    # set, selected by ID not by row position — id gaps from zero-vector
+    # exclusion must match the oracle's ``vec_id < PQ_KS`` exactly)
+    CB = C[cids < PQ_KS]
+    q_mask = cids < N_QUERIES
+    q_ids = cids[q_mask]
+    QM = C[q_mask]
+
+    # per-coordinate accumulation everywhere: the engines' shared
+    # left-to-right double fold, bit-exactly (see _ivf_from / _pq_from)
+    def _fold_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        out = np.zeros((len(A), len(B)))
+        for j in range(B.shape[1] if len(B) else 0):
+            out += A[:, j, None] * B[None, :, j]
+        return out
+
+    # probe selection on the driver: top-N_PROBE cells per query by
+    # (cos DESC, cid ASC)
+    qscores = _fold_dots(QM, C)
+    probe_cells: list[np.ndarray] = []
+    for qi in range(len(QM)):
+        order = np.lexsort((cids, -qscores[qi]))[:N_PROBE]
+        probe_cells.append(cids[order])
+
+    # ADC table from the same subspace-grouped fold as _pq_from
+    LUT = np.zeros((len(QM), PQ_M, len(CB)))
+    for s in range(PQ_M):
+        for j in range(s * PQ_DSUB, (s + 1) * PQ_DSUB):
+            LUT[:, s, :] += QM[:, j, None] * CB[None, :, j]
+
+    def kernel(batches):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "cand_id": pd.Series(dtype="int64"),
+                "adc": pd.Series(dtype="float64"),
+                "cell": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0 or len(QM) == 0:
+                yield empty
+                continue
+            EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = np.empty(m, dtype=np.int64)
+            for s0 in range(0, m, 256):  # bound the b×nlist score block
+                blk = EN[s0 : s0 + 256]
+                cells[s0 : s0 + 256] = cids[np.argmax(_fold_dots(blk, C), axis=1)]
+            code_pos = np.empty((m, PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                lo = s * PQ_DSUB
+                scores = np.zeros((m, len(CB)))
+                for j in range(lo, lo + PQ_DSUB):
+                    scores += EN[:, j, None] * CB[None, :, j]
+                code_pos[:, s] = np.argmax(scores, axis=1)
+            out = []
+            for qi in range(len(QM)):
+                # IVF pruning: only rows in this query's probed cells are
+                # ever ADC-scored
+                idx = np.flatnonzero(
+                    np.isin(cells, probe_cells[qi]) & (cand != q_ids[qi])
+                )
+                if len(idx) == 0:
+                    continue
+                adc = np.zeros(len(idx))
+                for s in range(PQ_M):
+                    adc += LUT[qi, s, code_pos[idx, s]]
+                order = np.lexsort((cand[idx], -adc))[:PQ_SHORTLIST]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "cand_id": cand[sel],
+                            "adc": adc[order],
+                            "cell": cells[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else empty
+
+    cand_stream = rebalance_for_compute(n).mapInPandas(
+        kernel, schema="query_id long, cand_id long, adc double, cell long"
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id")
+    )
+    short = (
+        cand_stream.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "cand_id", "adc", "cell")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
+    )
+    short_q = short.join(F.broadcast(q), "query_id")
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        n.join(F.broadcast(short_q), n["vec_id"] == short_q["cand_id"])
+        .withColumn("cos", _dot(F.col("qe"), F.col("en")))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            stable_round(F.col("cos"), 6).alias("cosine"),
+            stable_round(F.col("adc"), 6).alias("adc"),
+            "cell",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH n AS (SELECT vec_id, {_NORMED} AS en FROM embeddings WHERE {_NONZERO_SQL}),
+nl AS (SELECT least(greatest({N_CENTROIDS},
+                             CAST(floor(sqrt(count(*))) AS BIGINT)),
+                    {NLIST_CAP}) AS nlist FROM n),
+cents AS (SELECT vec_id AS cid, en AS cv FROM n
+          WHERE vec_id < (SELECT nlist FROM nl)),
+ascore AS (
+  SELECT n.vec_id, cents.cid, {_DOT_EN.format(a='n.en', b='cents.cv')} AS cos
+  FROM n CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id AS cand_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cb AS (SELECT vec_id AS cid, en AS cv FROM n WHERE vec_id < {PQ_KS}),
+sscore AS (
+  SELECT n.vec_id, s.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                  i -> n.en[s.s * {PQ_DSUB} + i] * cb.cv[s.s * {PQ_DSUB} + i]))
+           AS score
+  FROM n
+  CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+  CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY score DESC, cid) AS rn
+    FROM sscore
+  ) WHERE rn = 1
+),
+-- IVF pruning: only (query, candidate) pairs meeting in a probed cell
+cand AS (
+  SELECT p.query_id, a.cand_id, a.cell
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.cand_id <> p.query_id
+),
+-- ADC by table lookup, subspace-grouped fold (same grouping as the
+-- engine's LUT accumulation — see ANN_PQ_SQL)
+subadc AS (
+  SELECT c.query_id, c.cand_id, c.cell, b.s,
+         list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                  i -> q.en[b.s * {PQ_DSUB} + i] * cb.cv[b.s * {PQ_DSUB} + i]))
+           AS t
+  FROM cand c
+  JOIN best b ON b.vec_id = c.cand_id
+  JOIN cb ON cb.cid = b.cid
+  JOIN n q ON q.vec_id = c.query_id
+),
+adc AS (
+  SELECT query_id, cand_id, cell, list_sum(list(t ORDER BY s)) AS adc
+  FROM subadc GROUP BY query_id, cand_id, cell
+),
+short AS (
+  SELECT query_id, cand_id, adc, cell FROM (
+    SELECT query_id, cand_id, adc, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, cand_id) AS srank
+    FROM adc
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.cand_id, s.adc, s.cell,
+         {_DOT_EN.format(a='q.en', b='c.en')} AS cos
+  FROM short s
+  JOIN n q ON q.vec_id = s.query_id
+  JOIN n c ON c.vec_id = s.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, adc, cell, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id) AS rank
+  FROM rerank
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cosine, round(adc, 6) AS adc,
+       cell
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: count + mean L2 norm — the sanity
     profile step before any similarity work."""
@@ -1458,6 +1724,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_label_stats": embedding_label_stats,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
@@ -1468,6 +1735,7 @@ ORACLE = {
     "kmeans_cluster_profile": KMEANS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "embedding_covariance": EMB_COVARIANCE_SQL,
     "embedding_top_component": EMB_TOP_COMPONENT_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,

@@ -47,7 +47,8 @@ QUERIES = tuple(
         "SCALING_QUERIES",
         "minhash_lsh_pairs,ngram_jaccard_pairs,neardup_keep_corpus,"
         "duplicate_span_stats,duplicate_spans_exact,ann_lsh_topk,"
-        "ann_ivf_topk,ann_pq_topk,textrank_keywords,token_triangle_census",
+        "ann_ivf_topk,ann_pq_topk,ann_ivfpq_topk,textrank_keywords,"
+        "token_triangle_census",
     ).split(",")
     if q.strip()
 )

@@ -18,6 +18,7 @@ import pytest
 
 from amazon_climate_data_etl_spark.operators.similarity import (
     ann_bruteforce_topk,
+    ann_ivfpq_topk,
     ann_pq_topk,
     ann_recall_eval,
 )
@@ -48,3 +49,18 @@ def test_pq_recall_floor(spark, sf):
           for r in ann_pq_topk(spark, sf).collect()}
     recall = len(bf & pq) / len(bf)
     assert recall >= 0.7, f"PQ recall@k {recall} fell below 0.7 at {sf}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivfpq_recall_floor(spark, sf):
+    """IVF-PQ composition against the brute-force truth. Measured
+    0.93 / 0.87 at sf0.001/0.01 (2-probe pruning loses a little recall
+    over plain PQ, as it should); floored at 0.6 — below honest
+    probe-miss noise, far above a broken assignment or probe selection
+    (a wrong cell map measured ~0.1)."""
+    bf = {(r["query_id"], r["cand_id"])
+          for r in ann_bruteforce_topk(spark, sf).collect()}
+    iv = {(r["query_id"], r["cand_id"])
+          for r in ann_ivfpq_topk(spark, sf).collect()}
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.6, f"IVF-PQ recall@k {recall} fell below 0.6 at {sf}"

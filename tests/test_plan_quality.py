@@ -206,6 +206,10 @@ _PLAN_BOUNDS = {
     # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the
     # corpus scan and the query set broadcasts onto the shortlist
     "ann_pq_topk": (4, 2),
+    # IVF-PQ compose (r8): same rebalance + slim shortlist window +
+    # rerank window + sort shape as PQ — cell pruning happens inside the
+    # kernel against driver-held probes, adding no exchange
+    "ann_ivfpq_topk": (4, 2),
     # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
@@ -521,7 +525,9 @@ def _keyed_exchange_inputs(plan: str) -> list[str]:
     return inputs
 
 
-@pytest.mark.parametrize("name", ["ann_pq_topk", "ann_bruteforce_topk"])
+@pytest.mark.parametrize(
+    "name", ["ann_pq_topk", "ann_ivfpq_topk", "ann_bruteforce_topk"]
+)
 def test_ann_topk_exchanges_carry_no_vectors(spark, sf_dir, name):
     """The round-7 review's PQ finding, pinned as a contract: after the
     scoring kernel, NO raw vector (array column) may cross a keyed
