@@ -132,6 +132,12 @@ CHANGED_SINCE_GREEN = {
     # near-ties at the shortlist boundary can legally reorder; the oracle
     # computes the identical grouping (r7 review item 1)
     "ann_pq_topk": 8,
+    # r8: _portable moments now convert decimal→double through the
+    # narrow/split dual path (r7 review item 3). In the narrow domain
+    # values are unchanged; summary_stats' Σx² moment lives in the split
+    # zone, where the raw stddev moves ~1e-11 (absorbed by its 2-decimal
+    # round at both fixture SFs, but the rotation rule keys on MAY differ)
+    "summary_stats": 8,
 }
 
 

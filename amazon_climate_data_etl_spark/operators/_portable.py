@@ -20,23 +20,98 @@ from pyspark.sql import functions as F
 # scale=4 keeps the inputs exact (testdata has ≤2 decimals) with headroom.
 _DEC = "decimal(18,4)"
 
+# Portable moment→double conversion (round 8, VERDICT r7 item 3). The
+# exact decimal moments are order-independent at ANY magnitude; what has a
+# domain is the final decimal→double conversion:
+#
+# - |unscaled| < 2^53 ("narrow" domain): DuckDB's int→double→÷10^k
+#   two-step and Spark's correctly-rounded BigDecimal conversion are BOTH
+#   exact → the direct cast is provably identical. The narrow bound per
+#   scale k is 2^53/10^k, itself an exactly-representable decimal.
+# - beyond it, the engines' direct casts agree only until the int→double
+#   rounding lands on a ÷10^k tie — "provable" becomes "lucky". The fix
+#   is the stable_round philosophy: make both engines execute the
+#   IDENTICAL IEEE sequence. The split conversion
+#       T = M - (M % 1)            (exact integer-valued decimal)
+#       R = (M % 1) · 10^k         (exact integer, |R| < 10^k)
+#       double(T) + double(R)/10^k
+#   uses only steps that are bit-identical across engines: int64→double
+#   is one IEEE rounding of the same integer, R converts exactly, the
+#   divisor 10^k is exactly representable so the division is correctly
+#   rounded, and the final add rounds once — no step depends on how the
+#   engine implements decimal→double. Valid while |T| fits BIGINT.
+# - past the BIGINT split bound (~9.2e18) the conversion RAISES instead
+#   of silently de-syncing from the oracle — the same fail-loud posture
+#   as embedding_top_component's pinned overflow contract. A deployment
+#   needing larger moments pre-scales the column (the error says so).
+#
+# The oracle twins compute the identical CASE; their ELSE is absent (the
+# Spark side raises first, so the branch is never compared).
+_SPLIT_BOUND = "9000000000000000000"  # bigint-safe integer-part cap < 2^63
+
+
+def _narrow_bound(scale: int) -> str:
+    """2^53 / 10^scale as an exact decimal string."""
+    q, r = divmod(2**53, 10**scale)
+    return f"{q}.{r:0{scale}d}" if scale else str(q)
+
+
+def _moment_to_double(m: Column, scale: int, what: str) -> Column:
+    """Engine-portable exact-decimal moment → double (see block comment)."""
+    p10 = 10**scale
+    frac = m % F.lit(1)
+    split = (m - frac).cast("long").cast("double") + (
+        (frac * F.lit(p10)).cast("long").cast("double") / F.lit(float(p10))
+    )
+    return (
+        F.when(m.isNull(), F.lit(None).cast("double"))
+        .when(
+            F.abs(m) < F.lit(_narrow_bound(scale)).cast("decimal(38,8)"),
+            m.cast("double"),
+        )
+        .when(F.abs(m) < F.lit(_SPLIT_BOUND).cast("decimal(38,8)"), split)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"_portable.{what}: exact decimal moment exceeds the "
+                    f"portable double-conversion domain (|moment| >= "
+                    f"{_SPLIT_BOUND}); pre-scale the column"
+                )
+            )
+        )
+    )
+
+
+def _moment_to_double_sql(m: str, scale: int) -> str:
+    p10 = 10**scale
+    split = (
+        f"(CAST(CAST(({m}) - (({m}) % 1) AS BIGINT) AS DOUBLE) + "
+        f"CAST(CAST((({m}) % 1) * {p10} AS BIGINT) AS DOUBLE) / {float(p10)!r})"
+    )
+    return (
+        f"(CASE WHEN abs({m}) < {_narrow_bound(scale)} THEN CAST(({m}) AS DOUBLE) "
+        f"WHEN abs({m}) < {_SPLIT_BOUND} THEN {split} END)"
+    )
+
 
 def dsum(col: Column) -> Column:
-    """Order-independent sum of a double column, returned as double."""
-    return F.sum(col.cast(_DEC)).cast("double")
+    """Order-independent sum of a double column, returned as double via
+    the portable conversion (raises past the split domain, ~9.2e18)."""
+    return _moment_to_double(F.sum(col.cast(_DEC)), 4, "dsum")
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+    return _moment_to_double_sql(f"sum(CAST(({expr}) AS DECIMAL(18,4)))", 4)
 
 
 def davg(col: Column) -> Column:
-    """Order-independent mean: exact decimal sum / count, in double."""
-    return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    """Order-independent mean: exact decimal sum (portably converted) /
+    count, in double."""
+    return dsum(col) / F.count(col)
 
 
 def davg_sql(expr: str) -> str:
-    return f"(CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) / count({expr}))"
+    return f"({dsum_sql(expr)} / count({expr}))"
 
 
 def dstddev(col: Column) -> Column:
@@ -58,19 +133,20 @@ def dstddev(col: Column) -> Column:
     n=1 NaN through greatest and sqrt), so the clamp keeps bit-equality
     while turning cancellation noise into the mathematically-right 0.0.
 
-    Domain contract: bit-exact for ≤4-decimal inputs while the exact
-    moments convert to double without double-rounding divergence —
-    |Σx|·10⁴ < 2^53 and |Σx²|·10⁸ < 2^53 (inside it, DuckDB's
-    int→double→÷10^k two-step and Spark's single BigDecimal conversion
-    are both exact). Beyond it both engines stay deterministic and agree
-    except when the int→double rounding lands exactly on a ÷10^k tie —
-    which the engine's own summary-stat columns (prices ≤ 1e5) round
-    away; a 100 TB revenue column would budget wider decimal moments.
+    Domain contract — closed at runtime (round 8, r7 review item 3):
+    previously bit-exactness was PROVABLE only while |Σx|·10⁴ < 2^53 and
+    |Σx²|·10⁸ < 2^53 (where both engines' direct decimal→double casts
+    are exact); outside, the engines agreed only until an int→double
+    rounding landed on a ÷10^k tie. Both moments now go through
+    ``_moment_to_double``: the provably-identical direct cast inside the
+    narrow domain, the identical-IEEE-sequence split conversion out to
+    the BIGINT bound (~9.2e18 — squared moments of real price columns
+    live here), and a loud raise beyond instead of a silent de-sync.
     """
     n = F.count(col).cast("double")
     d = col.cast(_DEC)
-    s = F.sum(d).cast("double")
-    sq = F.sum(d * d).cast("double")
+    s = _moment_to_double(F.sum(d), 4, "dstddev")
+    sq = _moment_to_double(F.sum(d * d), 8, "dstddev")
     var = (sq - s * s / n) / (n - F.lit(1.0))
     return F.sqrt(F.greatest(var, F.lit(0.0)))
 
@@ -78,13 +154,13 @@ def dstddev(col: Column) -> Column:
 def dstddev_sql(expr: str) -> str:
     n = f"CAST(count({expr}) AS DOUBLE)"
     d = f"CAST(({expr}) AS DECIMAL(18,4))"
-    s = f"CAST(sum({d}) AS DOUBLE)"
+    s = _moment_to_double_sql(f"sum({d})", 4)
     # DECIMAL(19,4) operands force DuckDB's int128 multiply path — at
     # width 18 it multiplies in int64 storage and overflows on values
     # past ~9.6e5 (same exact products either way; Spark's (18,4)² is
     # already a (37,8) exact multiply)
     d2 = f"CAST(({expr}) AS DECIMAL(19,4))"
-    sq = f"CAST(sum({d2} * {d2}) AS DOUBLE)"
+    sq = _moment_to_double_sql(f"sum({d2} * {d2})", 8)
     return f"sqrt(greatest(({sq} - {s} * {s} / {n}) / ({n} - 1.0), 0.0))"
 
 

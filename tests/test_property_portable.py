@@ -174,6 +174,104 @@ def test_dsum_order_independent_and_portable(spark, xs):
     assert exact_float_mismatches(got, want) == 0
 
 
+# --- portable moment→double conversion (round 8): the narrow/split seam
+# must stay bit-exact cross-engine, and past the split domain the engine
+# must RAISE instead of silently de-syncing from the oracle ----------------
+
+_NARROW_SUM = 2.0**53 / 1e4  # direct-cast bound for scale-4 moments
+
+
+def _raises_domain(spark, xs, expr, what):
+    try:
+        _spark_col(spark, xs, expr, "s")
+    except Exception as exc:  # Py4J wraps SparkRuntimeException
+        assert f"_portable.{what}" in str(exc), str(exc)[:500]
+        return True
+    return False
+
+
+@given(
+    eps=st.integers(min_value=-(10**6), max_value=10**6),
+    split=st.integers(min_value=1, max_value=5),
+    sign=st.sampled_from([1, -1]),
+)
+@example(eps=0, split=1, sign=1)          # exactly AT the seam
+@example(eps=1, split=3, sign=-1)         # one decimal ulp above, negative
+@settings(**_SETTINGS)
+def test_dsum_conversion_seam_bit_exact(spark, eps, split, sign):
+    """Σx straddling the narrow-domain seam (2^53/10^4): below it the
+    direct cast fires, at/above it the split conversion fires — BOTH
+    must be bit-exact vs DuckDB's identical CASE (the r7 review's
+    silent-de-sync risk, closed by construction). The total is split
+    across rows to prove the conversion sees the aggregated moment."""
+    total = sign * (_NARROW_SUM + eps / 1e4)
+    xs = [round(total / split, 4)] * split
+    got = _spark_col(spark, xs, dsum(F.col("x")), "s")
+    want = _duck_col(xs, dsum_sql("x"), "s")
+    assert exact_float_mismatches(got, want) == 0
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=10**13, max_value=9 * 10**13).map(
+            lambda i: i / 1e4
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_dsum_split_path_bit_exact(spark, vals):
+    """Deep inside the split-conversion zone (Σx in ~[2e9·1e4, 4e14]):
+    both engines execute the identical split sequence, so arbitrary
+    scale-4 values must stay bit-exact — order-reversed on the oracle
+    side to keep the order-independence claim honest too."""
+    got = _spark_col(spark, vals, dsum(F.col("x")), "s")
+    want = _duck_col(list(reversed(vals)), dsum_sql("x"), "s")
+    assert exact_float_mismatches(got, want) == 0
+
+
+def test_dstddev_wide_squared_moment_bit_exact(spark):
+    """Σx² far beyond the old provable 2^53/10^8 bound (the
+    summary_stats shape: price-like values whose squares sum to ~1e13)
+    must now take the split path and STILL match DuckDB bit-for-bit —
+    previously this zone agreed only until an int→double rounding landed
+    on a tie."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(11)
+    xs = [round(v, 2) for v in rng.uniform(1000, 99999, 2000)]
+    got = _spark_col(spark, xs, dstddev(F.col("x")), "s")
+    want = _duck_col(list(reversed(xs)), dstddev_sql("x"), "s")
+    assert exact_float_mismatches(got, want) == 0
+
+
+def test_moment_guard_raises_past_split_domain(spark):
+    """Past the BIGINT split bound (~9.2e18) the conversion must raise
+    loudly — never emit a value the oracle can't reproduce."""
+    from amazon_climate_data_etl_spark.operators._portable import davg
+
+    xs = [99999999999999.0] * 100000  # Σx = 1e19 > 9e18
+    assert _raises_domain(spark, xs, dsum(F.col("x")), "dsum")
+    assert _raises_domain(spark, xs, davg(F.col("x")), "dsum")
+    # dstddev's squared moment blows the bound with far fewer rows
+    assert _raises_domain(
+        spark, [99999999999999.0] * 2, dstddev(F.col("x")), "dstddev"
+    )
+
+
+def test_davg_portable_conversion(spark):
+    from amazon_climate_data_etl_spark.operators._portable import (
+        davg,
+        davg_sql,
+    )
+
+    ok = [2.5, 3.5, 4.0, 1234567890123.4567]  # split path via the big value
+    got = _spark_col(spark, ok, davg(F.col("x")), "s")
+    want = _duck_col(ok, davg_sql("x"), "s")
+    assert exact_float_mismatches(got, want) == 0
+
+
 _texts = st.text(
     alphabet=st.characters(
         codec="utf-8", exclude_categories=("Cs",)
