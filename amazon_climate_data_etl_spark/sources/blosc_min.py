@@ -21,14 +21,15 @@ Implemented:
   decoder recomputes this deterministically from the header, so both
   pre- and post-1.14 writers decode correctly;
 - inner codecs: LZ4 (codec id 1 — block format, both directions, pure
-  Python) and zlib (codec id 3 — stdlib); per-split stored-raw fallback
-  (``csize == neblock``);
+  Python), zlib (codec id 3 — stdlib), and zstd (codec id 4, decode only —
+  one RFC 8878 frame per split, via the dependency-free ``zstd_min``);
+  per-split stored-raw fallback (``csize == neblock``);
 - byte-shuffle (flags bit 0): numpy transpose per block, trailing
   non-multiple-of-typesize bytes carried verbatim (c-blosc
   ``shuffle_generic`` semantics).
 
 FAILS LOUDLY (pointer at the ``blosc`` library) on: bit-shuffle (flags
-bit 2), blosclz (codec 0), snappy (2), zstd (4), and blosc2 frames. The
+bit 2), blosclz (codec 0), snappy (2), zstd WRITING, and blosc2 frames. The
 LZ4 hot loops are pure Python — correct-but-slow; a throughput deployment
 installs python-blosc and this boundary steps aside (same posture as the
 NetCDF/HDF5 fallbacks).
@@ -292,6 +293,16 @@ def decompress(buf: bytes) -> bytes:
                 return zlib.decompress(b)
             except zlib.error as exc:
                 raise ValueError(f"corrupt zlib split: {exc}") from exc
+
+    elif codec == _CODEC_ZSTD:
+        # c-blosc compresses each split with ZSTD_compress, i.e. one
+        # complete zstd frame per split — decoded by the dependency-free
+        # RFC 8878 decoder (round 8; the most common real-world Zarr
+        # compressor, previously the top-ranked missing format)
+        from amazon_climate_data_etl_spark.sources import zstd_min
+
+        def dec(b: bytes, size: int) -> bytes:  # noqa: ARG001
+            return zstd_min.decompress(b)
 
     else:
         raise _gate(f"blosc inner codec {_CODEC_NAMES.get(codec, codec)!r}")

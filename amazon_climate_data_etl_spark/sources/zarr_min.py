@@ -18,9 +18,10 @@ Implemented subset of the public spec
 - ``.zarray`` metadata: shape / chunks / dtype / fill_value / order /
   compressor / filters / dimension_separator ('.' default, '/' supported)
 - C order, numeric dtypes, raw (null), zlib/gzip, or blosc compression
-  (the numcodecs default — lz4/lz4hc/zlib cnames with byte-shuffle, via
-  the dependency-free ``blosc_min`` container codec; zstd/snappy/blosclz
-  cnames and bit-shuffle stay gated at the ``blosc`` library)
+  (the numcodecs default — lz4/lz4hc/zlib/zstd cnames with byte-shuffle,
+  via the dependency-free ``blosc_min`` container codec and the RFC 8878
+  ``zstd_min`` decoder; snappy/blosclz cnames and bit-shuffle stay gated
+  at the ``blosc`` library)
 - missing chunk keys read as ``fill_value`` (the spec's sparse-write rule)
 - edge chunks stored full-size (written padded with fill_value, trimmed on
   read), per spec
@@ -36,7 +37,8 @@ archives are migrating; https://zarr-specs.readthedocs.io/, v3 core):
 - ``chunk_grid`` name ``regular``; ``chunk_key_encoding`` ``default``
   (``c/0/1`` keys, '/' or '.' separator) and ``v2`` (bare ``0.1`` keys)
 - codec chains ``[bytes]``, ``[bytes, gzip]``, ``[bytes, blosc]``
-  (same blosc subset as v2); both endians
+  (same blosc subset as v2), and ``[bytes, zstd]`` — zarr-python v3's
+  DEFAULT codec (round 8); both endians
 - the ``sharding_indexed`` codec (ZEP 2): each stored object is one
   SHARD of many inner chunks behind a crc32c-checked ``(offset, nbytes)``
   index (start- or end-located) — the layout cloud archives use to keep
@@ -49,7 +51,7 @@ so the same binaryFile-scan → per-task decode plan applies
 (``ingest.ingest_zarr_to_parquet`` is version-agnostic via this module).
 
 Everything else FAILS LOUDLY with a pointer at the full ``zarr`` library:
-F order, filter chains, zstd/snappy/blosclz blosc cnames, bit-shuffle,
+F order, filter chains, snappy/blosclz blosc cnames, bit-shuffle,
 the transpose codec, structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
 ``crs_min.py``.
 """
@@ -64,7 +66,7 @@ from itertools import product
 
 import numpy as np
 
-from amazon_climate_data_etl_spark.sources import blosc_min
+from amazon_climate_data_etl_spark.sources import blosc_min, zstd_min
 
 _ZARR_FORMAT = 2
 
@@ -112,8 +114,10 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
         comp_id = comp.get("id")
         if comp_id == "blosc":
             cname = comp.get("cname", "blosclz")
-            # lz4hc shares the lz4 block format, so reading is identical
-            if cname not in ("lz4", "lz4hc", "zlib"):
+            # lz4hc shares the lz4 block format, so reading is identical;
+            # zstd (numcodecs' most common modern cname) decodes via
+            # zstd_min inside the blosc container (round 8)
+            if cname not in ("lz4", "lz4hc", "zlib", "zstd"):
                 raise _gate(f"blosc cname {cname!r}")
             sh = comp.get("shuffle", 1)
             if sh == 2:
@@ -121,7 +125,8 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
             # numcodecs AUTOSHUFFLE (-1) resolves to byte-shuffle for
             # typesize > 1; harmless either way — decode is header-driven
             blosc_cfg = ("lz4" if cname == "lz4hc" else cname, sh != 0)
-        elif comp_id not in ("zlib", "gzip"):
+        elif comp_id not in ("zlib", "gzip", "zstd"):
+            # "zstd" = numcodecs Zstd: one bare RFC 8878 frame per chunk
             raise _gate(f"compressor {comp_id!r}")
     try:
         dt = np.dtype(meta["dtype"])
@@ -212,16 +217,17 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
         codecs = cfg.get("codecs") or []
     names = [c.get("name") for c in codecs]
     if not names or names[0] != "bytes" or any(
-        n not in ("bytes", "gzip", "blosc") for n in names
+        n not in ("bytes", "gzip", "blosc", "zstd") for n in names
     ) or names.count("bytes") != 1 or len(names) > 2:
         raise _gate(
-            f"codec chain {names!r} ([bytes], [bytes, gzip], or [bytes, blosc] only)"
+            f"codec chain {names!r} ([bytes] optionally followed by one of "
+            "gzip/blosc/zstd only)"
         )
     blosc_cfg = None
     if "blosc" in names:
         bcfg = codecs[names.index("blosc")].get("configuration", {})
         cname = bcfg.get("cname", "zstd")
-        if cname not in ("lz4", "lz4hc", "zlib"):
+        if cname not in ("lz4", "lz4hc", "zlib", "zstd"):
             raise _gate(f"blosc cname {cname!r}")
         sh = bcfg.get("shuffle", "noshuffle")
         if sh == "bitshuffle":
@@ -240,9 +246,14 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
         raise ValueError("v3 arrays require fill_value")
     fill = _parse_fill(meta["fill_value"])
     dims = meta.get("dimension_names")
+    comp_id = (
+        "blosc"
+        if blosc_cfg
+        else ("gzip" if "gzip" in names else ("zstd" if "zstd" in names else None))
+    )
     return (
         ZarrMeta(shape, chunks, dt, fill,
-                 "blosc" if blosc_cfg else ("gzip" if "gzip" in names else None),
+                 comp_id,
                  sep, version=3, key_prefix=prefix,
                  inner_chunks=inner_chunks, index_location=index_location,
                  index_crc32c=index_crc32c, blosc_cfg=blosc_cfg),
@@ -307,6 +318,8 @@ def _decode_inner(raw: bytes, meta: ZarrMeta) -> bytes:
         return zlib.decompress(raw, 16 + zlib.MAX_WBITS)
     if meta.compressor_id == "blosc":
         return blosc_min.decompress(raw)
+    if meta.compressor_id == "zstd":  # v3 standalone zstd codec (the default)
+        return zstd_min.decompress(raw)
     return raw
 
 

@@ -638,7 +638,17 @@ def _decode_block(block: bytes, st: _FrameState, out: bytearray) -> None:
 
 
 def decompress_frame(data: bytes, off: int) -> tuple[bytes, int]:
-    """Decode ONE zstd frame starting at ``off`` → (content, next offset)."""
+    """Decode ONE zstd frame starting at ``off`` → (content, next offset).
+
+    Truncation anywhere surfaces as ValueError (never a low-level
+    struct.error / IndexError — the fuzz contract)."""
+    try:
+        return _decompress_frame(data, off)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated zstd frame: {exc}") from exc
+
+
+def _decompress_frame(data: bytes, off: int) -> tuple[bytes, int]:
     (magic,) = struct.unpack_from("<I", data, off)
     if magic != _MAGIC:
         raise ValueError(f"not a zstd frame: magic {magic:#x}")

@@ -134,7 +134,9 @@ def test_container_split_shuffled_lz4_hand_built():
 def test_container_gates_fail_loudly():
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
         B.decompress(_header(B._FLAG_BITSHUFFLE | (1 << 5), 4, 64, 64, 16))
-    with pytest.raises(NotImplementedError, match="zstd"):
+    # zstd (codec 4) is SUPPORTED since round 8 — a header-only buffer
+    # with no valid frame now fails as corrupt, not as a gate
+    with pytest.raises(ValueError):
         B.decompress(_header(B._CODEC_ZSTD << 5, 4, 64, 64, 16))
     with pytest.raises(NotImplementedError, match="blosclz"):
         B.decompress(_header(0, 4, 64, 64, 16))

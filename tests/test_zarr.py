@@ -112,9 +112,9 @@ def _meta(**over):
         {"zarr_format": 3},
         {"order": "F"},
         {"filters": [{"id": "delta"}]},
-        {"compressor": {"id": "blosc", "cname": "zstd"}},
+        {"compressor": {"id": "blosc", "cname": "snappy"}},
         {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}},
-        {"compressor": {"id": "zstd"}},
+        {"compressor": {"id": "lzma"}},
         {"dtype": "|S8"},
         {"dtype": "<U4"},
         {"dimension_separator": "-"},
@@ -430,8 +430,11 @@ def test_v3_nan_fill_json_roundtrip(tmp_path):
         {"chunk_key_encoding": {"name": "morton"}},
         {"codecs": []},
         {"codecs": [{"name": "gzip"}]},  # missing the bytes codec
-        {"codecs": [{"name": "bytes"}, {"name": "zstd"}]},
-        {"codecs": [{"name": "bytes"}, {"name": "blosc"}]},
+        {"codecs": [{"name": "bytes"}, {"name": "bz2"}]},
+        # configless blosc now defaults to cname=zstd and is SUPPORTED
+        # (round 8); snappy remains gated
+        {"codecs": [{"name": "bytes"},
+                    {"name": "blosc", "configuration": {"cname": "snappy"}}]},
         {"codecs": [{"name": "transpose"}, {"name": "bytes"}]},
         # sharding corners: bad index location / index codecs / inner chain
         {"codecs": [{"name": "sharding_indexed", "configuration": {
@@ -445,7 +448,7 @@ def test_v3_nan_fill_json_roundtrip(tmp_path):
             "index_codecs": [{"name": "zstd"}]}}]},
         {"codecs": [{"name": "sharding_indexed", "configuration": {
             "chunk_shape": [2],
-            "codecs": [{"name": "bytes"}, {"name": "zstd"}],
+            "codecs": [{"name": "bytes"}, {"name": "bz2"}],
             "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}]}}]},
         {"data_type": "complex64"},
         {"data_type": "r8"},
