@@ -141,6 +141,12 @@ def main() -> None:
     )
     iso_names = set(sorted(timings, key=lambda k: -timings[k])[:n_isolated])
 
+    # pinned watchlist (r7 review item 7): queries with an unresolved
+    # drift-vs-regression question always get an isolated pair until the
+    # question is settled in a verdict
+    if not subset:
+        iso_names |= {"climate_annual", "source_domain_divergence"} & set(timings)
+
     # round-over-round movers get an isolated number too, so every >X%
     # delta vs the previous committed artifact ships with its own
     # quiesced re-measurement — drift (isolated ≈ previous) and real
