@@ -654,3 +654,183 @@ def test_fletcher32_algorithm_known_values():
     s1 = (s1 & 0xFFFF) + (s1 >> 16)
     s2 = (s2 & 0xFFFF) + (s2 >> 16)
     assert _fletcher32(b"abcde") == ((s2 << 16) | s1)
+
+
+# --- hand-authored paged-index fixtures (foreign writer stand-in) ----------
+#
+# No libhdf5/h5py exists in this container, so a "written by netcdf-c"
+# paged-index fixture cannot be generated here. These fixtures are the
+# closest attainable independence: the FA/EA structures are authored
+# byte-by-byte in the test straight from the HDF5 spec — never through
+# ``write_hdf5`` — with creation parameters and layout choices the repo's
+# writer NEVER produces (libhdf5's real 13-bit FA pages vs the writer
+# tests' shrunken 3; a 16-bit EA max-nelmts giving a 2-byte block-offset
+# width vs the writer's fixed 4; blocks scattered at non-contiguous
+# addresses with junk between, which explicit addressing permits). A
+# writer↔reader symmetry bug — a field the writer emits in the wrong
+# place and the reader mistakenly expects there — fails against these.
+
+
+def test_fixed_array_hand_authored_foreign_layout():
+    import struct
+
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    UNDEF = H.UNDEF
+    page_bits = 13                    # libhdf5 default (writer tests use 3)
+    page_n = 1 << page_bits
+    nelmts = 2 * page_n + 100         # 3 pages, last truncated
+    entry = 8                         # client 0: address-only entries
+    csize = 77
+
+    buf = bytearray(b"\xCC" * 64)     # leading junk: addresses are explicit
+    fahd = len(buf)
+    buf += b"FAHD" + bytes([0, 0, entry, page_bits])
+    dblk_addr_pos = len(buf) + 8
+    buf += struct.pack("<QQ", nelmts, 0)  # dblk addr patched below
+    buf += struct.pack("<I", 0)       # header checksum (unchecked)
+    buf += b"\xEE" * 37               # scattered layout: junk gap
+    fadb = len(buf)
+    struct.pack_into("<Q", buf, dblk_addr_pos, fadb)
+    buf += b"FADB" + bytes([0, 0]) + struct.pack("<Q", fahd)
+    # 3 pages -> 1 bitmap byte; init pages 0 and 2, leave 1 a hole
+    buf += bytes([0b10100000])
+    buf += struct.pack("<I", 0)       # data-block checksum
+    pages_start = len(buf)
+    stride = page_n * entry + 4
+    buf += b"\x00" * (3 * stride)
+    addrs = {}
+    for i in list(range(0, 40)) + [page_n - 1, 2 * page_n + 5, nelmts - 1]:
+        page, j = divmod(i, page_n)
+        if page == 1:
+            continue
+        a = UNDEF if i % 7 == 3 else 0x4000 + 16 * i
+        struct.pack_into("<Q", buf, pages_start + page * stride + j * entry, a)
+        if a != UNDEF:
+            addrs[i] = a
+    # everything not explicitly authored stays 0 -> address 0 is a LEGAL
+    # chunk address; restrict the grid to the authored prefix + probes
+    grid = [(i,) for i in range(40)]
+    rd = object.__new__(H._H5Reader)
+    rd.buf = bytes(buf)
+    got = rd._fixed_array_chunks(fahd, grid, csize, "foreign")
+    want = [((i,), 0, csize, addrs[i]) for i in range(40) if i in addrs]
+    # page 1 hole: indexes 8192..16383 never appear (grid stops at 40
+    # anyway); the authored probes beyond the grid must NOT appear
+    assert got == want
+
+
+def test_extensible_array_hand_authored_foreign_layout():
+    import struct
+
+    from amazon_climate_data_etl_spark.sources import hdf5_min as H
+
+    UNDEF = H.UNDEF
+    # creation params the repo writer never uses: max_bits=16 (2-byte
+    # block-offset fields), ib_nelmts=2, min_elmts=4, min_ptrs=2, 8-elt pages
+    max_bits, ib_n, min_elmts, min_ptrs, page_bits = 16, 2, 4, 2, 3
+    entry = 8
+    csize = 55
+    off_size = (max_bits + 7) // 8          # 2
+    nsblks = 1 + (max_bits - min_elmts.bit_length() + 1)  # 15
+    first_sblk = 2 * (min_ptrs.bit_length() - 1)          # 2
+    ndblk_addrs = 2 * (min_ptrs - 1)                      # 2
+
+    buf = bytearray(b"\xAB" * 48)
+    blocks: dict[str, int] = {}
+
+    def place(tag: str, payload: bytes, gap: int) -> int:
+        buf.extend(b"\x99" * gap)       # non-contiguous foreign placement
+        a = len(buf)
+        blocks[tag] = a
+        buf.extend(payload)
+        return a
+
+    def u64(*vals):
+        return struct.pack(f"<{len(vals)}Q", *vals)
+
+    addr_of = {}                         # element index -> chunk address
+
+    def elmts(lo, hi, *, holes=()):
+        out = b""
+        for e in range(lo, hi):
+            a = UNDEF if e in holes else 0x9000 + 32 * e
+            if a != UNDEF:
+                addr_of[e] = a
+            out += u64(a)
+        return out
+
+    # data blocks (unpaged): header then inline elements
+    def eadb(lo, hi, holes=()):
+        return (b"EADB" + bytes([0, 0]) + u64(0xEA4D)  # header addr: unchecked
+                + lo.to_bytes(off_size, "little")      # block offset
+                + elmts(lo, hi, holes=holes)
+                + struct.pack("<I", 0))
+    db_u0 = place("db_u0", eadb(0, 4, holes={1}), 21)
+    db_u1 = place("db_u1", eadb(4, 12), 3)
+    db_u2a = place("db_u2a", eadb(12, 20), 9)
+    db_u2b = place("db_u2b", eadb(20, 28, holes={22}), 5)
+    # u3: paged data block — header + block checksum, then 2 pages of 8
+    page_payload = b""
+    for pg, lo in ((0, 28), (1, 36)):
+        page_payload += elmts(lo, lo + 8, holes={30} if pg == 0 else ())
+        page_payload += struct.pack("<I", 0)
+    db_u3a = place(
+        "db_u3a",
+        b"EADB" + bytes([0, 0]) + u64(0xEA4D)
+        + (28).to_bytes(off_size, "little")
+        + struct.pack("<I", 0)          # data-block checksum, THEN pages
+        + page_payload,
+        17,
+    )
+    # super blocks: u2 unpaged (2 dblk addrs), u3 paged (bitmap + addrs)
+    sb_u2 = place(
+        "sb_u2",
+        b"EASB" + bytes([0, 0]) + u64(0xEA4D)
+        + (12).to_bytes(off_size, "little")
+        + u64(db_u2a, db_u2b) + struct.pack("<I", 0),
+        11,
+    )
+    # u3 bitmap: 2 dblks x 2 pages = 4 bits, MSB-first; dblk0 page0 AND
+    # page1 init (bits 0,1 -> 0xC0), dblk1 entirely absent
+    sb_u3 = place(
+        "sb_u3",
+        b"EASB" + bytes([0, 0]) + u64(0xEA4D)
+        + (28).to_bytes(off_size, "little")
+        + bytes([0b11000000])
+        + u64(db_u3a, UNDEF) + struct.pack("<I", 0),
+        7,
+    )
+    # index block: 2 inline elements (addressed by i, not e), 2 direct
+    # dblk addrs, then nsblks-first_sblk super block addrs
+    ib_payload = (b"EAIB" + bytes([0, 0]) + u64(0xEA4D)
+                  + u64(0x8000, 0x8020)
+                  + u64(db_u0, db_u1)
+                  + u64(*([sb_u2, sb_u3] + [UNDEF] * (nsblks - first_sblk - 2)))
+                  + struct.pack("<I", 0))
+    iblk = place("iblk", ib_payload, 13)
+    eahd = place(
+        "eahd",
+        b"EAHD" + bytes([0, 0, entry, max_bits, ib_n, min_elmts, min_ptrs,
+                         page_bits])
+        + b"\x00" * (6 * 8)              # stats (unchecked)
+        + u64(iblk) + struct.pack("<I", 0),
+        29,
+    )
+
+    N = 46                               # i=0..45 -> e=-2..43: stops inside
+    grid = [(i,) for i in range(N)]      # dblk0's second page of sblk u3
+    rd = object.__new__(H._H5Reader)
+    rd.buf = bytes(buf)
+    got = rd._extensible_array_chunks(eahd, grid, csize, "foreign")
+
+    want = [((0,), 0, csize, 0x8000), ((1,), 0, csize, 0x8020)]
+    for i in range(2, N):
+        e = i - 2
+        if e in addr_of:
+            want.append(((i,), 0, csize, addr_of[e]))
+    assert got == want
+    # the holes really are holes: element 1 (ib is separate), e=1, e=22,
+    # e=30 and all of dblk1/u3 are absent
+    got_is = {o[0] for (o, _, _, _) in got}
+    assert (3,) not in got_is and (24,) not in got_is and (32,) not in got_is
