@@ -96,6 +96,12 @@ class ZarrMeta:
     # blosc write-side parameters (cname, byte_shuffle); reading a blosc
     # chunk needs none — the container header is self-describing
     blosc_cfg: tuple | None = None
+    # v2 storage order: "C" (default) or "F" — xarray writes F-order
+    # stores for transposed data (round 8)
+    order: str = "C"
+    # v2 filter chain, innermost-first as stored in .zarray: tuples of
+    # ("delta", dtype, astype) / ("shuffle", elementsize) (round 8)
+    filters: tuple = ()
 
 
 def parse_zarray(raw: bytes) -> ZarrMeta:
@@ -103,10 +109,23 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
     meta = json.loads(raw.decode("utf-8"))
     if meta.get("zarr_format") != _ZARR_FORMAT:
         raise _gate(f"zarr_format {meta.get('zarr_format')!r} (v2 only)")
-    if meta.get("order", "C") != "C":
-        raise _gate(f"order {meta.get('order')!r} (C order only)")
-    if meta.get("filters"):
-        raise _gate(f"filter chain {meta['filters']!r}")
+    order = meta.get("order", "C")
+    if order not in ("C", "F"):
+        raise ValueError(f"zarr order {order!r}")
+    filters = []
+    for f in meta.get("filters") or ():
+        fid = f.get("id")
+        if fid == "delta":
+            if "dtype" not in f:
+                raise ValueError("delta filter requires dtype")
+            filters.append(
+                ("delta", np.dtype(f["dtype"]),
+                 np.dtype(f.get("astype", f["dtype"])))
+            )
+        elif fid == "shuffle":
+            filters.append(("shuffle", int(f.get("elementsize", 4))))
+        else:
+            raise _gate(f"filter {fid!r}")
     comp = meta.get("compressor")
     comp_id = None
     blosc_cfg = None
@@ -146,7 +165,8 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
     sep = meta.get("dimension_separator", ".")
     if sep not in (".", "/"):
         raise _gate(f"dimension_separator {sep!r}")
-    return ZarrMeta(shape, chunks, dt, fill, comp_id, sep, blosc_cfg=blosc_cfg)
+    return ZarrMeta(shape, chunks, dt, fill, comp_id, sep,
+                    blosc_cfg=blosc_cfg, order=order, filters=tuple(filters))
 
 
 _V3_DTYPES = {
@@ -361,12 +381,61 @@ def decode_chunk(raw: bytes, meta: ZarrMeta) -> np.ndarray:
             out[sel] = block
         return out
     raw = _decode_inner(raw, meta)
+    # numcodecs filter chain: encode ran filters first (innermost-first as
+    # listed), compressor last — so decode unwinds the filters in REVERSE
+    for f in reversed(meta.filters):
+        raw = _filter_decode(raw, f)
     n = int(np.prod(meta.chunks))
     if len(raw) != n * meta.dtype.itemsize:
         raise ValueError(
             f"chunk payload is {len(raw)} bytes, expected {n * meta.dtype.itemsize}"
         )
-    return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks)
+    # order="F": the stored byte stream walks the chunk Fortran-style
+    return np.frombuffer(raw, dtype=meta.dtype).reshape(
+        meta.chunks, order=meta.order
+    )
+
+
+def _filter_decode(raw: bytes, f: tuple) -> bytes:
+    if f[0] == "delta":
+        # numcodecs Delta.decode: cumulative sum of the astype-stored
+        # differences, accumulated in the output dtype (int wraparound and
+        # sequential float adds both match the encoder's subtract)
+        _, dtype, astype = f
+        enc = np.frombuffer(raw, dtype=astype)
+        dec = np.empty(len(enc), dtype=dtype)
+        np.cumsum(enc, out=dec)
+        return dec.tobytes()
+    if f[0] == "shuffle":
+        # numcodecs Shuffle: whole-buffer byte transpose at elementsize
+        _, esize = f
+        if esize > 1 and len(raw) % esize:
+            raise _gate(
+                f"shuffle filter on a {len(raw)}-byte buffer not a "
+                f"multiple of elementsize {esize}"
+            )
+        return blosc_min.unshuffle(raw, esize)
+    raise _gate(f"filter {f[0]!r}")  # pragma: no cover - parse gates first
+
+
+def _filter_encode(raw: bytes, f: tuple) -> bytes:
+    if f[0] == "delta":
+        _, dtype, astype = f
+        arr = np.frombuffer(raw, dtype=dtype)
+        enc = np.empty(len(arr), dtype=astype)
+        if len(arr):
+            enc[0] = arr[0]
+            np.subtract(arr[1:], arr[:-1], out=enc[1:], casting="unsafe")
+        return enc.tobytes()
+    if f[0] == "shuffle":
+        _, esize = f
+        if esize > 1 and len(raw) % esize:
+            raise _gate(
+                f"shuffle filter on a {len(raw)}-byte buffer not a "
+                f"multiple of elementsize {esize}"
+            )
+        return blosc_min.shuffle(raw, esize)
+    raise _gate(f"filter {f[0]!r}")  # pragma: no cover - parse gates first
 
 
 def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
@@ -392,7 +461,9 @@ def encode_chunk(block: np.ndarray, meta: ZarrMeta) -> bytes:
             idx += crc32c(idx).to_bytes(4, "little")
         body = b"".join(payloads)
         return idx + body if meta.index_location == "start" else body + idx
-    raw = np.ascontiguousarray(block, dtype=meta.dtype).tobytes()
+    raw = np.asarray(block, dtype=meta.dtype).tobytes(order=meta.order)
+    for f in meta.filters:
+        raw = _filter_encode(raw, f)
     if meta.compressor_id == "zlib":
         return zlib.compress(raw)
     if meta.compressor_id == "gzip":
@@ -483,9 +554,13 @@ def write_zarr_array(
     fill_value: object = 0,
     separator: str = ".",
     attrs: dict | None = None,
+    order: str = "C",
+    filters: list | None = None,
 ) -> None:
     """Write one array as a v2 store (the test/fixture writer; also proof
-    the reader's understanding of the spec is real, not fit-to-fixture)."""
+    the reader's understanding of the spec is real, not fit-to-fixture).
+    ``filters`` takes numcodecs-style dicts ({"id": "delta", ...} /
+    {"id": "shuffle", ...})."""
     arr = np.asarray(arr)
     chunks = tuple(chunks) if chunks else arr.shape
     os.makedirs(path, exist_ok=True)
@@ -498,8 +573,8 @@ def write_zarr_array(
         "chunks": list(chunks),
         "dtype": arr.dtype.str,
         "fill_value": fill,
-        "order": "C",
-        "filters": None,
+        "order": order,
+        "filters": filters or None,
         "compressor": (
             {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
              "blocksize": 0}
@@ -513,9 +588,14 @@ def write_zarr_array(
     if attrs is not None:
         with open(os.path.join(path, ".zattrs"), "w") as f:
             json.dump(attrs, f)
+    # re-parse our own metadata so the writer exercises the same filter/
+    # order normalization the reader uses
+    with open(os.path.join(path, ".zarray"), "rb") as f:
+        parsed = parse_zarray(f.read())
     meta = ZarrMeta(arr.shape, chunks, arr.dtype, fill_value, compressor,
                     separator,
-                    blosc_cfg=("lz4", True) if compressor == "blosc" else None)
+                    blosc_cfg=("lz4", True) if compressor == "blosc" else None,
+                    order=order, filters=parsed.filters)
     for _, key, slices in chunk_grid(meta):
         block = np.full(chunks, fill_value if fill_value is not None else 0, dtype=arr.dtype)
         part = arr[slices]

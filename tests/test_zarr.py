@@ -110,8 +110,9 @@ def _meta(**over):
     "over",
     [
         {"zarr_format": 3},
-        {"order": "F"},
-        {"filters": [{"id": "delta"}]},
+        # order="F" and delta/shuffle filter chains are SUPPORTED since
+        # round 8; vlen filters and unknown ids still gate
+        {"filters": [{"id": "vlen-utf8"}]},
         {"compressor": {"id": "blosc", "cname": "snappy"}},
         {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}},
         {"compressor": {"id": "lzma"}},
@@ -667,3 +668,89 @@ def test_ingest_zarr_v3_sharded_chunk_parallel(spark, tmp_path):
     dates = [dt.date(2001, 2, 27) + dt.timedelta(days=int(d)) for d in tvals]
     exp = _expected_long(cube, dates, lat, lon)
     assert got == exp
+
+
+# --- v2 F-order + filter chains (round 8) ----------------------------------
+
+
+def test_v2_f_order_store_roundtrip(tmp_path):
+    """order="F" stores (xarray writes these for transposed data): the
+    chunk byte stream walks Fortran-style. numpy itself is the reference
+    for F-order semantics — the hand-check below never touches the
+    writer."""
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    p = str(tmp_path / "forder")
+    write_zarr_array(p, arr, chunks=(2, 3), order="F")
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+    # hand-check one chunk object against numpy's own F-order bytes
+    import zlib as _z
+
+    chunk0 = _z.decompress((tmp_path / "forder" / "0.0").read_bytes())
+    assert chunk0 == np.ascontiguousarray(arr[:2, :3]).tobytes(order="F")
+
+
+def test_v2_delta_filter_roundtrip_and_hand_vector(tmp_path):
+    arr = np.arange(100, dtype="<i8") * 3 + 7
+    p = str(tmp_path / "delta")
+    write_zarr_array(
+        p, arr, chunks=(100,), compressor=None,
+        filters=[{"id": "delta", "dtype": "<i8"}],
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+    # the stored chunk must literally be first-value + differences
+    raw = np.frombuffer((tmp_path / "delta" / "0").read_bytes(), dtype="<i8")
+    assert raw[0] == 7 and (raw[1:] == 3).all()
+
+
+def test_v2_delta_filter_narrow_astype(tmp_path):
+    # differences stored narrower than the data (the numcodecs Delta
+    # contract: first value AND every delta must fit astype; the decode
+    # cumsum runs in the wide output dtype)
+    arr = np.array([100, 227, 100, 21], dtype="<i8")  # deltas 127,-127,-79
+    p = str(tmp_path / "deltaw")
+    write_zarr_array(
+        p, arr, chunks=(4,), compressor=None,
+        filters=[{"id": "delta", "dtype": "<i8", "astype": "<i1"}],
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+    # the stored chunk really is 1 byte per element
+    assert (tmp_path / "deltaw" / "0").stat().st_size == 4
+
+
+def test_v2_shuffle_filter_with_compressor(tmp_path):
+    arr = np.linspace(0, 1, 60, dtype="<f8").reshape(6, 10)
+    p = str(tmp_path / "shuf")
+    write_zarr_array(
+        p, arr, chunks=(3, 5), compressor="zlib",
+        filters=[{"id": "shuffle", "elementsize": 8}],
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_v2_filter_chain_delta_then_shuffle(tmp_path):
+    arr = (np.arange(48, dtype="<i4") ** 2).reshape(8, 6)
+    p = str(tmp_path / "chain")
+    write_zarr_array(
+        p, arr, chunks=(4, 3), compressor="zlib", order="F",
+        filters=[{"id": "delta", "dtype": "<i4"},
+                 {"id": "shuffle", "elementsize": 4}],
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_v2_delta_without_dtype_rejected():
+    with pytest.raises(ValueError, match="delta filter requires dtype"):
+        parse_zarray(_meta(filters=[{"id": "delta"}]))
+
+
+def test_v2_float_delta_roundtrip(tmp_path):
+    # float deltas are lossy in general but the cumsum decode is the
+    # exact inverse for values whose differences are representable;
+    # numcodecs applies it to regularly-gridded coordinates
+    arr = np.arange(0, 16, 0.25, dtype="<f8")
+    p = str(tmp_path / "fdelta")
+    write_zarr_array(
+        p, arr, chunks=(64,), compressor=None,
+        filters=[{"id": "delta", "dtype": "<f8"}],
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
