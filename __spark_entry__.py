@@ -138,6 +138,9 @@ CHANGED_SINCE_GREEN = {
     # zone, where the raw stddev moves ~1e-11 (absorbed by its 2-decimal
     # round at both fixture SFs, but the rotation rule keys on MAY differ)
     "summary_stats": 8,
+    # r8: the recall eval now tags all four indexes (pq + ivfpq joined
+    # ivf + lsh) — two new result rows by design
+    "ann_recall_eval": 8,
 }
 
 

@@ -1378,8 +1378,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``neardup_keep_corpus`` closes dedup).
 
     Shape: the brute-force ground truth is the expensive input (at 100 TB
-    it runs on a query SAMPLE — here the probe set already is one); the
-    approximate result sets are tagged, unioned, and LEFT-joined against
+    it runs on a query SAMPLE — here the probe set already is one); ALL
+    FOUR approximate result sets (ivf, lsh, pq, ivfpq — round 8 completed
+    the panel) are tagged, unioned, and LEFT-joined against
     the truth on the tiny (query, cand) key. Recall is
     matched / (|queries|·k) — an integer ratio, one deterministic double
     division, so the score is bit-exact across engines.
@@ -1402,6 +1403,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             _lsh_from(e)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("lsh"))
+        )
+        .unionByName(
+            _pq_from(e)
+            .select("query_id", "cand_id")
+            .withColumn("method", F.lit("pq"))
+        )
+        .unionByName(
+            _ivfpq_from(e)
+            .select("query_id", "cand_id")
+            .withColumn("method", F.lit("ivfpq"))
         )
     )
     # recall denominator = the ACTUAL truth-set size, not |queries|·k:
@@ -1436,10 +1447,16 @@ ANN_RECALL_SQL = f"""
 WITH exact AS (SELECT query_id, cand_id FROM ({ANN_BRUTEFORCE_SQL})),
 ivf AS (SELECT query_id, cand_id FROM ({ANN_IVF_SQL})),
 lsh AS (SELECT query_id, cand_id FROM ({ANN_LSH_SQL})),
+pq AS (SELECT query_id, cand_id FROM ({ANN_PQ_SQL})),
+ivfpq AS (SELECT query_id, cand_id FROM ({ANN_IVFPQ_SQL})),
 tagged AS (
   SELECT 'ivf' AS method, query_id, cand_id FROM ivf
   UNION ALL
   SELECT 'lsh' AS method, query_id, cand_id FROM lsh
+  UNION ALL
+  SELECT 'pq' AS method, query_id, cand_id FROM pq
+  UNION ALL
+  SELECT 'ivfpq' AS method, query_id, cand_id FROM ivfpq
 ),
 j AS (
   SELECT t.method,

@@ -23,7 +23,7 @@ from amazon_climate_data_etl_spark.operators.similarity import (
     ann_recall_eval,
 )
 
-_FLOORS = {"lsh": 0.7, "ivf": 0.85}
+_FLOORS = {"lsh": 0.7, "ivf": 0.85, "pq": 0.7, "ivfpq": 0.6}
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])

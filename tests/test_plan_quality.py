@@ -200,7 +200,10 @@ _PLAN_BOUNDS = {
     # r6 nlist-growth IVF: numpy-kernel assignment replaced the centroid
     # crossJoin broadcast on the corpus side (one fewer broadcast); the
     # probe-set and probe-selection broadcasts remain
-    "ann_recall_eval": (14, 7),
+    # r8: the eval panel grew to all four indexes (pq + ivfpq joined
+    # ivf + lsh): their rebalances + slim shortlist/rerank windows and
+    # shortlist/query broadcasts add to the composed count
+    "ann_recall_eval": (22, 11),
     "ann_ivf_topk": (4, 2),
     # PQ (r8): rebalance + slim shortlist window + rerank window + final
     # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the

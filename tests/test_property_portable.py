@@ -192,20 +192,26 @@ def _raises_domain(spark, xs, expr, what):
 
 @given(
     eps=st.integers(min_value=-(10**6), max_value=10**6),
-    split=st.integers(min_value=1, max_value=5),
+    split=st.integers(min_value=4, max_value=8),
     sign=st.sampled_from([1, -1]),
 )
-@example(eps=0, split=1, sign=1)          # exactly AT the seam
-@example(eps=1, split=3, sign=-1)         # one decimal ulp above, negative
+@example(eps=0, split=4, sign=1)          # exactly AT the seam
+@example(eps=1, split=5, sign=-1)         # one decimal ulp above, negative
 @settings(**_SETTINGS)
 def test_dsum_conversion_seam_bit_exact(spark, eps, split, sign):
     """Σx straddling the narrow-domain seam (2^53/10^4): below it the
     direct cast fires, at/above it the split conversion fires — BOTH
     must be bit-exact vs DuckDB's identical CASE (the r7 review's
     silent-de-sync risk, closed by construction). The total is split
-    across rows to prove the conversion sees the aggregated moment."""
+    across ≥4 rows so every PER-ROW value respects dsum's input
+    contract: below ~2^38 a 4-decimal value's nearest double sits within
+    ulp/2 ≈ 1.5e-5 < 5e-5 of it, so both engines' input double→decimal
+    casts are unambiguous (a single 9e11-magnitude row would be a
+    contract violation — doubles there cannot even hold 4 decimals — not
+    a conversion-seam case; the aggregated MOMENT is what gets big)."""
     total = sign * (_NARROW_SUM + eps / 1e4)
     xs = [round(total / split, 4)] * split
+    assert abs(xs[0]) < 2.0**38  # per-row input-contract guard
     got = _spark_col(spark, xs, dsum(F.col("x")), "s")
     want = _duck_col(xs, dsum_sql("x"), "s")
     assert exact_float_mismatches(got, want) == 0
@@ -266,7 +272,8 @@ def test_davg_portable_conversion(spark):
         davg_sql,
     )
 
-    ok = [2.5, 3.5, 4.0, 1234567890123.4567]  # split path via the big value
+    # split path via MANY in-contract rows (sum 1.2e12 > the narrow bound)
+    ok = [2.5, 3.5, 4.0] + [200000000000.1234] * 6
     got = _spark_col(spark, ok, davg(F.col("x")), "s")
     want = _duck_col(ok, davg_sql("x"), "s")
     assert exact_float_mismatches(got, want) == 0
