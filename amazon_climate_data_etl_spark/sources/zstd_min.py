@@ -291,16 +291,20 @@ class _HufTable:
         total = sum((1 << (w - 1)) for w in weights if w > 0)
         if total == 0:
             raise ValueError("corrupt zstd Huffman weights: all zero")
-        max_bits = total.bit_length()  # smallest p with 2^p > total ... see below
-        if (1 << (max_bits - 1)) == total:
-            max_bits -= 1  # total already a power of two would leave no room
-            max_bits += 1
+        # the implied last weight completes the kraft sum to the NEXT
+        # power of two (strictly greater — the remainder must be >= 1),
+        # which is 2^bit_length(total) for every total incl. exact powers
+        max_bits = total.bit_length()
         left = (1 << max_bits) - total
         if left & (left - 1):
             raise ValueError("corrupt zstd Huffman weights: non-pow2 remainder")
         weights = weights + [left.bit_length()]  # log2(left) + 1
         if max_bits > _HUF_MAX_BITS:
             raise ValueError(f"zstd Huffman max_bits {max_bits} > 11")
+        if any(w > max_bits for w in weights):
+            # would give a code of <= 0 bits; without this check the
+            # rank bookkeeping below would silently negative-index
+            raise ValueError("corrupt zstd Huffman weights: weight > max_bits")
         size = 1 << max_bits
         syms = bytearray(size)
         nbits = bytearray(size)

@@ -434,3 +434,19 @@ def test_v2_bare_zstd_compressor_store(tmp_path):
     ).stdout
     (p / "0.0").write_bytes(enc)
     np.testing.assert_array_equal(ZM.read_zarr_array(str(p)), arr)
+
+
+def test_huffman_overweight_rejected():
+    """A direct-representation weight table whose max explicit weight
+    exceeds the implied max_bits must raise cleanly — without the guard
+    the rank bookkeeping silently negative-indexes (weights 1,1,11: kraft
+    total 2+... -> max_bits stays small while w=11 demands a <=0-bit
+    code)."""
+    from amazon_climate_data_etl_spark.sources.zstd_min import (
+        _read_huffman_table,
+    )
+
+    # direct weights: header byte 127+n, then 4-bit pairs (hi nibble first)
+    data = bytes([127 + 3, (1 << 4) | 1, (11 << 4)])
+    with pytest.raises(ValueError, match="weight"):
+        _read_huffman_table(data, 0)
