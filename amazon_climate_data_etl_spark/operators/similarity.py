@@ -582,27 +582,34 @@ def _pq_from(e: DataFrame) -> DataFrame:
         ),
     )
     # offline index state, driver-held and bounded: PQ_KS codebook rows +
-    # N_QUERIES probe rows -> the Q×M×KS ADC lookup table
+    # N_QUERIES probe rows -> the Q×M×KS ADC lookup table. Subspace
+    # geometry derives from the DATA's dimensionality (m = ceil(d/DSUB),
+    # last subspace partial) — identical to the fixed layout at d = 64,
+    # degrading to plain vector quantization at d <= DSUB; the oracle
+    # computes the same adaptive range (out-of-range list indexes yield
+    # NULL products that list_sum skips).
     cb_rows = sorted(
         (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < PQ_KS).collect()
     )
+    d = len(cb_rows[0][1]) if cb_rows else 0
     CB = np.array([v for _, v in cb_rows], dtype=np.float64).reshape(
-        len(cb_rows), PQ_M * PQ_DSUB
+        len(cb_rows), d
     )  # (ks, d); row order == cid order (sorted above)
+    n_sub = -(-d // PQ_DSUB) if d else 0
     q_rows = sorted(
         (r["vec_id"], r["en"])
         for r in n.filter(F.col("vec_id") < N_QUERIES).collect()
     )
     q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
     QM = np.array([v for _, v in q_rows], dtype=np.float64).reshape(
-        len(q_rows), PQ_M * PQ_DSUB
+        len(q_rows), d
     )
     # ADC table: LUT[q, s, c] = dot(query subvector s, codeword c's
     # subvector s), accumulated per-coordinate from 0.0 — the engines'
     # left-to-right double fold, bit-exactly
-    LUT = np.zeros((len(QM), PQ_M, len(CB)))
-    for s in range(PQ_M):
-        for j in range(s * PQ_DSUB, (s + 1) * PQ_DSUB):
+    LUT = np.zeros((len(QM), n_sub, len(CB)))
+    for s in range(n_sub):
+        for j in range(s * PQ_DSUB, min(d, (s + 1) * PQ_DSUB)):
             LUT[:, s, :] += QM[:, j, None] * CB[None, :, j]
 
     def encode_score_kernel(batches):
@@ -621,19 +628,19 @@ def _pq_from(e: DataFrame) -> DataFrame:
             EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
             cand = pdf["vec_id"].to_numpy(dtype=np.int64)
             # encode: nearest codeword per subspace (first max = min cid)
-            code_pos = np.empty((m, PQ_M), dtype=np.int64)
-            for s in range(PQ_M):
+            code_pos = np.empty((m, n_sub), dtype=np.int64)
+            for s in range(n_sub):
                 lo = s * PQ_DSUB
                 scores = np.zeros((m, len(CB)))
-                for j in range(lo, lo + PQ_DSUB):
+                for j in range(lo, min(d, lo + PQ_DSUB)):
                     scores += EN[:, j, None] * CB[None, :, j]
                 code_pos[:, s] = np.argmax(scores, axis=1)
             # ADC from codes × table only (raw vectors stop here), folded
-            # over subspaces in order: 0.0 + t0 + t1 + ... + t7
+            # over subspaces in order: 0.0 + t0 + t1 + ... + t_{m-1}
             out = []
             for qi in range(len(QM)):
                 adc = np.zeros(m)
-                for s in range(PQ_M):
+                for s in range(n_sub):
                     adc += LUT[qi, s, code_pos[:, s]]
                 idx = np.flatnonzero(cand != q_ids[qi])
                 # local top-k in the GLOBAL window's total order
@@ -698,7 +705,7 @@ sscore AS (
                   i -> n.en[s.s * {PQ_DSUB} + i] * cb.cv[s.s * {PQ_DSUB} + i]))
            AS score
   FROM n
-  CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+  CROSS JOIN (SELECT unnest(range((SELECT CAST(ceil(CAST(max(len(en)) AS DOUBLE) / {PQ_DSUB}) AS BIGINT) FROM n))) AS s) s
   CROSS JOIN cb
 ),
 best AS (
@@ -816,6 +823,9 @@ def _ivfpq_from(e: DataFrame) -> DataFrame:
     q_mask = cids < N_QUERIES
     q_ids = cids[q_mask]
     QM = C[q_mask]
+    # adaptive subspace geometry (same rule as _pq_from)
+    d = C.shape[1] if C.ndim == 2 and len(C) else 0
+    n_sub = -(-d // PQ_DSUB) if d else 0
 
     # per-coordinate accumulation everywhere: the engines' shared
     # left-to-right double fold, bit-exactly (see _ivf_from / _pq_from)
@@ -834,9 +844,9 @@ def _ivfpq_from(e: DataFrame) -> DataFrame:
         probe_cells.append(cids[order])
 
     # ADC table from the same subspace-grouped fold as _pq_from
-    LUT = np.zeros((len(QM), PQ_M, len(CB)))
-    for s in range(PQ_M):
-        for j in range(s * PQ_DSUB, (s + 1) * PQ_DSUB):
+    LUT = np.zeros((len(QM), n_sub, len(CB)))
+    for s in range(n_sub):
+        for j in range(s * PQ_DSUB, min(d, (s + 1) * PQ_DSUB)):
             LUT[:, s, :] += QM[:, j, None] * CB[None, :, j]
 
     def kernel(batches):
@@ -859,11 +869,11 @@ def _ivfpq_from(e: DataFrame) -> DataFrame:
             for s0 in range(0, m, 256):  # bound the b×nlist score block
                 blk = EN[s0 : s0 + 256]
                 cells[s0 : s0 + 256] = cids[np.argmax(_fold_dots(blk, C), axis=1)]
-            code_pos = np.empty((m, PQ_M), dtype=np.int64)
-            for s in range(PQ_M):
+            code_pos = np.empty((m, n_sub), dtype=np.int64)
+            for s in range(n_sub):
                 lo = s * PQ_DSUB
                 scores = np.zeros((m, len(CB)))
-                for j in range(lo, lo + PQ_DSUB):
+                for j in range(lo, min(d, lo + PQ_DSUB)):
                     scores += EN[:, j, None] * CB[None, :, j]
                 code_pos[:, s] = np.argmax(scores, axis=1)
             out = []
@@ -876,7 +886,7 @@ def _ivfpq_from(e: DataFrame) -> DataFrame:
                 if len(idx) == 0:
                     continue
                 adc = np.zeros(len(idx))
-                for s in range(PQ_M):
+                for s in range(n_sub):
                     adc += LUT[qi, s, code_pos[idx, s]]
                 order = np.lexsort((cand[idx], -adc))[:PQ_SHORTLIST]
                 sel = idx[order]
@@ -959,7 +969,7 @@ sscore AS (
                   i -> n.en[s.s * {PQ_DSUB} + i] * cb.cv[s.s * {PQ_DSUB} + i]))
            AS score
   FROM n
-  CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+  CROSS JOIN (SELECT unnest(range((SELECT CAST(ceil(CAST(max(len(en)) AS DOUBLE) / {PQ_DSUB}) AS BIGINT) FROM n))) AS s) s
   CROSS JOIN cb
 ),
 best AS (
