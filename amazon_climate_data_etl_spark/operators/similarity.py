@@ -1483,62 +1483,179 @@ FROM j, truth GROUP BY method, n_truth ORDER BY method
 
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass covariance (Gram) matrix over the embedding column — the
-    distributed linear-algebra primitive under PCA / whitening / OOD
-    scoring: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j], upper triangle.
+_GRAM_QMAX = 3_037_000_499  # floor(sqrt(2^63 − 1)): exact-long-product domain
+_GRAM_CHUNK = 65_536  # rows per split matmul: every float64 partial < 2^53
 
-    Scale shape: each row map-explodes to its d(d+1)/2 upper-triangle
-    products, which a map-side-combined aggregate collapses to d(d+1)/2
-    running sums per partition BEFORE the one shuffle — the classic
-    tree-aggregated Gram matrix, expressed declaratively (a numpy
-    per-partition partial would compute the same sums faster per byte but
-    float-order-dependently; the decimal path here is bit-reproducible
-    under ANY partitioning, which is what lets DuckDB certify it). The
-    coordinate sums ride the same exploded frame; the final covariance
-    arithmetic is double over exact decimal sums — deterministic in both
-    engines — rounded to 8 dp.
 
-    Components quantize ONCE per row through the exact-decimal cast
-    ``stable_round`` relies on (scale 9), then scale to 64-bit integers:
-    the d(d+1)/2 inner-loop products run as codegen long multiplies
-    (exact — |q| ≤ 1e9 so products fit 2^63) and only the aggregate sum
-    widens to decimal. Identical exact values in both engines, ~8× the
-    throughput of decimal-by-decimal products."""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    # quantize each component ONCE per row through the exact-decimal cast
-    # (scale 9; both engines agree bit-for-bit), then scale to LONG — the
-    # d(d+1)/2 inner-loop products become integer multiplies inside
-    # whole-stage codegen instead of BigDecimal calls (measured 8x): long
-    # products are exact (|v|<100 -> |q|<1e11... here |v|<1 -> |q|<=1e9,
-    # product <= 1e18 < 2^63) and only the SUM widens to decimal
+def _gram_quantized(e: DataFrame) -> DataFrame:
+    """Quantize each component ONCE per row through the exact-decimal cast
+    ``stable_round`` relies on (scale 9; both engines agree bit-for-bit),
+    then scale to LONG — the Gram kernel's integer domain."""
     eq = F.transform(
         "embedding",
         lambda x: (x.cast("double").cast("decimal(12,9)") * 1_000_000_000)
         .cast("long"),
     )
-    ex = e.select(eq.alias("eq"))
-    pairs = (
-        ex.select(F.posexplode("eq").alias("i", "vi"), "eq")
-        .select("i", "vi", F.posexplode("eq").alias("j", "vj"))
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(
-            F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)")).alias(
-                "s_ij"
+    return e.select(eq.alias("eq"))
+
+
+def _gram_partials(ex: DataFrame, with_sums: bool) -> DataFrame:
+    """Map-side exact Gram partials: ONE Arrow-batched corpus pass emits,
+    per partition, the d(d+1)/2 upper-triangle product sums (plus, with
+    ``with_sums``, per-coordinate sums keyed ``j = -1`` and row counts
+    keyed ``j = -2``), so the only exchange carries partitions·d² slim
+    decimal rows — the classic tree-aggregated Gram matrix. Rounds ≤ 7
+    posexploded every row to its d(d+1)/2 products instead (an N·d²-row
+    stream, ~125M rows at sf0.1); map-side combine collapsed it before
+    the shuffle, but the explode itself was the cost, and at 100 TB it
+    is pure waste next to a per-partition partial.
+
+    Exactness (what lets DuckDB certify a numpy path): inputs are the
+    pre-quantized longs (|q| ≤ _GRAM_QMAX enforced fail-loud below), and
+    integer addition is associative, so ANY partitioning yields the same
+    sums — the order-dependence that rules numpy out for float partials
+    does not exist here. Each q splits as hi·2^18 + lo (arithmetic-shift
+    floor split, 0 ≤ lo < 2^18); the three split Gram matrices H'H,
+    H'L (+ its transpose), L'L are computed in float64 BLAS matmuls whose
+    every value is an integer below 2^53 for ≤ 65,536-row chunks
+    (|hi| ≤ 11,588 and lo < 2^18 bound each partial by R·6.9e10 < 2^53),
+    hence bit-exact; chunks recombine as arbitrary-precision Python ints
+    and leave the kernel as decimal(38,0).
+
+    Domain: |q| > _GRAM_QMAX (|v| > ~3.037) FAILS LOUDLY — the same
+    "overflow, never a silently wrapped matrix" contract the round-≤7
+    ANSI long multiply enforced (pinned in tests/test_edge_embeddings.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        from decimal import Decimal
+
+        S: dict[int, "np.ndarray"] = {}
+        sv: dict[int, "np.ndarray"] = {}
+        cnt: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for dlen, grp in pdf.groupby(pdf["eq"].map(len)):
+                d = int(dlen)
+                if d == 0:
+                    continue
+                M = np.stack(grp["eq"].to_numpy())
+                if np.abs(M).max() > _GRAM_QMAX:
+                    raise ValueError(
+                        "gram overflow: quantized component magnitude "
+                        f"exceeds {_GRAM_QMAX} (|v| > ~3.037) — refusing "
+                        "the out-of-domain matrix rather than losing "
+                        "exactness"
+                    )
+                if d not in S:
+                    S[d] = np.zeros((d, d), dtype=object)
+                    sv[d] = np.zeros(d, dtype=object)
+                    cnt[d] = 0
+                cnt[d] += len(M)
+                hi, lo = M >> 18, M & 0x3FFFF
+                for s in range(0, len(M), _GRAM_CHUNK):
+                    Hf = hi[s : s + _GRAM_CHUNK].astype(np.float64)
+                    Lf = lo[s : s + _GRAM_CHUNK].astype(np.float64)
+                    HH = (Hf.T @ Hf).astype(np.int64).astype(object)
+                    HL = (Hf.T @ Lf).astype(np.int64)
+                    LL = (Lf.T @ Lf).astype(np.int64).astype(object)
+                    S[d] += (
+                        HH * (1 << 36)
+                        + (HL + HL.T).astype(object) * (1 << 18)
+                        + LL
+                    )
+                    sv[d] += (
+                        Hf.sum(axis=0).astype(np.int64).astype(object)
+                        * (1 << 18)
+                        + Lf.sum(axis=0).astype(np.int64).astype(object)
+                    )
+        out = []
+        for d in S:
+            iu, ju = np.triu_indices(d)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "i": iu.astype("int32"),
+                        "j": ju.astype("int32"),
+                        "s_ij": [
+                            Decimal(int(S[d][a, b])) for a, b in zip(iu, ju)
+                        ],
+                    }
+                )
             )
+            if with_sums:
+                ks = np.arange(d, dtype="int32")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "i": ks,
+                            "j": np.full(d, -1, dtype="int32"),
+                            "s_ij": [Decimal(int(x)) for x in sv[d]],
+                        }
+                    )
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "i": ks,
+                            "j": np.full(d, -2, dtype="int32"),
+                            "s_ij": [Decimal(cnt[d])] * d,
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    # no rebalance_for_compute: the kernel is LINEAR per row (one BLAS
+    # matmul row), so the scan's natural splits are the right parallelism
+    # at every scale — a 100 TB corpus arrives well-split, and fanning a
+    # tiny fixture out to 32 Python workers just pays 32 worker spin-ups
+    # and 32× the emitted partial rows (measured 2.7× slower at sf0.1)
+    return ex.mapInPandas(kernel, schema="i int, j int, s_ij decimal(38,0)")
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance (Gram) matrix over the embedding column — the
+    distributed linear-algebra primitive under PCA / whitening / OOD
+    scoring: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j], upper triangle.
+
+    Scale shape (round 8): the ``_gram_partials`` kernel reduces each
+    partition to its exact integer Gram partial in ONE corpus pass (the
+    coordinate sums and row counts ride the same pass), so the only
+    exchange carries partitions·d² slim decimal rows; the final
+    covariance arithmetic is double over exact decimal sums —
+    deterministic in both engines — rounded to 8 dp. The DuckDB twin
+    keeps the declarative explode: identical integer sums by
+    associativity, which is the whole certification argument.
+
+    Domain: exact for |v| ≤ 3 (q ≤ 3e9, split products < 2^53); larger
+    magnitudes FAIL LOUDLY in the kernel rather than silently wrapping
+    (contract pinned in tests/test_edge_embeddings.py)."""
+    ex = _gram_quantized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    # persist the per-partition partials (tiny: partitions·(d²/2 + 2d)
+    # rows): the pair aggregate and the coordinate aggregate are separate
+    # consumers, and an unpersisted kernel would re-run the corpus pass
+    part = _gram_partials(ex, with_sums=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = (
+        part.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("s_ij").alias("s_ij"))
+    )
+    coord = (
+        part.filter(F.col("j") < 0)
+        .groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("j") == -1, F.col("s_ij"))).alias("s_k"),
+            F.sum(F.when(F.col("j") == -2, F.col("s_ij"))).alias("n"),
         )
     )
-    # cast the coordinate terms to decimal BEFORE summing, mirroring s_ij:
-    # a plain LongType sum wraps silently past 2^63 (~9.2e9 rows at
-    # |q|<=1e9) while DuckDB promotes sum(BIGINT) to HUGEINT — the two
-    # engines would diverge exactly at the scale this operator targets
-    sums = ex.select(F.posexplode("eq").alias("k", "v")).groupBy("k").agg(
-        F.sum(F.col("v").cast("decimal(38,0)")).alias("s_k"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    si = sums.select(F.col("k").alias("i"), F.col("s_k").alias("s_i"), "n")
-    sj = sums.select(F.col("k").alias("j"), F.col("s_k").alias("s_j"))
+    si = coord.select("i", F.col("s_k").alias("s_i"), "n")
+    sj = coord.select(F.col("i").alias("j"), F.col("s_k").alias("s_j"))
     nn = F.col("n").cast("double")
     Q = 1e9
     cov = (
@@ -1565,40 +1682,33 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector, the whitening/OOD-scoring primitive).
 
     Determinism contract (the kmeans/textrank recipe applied to linear
-    algebra): the Gram matrix S comes from the integer-quantized one-pass
-    aggregation (exact decimals, any partitioning); the matrix and each
-    iterate are then RE-QUANTIZED to ≤1e6 integers through the
-    double→decimal cast (the `stable_round` primitive — identical
-    rounding in both engines), so every multiply in the 3 unrolled sweeps
-    is exact 64-bit integer arithmetic and the DuckDB CTE replays the
-    trajectory bit-identically. Per-sweep rescaling by the max-|w|
-    component (not an L2 norm — no sqrt) keeps iterates in range with
-    sign-stable semantics from the all-positive start.
+    algebra): the Gram matrix S comes from the integer-exact
+    ``_gram_partials`` kernel (associative integer sums — any
+    partitioning); the matrix and each iterate are then RE-QUANTIZED to
+    ≤1e6 integers through the double→decimal cast (the `stable_round`
+    primitive — identical rounding in both engines), so every multiply
+    in the 3 sweeps is exact 64-bit integer arithmetic and the DuckDB
+    CTE replays the trajectory bit-identically. Per-sweep rescaling by
+    the max-|w| component (not an L2 norm — no sqrt) keeps iterates in
+    range with sign-stable semantics from the all-positive start.
 
-    Scale: S is d²-bounded after the same map-side-combined pass the
-    covariance matrix uses; every iteration joins/aggregates d²-to-d-row
-    frames — driver never materializes anything.
+    Scale: S is d²-bounded after ONE kernel pass over the corpus (the
+    exchange carries partitions·d² rows — see ``_gram_partials``); the
+    3 sweeps then run as ONE exact-integer kernel task over the
+    corpus-size-INDEPENDENT d² matrix (see ``power_kernel`` below) —
+    driver never materializes anything.
 
-    Domain: like ``embedding_covariance``, exact for |v| ≤ 3 (q ≤ 3e9,
-    long products < 2^63); larger magnitudes FAIL LOUDLY with the ANSI
-    overflow error rather than silently wrapping (contract pinned in
-    tests/test_edge_embeddings.py)."""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    eq = F.transform(
-        "embedding",
-        lambda x: (x.cast("double").cast("decimal(12,9)") * 1_000_000_000)
-        .cast("long"),
-    )
-    ex = e.select(eq.alias("eq"))
-    # persist the UPPER triangle (the output of the expensive corpus
-    # explode): the symmetrizing union consumes it once per branch, and
-    # an unpersisted upper would re-run the d²-fan-out corpus pass twice
+    Domain: like ``embedding_covariance``, exact for |v| ≤ 3 (q ≤ 3e9);
+    larger magnitudes FAIL LOUDLY in the kernel rather than silently
+    wrapping (contract pinned in tests/test_edge_embeddings.py)."""
+    ex = _gram_quantized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    # persist the UPPER triangle (the output of the corpus kernel pass):
+    # the symmetrizing union consumes it once per branch, and an
+    # unpersisted upper would re-run the corpus pass twice
     upper = (
-        ex.select(F.posexplode("eq").alias("i", "vi"), "eq")
-        .select("i", "vi", F.posexplode("eq").alias("j", "vj"))
-        .filter(F.col("j") >= F.col("i"))
+        _gram_partials(ex, with_sums=False)
         .groupBy("i", "j")
-        .agg(F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)")).alias("s_ij"))
+        .agg(F.sum("s_ij").alias("s_ij"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     full = upper.unionAll(
@@ -1611,35 +1721,70 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smax"
         )
     )
-    requant = lambda num, den: (
-        (F.col(num).cast("double") / F.col(den) * _PI_SCALE)
+    # the matrix requant stays JVM-side: smax is a decimal(38,0) extremum
+    # whose →double conversion is the engines' own (the _portable moment
+    # contract); the kernel below only ever sees the final ≤1e6 longs
+    m = full.crossJoin(F.broadcast(smax)).select(
+        "i",
+        "j",
+        ((F.col("s_ij").cast("double") / F.col("smax") * _PI_SCALE))
         .cast("decimal(8,0)")
         .cast("long")
+        .alias("m"),
     )
-    m = (
-        full.crossJoin(F.broadcast(smax))
-        .select("i", "j", requant("s_ij", "smax").alias("m"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    v = full.select(F.col("i").alias("k")).distinct().select(
-        "k", F.lit(_PI_SCALE).cast("long").alias("v")
-    )
-    for _ in range(_PI_ITERS):
-        ma, va = m.alias("ma"), v.alias("va")
-        w = (
-            ma.join(va, F.col("ma.j") == F.col("va.k"))
-            .groupBy(F.col("ma.i").alias("k"))
-            .agg(F.sum(F.col("ma.m") * F.col("va.v")).alias("w"))
-        )
-        wmax = w.agg(
-            F.greatest(F.max(F.abs(F.col("w"))).cast("double"), F.lit(1.0)).alias(
-                "wm"
+    # the 3 sweeps run in ONE exact-integer kernel task over the
+    # d²-bounded matrix (round ≤7 unrolled them as ~12 Spark stages of
+    # 64-row exchanges — pure scheduling overhead at ANY corpus size,
+    # since the iteration data is corpus-size-independent once the Gram
+    # pass has reduced). Exactness: w = M·v in int64 (|m| ≤ 1e6,
+    # |v| ≤ 1e6, so |w| ≤ d·1e12 < 2^53 — exact and overflow-free to
+    # d ≈ 9,000); the requant replicates CAST(double AS DECIMAL(8,0))
+    # via shortest-repr Decimal quantize ROUND_HALF_UP — value-identical
+    # to the JVM's BigDecimal.valueOf(x).setScale(0, HALF_UP) because
+    # the shortest round-tripping decimal of x never crosses a .5
+    # boundary away from x's exact value.
+    def power_kernel(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ii, jj, mm = [], [], []
+        for pdf in batches:
+            ii.append(pdf["i"].to_numpy())
+            jj.append(pdf["j"].to_numpy())
+            mm.append(pdf["m"].to_numpy())
+        if not ii:
+            return
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        mv = np.concatenate(mm)
+        if i.size == 0:
+            return
+        d = int(i.max()) + 1
+        M = np.zeros((d, d), dtype=np.int64)
+        M[i, j] = mv
+        v = np.full(d, _PI_SCALE, dtype=np.int64)
+        one = Decimal(1)
+        for _ in range(_PI_ITERS):
+            w = M @ v
+            wm = max(float(np.abs(w).max()), 1.0)
+            v = np.array(
+                [
+                    int(
+                        Decimal(repr(float(x) / wm * _PI_SCALE)).quantize(
+                            one, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for x in w
+                ],
+                dtype=np.int64,
             )
+        yield pd.DataFrame(
+            {"k": np.arange(d, dtype="int32"), "v": v}
         )
-        v = w.crossJoin(F.broadcast(wmax)).select(
-            "k", requant("w", "wm").alias("v")
-        )
-    return v.select(
+
+    vf = m.coalesce(1).mapInPandas(power_kernel, schema="k int, v long")
+    return vf.select(
         "k",
         F.col("v").alias("component_q"),
         stable_round(F.col("v").cast("double") / _PI_SCALE, 6).alias("component"),

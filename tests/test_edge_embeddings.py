@@ -171,12 +171,14 @@ def test_edge_embeddings_fixture_semantics(spark, edge_emb_dir):
 
 
 def test_gram_operators_fail_loud_out_of_domain(spark, edge_emb_dir):
-    """The integer-quantized Gram operators promise EXACT long products
-    for |v| <= 3 (q <= 3e9, product < 2^63) and must FAIL LOUDLY — ANSI
-    overflow, never a silently wrapped matrix — on embeddings outside
-    that domain (this fixture carries components up to 9)."""
+    """The integer-quantized Gram operators promise EXACT integer sums
+    for |v| <= 3 (q <= 3e9, split products exact) and must FAIL LOUDLY —
+    an overflow refusal, never a silently wrapped matrix — on embeddings
+    outside that domain (this fixture carries components up to 9). Since
+    round 8 the guard lives in the ``_gram_partials`` kernel (a Python
+    worker error surfacing through Spark), so the pin is on the loud
+    "overflow" message, not a JVM exception class."""
     import pytest as _pytest
-    from pyspark.errors.exceptions.captured import ArithmeticException
 
     from amazon_climate_data_etl_spark.operators.similarity import (
         embedding_covariance,
@@ -184,5 +186,5 @@ def test_gram_operators_fail_loud_out_of_domain(spark, edge_emb_dir):
     )
 
     for fn in (embedding_covariance, embedding_top_component):
-        with _pytest.raises(ArithmeticException, match="overflow"):
+        with _pytest.raises(Exception, match="overflow"):
             fn(spark, edge_emb_dir).collect()

@@ -241,9 +241,10 @@ _PLAN_BOUNDS = {
     # persisted (source, shingle) frame: distinct + shingle-keyed self-join
     # + pair agg + 2 tiny total broadcasts + sort (textual reprints incl.)
     "source_overlap_matrix": (12, 2),
-    # one d²-keyed Gram agg (covariance's shape) + 3 tiny unrolled power
-    # sweeps over the persisted d²-row matrix; textual reprints dominate
-    "embedding_top_component": (120, 0),
+    # r8: ONE gram-kernel pass + d²-keyed agg (persisted, reprinted by
+    # both union branches) + smax broadcast + the single-task power
+    # kernel + sort — the ~12-stage unrolled sweeps are gone
+    "embedding_top_component": (5, 1),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
@@ -331,9 +332,10 @@ _PLAN_BOUNDS = {
     # orderkey agg joined back to the fact + (order,supp) distinct +
     # supplier agg + dim broadcast + TakeOrdered
     "q21_blocking_supplier": (6, 2),
-    # double-explode fan-out collapses map-side to d(d+1)/2 keys before
-    # ONE pair agg; coordinate sums + 2 tiny broadcasts + sort
-    "embedding_covariance": (6, 2),
+    # r8: ONE gram-kernel pass (persisted partials, reprinted by the pair
+    # and coordinate consumers) + pair agg + coordinate agg + 2 tiny
+    # broadcasts + sort
+    "embedding_covariance": (4, 2),
     # (type, day) count agg; per-type moments re-agg broadcast back;
     # map-only z/flag + sort
     "daily_volume_anomalies": (5, 1),
