@@ -1270,31 +1270,58 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select("vec_id", q.alias("q"))
 
 
+# assignment domain: |q - c| must square-and-sum inside int64 —
+# d·diff² < 2^63 needs |diff| < sqrt(2^63 / d); 1.9e8 covers d ≤ 256
+_KM_QMAX = 190_000_000
+
+
 def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Map-only assignment against driver-held centroids (MLlib-style):
-    per-centroid squared L2 distance via zip_with fold (bigint-exact,
-    |q|≤~1e6 and 64 dims keep Σ(Δ²) well under 2^63), argmin via
-    array_min over (dist, cluster_id) structs — ties break to the lowest
-    cluster id deterministically."""
-    dists = []
-    for c in cents:
-        lit = F.array(*[F.lit(int(v)) for v in c])
-        diff2 = F.zip_with(F.col("q"), lit, lambda a, b: (a - b) * (a - b))
-        dists.append(
-            F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    """Map-only assignment against driver-held centroids (MLlib-style),
+    as an Arrow-batched int64 kernel: per-centroid squared L2 distance is
+    Σ(Δ²) in exact 64-bit integers (domain-guarded — |q|, |c| ≤ _KM_QMAX
+    keeps every sum below 2^63; outside it FAILS LOUDLY instead of
+    wrapping), argmin via np.argmin whose first-minimum rule is the same
+    deterministic tie-break as the previous (dist, cluster_id) struct
+    array_min — lowest cluster id wins. Integer arithmetic is
+    order-independent, so results are bit-identical to the round-≤7
+    zip_with fold (which ran interpreted — HOF lambdas never reach
+    codegen — at 8 centroids × d ops per row, the dominant cost of the
+    whole Lloyd loop)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([[int(v) for v in c] for c in cents], dtype=np.int64)
+    if C.size and np.abs(C).max() > _KM_QMAX:
+        raise ValueError(
+            f"kmeans overflow: centroid magnitude exceeds {_KM_QMAX}"
         )
-    pairs = F.array(
-        *[
-            F.struct(d.alias("dist"), F.lit(i).cast("int").alias("cluster_id"))
-            for i, d in enumerate(dists)
-        ]
-    )
-    best = F.array_min(pairs)
-    return vecs.select(
-        "vec_id",
-        "q",
-        best["cluster_id"].alias("cluster_id"),
-        best["dist"].alias("dist"),
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q"].to_numpy())
+            if np.abs(Q).max() > _KM_QMAX:
+                raise ValueError(
+                    "kmeans overflow: quantized component magnitude "
+                    f"exceeds {_KM_QMAX} — refusing the out-of-domain "
+                    "assignment rather than wrapping int64"
+                )
+            # (n, k) exact int64 distance matrix; k·d driver-held ints
+            diff = Q[:, None, :] - C[None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            best = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cluster_id": best.astype("int32"),
+                    "dist": dist[np.arange(len(Q)), best],
+                }
+            )
+
+    return vecs.mapInPandas(
+        assign, schema="vec_id long, q array<long>, cluster_id int, dist long"
     )
 
 
