@@ -381,7 +381,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     np.argmax takes the first maximum over cid-ascending centroids; the
     probe side packs -cid into the sort struct) — identical to the
     oracle's ORDER BY cos DESC, cid ASC."""
-    return _ivf_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    return _ivf_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
 def _ivf_nlist(n_corpus: int) -> int:
@@ -402,11 +402,10 @@ def _ivf_nlist(n_corpus: int) -> int:
     return min(max(N_CENTROIDS, root), NLIST_CAP)
 
 
-def _ivf_from(e: DataFrame) -> DataFrame:
+def _ivf_from(n: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n = _normalized(e)
     # offline index training, driver-held and bounded: one corpus count
     # (scalar) + the nlist·d centroid matrix
     nlist = _ivf_nlist(n.count())
@@ -604,14 +603,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the identical grouping (per-subspace partial
     dots, then list_sum in s order), so every IEEE add happens in the
     same sequence in both engines."""
-    return _pq_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    return _pq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _pq_from(e: DataFrame) -> DataFrame:
+def _pq_from(n: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n = _normalized(e)
     # offline index state, driver-held and bounded: PQ_KS codebook rows +
     # N_QUERIES probe rows -> the Q×M×KS ADC lookup table. Subspace
     # geometry derives from the DATA's dimensionality (m = ceil(d/DSUB),
@@ -826,14 +824,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexsort first-maximum over cid-ascending centroids ≡ the oracle's
     row_number ORDER BY); encoding and the subspace-grouped ADC fold are
     byte-for-byte the ``ann_pq_topk`` kernels."""
-    return _ivfpq_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    return _ivfpq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _ivfpq_from(e: DataFrame) -> DataFrame:
+def _ivfpq_from(n: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n = _normalized(e)
     # offline index state, driver-held and bounded (see docstring)
     nlist = _ivf_nlist(n.count())
     cent_rows = sorted(
@@ -1455,10 +1452,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched / (|queries|·k) — an integer ratio, one deterministic double
     division, so the score is bit-exact across engines.
 
-    The three searches share ONE persisted non-zero corpus frame (the
-    same single-pass discipline as ngram_jaccard_pairs): without it each
-    index re-scans and re-filters the embeddings table independently."""
+    The searches share ONE persisted non-zero corpus frame AND one
+    persisted normalized copy (the same single-pass discipline as
+    ngram_jaccard_pairs): without them each index re-scans, re-filters,
+    and re-normalizes the embeddings table independently — at 100 TB,
+    three redundant corpus scans inside one evaluation."""
     e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
+    n = _normalized(e).persist()
     exact = (
         _bruteforce_from(e)
         .select("query_id", "cand_id")
@@ -1466,7 +1466,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tagged = (
-        _ivf_from(e)
+        _ivf_from(n)
         .select("query_id", "cand_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
@@ -1475,12 +1475,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("method", F.lit("lsh"))
         )
         .unionByName(
-            _pq_from(e)
+            _pq_from(n)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("pq"))
         )
         .unionByName(
-            _ivfpq_from(e)
+            _ivfpq_from(n)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("ivfpq"))
         )
