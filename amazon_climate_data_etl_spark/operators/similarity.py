@@ -1565,10 +1565,11 @@ def _gram_partials(ex: DataFrame, with_sums: bool) -> DataFrame:
     ``with_sums``, per-coordinate sums keyed ``j = -1`` and row counts
     keyed ``j = -2``), so the only exchange carries partitions·d² slim
     decimal rows — the classic tree-aggregated Gram matrix. Rounds ≤ 7
-    posexploded every row to its d(d+1)/2 products instead (an N·d²-row
-    stream, ~125M rows at sf0.1); map-side combine collapsed it before
-    the shuffle, but the explode itself was the cost, and at 100 TB it
-    is pure waste next to a per-partition partial.
+    posexploded every row to its d(d+1)/2 products instead — an N·d²/2-row
+    stream (2,080 rows generated per input row at d = 64); map-side
+    combine collapsed it before the shuffle, but the explode itself was
+    the cost, and at 100 TB it is pure waste next to a per-partition
+    partial.
 
     Exactness (what lets DuckDB certify a numpy path): inputs are the
     pre-quantized longs (|q| ≤ _GRAM_QMAX enforced fail-loud below), and
