@@ -21,18 +21,21 @@ Implemented:
   decoder recomputes this deterministically from the header, so both
   pre- and post-1.14 writers decode correctly;
 - inner codecs: LZ4 (codec id 1 — block format, both directions, pure
-  Python), zlib (codec id 3 — stdlib), and zstd (codec id 4, decode only —
-  one RFC 8878 frame per split, via the dependency-free ``zstd_min``);
-  per-split stored-raw fallback (``csize == neblock``);
+  Python), snappy (codec id 2, decode only — raw block format per split,
+  cross-checked against pyarrow's snappy codec), zlib (codec id 3 —
+  stdlib), and zstd (codec id 4, decode only — one RFC 8878 frame per
+  split, via the dependency-free ``zstd_min``); per-split stored-raw
+  fallback (``csize == neblock``);
 - byte-shuffle (flags bit 0): numpy transpose per block, trailing
   non-multiple-of-typesize bytes carried verbatim (c-blosc
   ``shuffle_generic`` semantics).
 
 FAILS LOUDLY (pointer at the ``blosc`` library) on: bit-shuffle (flags
-bit 2), blosclz (codec 0), snappy (2), zstd WRITING, and blosc2 frames. The
-LZ4 hot loops are pure Python — correct-but-slow; a throughput deployment
-installs python-blosc and this boundary steps aside (same posture as the
-NetCDF/HDF5 fallbacks).
+bit 2), blosclz (codec 0 — blosc's own codec, no in-container reference
+implementation to validate a clean-room decoder against), snappy/zstd
+WRITING, and blosc2 frames. The LZ4 hot loops are pure Python —
+correct-but-slow; a throughput deployment installs python-blosc and this
+boundary steps aside (same posture as the NetCDF/HDF5 fallbacks).
 
 Format cross-checks live in ``tests/test_blosc.py``: hand-built byte
 vectors written straight from the published format (independent of the
@@ -67,8 +70,8 @@ _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 
 def _gate(msg: str) -> NotImplementedError:
     return NotImplementedError(
-        f"{msg}; this minimal Blosc codec covers the LZ4/zlib byte-shuffle "
-        "subset — install 'blosc' for full coverage"
+        f"{msg}; this minimal Blosc codec covers the lz4/snappy/zlib/zstd "
+        "byte-shuffle subset — install 'blosc' for full coverage"
     )
 
 
@@ -207,6 +210,101 @@ def lz4_compress(src: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Snappy raw block format (google/snappy format_description.txt: varint32
+# uncompressed-length preamble, then literal / 1-2-4-byte-offset copy
+# elements; copies may overlap). c-blosc compresses each split with
+# snappy_compress — one raw block per split, same wire bytes pyarrow's
+# 'snappy' codec produces, which is the in-container reference the tests
+# cross-check against.
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(src: bytes) -> bytes:
+    """Decode one raw snappy block. Corrupt or truncated input always
+    raises ``ValueError`` — every read is bounds-checked first."""
+    n = len(src)
+    ulen = 0
+    shift = 0
+    ip = 0
+    while True:
+        if ip >= n:
+            raise ValueError("corrupt snappy block: truncated length preamble")
+        b = src[ip]
+        ip += 1
+        ulen |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 28:
+            raise ValueError("corrupt snappy block: preamble varint too long")
+    if ulen >= 1 << 31:
+        raise ValueError(f"corrupt snappy block: implausible length {ulen}")
+    out = bytearray(ulen)
+    op = 0
+    while ip < n:
+        tag = src[ip]
+        ip += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            l6 = tag >> 2
+            if l6 < 60:
+                length = l6 + 1
+            else:
+                nb = l6 - 59  # 1..4 trailing little-endian length bytes
+                if ip + nb > n:
+                    raise ValueError(
+                        "corrupt snappy block: truncated literal length"
+                    )
+                length = int.from_bytes(src[ip : ip + nb], "little") + 1
+                ip += nb
+            if ip + length > n:
+                raise ValueError(
+                    f"corrupt snappy block: literal run of {length} bytes "
+                    f"at {ip} overruns {n}-byte input"
+                )
+            if op + length > ulen:
+                raise ValueError("corrupt snappy block: literals overrun output")
+            out[op : op + length] = src[ip : ip + length]
+            ip += length
+            op += length
+            continue
+        if kind == 1:  # copy, 11-bit offset, 4-11 byte length
+            if ip >= n:
+                raise ValueError("corrupt snappy block: truncated 1-byte offset")
+            length = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | src[ip]
+            ip += 1
+        elif kind == 2:  # copy, 16-bit offset
+            if ip + 2 > n:
+                raise ValueError("corrupt snappy block: truncated 2-byte offset")
+            length = (tag >> 2) + 1
+            offset = src[ip] | (src[ip + 1] << 8)
+            ip += 2
+        else:  # copy, 32-bit offset
+            if ip + 4 > n:
+                raise ValueError("corrupt snappy block: truncated 4-byte offset")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(src[ip : ip + 4], "little")
+            ip += 4
+        if offset == 0 or offset > op:
+            raise ValueError(f"corrupt snappy block: offset {offset} at {op}")
+        if op + length > ulen:
+            raise ValueError("corrupt snappy block: copy overruns output")
+        ref = op - offset
+        if offset >= length:  # disjoint: one slice copy
+            out[op : op + length] = out[ref : ref + length]
+            op += length
+        else:  # overlapping run (RLE-style): reads bytes it just wrote
+            for _ in range(length):
+                out[op] = out[ref]
+                op += 1
+                ref += 1
+    if op != ulen:
+        raise ValueError(f"snappy block decoded {op} bytes, expected {ulen}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # byte-shuffle (c-blosc shuffle.c generic semantics: complete elements are
 # transposed into byte planes; a trailing partial element rides verbatim)
 # ---------------------------------------------------------------------------
@@ -303,6 +401,12 @@ def decompress(buf: bytes) -> bytes:
 
         def dec(b: bytes, size: int) -> bytes:  # noqa: ARG001
             return zstd_min.decompress(b)
+
+    elif codec == _CODEC_SNAPPY:
+        # c-blosc compresses each split with snappy_compress — one raw
+        # snappy block (varint preamble + elements) per split
+        def dec(b: bytes, size: int) -> bytes:  # noqa: ARG001
+            return snappy_decompress(b)
 
     else:
         raise _gate(f"blosc inner codec {_CODEC_NAMES.get(codec, codec)!r}")

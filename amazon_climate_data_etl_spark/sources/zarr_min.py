@@ -18,10 +18,10 @@ Implemented subset of the public spec
 - ``.zarray`` metadata: shape / chunks / dtype / fill_value / order /
   compressor / filters / dimension_separator ('.' default, '/' supported)
 - C order, numeric dtypes, raw (null), zlib/gzip, or blosc compression
-  (the numcodecs default — lz4/lz4hc/zlib/zstd cnames with byte-shuffle,
-  via the dependency-free ``blosc_min`` container codec and the RFC 8878
-  ``zstd_min`` decoder; snappy/blosclz cnames and bit-shuffle stay gated
-  at the ``blosc`` library)
+  (the numcodecs default — lz4/lz4hc/snappy/zlib/zstd cnames with
+  byte-shuffle, via the dependency-free ``blosc_min`` container codec,
+  the RFC 8878 ``zstd_min`` decoder, and the raw-block snappy decoder;
+  the blosclz cname and bit-shuffle stay gated at the ``blosc`` library)
 - missing chunk keys read as ``fill_value`` (the spec's sparse-write rule)
 - edge chunks stored full-size (written padded with fill_value, trimmed on
   read), per spec
@@ -51,8 +51,8 @@ so the same binaryFile-scan → per-task decode plan applies
 (``ingest.ingest_zarr_to_parquet`` is version-agnostic via this module).
 
 Everything else FAILS LOUDLY with a pointer at the full ``zarr`` library:
-F order, filter chains, snappy/blosclz blosc cnames, bit-shuffle,
-the transpose codec, structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
+the blosclz blosc cname, bit-shuffle, the transpose codec,
+structured/string dtypes. Same fail-loud posture as ``hdf5_min.py`` /
 ``crs_min.py``.
 """
 
@@ -135,8 +135,9 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
             cname = comp.get("cname", "blosclz")
             # lz4hc shares the lz4 block format, so reading is identical;
             # zstd (numcodecs' most common modern cname) decodes via
-            # zstd_min inside the blosc container (round 8)
-            if cname not in ("lz4", "lz4hc", "zlib", "zstd"):
+            # zstd_min inside the blosc container, snappy via the raw-block
+            # decoder (both round 8)
+            if cname not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
                 raise _gate(f"blosc cname {cname!r}")
             sh = comp.get("shuffle", 1)
             if sh == 2:
@@ -247,7 +248,7 @@ def parse_zarr_json(raw: bytes) -> tuple[ZarrMeta, dict, list | None]:
     if "blosc" in names:
         bcfg = codecs[names.index("blosc")].get("configuration", {})
         cname = bcfg.get("cname", "zstd")
-        if cname not in ("lz4", "lz4hc", "zlib", "zstd"):
+        if cname not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
             raise _gate(f"blosc cname {cname!r}")
         sh = bcfg.get("shuffle", "noshuffle")
         if sh == "bitshuffle":

@@ -140,7 +140,9 @@ def test_container_gates_fail_loudly():
         B.decompress(_header(B._CODEC_ZSTD << 5, 4, 64, 64, 16))
     with pytest.raises(NotImplementedError, match="blosclz"):
         B.decompress(_header(0, 4, 64, 64, 16))
-    with pytest.raises(NotImplementedError, match="snappy"):
+    # snappy (codec 2) is SUPPORTED since round 8 — a header-only buffer
+    # with no valid block now fails as corrupt, not as a gate
+    with pytest.raises(ValueError):
         B.decompress(_header(B._CODEC_SNAPPY << 5, 4, 64, 64, 16))
     with pytest.raises(ValueError, match="header"):
         B.decompress(b"short")
@@ -212,6 +214,145 @@ def test_shuffle_unshuffle_inverse_with_remainder():
 def test_writer_gates_unsupported_cnames():
     with pytest.raises(NotImplementedError, match="zstd"):
         B.compress(b"x" * 64, 4, cname="zstd")
+    with pytest.raises(NotImplementedError, match="snappy"):
+        B.compress(b"x" * 64, 4, cname="snappy")
+
+
+# --- snappy raw block format (codec 2) ---------------------------------------
+# pyarrow's 'snappy' codec is the in-container reference implementation
+# (raw block format, the same wire bytes c-blosc's snappy_compress emits);
+# spec vectors below are hand-built from google/snappy
+# format_description.txt, independent of both implementations.
+
+
+def _pa_snappy(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.compress(data, codec="snappy", asbytes=True)
+
+
+def test_snappy_spec_vectors_hand_built():
+    # literal only: preamble varint 5, tag (5-1)<<2 | 0, then bytes
+    assert B.snappy_decompress(b"\x05\x10hello") == b"hello"
+    # empty block: preamble 0, no elements
+    assert B.snappy_decompress(b"\x00") == b""
+    # 1-byte-offset copy: 4 literals then len-4 copy at offset 4
+    # tag = (len-4)<<2 | 1 with offset high bits in tag>>5: len 4, off 4
+    assert (
+        B.snappy_decompress(b"\x08\x0cabcd" + bytes([0b000_000_01, 4]))
+        == b"abcdabcd"
+    )
+    # 2-byte-offset copy: tag (len-1)<<2|2 + LE16 offset
+    assert (
+        B.snappy_decompress(b"\x08\x0cwxyz" + bytes([((4 - 1) << 2) | 2, 4, 0]))
+        == b"wxyzwxyz"
+    )
+    # 4-byte-offset copy
+    assert (
+        B.snappy_decompress(
+            b"\x08\x0cmnop" + bytes([((4 - 1) << 2) | 3, 4, 0, 0, 0])
+        )
+        == b"mnopmnop"
+    )
+    # overlapping copy = RLE: one literal, then len-8 copy at offset 1
+    assert (
+        B.snappy_decompress(b"\x09\x00Q" + bytes([((8 - 4) << 2) | 1, 1]))
+        == b"Q" * 9
+    )
+    # 61-byte literal: tag 60<<2 marks a 1-byte extended length (len-1=60)
+    body = bytes(range(61))
+    assert B.snappy_decompress(b"\x3d" + bytes([60 << 2, 60]) + body) == body
+
+
+def test_snappy_decodes_pyarrow_reference_blocks():
+    rng = np.random.default_rng(8)
+    cases = [
+        b"",
+        b"a",
+        b"a" * 10_000,
+        b"the quick brown fox. " * 500,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),  # incompressible
+        np.arange(5000, dtype="<f4").tobytes(),
+        (b"ab" * 3000) + bytes(rng.integers(0, 4, 512, dtype=np.uint8)),
+        bytes(70_000),  # long zero run: exercises extended lengths
+    ]
+    for data in cases:
+        assert B.snappy_decompress(_pa_snappy(data)) == data
+
+
+def test_snappy_junk_fails_cleanly():
+    rng = np.random.default_rng(42)
+    for size in (0, 1, 2, 7, 33, 200):
+        for _ in range(40):
+            junk = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+            try:
+                out = B.snappy_decompress(junk)
+            except (ValueError, NotImplementedError):
+                continue
+            # junk that happens to parse must still honor the preamble
+            assert isinstance(out, bytes)
+
+
+def test_snappy_bitflipped_reference_never_wrong_size():
+    data = b"climate grid row " * 400
+    ref = bytearray(_pa_snappy(data))
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        buf = bytearray(ref)
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = B.snappy_decompress(bytes(buf))
+        except ValueError:
+            continue
+        assert len(out) == len(data)  # preamble-honoring decode or a raise
+
+
+def test_container_blosc_snappy_hand_wrapped():
+    """A hand-wrapped blosc1 container whose single dont_split block holds
+    one pyarrow-written snappy block over byte-shuffled float32 data — the
+    wire shape numcodecs Blosc(cname='snappy', shuffle=SHUFFLE) produces
+    for a Zarr chunk."""
+    arr = np.arange(1000, dtype="<f4")
+    raw = arr.tobytes()
+    comp = _pa_snappy(B.shuffle(raw, 4))
+    payload = struct.pack("<i", len(comp)) + comp
+    cbytes = 16 + 4 + len(payload)
+    buf = (
+        _header(
+            (B._CODEC_SNAPPY << 5) | B._FLAG_SHUFFLE | B._FLAG_DONT_SPLIT,
+            4,
+            len(raw),
+            len(raw),
+            cbytes,
+        )
+        + struct.pack("<i", 20)
+        + payload
+    )
+    assert B.decompress(buf) == raw
+
+
+def test_container_blosc_snappy_split_mode():
+    """Pre-1.14 writers split snappy blocks too (no dont_split bit): four
+    byte-plane splits, each its own snappy block."""
+    arr = np.arange(128, dtype="<u4")
+    raw = arr.tobytes()
+    planes = np.frombuffer(raw, np.uint8).reshape(128, 4).T
+    splits = []
+    for k in range(4):
+        piece = planes[k].tobytes()
+        comp = _pa_snappy(piece)
+        if len(comp) >= len(piece):  # stored-raw split
+            comp = piece
+        splits.append(struct.pack("<i", len(comp)) + comp)
+    payload = b"".join(splits)
+    cbytes = 16 + 4 + len(payload)
+    buf = (
+        _header((B._CODEC_SNAPPY << 5) | B._FLAG_SHUFFLE, 4, 512, 512, cbytes)
+        + struct.pack("<i", 20)
+        + payload
+    )
+    assert B.decompress(buf) == raw
 
 
 # --- adversarial robustness: malformed containers must fail CLEANLY ---------
@@ -300,7 +441,7 @@ class TestNumcodecsInterop:
     conformance is proven against the reference implementation, not only
     hand-built vectors."""
 
-    @pytest.mark.parametrize("cname", ["lz4", "zlib"])
+    @pytest.mark.parametrize("cname", ["lz4", "zlib", "snappy", "zstd"])
     @pytest.mark.parametrize("shuffle_flag", [0, 1])  # NOSHUFFLE, SHUFFLE
     def test_foreign_written_container_decodes(self, cname, shuffle_flag):
         codec = numcodecs.Blosc(cname=cname, clevel=5, shuffle=shuffle_flag)

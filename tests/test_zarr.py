@@ -48,6 +48,49 @@ def test_roundtrip_compressors(tmp_path, compressor):
     np.testing.assert_array_equal(read_zarr_array(p), arr)
 
 
+def test_v2_blosc_snappy_store_reads(tmp_path):
+    """A hand-built v2 store whose chunks are blosc-snappy containers
+    (pyarrow's snappy as the reference block writer — the wire bytes
+    numcodecs Blosc(cname='snappy', shuffle=SHUFFLE) emits) reads back
+    bit-exact through the normal read path."""
+    import json
+    import struct
+
+    import pyarrow as pa
+
+    from amazon_climate_data_etl_spark.sources import blosc_min as B
+
+    arr = np.linspace(-3, 3, 8).astype("<f4")
+    p = tmp_path / "a"
+    p.mkdir()
+    (p / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2, "shape": [8], "chunks": [4],
+                "dtype": "<f4", "fill_value": 0.0, "order": "C",
+                "filters": None,
+                "compressor": {"id": "blosc", "cname": "snappy",
+                               "clevel": 5, "shuffle": 1},
+            }
+        )
+    )
+    for k in (0, 1):
+        raw = arr[4 * k : 4 * k + 4].tobytes()
+        comp = pa.compress(B.shuffle(raw, 4), codec="snappy", asbytes=True)
+        payload = struct.pack("<i", len(comp)) + comp
+        buf = (
+            struct.pack(
+                "<BBBBiii", 2, 1,
+                (B._CODEC_SNAPPY << 5) | B._FLAG_SHUFFLE | B._FLAG_DONT_SPLIT,
+                4, len(raw), len(raw), 16 + 4 + len(payload),
+            )
+            + struct.pack("<i", 20)
+            + payload
+        )
+        (p / str(k)).write_bytes(buf)
+    np.testing.assert_array_equal(read_zarr_array(str(p)), arr)
+
+
 def test_roundtrip_slash_separator(tmp_path):
     arr = np.arange(24, dtype="<i4").reshape(4, 6)
     p = str(tmp_path / "a")
@@ -113,7 +156,9 @@ def _meta(**over):
         # order="F" and delta/shuffle filter chains are SUPPORTED since
         # round 8; vlen filters and unknown ids still gate
         {"filters": [{"id": "vlen-utf8"}]},
-        {"compressor": {"id": "blosc", "cname": "snappy"}},
+        # snappy is SUPPORTED since round 8; blosclz stays gated (blosc's
+        # own codec, no in-container reference to validate against)
+        {"compressor": {"id": "blosc", "cname": "blosclz"}},
         {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}},
         {"compressor": {"id": "lzma"}},
         {"dtype": "|S8"},
@@ -433,9 +478,9 @@ def test_v3_nan_fill_json_roundtrip(tmp_path):
         {"codecs": [{"name": "gzip"}]},  # missing the bytes codec
         {"codecs": [{"name": "bytes"}, {"name": "bz2"}]},
         # configless blosc now defaults to cname=zstd and is SUPPORTED
-        # (round 8); snappy remains gated
+        # (round 8), as is snappy; blosclz remains gated
         {"codecs": [{"name": "bytes"},
-                    {"name": "blosc", "configuration": {"cname": "snappy"}}]},
+                    {"name": "blosc", "configuration": {"cname": "blosclz"}}]},
         {"codecs": [{"name": "transpose"}, {"name": "bytes"}]},
         # sharding corners: bad index location / index codecs / inner chain
         {"codecs": [{"name": "sharding_indexed", "configuration": {
