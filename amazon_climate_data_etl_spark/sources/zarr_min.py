@@ -17,7 +17,8 @@ Implemented subset of the public spec
 (https://zarr-specs.readthedocs.io/, v2):
 - ``.zarray`` metadata: shape / chunks / dtype / fill_value / order /
   compressor / filters / dimension_separator ('.' default, '/' supported)
-- C order, numeric dtypes, raw (null), zlib/gzip, or blosc compression
+- C order, numeric dtypes, raw (null), zlib/gzip, bare lz4 (numcodecs
+  LZ4: LE32 size prefix + raw block), or blosc compression
   (the numcodecs default — lz4/lz4hc/snappy/zlib/zstd cnames with
   byte-shuffle, via the dependency-free ``blosc_min`` container codec,
   the RFC 8878 ``zstd_min`` decoder, and the raw-block snappy decoder;
@@ -145,8 +146,9 @@ def parse_zarray(raw: bytes) -> ZarrMeta:
             # numcodecs AUTOSHUFFLE (-1) resolves to byte-shuffle for
             # typesize > 1; harmless either way — decode is header-driven
             blosc_cfg = ("lz4" if cname == "lz4hc" else cname, sh != 0)
-        elif comp_id not in ("zlib", "gzip", "zstd"):
-            # "zstd" = numcodecs Zstd: one bare RFC 8878 frame per chunk
+        elif comp_id not in ("zlib", "gzip", "zstd", "lz4"):
+            # "zstd" = numcodecs Zstd: one bare RFC 8878 frame per chunk;
+            # "lz4" = numcodecs LZ4: LE32 size prefix + one raw block
             raise _gate(f"compressor {comp_id!r}")
     try:
         dt = np.dtype(meta["dtype"])
@@ -341,6 +343,14 @@ def _decode_inner(raw: bytes, meta: ZarrMeta) -> bytes:
         return blosc_min.decompress(raw)
     if meta.compressor_id == "zstd":  # v3 standalone zstd codec (the default)
         return zstd_min.decompress(raw)
+    if meta.compressor_id == "lz4":
+        # bare numcodecs LZ4: LE32 uncompressed size, then one raw block
+        if len(raw) < 4:
+            raise ValueError(
+                f"lz4 chunk of {len(raw)} bytes lacks its size prefix"
+            )
+        n = int.from_bytes(raw[:4], "little")
+        return blosc_min.lz4_decompress(raw[4:], n)
     return raw
 
 

@@ -91,6 +91,34 @@ def test_v2_blosc_snappy_store_reads(tmp_path):
     np.testing.assert_array_equal(read_zarr_array(str(p)), arr)
 
 
+def test_v2_bare_lz4_store_reads(tmp_path):
+    """A hand-built v2 store whose compressor is bare numcodecs LZ4
+    (LE32 uncompressed-size prefix + one raw block) reads back bit-exact;
+    pyarrow's lz4_raw codec writes the reference blocks."""
+    import json
+
+    import pyarrow as pa
+
+    arr = np.arange(64, dtype="<i8") % 7
+    p = tmp_path / "a"
+    p.mkdir()
+    (p / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2, "shape": [64], "chunks": [32],
+                "dtype": "<i8", "fill_value": 0, "order": "C",
+                "filters": None,
+                "compressor": {"id": "lz4", "acceleration": 1},
+            }
+        )
+    )
+    for k in (0, 1):
+        raw = arr[32 * k : 32 * k + 32].tobytes()
+        block = pa.compress(raw, codec="lz4_raw", asbytes=True)
+        (p / str(k)).write_bytes(len(raw).to_bytes(4, "little") + block)
+    np.testing.assert_array_equal(read_zarr_array(str(p)), arr)
+
+
 def test_roundtrip_slash_separator(tmp_path):
     arr = np.arange(24, dtype="<i4").reshape(4, 6)
     p = str(tmp_path / "a")
