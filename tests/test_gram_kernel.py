@@ -109,6 +109,30 @@ def test_gram_partials_overflow_guard_is_loud(spark):
         _gram_partials(df, with_sums=False).collect()
 
 
+def test_normalized_keeps_norm_out_of_the_element_lambda(spark):
+    """The once-per-row norm claim is an optimizer-shape property: the
+    zip_with/array_repeat form keeps the norm aggregate a regular
+    once-per-row argument, while CollapseProject substitutes a
+    once-referenced norm column straight back into a transform lambda
+    (re-evaluating the d-term aggregate PER ELEMENT — measured ~10×).
+    Pin the optimized plan: the aggregate must appear inside
+    array_repeat, never inside a lambdafunction body."""
+    import re
+
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        _nonzero,
+        _normalized,
+    )
+
+    n = _normalized(_nonzero(load_table(spark, "/root/testdata/sf0.001", "embeddings")))
+    plan = n._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_repeat" in plan
+    # every lambdafunction body must be free of embedded aggregates
+    for body in re.findall(r"lambdafunction\((.*)", plan):
+        assert "aggregate(" not in body, body
+
+
 def test_power_requant_matches_spark_decimal_cast(spark):
     """The power kernel rounds w/wm·1e6 with
     Decimal(repr(x)).quantize(1, ROUND_HALF_UP); Spark rounds with
