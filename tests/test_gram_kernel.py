@@ -133,6 +133,46 @@ def test_normalized_keeps_norm_out_of_the_element_lambda(spark):
         assert "aggregate(" not in body, body
 
 
+def test_km_assign_tie_break_and_domain_guard(spark):
+    """The k-means assignment kernel must break exact distance ties
+    toward the LOWEST cluster id (np.argmin first-minimum ≡ the round-≤7
+    (dist, cluster_id) struct array_min) and refuse out-of-domain
+    magnitudes loudly. Crafted ties: a point equidistant from two
+    centroids, duplicate centroids, and a point exactly ON a centroid
+    that is duplicated later in the list."""
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        _KM_QMAX,
+        _km_assign,
+    )
+
+    cents = [[0, 0], [4, 0], [0, 0], [2, 0]]  # cents[2] duplicates cents[0]
+    vecs = spark.createDataFrame(
+        [(0, [2, 0]), (1, [0, 0]), (2, [4, 0]), (3, [3, 0])],
+        "vec_id long, q array<long>",
+    )
+    rows = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in _km_assign(vecs, cents).collect()
+    }
+    # vec 0 sits ON cents[3] -> cluster 3 wins outright (dist 0 < 4)
+    assert rows[0] == (3, 0)
+    # vec 1 is ON cents[0] AND cents[2] -> lowest id wins
+    assert rows[1] == (0, 0)
+    assert rows[2] == (1, 0)
+    # vec 3 equidistant (1) from cents[1] and cents[3] -> lowest id (1)
+    assert rows[3] == (1, 1)
+
+    with pytest.raises(Exception, match="overflow"):
+        _km_assign(
+            spark.createDataFrame(
+                [(0, [_KM_QMAX + 1])], "vec_id long, q array<long>"
+            ),
+            [[0]],
+        ).collect()
+    with pytest.raises(ValueError, match="overflow"):
+        _km_assign(vecs, [[_KM_QMAX + 1, 0]])
+
+
 def test_power_requant_matches_spark_decimal_cast(spark):
     """The power kernel rounds w/wm·1e6 with
     Decimal(repr(x)).quantize(1, ROUND_HALF_UP); Spark rounds with
