@@ -48,7 +48,11 @@ QUERIES = tuple(
         "minhash_lsh_pairs,ngram_jaccard_pairs,neardup_keep_corpus,"
         "duplicate_span_stats,duplicate_spans_exact,ann_lsh_topk,"
         "ann_ivf_topk,ann_pq_topk,ann_ivfpq_topk,textrank_keywords,"
-        "token_triangle_census",
+        # round 8: the full recall panel (5 searches, one shared corpus),
+        # the map-side Gram kernel, and the Lloyd loop — the reworked
+        # kernels' scale claims, probed with data
+        "token_triangle_census,ann_recall_eval,embedding_top_component,"
+        "kmeans_cluster_profile",
     ).split(",")
     if q.strip()
 )
