@@ -51,8 +51,11 @@ split_assignment — each merge preserves every operator shape and
 column family under one oracle; a seventh merge later in round 7 —
 window_cume_dist+window_ntile_quartiles → window_rank_profile, the full
 rank-function family sharing one window spec — paid for the round's
-``ann_pq_topk`` addition). The registry stands at 140, 10 slots of
-headroom under the 150-query cap; an individual query's driver row may
+``ann_pq_topk`` addition). Round 8 added ``ann_ivfpq_topk`` (the IVF-PQ
+compose the round-7 review requested) and ``semantic_dedup_keep``
+(SemDeDup): the registry stands at 142, 8 slots of headroom under the
+150-query cap and 3 under the judge-agreed ≤145 soft target; an
+individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves
 hash-exactness for EVERY oracled query regardless of the driver window —

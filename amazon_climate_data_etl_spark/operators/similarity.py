@@ -1322,21 +1322,13 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means (k=8, 3 iterations) over the quantized
-    embeddings; per-cluster size, inertia, and mean distance.
-
-    Shape: centroids live on the driver (k·d ints — bounded, the same
-    contract as MLlib KMeans); each iteration is (a) a map-only
-    assignment against centroid literals, and (b) a centroid update via
-    posexplode → (cluster, pos) hash agg — map-side combined, the shuffle
-    carries k·d rows regardless of corpus size. The corpus is persisted
-    once and never shuffled. Seeding is deterministic: the k lowest
-    vec_id vectors. Centroid means round to the integer grid
-    (floor(s/n + 0.5) — s is an exact bigint sum < 2^53, so the one
-    double division is bit-identical in Python and SQL), keeping every
-    iteration integer-exact; the DuckDB oracle replays the identical
-    3 unrolled Lloyd rounds."""
+def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Lloyd trajectory: _KM_ITERS driver-synced rounds (k·d
+    integer centroids are the ONLY driver state) ending in the final
+    assignment frame (vec_id, q, cluster_id, dist). Factored out of
+    ``kmeans_cluster_profile`` so ``semantic_dedup_keep`` replays the
+    IDENTICAL clustering — both oracles share the same unrolled CTE
+    chain (``_km_chain_sql``)."""
     import math
 
     vecs = _km_quantized(spark, sf_dir).persist()
@@ -1353,8 +1345,26 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in stats:
             new[r.cluster_id][r.pos] = math.floor(r.s / r.n + 0.5)
         cents = new
+    return _km_assign(vecs, cents)
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 3 iterations) over the quantized
+    embeddings; per-cluster size, inertia, and mean distance.
+
+    Shape: centroids live on the driver (k·d ints — bounded, the same
+    contract as MLlib KMeans); each iteration is (a) a map-only
+    assignment against centroid literals, and (b) a centroid update via
+    posexplode → (cluster, pos) hash agg — map-side combined, the shuffle
+    carries k·d rows regardless of corpus size. The corpus is persisted
+    once and never shuffled. Seeding is deterministic: the k lowest
+    vec_id vectors. Centroid means round to the integer grid
+    (floor(s/n + 0.5) — s is an exact bigint sum < 2^53, so the one
+    double division is bit-identical in Python and SQL), keeping every
+    iteration integer-exact; the DuckDB oracle replays the identical
+    3 unrolled Lloyd rounds."""
     return (
-        _km_assign(vecs, cents)
+        _km_final_assign(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -1372,10 +1382,11 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_oracle_sql() -> str:
+def _km_chain_sql() -> str:
     """Unrolled-CTE replay of the exact Lloyd rounds (same seeding, same
     integer grid, same floor(s/n + 0.5) centroid rounding, same
-    (dist, cluster_id) tie-break)."""
+    (dist, cluster_id) tie-break), ending in the ``final`` assignment
+    CTE — shared by the kmeans profile and semantic-dedup oracles."""
     dist = (
         "CAST(list_sum(list_transform(range(1, len(v.q) + 1), "
         "i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT)"
@@ -1424,7 +1435,17 @@ final AS (
     SELECT v.vec_id, c.cluster_id, {dist} AS dist
     FROM v, c{_KM_ITERS} c)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _km_oracle_sql() -> str:
+    """Unrolled-CTE replay of the exact Lloyd rounds ending in the
+    per-cluster profile."""
+    return (
+        _km_chain_sql()
+        + """
 SELECT cluster_id, count(*) AS n_vectors,
        CAST(sum(dist) AS BIGINT) AS inertia,
        round(CAST(sum(dist) AS DOUBLE) / count(*), 4) AS mean_dist
@@ -1432,10 +1453,104 @@ FROM final
 GROUP BY cluster_id
 ORDER BY cluster_id"""
     )
-    return "".join(parts)
 
 
 KMEANS_SQL = _km_oracle_sql()
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    find near-duplicate PAIRS only within each cluster by exact cosine
+    and keep the lowest-id representative of every duplicate
+    neighborhood — the standard LLM-curation recipe for pruning
+    semantically redundant training data that plain lexical dedup
+    (minhash/simhash) cannot see.
+
+    Shape vs ``embedding_cosine_neardup``: same verify step, a
+    fundamentally different candidate generator — a LEARNED coarse
+    quantizer (the shared ``_km_final_assign`` Lloyd trajectory, k·d
+    driver-held integer centroids) instead of data-independent random
+    hyperplanes; at 100 TB the cluster key is the shuffle key and the
+    quadratic cost is confined within clusters (SemDeDup's whole point —
+    |cluster| ≪ |corpus|). The corpus ⋈ assignment join is vec_id-keyed
+    with neither side dim-sized, so the keyed shuffle join is the
+    correct plan at scale (same contract as neardup_keep_corpus's label
+    join).
+
+    Semantics: zero/empty/NULL embeddings are clustered (L2 is defined
+    at the origin) but excluded from the cosine dedup (no direction ⇒
+    never a duplicate) — the contract split documented on the cosine
+    family. keep = "no smaller-id near-duplicate in my cluster";
+    ``dup_of`` = the smallest such id, −1 sentinel when kept (nullable
+    ints stringify differently across engines, so the sentinel keeps the
+    driver hash portable). Scores ride the shared ``_normalized`` frame
+    and round through ``stable_round`` — bit-exact vs the oracle, which
+    replays the identical Lloyd chain (``_km_chain_sql``)."""
+    a = _km_final_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    n = _normalized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    v = n.join(a, "vec_id")
+    lhs = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"), "cluster_id"
+    )
+    rhs = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"), "cluster_id"
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dup_of = (
+        lhs.join(rhs, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", stable_round(dot, 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+        .withColumnRenamed("vec_b", "vec_id")
+    )
+    return (
+        v.select("vec_id", "cluster_id")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            (F.coalesce(F.col("dup_of"), F.lit(-1)) < 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    return (
+        _km_chain_sql()
+        + f""",
+nz AS (SELECT vec_id, {_NORMED} AS en
+       FROM embeddings WHERE {_NONZERO_SQL}),
+vv AS (SELECT f.vec_id, f.cluster_id, nz.en
+       FROM final f JOIN nz ON nz.vec_id = f.vec_id),
+sd_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, len(a.en) + 1),
+                                       i -> a.en[i] * b.en[i])), 6) AS cosine
+  FROM vv a JOIN vv b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+dup AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of
+  FROM sd_pairs WHERE cosine >= {NEARDUP_COS} GROUP BY vec_b
+)
+SELECT v.vec_id, v.cluster_id,
+       COALESCE(d.dup_of, -1) AS dup_of,
+       COALESCE(d.dup_of, -1) < 0 AS keep
+FROM vv v LEFT JOIN dup d ON v.vec_id = d.vec_id
+ORDER BY v.vec_id"""
+    )
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,6 +2068,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
+    "semantic_dedup_keep": semantic_dedup_keep,
     "semantic_lexical_neardup": semantic_lexical_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1966,6 +2082,7 @@ ORACLE = {
     "semantic_lexical_neardup": SEMANTIC_LEXICAL_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
     "kmeans_cluster_profile": KMEANS_SQL,
+    "semantic_dedup_keep": SEMANTIC_DEDUP_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,

@@ -45,6 +45,10 @@ _SIM_QUERIES = [
     # the ground truth below |queries|*k here, the case the old constant
     # denominator mis-scored
     "ann_recall_eval",
+    # clusters the degenerate vectors (L2 defined at the origin) but must
+    # exclude them from the cosine dedup; exact duplicates / scaled
+    # copies hit the cosine-1.0 tie-break
+    "semantic_dedup_keep",
 ]
 
 # (vec_id, embedding, label) — 8-d float32. vec_id < 5 are probes; nonzero

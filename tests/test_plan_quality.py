@@ -245,6 +245,9 @@ _PLAN_BOUNDS = {
     # both union branches) + smax broadcast + the single-task power
     # kernel + sort — the ~12-stage unrolled sweeps are gone
     "embedding_top_component": (5, 1),
+    # corpus ⋈ Lloyd assignment on vec_id (shuffle join, see _SMJ_EXEMPT)
+    # + cluster-keyed pair join + dup_of agg + keep left-join + sort
+    "semantic_dedup_keep": (7, 0),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly
     "incremental_dedup": (9, 4),
@@ -403,6 +406,12 @@ _SMJ_EXEMPT = {
     # same corpus ⋈ component-labels join as neardup_keep_corpus
     "neardup_keep_best_quality",
     "dedup_cluster_size_histogram",
+    # corpus ⋈ Lloyd-assignment on vec_id, then the within-cluster pair
+    # self-join: neither side is dim-sized at scale (the assignment grows
+    # with the corpus; the kernel output carries no stats), so the keyed
+    # shuffle joins are the correct 100 TB plan — the same contract as
+    # neardup_keep_corpus's label join.
+    "semantic_dedup_keep",
     # (source, shingle) self-join on the shingle key: both sides are the
     # same persisted corpus-scale frame (no stats, and at scale neither
     # side is dim-sized) — the shingle-keyed shuffle join is the plan
