@@ -1267,23 +1267,26 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select("vec_id", q.alias("q"))
 
 
-# assignment domain: |q - c| must square-and-sum inside int64 —
-# d·diff² < 2^63 needs |diff| < sqrt(2^63 / d); 1.9e8 covers d ≤ 256
-_KM_QMAX = 190_000_000
+# assignment domain: the worst-case distance d·(2q)² must fit int64 —
+# |q| ≤ sqrt(2^63 / d) / 2; 1.89e8 covers d ≤ 64 (the corpus dimension)
+_KM_QMAX = 189_000_000
 
 
 def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Map-only assignment against driver-held centroids (MLlib-style),
-    as an Arrow-batched int64 kernel: per-centroid squared L2 distance is
-    Σ(Δ²) in exact 64-bit integers (domain-guarded — |q|, |c| ≤ _KM_QMAX
-    keeps every sum below 2^63; outside it FAILS LOUDLY instead of
-    wrapping), argmin via np.argmin whose first-minimum rule is the same
-    deterministic tie-break as the previous (dist, cluster_id) struct
-    array_min — lowest cluster id wins. Integer arithmetic is
-    order-independent, so results are bit-identical to the round-≤7
-    zip_with fold (which ran interpreted — HOF lambdas never reach
-    codegen — at 8 centroids × d ops per row, the dominant cost of the
-    whole Lloyd loop)."""
+    as an Arrow-batched int64 kernel: per-centroid squared L2 distance
+    via the dot expansion ‖q‖² − 2 q·c + ‖c‖², all terms exact 64-bit
+    integers (domain-guarded — |q|, |c| ≤ _KM_QMAX keeps even the
+    worst-case distance d·(2q)² below 2^63; outside it FAILS LOUDLY
+    instead of wrapping). The cross term q·c is three hi/lo-split float64
+    BLAS matmuls whose every value is an integer below 2^53 (the
+    ``_gram_partials`` recipe: q = hi·2^14 + lo, |hi| ≤ 11.6k,
+    lo < 2^14), so the kernel touches only (n, k) matrices — the earlier
+    (n, k, d) diff tensor cost ~400 MB per 10k-row batch at k ≈ 80.
+    argmin's first-minimum rule is the same deterministic tie-break as
+    the round-≤7 (dist, cluster_id) struct array_min — lowest cluster id
+    wins. Integer arithmetic is order-independent, so results are
+    bit-identical to the interpreted zip_with fold this replaced."""
     import numpy as np
     import pandas as pd
 
@@ -1292,6 +1295,10 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
         raise ValueError(
             f"kmeans overflow: centroid magnitude exceeds {_KM_QMAX}"
         )
+    if C.size:
+        Cs = (C * C).sum(axis=1)  # ≤ d·qmax² < 2.3e18: exact int64
+        Chf = (C >> 14).astype(np.float64)
+        Clf = (C & 0x3FFF).astype(np.float64)
 
     def assign(batches):
         for pdf in batches:
@@ -1304,9 +1311,16 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
                     f"exceeds {_KM_QMAX} — refusing the out-of-domain "
                     "assignment rather than wrapping int64"
                 )
-            # (n, k) exact int64 distance matrix; k·d driver-held ints
-            diff = Q[:, None, :] - C[None, :, :]
-            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            Qs = (Q * Q).sum(axis=1)
+            Qhf = (Q >> 14).astype(np.float64)
+            Qlf = (Q & 0x3FFF).astype(np.float64)
+            # exact q·c: every float64 partial ≤ d·2^28 ≈ 1.2e10 < 2^53
+            G = (
+                ((Qhf @ Chf.T).astype(np.int64) << 28)
+                + (((Qhf @ Clf.T) + (Qlf @ Chf.T)).astype(np.int64) << 14)
+                + (Qlf @ Clf.T).astype(np.int64)
+            )
+            dist = Qs[:, None] - 2 * G + Cs[None, :]
             best = np.argmin(dist, axis=1)
             yield pd.DataFrame(
                 {
@@ -1322,17 +1336,37 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SEM_TARGET = 128  # target cluster size: pairs/vector stays ~constant
+
+
+def _sem_k(n_corpus: int) -> int:
+    """Corpus-adaptive cluster count for semantic dedup:
+    clamp(ceil(N / _SEM_TARGET), N_CENTROIDS, NLIST_CAP) — bounded
+    cluster size ⇒ within-cluster pair work grows LINEARLY with the
+    corpus (k-means is SemDeDup's coarse quantizer, so it sizes like
+    the IVF one, not like the fixed-k profiling query). Past the cap the
+    same trade as ``_ivf_nlist`` applies (driver-held centroid state
+    stays O(1); the documented next step is a second quantization
+    level)."""
+    return min(max(N_CENTROIDS, -(-n_corpus // _SEM_TARGET)), NLIST_CAP)
+
+
+def _km_final_assign(
+    spark: SparkSession, sf_dir: str, k: int | None = _KM_K
+) -> DataFrame:
     """The shared Lloyd trajectory: _KM_ITERS driver-synced rounds (k·d
     integer centroids are the ONLY driver state) ending in the final
     assignment frame (vec_id, q, cluster_id, dist). Factored out of
-    ``kmeans_cluster_profile`` so ``semantic_dedup_keep`` replays the
-    IDENTICAL clustering — both oracles share the same unrolled CTE
-    chain (``_km_chain_sql``)."""
+    ``kmeans_cluster_profile`` (fixed k = _KM_K) and parametrized for
+    ``semantic_dedup_keep`` (k = None → the corpus-adaptive ``_sem_k``);
+    each caller's oracle replays the identical chain via
+    ``_km_chain_sql`` with the matching seed-count expression."""
     import math
 
     vecs = _km_quantized(spark, sf_dir).persist()
-    cents = [list(r.q) for r in vecs.orderBy("vec_id").limit(_KM_K).collect()]
+    if k is None:
+        k = _sem_k(vecs.count())
+    cents = [list(r.q) for r in vecs.orderBy("vec_id").limit(k).collect()]
     for _ in range(_KM_ITERS):
         stats = (
             _km_assign(vecs, cents)
@@ -1382,11 +1416,14 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_chain_sql() -> str:
+def _km_chain_sql(k_limit: str = str(_KM_K)) -> str:
     """Unrolled-CTE replay of the exact Lloyd rounds (same seeding, same
     integer grid, same floor(s/n + 0.5) centroid rounding, same
     (dist, cluster_id) tie-break), ending in the ``final`` assignment
-    CTE — shared by the kmeans profile and semantic-dedup oracles."""
+    CTE — shared by the kmeans profile and semantic-dedup oracles.
+    ``k_limit`` is the seed-count SQL expression: the profile query uses
+    the literal k = 8, semantic dedup the corpus-adaptive clamp (a scalar
+    subquery over v, mirroring the engine's ``_sem_k``)."""
     dist = (
         "CAST(list_sum(list_transform(range(1, len(v.q) + 1), "
         "i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT)"
@@ -1401,7 +1438,7 @@ WITH v AS (
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, q
-  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_KM_K})
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {k_limit})
 )"""
     ]
     for it in range(1, _KM_ITERS + 1):
@@ -1471,9 +1508,15 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fundamentally different candidate generator — a LEARNED coarse
     quantizer (the shared ``_km_final_assign`` Lloyd trajectory, k·d
     driver-held integer centroids) instead of data-independent random
-    hyperplanes; at 100 TB the cluster key is the shuffle key and the
-    quadratic cost is confined within clusters (SemDeDup's whole point —
-    |cluster| ≪ |corpus|). The corpus ⋈ assignment join is vec_id-keyed
+    hyperplanes; the cluster key is the shuffle key and the quadratic
+    cost is confined within clusters (SemDeDup's whole point —
+    |cluster| ≪ |corpus|). k scales with the corpus (``_sem_k``:
+    clamp(⌈N/128⌉, 16, 65536)) so cluster size — and with it pair work
+    PER VECTOR — stays bounded: total pair cost grows linearly until the
+    cap (the first probe of this query used the profiling query's fixed
+    k = 8 and measured 7.5× wall at 5× data — quadratic creep the
+    adaptive k removes; SCALING.json carries the fixed number). The
+    corpus ⋈ assignment join is vec_id-keyed
     with neither side dim-sized, so the keyed shuffle join is the
     correct plan at scale (same contract as neardup_keep_corpus's label
     join).
@@ -1487,7 +1530,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash portable). Scores ride the shared ``_normalized`` frame
     and round through ``stable_round`` — bit-exact vs the oracle, which
     replays the identical Lloyd chain (``_km_chain_sql``)."""
-    a = _km_final_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    a = _km_final_assign(spark, sf_dir, k=None).select("vec_id", "cluster_id")
     n = _normalized(_nonzero(load_table(spark, sf_dir, "embeddings")))
     v = n.join(a, "vec_id")
     lhs = v.select(
@@ -1524,8 +1567,13 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql() -> str:
+    k_limit = (
+        f"(SELECT least(greatest({N_CENTROIDS}, "
+        f"CAST(ceil(count(*) / {_SEM_TARGET}.0) AS BIGINT)), "
+        f"{NLIST_CAP}) FROM v)"
+    )
     return (
-        _km_chain_sql()
+        _km_chain_sql(k_limit)
         + f""",
 nz AS (SELECT vec_id, {_NORMED} AS en
        FROM embeddings WHERE {_NONZERO_SQL}),

@@ -52,7 +52,7 @@ QUERIES = tuple(
         # the map-side Gram kernel, and the Lloyd loop — the reworked
         # kernels' scale claims, probed with data
         "token_triangle_census,ann_recall_eval,embedding_top_component,"
-        "kmeans_cluster_profile",
+        "kmeans_cluster_profile,semantic_dedup_keep",
     ).split(",")
     if q.strip()
 )
