@@ -144,6 +144,18 @@ CHANGED_SINCE_GREEN = {
     # r8: the recall eval now tags all four indexes (pq + ivfpq joined
     # ivf + lsh) — two new result rows by design
     "ann_recall_eval": 8,
+    # r9 (review item 1): the LSH dedup chain collapses exact duplicates
+    # BEFORE banding and the components consumer takes per-bucket STAR
+    # edges instead of B² bucket cliques — pair queries no longer emit
+    # byte-identical copies (decided by exact_dedup / exact edges), and
+    # components now extend to exact-dup groups too short to shingle;
+    # oracles mirror the collapse (parity re-proven at both fixture SFs)
+    "minhash_lsh_pairs": 9,
+    "ngram_jaccard_pairs": 9,
+    "dedup_components": 9,
+    "neardup_keep_corpus": 9,
+    "neardup_keep_best_quality": 9,
+    "dedup_cluster_size_histogram": 9,
 }
 
 

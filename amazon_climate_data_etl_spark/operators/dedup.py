@@ -82,6 +82,40 @@ def _shingle_frame(df: DataFrame) -> DataFrame:
     )
 
 
+def _rep_docs(d: DataFrame) -> DataFrame:
+    """Exact-collapse pre-pass: ONE representative document (the min
+    doc_id) per normalized-content fingerprint group.
+
+    This is the standard pipeline order for near-dedup at scale (exact →
+    near): a template-heavy corpus — boilerplate pages, mirrored sites,
+    the norm at 100 TB — concentrates thousands of byte-identical docs
+    into single LSH buckets, and feeding them all to the banded self-join
+    costs B² per bucket. Collapsing first makes that blowup impossible
+    for EXACT copies (the dominant template class) while changing no
+    near-dup decision: exact copies have identical shingle sets, hence
+    identical signatures, hence pair with exactly what their
+    representative pairs with.
+
+    Shape: the TEXT never rides an exchange — the fingerprint agg
+    shuffles only (fp, doc_id), and the representative-id set semi-joins
+    back onto the corpus. At fixture scale AQE broadcasts the id set (a
+    runtime decision off the agg's measured output); at 100 TB, where
+    most docs are unique and the id set is corpus-sized, it degrades to
+    a doc_id-keyed shuffle semi-join — one well-partitioned corpus
+    exchange, the floor for any collapse."""
+    fps = d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return d.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+
+_REPS_M_SQL = f"""m AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY {doc_fingerprint_sql('text')}) AS rep_id
+  FROM documents
+),
+repdocs AS (SELECT doc_id, text FROM m WHERE doc_id = rep_id)"""
+
+
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
     """shingle frame → one min-md5 signature per band (banded MinHash).
 
@@ -101,7 +135,7 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sigs_sql() -> str:
+def _minhash_sigs_sql(src: str = "documents") -> str:
     toks = _TOKS_SQL
     sh = _SHINGLES_SQL.format(t="toks")
     sig_cols = ", ".join(
@@ -111,7 +145,7 @@ def _minhash_sigs_sql() -> str:
     return f"""
   SELECT doc_id, {sig_cols}
   FROM (SELECT doc_id, {sh} AS sh
-        FROM (SELECT doc_id, {toks} AS toks FROM documents))
+        FROM (SELECT doc_id, {toks} AS toks FROM {src}))
   WHERE len(sh) > 0
 """
 
@@ -142,16 +176,11 @@ ORDER BY keeper_doc_id
 """
 
 
-def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
-    """Signatures → unsorted banded-LSH candidate pairs (composable form).
-
-    Plan: explode signatures to (band, sig) → self equi-join on the band
-    signature → distinct pairs. The shuffle key is the signature, so
-    co-candidates land on one partition and nothing quadratic crosses the
-    wire. No global sort here: the pair stream is the LARGE intermediate,
-    and every downstream consumer (Jaccard verify, group assembly)
-    re-shuffles it anyway."""
-    long = sigs.select(
+def _sig_long(sigs: DataFrame) -> DataFrame:
+    """Signatures unpivoted to the (doc_id, band, sig) bucket stream —
+    the shared input of the pair join, the star-edge generator, and the
+    incremental probe."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -160,6 +189,28 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
             ])
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Signatures → unsorted banded-LSH candidate pairs (composable form).
+
+    Plan: explode signatures to (band, sig) → self equi-join on the band
+    signature → distinct pairs. The shuffle key is the signature, so
+    co-candidates land on one partition and nothing quadratic crosses the
+    wire. The per-bucket output IS quadratic (B² pairs for a B-document
+    bucket) — that is the declared semantics of a candidate-PAIR stream —
+    so every caller feeds this exact-collapse REPRESENTATIVES
+    (``_rep_docs``), which removes the dominant template-corpus blowup
+    class; consumers that only need connectivity use ``_star_edges``
+    (O(B) per bucket) instead. No global sort here: the pair stream is
+    the LARGE intermediate, and every downstream consumer (Jaccard
+    verify, group assembly) re-shuffles it anyway.
+
+    The signature frame is persisted: the self-join's two sides would
+    otherwise each recompute the whole collapse→shingle→signature
+    pipeline (Catalyst does not CSE across join branches). One row per
+    doc with 4 fixed-width hashes — corpus-linear, spills if evicted."""
+    long = _sig_long(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     a = long.alias("a")
     b = long.alias("b")
     return (
@@ -172,22 +223,56 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _star_edges(sigs: DataFrame) -> DataFrame:
+    """Per-bucket STAR edges (bucket-min, doc) instead of all B² pairs.
+
+    Every member of a (band, sig) bucket reaches every other member
+    through the bucket minimum, so connected components over star edges
+    equal components over the bucket cliques — at O(B) edges per
+    B-document bucket instead of O(B²). This is the connectivity
+    consumer's answer to template-corpus skew: a million-doc bucket emits
+    a million edges, not 10¹² pairs. One window-min over the (band, sig)
+    key — the same exchange the pair join would have paid, minus the
+    quadratic output."""
+    long = _sig_long(sigs)
+    w = Window.partitionBy("band", "sig")
+    return (
+        long.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate pairs from the documents table (one-shot form:
-    shingle → signature → bucket-join)."""
+    """Banded-LSH candidate pairs over exact-collapse representatives
+    (one-shot form: exact-collapse → shingle → signature → bucket-join)."""
     return _pairs_from_sigs(
-        _minhash_sigs(_shingle_frame(load_table(spark, sf_dir, "documents")))
+        _minhash_sigs(
+            _shingle_frame(_rep_docs(load_table(spark, sf_dir, "documents")))
+        )
     )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH candidate pairs (see _minhash_pairs_frame),
-    ordered output for the driver contract."""
+    """Banded MinHash LSH candidate pairs among exact-duplicate
+    representatives (see _minhash_pairs_frame), ordered output for the
+    driver contract.
+
+    Semantics (r9): exact duplicates are collapsed BEFORE banding — one
+    representative (min doc_id) per normalized-content fingerprint group
+    enters the LSH join, so byte-identical copies never appear in the
+    pair stream (their dedup verdict is already decided by ``exact_dedup``
+    / the exact edges in ``dedup_components``). This is the guard that
+    bounds the per-bucket B² fan-out on template corpora; residual
+    near-identical (but not byte-identical) templates are handled by the
+    star-edge form for connectivity consumers."""
     return _minhash_pairs_frame(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 MINHASH_PAIRS_SQL = f"""
-WITH sigs AS ({_minhash_sigs_sql()}),
+WITH {_REPS_M_SQL},
+sigs AS ({_minhash_sigs_sql('repdocs')}),
 long AS (
   SELECT doc_id, band, sig FROM (
     {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
@@ -202,18 +287,21 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard ≥ 0.12 — the
     verify stage of candidate-generation→verification near-dedup. Only
-    candidate pairs (not all pairs) pay the set-intersection cost.
+    candidate pairs (not all pairs) pay the set-intersection cost, and
+    (r9) only exact-collapse REPRESENTATIVES enter candidate generation
+    (see minhash_lsh_pairs — the template-corpus B² guard).
 
-    The shingle frame is built ONCE and persisted: signature generation
-    (candidate side) and set-intersection (verify side) both read it, so
-    the corpus pays one tokenize→shingle pass instead of two full scans
-    (Catalyst does not CSE across join branches; without the persist the
-    plan re-inlines the shingle pipeline three times — asserted in
-    test_plan_quality). MEMORY_AND_DISK: at 100 TB the shingle frame spills
-    rather than recomputes; eviction only costs a partition recompute."""
-    sh = _shingle_frame(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    The representative shingle frame is built ONCE and persisted:
+    signature generation (candidate side) and set-intersection (verify
+    side) both read it, so the corpus pays one collapse→tokenize→shingle
+    pass instead of two full scans (Catalyst does not CSE across join
+    branches; without the persist the plan re-inlines the shingle
+    pipeline three times — asserted in test_plan_quality).
+    MEMORY_AND_DISK: at 100 TB the shingle frame spills rather than
+    recomputes; eviction only costs a partition recompute."""
+    sh = _shingle_frame(
+        _rep_docs(load_table(spark, sf_dir, "documents"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _pairs_from_sigs(_minhash_sigs(sh))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -231,7 +319,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH sigs AS ({_minhash_sigs_sql()}),
+WITH {_REPS_M_SQL},
+sigs AS ({_minhash_sigs_sql('repdocs')}),
 long AS (
   SELECT doc_id, band, sig FROM (
     {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
@@ -243,7 +332,7 @@ pairs AS (
 ),
 sh AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM repdocs)
 ),
 scored AS (
   SELECT doc_a, doc_b,
@@ -402,11 +491,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint (iterative plans otherwise grow exponentially and
     planning itself OOMs).
 
+    Edge construction (r9, the 100 TB skew guard): the pair CLIQUES of
+    the original formulation are replaced by a linear edge set with the
+    same connectivity —
+    (a) exact-collapse first: one representative per normalized-content
+        fingerprint group enters the LSH pipeline, and each collapsed
+        member contributes one exact edge (rep → member). A
+        million-copy template group is 10⁶ edges, never 10¹² pairs.
+    (b) per-bucket STAR edges among representatives (bucket-min → doc,
+        see _star_edges) instead of the B² bucket clique — identical
+        components, O(B) per bucket, so even near-identical-but-not-
+        byte-identical template families stay linear.
+    Components over (a) ∪ (b) equal components over the original pair
+    graph, extended to docs whose only duplicates are exact copies too
+    short to shingle (an exact-dup group IS a near-dup cluster; they now
+    correctly receive a verdict). Labels are unchanged where both
+    definitions emit a doc: the representative is its group's min doc_id,
+    so min-over-representatives = min-over-members.
+
     Not SQL-expressible as one query? It IS — via a recursive CTE (the
     oracle below) — but only because DuckDB evaluates the recursion to the
     same fixpoint; Spark SQL has no recursive CTE, which is exactly why
     the driver-loop form exists."""
-    pairs = _minhash_pairs_frame(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    # annotated collapse frame: (doc_id, rep_id) — TEXT-free, so the one
+    # fingerprint-keyed window exchange carries 40-byte rows; persisted
+    # because both the exact-edge branch and the representative-id semi
+    # join read it (one md5 pass over the corpus, total)
+    fpm = (
+        d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    member_edges = fpm.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    # text re-enters through a semi join (broadcast at fixture scale via
+    # AQE; doc_id-keyed shuffle at 100 TB) — see _rep_docs for the contract
+    rep_docs = d.join(
+        fpm.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    star = _star_edges(_minhash_sigs(_shingle_frame(rep_docs)))
+    # doc_a < doc_b in both branches (each doc_a is a group/bucket min);
+    # member srcs are non-representatives, star srcs are representatives,
+    # so the branches are disjoint — plain union, no distinct needed
+    pairs = member_edges.union(star)
     # localCheckpoint (eager) rather than persist: iterative plans embed the
     # previous round's logical plan twice per round (join + union), so
     # lineage grows exponentially and planning itself OOMs by round ~8;
@@ -464,15 +595,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unordered body (embeddable as a subquery) + ordered registered wrapper —
 # same pattern as _SIMHASH_BODY above
 _DEDUP_COMPONENTS_BODY = f"""
-WITH RECURSIVE sigs AS ({_minhash_sigs_sql()}),
+WITH RECURSIVE {_REPS_M_SQL},
+sigs AS ({_minhash_sigs_sql('repdocs')}),
 long AS (
   SELECT doc_id, band, sig FROM (
     {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
   )
 ),
+star AS (
+  SELECT min(doc_id) OVER (PARTITION BY band, sig) AS doc_a,
+         doc_id AS doc_b
+  FROM long
+),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b FROM star WHERE doc_a <> doc_b
+  UNION
+  SELECT rep_id AS doc_a, doc_id AS doc_b FROM m WHERE doc_id <> rep_id
 ),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -737,7 +875,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index tables of the previous run; here they derive from the same scan
     so the oracle can check the whole chain. One shared shingle pass is
     persisted across the signature and verify stages (same discipline as
-    ngram_jaccard_pairs)."""
+    ngram_jaccard_pairs).
+
+    Corpus-side exact collapse (r9, bit-identical): only one
+    representative (min corpus doc_id) per corpus fingerprint group
+    enters the LSH probe. Every corpus candidate's representative shares
+    its shingle set, hence its buckets and its Jaccard, and the
+    best-match tie-break (max jaccard, then min corpus_id) already
+    selects the representative whenever its group wins — so the verdicts
+    and ``near_of``/``jaccard`` values are unchanged, while a
+    template-heavy corpus probes |delta|·1 per bucket instead of
+    |delta|·|copies| (the same guard as minhash_lsh_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     delta_pred = F.col("doc_id") % 5 == 4
     fps = d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
@@ -748,23 +896,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.min(F.col("o.doc_id")).alias("exact_of"))
     )
+    corpus_reps = (
+        fps.filter(~delta_pred).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
     sh = _shingle_frame(d).persist(StorageLevel.MEMORY_AND_DISK)
-    long = _minhash_sigs(sh).select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    long = _sig_long(_minhash_sigs(sh))
     cand = (
         long.filter(delta_pred)
         .select(F.col("doc_id").alias("delta_id"), "band", "sig")
         .join(
-            long.filter(~delta_pred).select(
-                F.col("doc_id").alias("corpus_id"), "band", "sig"
-            ),
+            long.filter(~delta_pred)
+            .join(corpus_reps.select("doc_id"), "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("corpus_id"), "band", "sig"),
             ["band", "sig"],
         )
         .select("delta_id", "corpus_id")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import importlib.util
 import os
+import re
 
 import pytest
 
@@ -117,9 +118,13 @@ _PLAN_BOUNDS = {
     "semi_join_customers": (1, 1),
     "anti_join_customers": (1, 1),
     # band signatures shuffle on (band, sig), docs never pair across the
-    # wire; both self-join sides print their sig-pipeline exchanges in the
-    # static plan (2× rebalance + 2× doc_id agg) + final sort = 5
-    "minhash_lsh_pairs": (5, 1),
+    # wire. r9: the persisted signature frame (collapse→shingle→sig runs
+    # once, not per self-join side) prints its subtree per side in the
+    # static plan — 2 × (collapse fp agg + rebalance + sig agg) — plus
+    # the distinct agg and the final sort; the exact-collapse semi join
+    # broadcasts the representative-id set at fixture scale (a doc_id
+    # shuffle semi-join at 100 TB)
+    "minhash_lsh_pairs": (8, 2),
     "exact_dedup": (2, 0),
     # 6-table chain: 3 dims broadcast; orderkey join + agg + sort bound the
     # exchanges (at dim scale the orderkey join broadcasts too)
@@ -249,8 +254,10 @@ _PLAN_BOUNDS = {
     # + cluster-keyed pair join + dup_of agg + keep left-join + sort
     "semantic_dedup_keep": (7, 0),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
-    # persisted shingle frame, per-delta best window, verdict assembly
-    "incremental_dedup": (9, 4),
+    # persisted shingle frame, per-delta best window, verdict assembly;
+    # r9 adds the corpus-side exact-collapse fp agg + semi join (the
+    # |delta|·|copies| template-bucket guard, bit-identical output)
+    "incremental_dedup": (10, 4),
     "distinct_counts": (3, 0),
     # merged fingerprint family (r7): 2 rebalances + simhash doc agg
     # + sort; the doc-keyed join broadcasts at fixture scale only
@@ -279,9 +286,11 @@ _PLAN_BOUNDS = {
     "minmax_range": (1, 0),
     "monthly_agg": (2, 0),
     "multikey_sort": (1, 0),
-    # textual count includes the cached shingle subtree reprinted per
-    # consumer (see test_ngram_jaccard_single_corpus_pass)
-    "ngram_jaccard_pairs": (7, 3),
+    # textual count includes the cached shingle AND signature subtrees
+    # reprinted per consumer (see test_ngram_jaccard_single_corpus_pass);
+    # r9 adds the exact-collapse fp agg + semi join inside the shingle
+    # subtree (broadcast at fixture scale, doc_id shuffle at 100 TB)
+    "ngram_jaccard_pairs": (12, 6),
     "nn_join_sorted_1d": (1, 0),
     "pivot_daily_activity": (3, 0),
     "quantiles": (1, 0),
@@ -580,17 +589,24 @@ def test_q19_disjunction_pushdown(spark, sf_dir):
 
 def test_ngram_jaccard_single_corpus_pass(spark, sf_dir):
     """ngram_jaccard_pairs must read the corpus through the shared persisted
-    shingle frame: every consumer (LSH signature self-join sides, both
-    Jaccard-verify sides) reads InMemoryTableScan, and no direct parquet
-    scan of documents survives in the plan — one tokenize→shingle pass over
-    the corpus, not three (Catalyst does not CSE across join branches)."""
+    shingle frame: every consumer (the persisted-signature candidate side,
+    both Jaccard-verify sides) reads InMemoryTableScan, and every corpus
+    FileScan lives INSIDE the cached shingle subtree — one
+    collapse→tokenize→shingle pass over the corpus, not three (Catalyst
+    does not CSE across join branches)."""
     plan = I.plan_string(QUERIES["ngram_jaccard_pairs"](spark, sf_dir), "simple")
     cached_reads = plan.count("InMemoryTableScan")
     assert cached_reads >= 3, plan
-    # explain prints each cached consumer's InMemoryRelation subtree (which
-    # contains the one real FileScan); a FileScan count above the relation
-    # count means a branch bypassed the cache and re-scans the corpus
-    assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+    # explain prints each cached consumer's InMemoryRelation subtree; the
+    # shingle relation's subtree contains exactly the exact-collapse pre-
+    # pass's TWO corpus scans (fingerprint-agg branch + semi-join probe),
+    # and no other relation scans parquet at all. A FileScan count above
+    # 2-per-shingle-print means a branch bypassed the cache and re-scans
+    # the corpus.
+    # the relation print carries the consumer's aliases (sh / sh_a / sh_b)
+    sh_prints = len(re.findall(r"InMemoryRelation \[[^\]]*\bsh(?:_[ab])?#", plan))
+    assert sh_prints >= 1, plan
+    assert plan.count("FileScan") == 2 * sh_prints, plan
 
 
 def test_domain_divergence_single_corpus_pass(spark, sf_dir):
