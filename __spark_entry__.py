@@ -156,6 +156,12 @@ CHANGED_SINCE_GREEN = {
     "neardup_keep_corpus": 9,
     "neardup_keep_best_quality": 9,
     "dedup_cluster_size_histogram": 9,
+    # r9 (review item 2): SemDeDup gains the exact-embedding collapse
+    # pre-pass and the SEM_CLUSTER_CAP sub-cell split — verdicts change
+    # only where a corpus carries byte-identical embeddings or >2048
+    # representatives in one cluster (neither occurs at the fixture SFs,
+    # but the rotation rule keys on MAY differ); oracle mirrors both
+    "semantic_dedup_keep": 9,
 }
 
 

@@ -1337,6 +1337,11 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
 
 
 _SEM_TARGET = 128  # target cluster size: pairs/vector stays ~constant
+# hard per-cluster pair cap (16× the adaptive-k target): representatives in
+# a cluster of size csz split into ⌈csz/SEM_CLUSTER_CAP⌉ deterministic
+# sub-cells, bounding pair work at csz·CAP/2 even when k-means dumps Θ(N)
+# vectors into one cluster (k-means has no max-size guarantee)
+SEM_CLUSTER_CAP = 2048
 
 
 def _sem_k(n_corpus: int) -> int:
@@ -1529,15 +1534,55 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints stringify differently across engines, so the sentinel keeps the
     driver hash portable). Scores ride the shared ``_normalized`` frame
     and round through ``stable_round`` — bit-exact vs the oracle, which
-    replays the identical Lloyd chain (``_km_chain_sql``)."""
+    replays the identical Lloyd chain (``_km_chain_sql``).
+
+    Skew guards (r9) — adaptive k bounds only the EXPECTED cluster size;
+    a degenerate corpus (mass near-duplicates, exactly when SemDeDup is
+    run) can put Θ(N) vectors in one cluster:
+    1. EXACT-COLLAPSE first, the same pipeline order as the lexical
+       chain: one representative (min vec_id) per identical raw
+       embedding enters the pair join. Exact copies have cosine exactly
+       1.0 to their representative and identical cosine to everything
+       else, so the verdicts expand losslessly: a collapsed member's
+       smallest same-cluster near-duplicate is its representative's
+       ``dup_of`` when that exists (it is smaller than the rep), else
+       the representative itself.
+    2. PER-CLUSTER PAIR CAP: representatives inside a cluster of size
+       csz split into ⌈csz / SEM_CLUSTER_CAP⌉ deterministic sub-cells
+       (vec_id modulo the sub-cell count — no sort, replayed exactly by
+       the oracle), and pairs are compared within a sub-cell only. Pair
+       work per cluster is then ≤ csz·SEM_CLUSTER_CAP/2 — linear in csz
+       — at a bounded recall cost that only applies to clusters already
+       16× over the adaptive-k target (production SemDeDup caps or
+       recursively splits oversized clusters the same way)."""
     a = _km_final_assign(spark, sf_dir, k=None).select("vec_id", "cluster_id")
-    n = _normalized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    nzv = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    # persisted: the member join and the normalized-representative branch
+    # would each re-run the embedding-keyed collapse shuffle otherwise
+    grp = (
+        nzv.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mem = nzv.join(grp, "embedding").select("vec_id", "rep_id")
+    n = _normalized(grp.select(F.col("rep_id").alias("vec_id"), "embedding"))
     v = n.join(a, "vec_id")
+    sizes = v.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csz"))
+    nsub = F.ceil(F.col("csz") / F.lit(float(SEM_CLUSTER_CAP)))
+    # persisted: both pair-join sides read this frame (rep-cardinality
+    # rows of normalized doubles — linear, spills if evicted)
+    v = (
+        v.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("sub_id", F.col("vec_id") % nsub)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     lhs = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"), "cluster_id"
+        F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"),
+        "cluster_id", "sub_id",
     )
     rhs = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"), "cluster_id"
+        F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"),
+        "cluster_id", "sub_id",
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y),
@@ -1545,23 +1590,26 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + t,
     )
     dup_of = (
-        lhs.join(rhs, "cluster_id")
+        lhs.join(rhs, ["cluster_id", "sub_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", stable_round(dot, 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .groupBy("vec_b")
         .agg(F.min("vec_a").alias("dup_of"))
-        .withColumnRenamed("vec_b", "vec_id")
+        .withColumnRenamed("vec_b", "rep_id")
     )
+    rep_dup = F.col("dup_of")
     return (
-        v.select("vec_id", "cluster_id")
-        .join(dup_of, "vec_id", "left")
+        mem.join(a, "vec_id")
+        .join(dup_of, "rep_id", "left")
         .select(
             "vec_id",
             "cluster_id",
-            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
-            (F.coalesce(F.col("dup_of"), F.lit(-1)) < 0).alias("keep"),
+            F.when(F.col("vec_id") == F.col("rep_id"), F.coalesce(rep_dup, F.lit(-1)))
+            .otherwise(F.coalesce(rep_dup, F.col("rep_id")))
+            .alias("dup_of"),
         )
+        .withColumn("keep", F.col("dup_of") < 0)
         .orderBy("vec_id")
     )
 
@@ -1575,26 +1623,39 @@ def _semantic_dedup_sql() -> str:
     return (
         _km_chain_sql(k_limit)
         + f""",
-nz AS (SELECT vec_id, {_NORMED} AS en
-       FROM embeddings WHERE {_NONZERO_SQL}),
-vv AS (SELECT f.vec_id, f.cluster_id, nz.en
-       FROM final f JOIN nz ON nz.vec_id = f.vec_id),
+nzv AS (SELECT vec_id, embedding FROM embeddings WHERE {_NONZERO_SQL}),
+grp AS (SELECT embedding, min(vec_id) AS rep_id FROM nzv GROUP BY embedding),
+mem AS (SELECT v.vec_id, g.rep_id
+        FROM nzv v JOIN grp g ON v.embedding = g.embedding),
+nz AS (SELECT rep_id AS vec_id, {_NORMED} AS en FROM grp),
+vv0 AS (SELECT f.vec_id, f.cluster_id, nz.en
+        FROM final f JOIN nz ON nz.vec_id = f.vec_id),
+csz AS (SELECT cluster_id, count(*) AS csz FROM vv0 GROUP BY cluster_id),
+vv AS (SELECT vv0.*,
+              vv0.vec_id % CAST(ceil(csz.csz / {SEM_CLUSTER_CAP}.0) AS BIGINT)
+                AS sub_id
+       FROM vv0 JOIN csz ON vv0.cluster_id = csz.cluster_id),
 sd_pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_sum(list_transform(range(1, len(a.en) + 1),
                                        i -> a.en[i] * b.en[i])), 6) AS cosine
   FROM vv a JOIN vv b
-    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ON a.cluster_id = b.cluster_id AND a.sub_id = b.sub_id
+       AND a.vec_id < b.vec_id
 ),
 dup AS (
-  SELECT vec_b AS vec_id, min(vec_a) AS dup_of
+  SELECT vec_b AS rep_id, min(vec_a) AS dup_of
   FROM sd_pairs WHERE cosine >= {NEARDUP_COS} GROUP BY vec_b
 )
-SELECT v.vec_id, v.cluster_id,
-       COALESCE(d.dup_of, -1) AS dup_of,
-       COALESCE(d.dup_of, -1) < 0 AS keep
-FROM vv v LEFT JOIN dup d ON v.vec_id = d.vec_id
-ORDER BY v.vec_id"""
+SELECT m.vec_id, f.cluster_id,
+       CASE WHEN m.vec_id = m.rep_id THEN COALESCE(d.dup_of, -1)
+            ELSE COALESCE(d.dup_of, m.rep_id) END AS dup_of,
+       (CASE WHEN m.vec_id = m.rep_id THEN COALESCE(d.dup_of, -1)
+             ELSE COALESCE(d.dup_of, m.rep_id) END) < 0 AS keep
+FROM mem m
+JOIN final f ON f.vec_id = m.vec_id
+LEFT JOIN dup d ON d.rep_id = m.rep_id
+ORDER BY m.vec_id"""
     )
 
 

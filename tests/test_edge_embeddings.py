@@ -192,3 +192,87 @@ def test_gram_operators_fail_loud_out_of_domain(spark, edge_emb_dir):
     for fn in (embedding_covariance, embedding_top_component):
         with _pytest.raises(Exception, match="overflow"):
             fn(spark, edge_emb_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# Degenerate ALL-near-duplicate corpus (r8 review item 2): k-means gives no
+# max-cluster-size guarantee, and a mass-duplicate corpus — exactly the input
+# SemDeDup exists for — lands Θ(N) vectors in ONE cluster. The exact-collapse
+# pre-pass plus the SEM_CLUSTER_CAP sub-cell split must keep the verdicts
+# hand-derivable, hash-exact vs the oracle, and the pair work linear.
+# ---------------------------------------------------------------------------
+
+_N_DEGEN = 2600  # > SEM_CLUSTER_CAP so the sub-cell split engages on reps
+
+
+@pytest.fixture(scope="module")
+def degen_emb_dir(tmp_path_factory):
+    """2600 byte-identical copies of one direction plus a handful of
+    distinct vectors: one k-means cluster swallows everything."""
+    d = tmp_path_factory.mktemp("degen_embeddings")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    base = [0.5, 0.25, -0.5, 0.125, 0.5, -0.25, 0.5, 0.125]
+    vecs = [base] * _N_DEGEN
+    vecs += [[float(i + 1), -1.0, 2.0, 0.5, -3.0, 1.5, -0.5, 2.5] for i in range(8)]
+    table = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_semantic_dedup_degenerate_collapse(spark, degen_emb_dir):
+    """All 2600 identical copies collapse to ONE representative before the
+    pair join (so the within-cluster join sees ≤ 9 representatives, not
+    2600² pairs), and every copy's verdict is dup_of = 0."""
+    spark.catalog.clearCache()
+    out = QUERIES["semantic_dedup_keep"](spark, degen_emb_dir).toPandas()
+    copies = out[out["vec_id"].between(1, _N_DEGEN - 1)]
+    assert (copies["dup_of"] == 0).all()
+    assert (~copies["keep"]).all()
+    assert bool(out.loc[out["vec_id"] == 0, "keep"].iloc[0])
+
+
+def test_semantic_dedup_degenerate_parity(spark, degen_emb_dir):
+    spark.catalog.clearCache()
+    sdf = QUERIES["semantic_dedup_keep"](spark, degen_emb_dir).toPandas()
+    with duckdb_conn(degen_emb_dir) as conn:
+        odf = conn.execute(ORACLE["semantic_dedup_keep"]).df()
+    problems = compare_frames(sdf, odf, "semantic_dedup_keep")
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
+
+
+def test_semantic_dedup_subcell_cap_engages(spark, degen_emb_dir):
+    """When representatives themselves exceed SEM_CLUSTER_CAP in one
+    cluster, the deterministic vec_id-mod split bounds the per-key join
+    fan-out. Pinned directly on the internal frame with a lowered cap so
+    the property is tested without a 2000-rep fixture."""
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators import similarity as S
+
+    spark.catalog.clearCache()
+    from pyspark.sql import functions as F
+
+    a = S._km_final_assign(spark, degen_emb_dir, k=None).select(
+        "vec_id", "cluster_id"
+    )
+    nzv = S._nonzero(load_table(spark, degen_emb_dir, "embeddings"))
+    grp = nzv.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    v = grp.select(F.col("rep_id").alias("vec_id")).join(a, "vec_id")
+    sizes = v.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csz"))
+    cap = 4
+    sub = v.join(sizes, "cluster_id").withColumn(
+        "sub_id", F.col("vec_id") % F.ceil(F.col("csz") / F.lit(float(cap)))
+    )
+    per_cell = (
+        sub.groupBy("cluster_id", "sub_id").count().agg(F.max("count")).collect()
+    )[0][0]
+    # mod-split cells stay within ~2× the cap for non-adversarial id sets
+    assert per_cell <= 2 * cap
