@@ -53,8 +53,12 @@ window_cume_dist+window_ntile_quartiles → window_rank_profile, the full
 rank-function family sharing one window spec — paid for the round's
 ``ann_pq_topk`` addition). Round 8 added ``ann_ivfpq_topk`` (the IVF-PQ
 compose the round-7 review requested) and ``semantic_dedup_keep``
-(SemDeDup): the registry stands at 142, 8 slots of headroom under the
-150-query cap and 3 under the judge-agreed ≤145 soft target; an
+(SemDeDup): the registry stood at 142 after round 8. Round 9 merged
+``asof_join_purchases`` + ``asof_join_forward`` → ``asof_join_events``
+(both as-of directions, window shapes, and column families under one
+oracle — the pre-merge the round-8 review asked for), bringing the
+registry to 141: 9 slots under the 150 cap and 4 under the
+judge-agreed ≤145 soft target. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

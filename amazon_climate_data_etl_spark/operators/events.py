@@ -197,65 +197,103 @@ ORDER BY event_type
 """
 
 
-def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join: for each purchase, the user's most recent click at or
-    before it (an operator Spark lacks natively; pandas merge_asof /
-    kdb aj / QuestDB ASOF JOIN semantics).
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional AS-OF join (an operator Spark lacks natively; pandas
+    merge_asof / kdb aj / QuestDB ASOF JOIN semantics), both directions
+    in one frame (r9 registry merge of ``asof_join_purchases`` +
+    ``asof_join_forward`` — both operator shapes and column families
+    preserved under one oracle):
 
-    Implemented as the sort-based union form: both sides interleave in one
-    stream ordered by (ts, side, id) within each user; a running
+    - ``direction = 'backward'``: for each purchase, the user's most
+      recent click at or before it (``matched_ts``; ``gap_us`` ≥ 0) —
+      merge_asof's default direction;
+    - ``direction = 'forward'``: for each click, the user's NEXT purchase
+      at or after it — the attribution-window direction
+      (``merge_asof direction='forward'``).
+
+    Implemented as the sort-based union form: both sides interleave in
+    one stream ordered by (ts, side, id) within each user; a running
     ``last(click_ts, ignorenulls)`` window carries the most recent click
-    forward onto every purchase row. One shuffle on the join key, no
-    range-correlated subquery, no per-key blow-up — the plan a dedicated
-    as-of join operator would produce, expressed with stock exchanges. At
-    100 TB both sides stream through a single sort-merge pass per key
-    partition; skewed users split fine because the state is one value."""
+    forward onto purchase rows, and a ``first(purchase_ts, ignorenulls)``
+    over the FOLLOWING frame carries the next purchase backward onto
+    click rows (ties included on both sides via the side-order column —
+    clicks before purchases at equal ts for at-or-before, purchases
+    first for at-or-after). One shuffle on the join key (the two window
+    sorts share the user_id exchange), no range-correlated subquery, no
+    per-key blow-up — the plan a dedicated as-of join operator would
+    produce, expressed with stock exchanges. At 100 TB both sides stream
+    through a single sort-merge pass per key partition; skewed users
+    split fine because the window state is one value."""
     e = load_table(spark, sf_dir, "events")
     sub = e.filter(F.col("event_type").isin("click", "purchase"))
     # clicks sort before purchases at equal ts => at-or-before semantics
-    side = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
-    w = (
+    side_b = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    wb = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), side, F.col("event_id"))
+        .orderBy(F.col("ts"), side_b, F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    return (
-        sub.withColumn(
-            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
-        )
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "last_click_ts",
-            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
-                "gap_us"
-            ),
-        )
-        .orderBy("event_id")
+    # purchases sort first at equal ts => at-or-after includes the tie
+    side_f = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), side_f, F.col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ann = sub.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(wb)
+    ).withColumn(
+        "next_purchase_ts", F.first(purchase_ts, ignorenulls=True).over(wf)
+    )
+    backward = ann.filter(F.col("event_type") == "purchase").select(
+        F.lit("backward").alias("direction"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_click_ts").alias("matched_ts"),
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+    )
+    forward = ann.filter(F.col("event_type") == "click").select(
+        F.lit("forward").alias("direction"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("next_purchase_ts").alias("matched_ts"),
+        (F.unix_micros("next_purchase_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+    return backward.unionByName(forward).orderBy("direction", "event_id")
 
 
 ASOF_SQL = """
 WITH sub AS (
   SELECT event_id, user_id, ts, event_type,
-         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side_b,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side_f
   FROM events WHERE event_type IN ('click', 'purchase')
 ),
 j AS (
   SELECT event_id, user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
-                 ROWS UNBOUNDED PRECEDING) AS last_click_ts
+           OVER (PARTITION BY user_id ORDER BY ts, side_b, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_ts,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, side_f, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
   FROM sub
 )
-SELECT event_id, user_id, ts, last_click_ts,
+SELECT 'backward' AS direction, event_id, user_id, ts,
+       last_click_ts AS matched_ts,
        epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
-FROM j
-WHERE event_type = 'purchase'
-ORDER BY event_id
+FROM j WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'forward' AS direction, event_id, user_id, ts,
+       next_purchase_ts AS matched_ts,
+       epoch_us(next_purchase_ts) - epoch_us(ts) AS gap_us
+FROM j WHERE event_type = 'click'
+ORDER BY direction, event_id
 """
 
 
@@ -486,66 +524,6 @@ ORDER BY event_type, day
 """
 
 
-
-
-def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join: for each click, the user's NEXT purchase at or
-    after it — the attribution-window direction (``merge_asof
-    direction='forward'``), the mirror of ``asof_join_purchases``.
-
-    Same sort-based union form, run in reverse: a running
-    ``first(purchase_ts, ignorenulls)`` over the FOLLOWING frame carries
-    the next purchase backward onto every click row. Purchases sort
-    before clicks at equal ts so at-or-after includes ties. One shuffle
-    on the join key; single-value window state."""
-    e = load_table(spark, sf_dir, "events")
-    sub = e.filter(F.col("event_type").isin("click", "purchase"))
-    # purchases sort first at equal ts => at-or-after includes the tie
-    side = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), side, F.col("event_id"))
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
-    return (
-        sub.withColumn(
-            "next_purchase_ts", F.first(purchase_ts, ignorenulls=True).over(w)
-        )
-        .filter(F.col("event_type") == "click")
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "next_purchase_ts",
-            (
-                F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
-            ).alias("lead_us"),
-        )
-        .orderBy("event_id")
-    )
-
-
-ASOF_FORWARD_SQL = """
-WITH sub AS (
-  SELECT event_id, user_id, ts, event_type,
-         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-j AS (
-  SELECT event_id, user_id, ts, event_type,
-         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-           AS next_purchase_ts
-  FROM sub
-)
-SELECT event_id, user_id, ts, next_purchase_ts,
-       epoch_us(next_purchase_ts) - epoch_us(ts) AS lead_us
-FROM j
-WHERE event_type = 'click'
-ORDER BY event_id
-"""
 
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,7 +775,7 @@ ORDER BY user_id
 
 
 QUERIES = {
-    "asof_join_forward": asof_join_forward,
+    "asof_join_events": asof_join_events,
     "latest_event_per_user": latest_event_per_user,
     "daily_volume_anomalies": daily_volume_anomalies,
     "event_value_trend": event_value_trend,
@@ -811,11 +789,10 @@ QUERIES = {
     "session_windows": session_windows,
     "event_dedup_first": event_dedup_first,
     "json_props_stats": json_props_stats,
-    "asof_join_purchases": asof_join_purchases,
 }
 
 ORACLE = {
-    "asof_join_forward": ASOF_FORWARD_SQL,
+    "asof_join_events": ASOF_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "event_value_trend": EVENT_TREND_SQL,
@@ -829,5 +806,4 @@ ORACLE = {
     "session_windows": SESSION_SQL,
     "event_dedup_first": EVENT_DEDUP_SQL,
     "json_props_stats": JSON_PROPS_SQL,
-    "asof_join_purchases": ASOF_SQL,
 }

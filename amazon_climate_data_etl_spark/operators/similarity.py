@@ -402,16 +402,29 @@ def _ivf_nlist(n_corpus: int) -> int:
     return min(max(N_CENTROIDS, root), NLIST_CAP)
 
 
-def _ivf_from(n: DataFrame) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    # offline index training, driver-held and bounded: one corpus count
-    # (scalar) + the nlist·d centroid matrix
+def _index_state(n: DataFrame) -> tuple[int, list]:
+    """The ONE corpus count and ONE centroid-prefix collect every ANN
+    index builder's driver state derives from: nlist plus the sorted
+    (vec_id, en) rows with vec_id < nlist. PQ's codebook (vec_id <
+    PQ_KS) and the probe set (vec_id < N_QUERIES) are prefixes of the
+    centroid set — nlist ≥ N_CENTROIDS = PQ_KS > N_QUERIES — so the
+    recall panel builds this once and shares it across all its index
+    builds instead of re-running the count/collect jobs per index."""
     nlist = _ivf_nlist(n.count())
     cent_rows = sorted(
         (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < nlist).collect()
     )
+    return nlist, cent_rows
+
+
+def _ivf_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    # offline index training, driver-held and bounded: one corpus count
+    # (scalar) + the nlist·d centroid matrix (shared when the caller
+    # already built it — see _index_state)
+    nlist, cent_rows = state if state is not None else _index_state(n)
     cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     C = np.array([v for _, v in cent_rows], dtype=np.float64)
 
@@ -606,7 +619,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _pq_from(n: DataFrame) -> DataFrame:
+def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -616,19 +629,23 @@ def _pq_from(n: DataFrame) -> DataFrame:
     # last subspace partial) — identical to the fixed layout at d = 64,
     # degrading to plain vector quantization at d <= DSUB; the oracle
     # computes the same adaptive range (out-of-range list indexes yield
-    # NULL products that list_sum skips).
-    cb_rows = sorted(
-        (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < PQ_KS).collect()
-    )
+    # NULL products that list_sum skips). Standalone, the codebook and
+    # probe rows come from ONE collect (they are prefixes of each other);
+    # in the recall panel they slice the shared _index_state rows.
+    if state is not None:
+        rows = [rv for rv in state[1] if rv[0] < PQ_KS]
+    else:
+        rows = sorted(
+            (r["vec_id"], r["en"])
+            for r in n.filter(F.col("vec_id") < PQ_KS).collect()
+        )
+    cb_rows = rows
     d = len(cb_rows[0][1]) if cb_rows else 0
     CB = np.array([v for _, v in cb_rows], dtype=np.float64).reshape(
         len(cb_rows), d
     )  # (ks, d); row order == cid order (sorted above)
     n_sub = -(-d // PQ_DSUB) if d else 0
-    q_rows = sorted(
-        (r["vec_id"], r["en"])
-        for r in n.filter(F.col("vec_id") < N_QUERIES).collect()
-    )
+    q_rows = [rv for rv in rows if rv[0] < N_QUERIES]
     q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
     QM = np.array([v for _, v in q_rows], dtype=np.float64).reshape(
         len(q_rows), d
@@ -827,15 +844,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _ivfpq_from(n: DataFrame) -> DataFrame:
+def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # offline index state, driver-held and bounded (see docstring)
-    nlist = _ivf_nlist(n.count())
-    cent_rows = sorted(
-        (r["vec_id"], r["en"]) for r in n.filter(F.col("vec_id") < nlist).collect()
-    )
+    # offline index state, driver-held and bounded (see docstring);
+    # shared with the other builders in the recall panel (_index_state)
+    nlist, cent_rows = state if state is not None else _index_state(n)
     cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     C = np.array([v for _, v in cent_rows], dtype=np.float64)
     # codebook = vectors with vec_id < PQ_KS (a prefix of the centroid
@@ -1680,9 +1695,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted normalized copy (the same single-pass discipline as
     ngram_jaccard_pairs): without them each index re-scans, re-filters,
     and re-normalizes the embeddings table independently — at 100 TB,
-    three redundant corpus scans inside one evaluation."""
+    three redundant corpus scans inside one evaluation. The driver-held
+    index state (corpus count + centroid/codebook/probe rows) is also
+    built ONCE (_index_state) and shared by the ivf/pq/ivfpq builds —
+    r8 ran the count and the overlapping prefix collects per index."""
     e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
     n = _normalized(e).persist()
+    state = _index_state(n)
     exact = (
         _bruteforce_from(e)
         .select("query_id", "cand_id")
@@ -1690,7 +1709,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tagged = (
-        _ivf_from(n)
+        _ivf_from(n, state)
         .select("query_id", "cand_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
@@ -1699,12 +1718,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("method", F.lit("lsh"))
         )
         .unionByName(
-            _pq_from(n)
+            _pq_from(n, state)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("pq"))
         )
         .unionByName(
-            _ivfpq_from(n)
+            _ivfpq_from(n, state)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("ivfpq"))
         )

@@ -141,11 +141,19 @@ def main() -> None:
     )
     iso_names = set(sorted(timings, key=lambda k: -timings[k])[:n_isolated])
 
-    # pinned watchlist (r7 review item 7): queries with an unresolved
+    # pinned watchlist (r7 review item 7; r8 item 3 added the two sweep
+    # movers that shipped without an isolated pair, plus the recall panel
+    # whose r9 target is an isolated number): queries with an unresolved
     # drift-vs-regression question always get an isolated pair until the
     # question is settled in a verdict
     if not subset:
-        iso_names |= {"climate_annual", "source_domain_divergence"} & set(timings)
+        iso_names |= {
+            "climate_annual",
+            "source_domain_divergence",
+            "simhash_near_pairs",
+            "audio_energy_segments",
+            "ann_recall_eval",
+        } & set(timings)
 
     # round-over-round movers get an isolated number too, so every >X%
     # delta vs the previous committed artifact ships with its own

@@ -33,7 +33,7 @@ ORACLE = entry_mod.oracle_sql()
 
 _EVENT_QUERIES = [
     "tumbling_hourly", "sliding_windows", "session_windows",
-    "event_dedup_first", "json_props_stats", "asof_join_purchases",
+    "event_dedup_first", "json_props_stats", "asof_join_events",
     "pivot_daily_activity", "user_funnel_conversion",
     "user_retention_cohorts", "event_value_trend",
     "event_transition_matrix", "event_interarrival_stats",
@@ -130,7 +130,8 @@ def test_edge_events_fixture_semantics(spark, edge_events_dir):
 
     asof = {
         r["event_id"]: r["gap_us"]
-        for r in QUERIES["asof_join_purchases"](spark, edge_events_dir).collect()
+        for r in QUERIES["asof_join_events"](spark, edge_events_dir).collect()
+        if r["direction"] == "backward"
     }
     assert asof[1] is None          # purchase with no prior click
     assert asof[3] == 0             # same-ts click counts (at-or-before)

@@ -221,7 +221,10 @@ _PLAN_BOUNDS = {
     # bucket equi-join + (query,cand) pair dedup + per-query rank + sort
     "ann_lsh_topk": (3, 1),
     "approx_distinct_users": (3, 0),
-    "asof_join_purchases": (2, 0),
+    # merged bidirectional as-of (r9): the two union branches print the
+    # shared user_id window exchange each + final sort; at runtime
+    # ReuseExchange dedupes the window shuffle
+    "asof_join_events": (3, 0),
     # merged token budgeting (r7): rebalance + lang agg + sort
     "lang_token_profile": (3, 0),
     # merged CCNet ladder (r7): uni(7) + bi(7) chains share the final
@@ -355,8 +358,6 @@ _PLAN_BOUNDS = {
     # (type, day) count agg; per-type moments re-agg broadcast back;
     # map-only z/flag + sort
     "daily_volume_anomalies": (5, 1),
-    # one user-keyed window (reverse frame) + output sort; no self-join
-    "asof_join_forward": (2, 0),
     # one map-side-combined max_by agg + output sort; no window over the log
     "latest_event_per_user": (2, 0),
     # one segment-keyed window pass (pr/cd/ntile/decile share the sort) + sort
