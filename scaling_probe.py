@@ -58,12 +58,20 @@ QUERIES = tuple(
 )
 
 
-def build_corpus() -> None:
+def build_corpus(
+    base: str | None = None, work: str | None = None, replicas: int | None = None
+) -> None:
+    """Materialize the pair-structure-honest replica corpus (module
+    docstring) — parameterized so the opt-in scaling pytest
+    (tests/test_scaling.py) can build smaller epochs from sf0.01."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(WORK, exist_ok=True)
+    base = base or BASE
+    work = work or WORK
+    replicas = replicas or REPLICAS
+    os.makedirs(work, exist_ok=True)
     con = duckdb.connect()
     con.execute(
         f"""
@@ -76,17 +84,17 @@ def build_corpus() -> None:
                  length(CASE WHEN r = 0 THEN text
                              ELSE regexp_replace(text, '([^ ]+)', '\\1r' || r, 'g')
                         END) AS n_chars
-          FROM read_parquet('{BASE}/documents.parquet'), range({REPLICAS}) t(r)
-        ) TO '{WORK}/documents.parquet' (FORMAT PARQUET)
+          FROM read_parquet('{base}/documents.parquet'), range({replicas}) t(r)
+        ) TO '{work}/documents.parquet' (FORMAT PARQUET)
         """
     )
     emb = con.execute(
         f"SELECT vec_id, embedding, label FROM "
-        f"read_parquet('{BASE}/embeddings.parquet') ORDER BY vec_id"
+        f"read_parquet('{base}/embeddings.parquet') ORDER BY vec_id"
     ).df()
     mat = np.vstack(emb["embedding"].to_numpy())
     ids, labels, vecs = [], [], []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         ids.append(emb["vec_id"].to_numpy() + r * 10000000)
         labels.append(emb["label"].to_numpy())
         vecs.append(np.roll(mat, r, axis=1))
@@ -100,13 +108,13 @@ def build_corpus() -> None:
             "label": np.concatenate(labels).astype(np.int32),
         }
     )
-    pq.write_table(table, f"{WORK}/embeddings.parquet")
+    pq.write_table(table, f"{work}/embeddings.parquet")
     # the probed queries only read documents/embeddings, but load_table
     # may validate siblings — link the rest of the scale factor through
-    for f in os.listdir(BASE):
-        dst = os.path.join(WORK, f)
+    for f in os.listdir(base):
+        dst = os.path.join(work, f)
         if not os.path.exists(dst):
-            os.symlink(os.path.join(BASE, f), dst)
+            os.symlink(os.path.join(base, f), dst)
 
 
 def _run_child() -> None:

@@ -1,0 +1,207 @@
+"""Opt-in scaling-ratio probes (``pytest -m scaling``) — r8 review item 6:
+the quadratic-creep checks that previously lived only in the standalone
+``scaling_probe.py`` artifact now fail a TEST when a worst-ratio query's
+wall-time grows super-linearly with data.
+
+Three probe families:
+
+1. the SCALING.json worst-ratio queries at 2× replica data built with the
+   probe's pair-structure-honest recipe (token-suffixed documents,
+   coordinate-rolled embeddings) — a quadratic operator shows ~4× at 2×
+   data; the bar is 3×;
+2. the adversarial TEMPLATE corpus (review item 1 done-bar): 5× the
+   byte-identical copies of one document must leave ``minhash_lsh_pairs``
+   nearly flat (≤ 1.3×), because the exact-collapse pre-pass admits one
+   representative regardless of copy count;
+3. the DEGENERATE all-duplicate embedding corpus (review item 2 done-bar):
+   5× the identical vectors must leave ``semantic_dedup_keep`` ≤ 2×,
+   because the embedding collapse reduces the within-cluster pair join to
+   one representative and only the linear stages (scan, Lloyd assign,
+   verdict expansion) grow.
+
+Wall-clock ratios are inherently noisy: each measurement is the median of
+``_RUNS`` post-warm-up runs in the shared session, and the suite is marked
+opt-in so it runs as a deliberate quiet-machine action (wired into the
+round-close routine next to bench.py / scaling_probe.py).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import scaling_probe
+from tests.oracle_harness import TABLES
+
+pytestmark = pytest.mark.scaling
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+QUERIES = entry_mod.queries()
+
+_BASE = "/root/testdata/sf0.01"
+_RUNS = 3
+
+
+def _median_time(spark, name: str, sf_dir: str) -> float:
+    fn = QUERIES[name]
+    spark.catalog.clearCache()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+    ts = []
+    for _ in range(_RUNS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _ratio(spark, name: str, small: str, big: str) -> float:
+    # interleave A/B so slow ambient drift cancels instead of biasing one side
+    t1 = _median_time(spark, name, small)
+    tn = _median_time(spark, name, big)
+    return tn / t1
+
+
+# ---------------------------------------------------------------------------
+# 1. worst-ratio queries at 2× replica data
+# ---------------------------------------------------------------------------
+
+_WORST = [
+    "minhash_lsh_pairs",
+    "neardup_keep_corpus",
+    "semantic_dedup_keep",
+    "duplicate_span_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def replica2_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf0.02_replicas"))
+    scaling_probe.build_corpus(base=_BASE, work=d, replicas=2)
+    return d
+
+
+@pytest.mark.parametrize("name", _WORST)
+def test_worst_ratio_queries_subquadratic_at_2x(spark, replica2_dir, name):
+    r = _ratio(spark, name, _BASE, replica2_dir)
+    assert r <= 3.0, f"{name}: {r:.2f}x wall at 2x data (quadratic ~ 4x)"
+
+
+# ---------------------------------------------------------------------------
+# 2. template corpus: 5× the exact copies, pair stream must stay flat
+# ---------------------------------------------------------------------------
+
+_TEMPLATE = (
+    "breaking news local weather update for the region with traffic and "
+    "sports scores attached below the fold plus the usual subscription "
+    "footer text that every mirror of this page carries verbatim"
+)
+_N_UNIQUE = 1500
+
+
+def _write_template_corpus(dirpath: str, n_copies: int) -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            dst = os.path.join(dirpath, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(src, dst)
+    texts = [_TEMPLATE] * n_copies + [
+        "unique filler document " + " ".join(f"u{i}w{j}" for j in range(30))
+        for i in range(_N_UNIQUE)
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(
+                [f"src{i % 4}" for i in range(len(texts))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "documents.parquet"))
+    return dirpath
+
+
+@pytest.fixture(scope="module")
+def template_1x(tmp_path_factory):
+    return _write_template_corpus(
+        str(tmp_path_factory.mktemp("template_1x")), 1000
+    )
+
+
+@pytest.fixture(scope="module")
+def template_5x(tmp_path_factory):
+    return _write_template_corpus(
+        str(tmp_path_factory.mktemp("template_5x")), 5000
+    )
+
+
+def test_template_corpus_minhash_flat_at_5x_copies(spark, template_1x, template_5x):
+    r = _ratio(spark, "minhash_lsh_pairs", template_1x, template_5x)
+    assert r <= 1.3, (
+        f"minhash_lsh_pairs: {r:.2f}x wall for 5x exact copies — the "
+        "exact-collapse pre-pass should make copy count nearly free"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. degenerate embeddings: 5× the identical vectors, SemDeDup ≤ 2×
+# ---------------------------------------------------------------------------
+
+
+def _write_degen_embeddings(dirpath: str, n_copies: int) -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    for t in TABLES:
+        if t != "embeddings":
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            dst = os.path.join(dirpath, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(src, dst)
+    base = [0.5, 0.25, -0.5, 0.125, 0.5, -0.25, 0.5, 0.125]
+    vecs = [base] * n_copies
+    vecs += [[float(i + 1), -1.0, 2.0, 0.5, -3.0, 1.5, -0.5, 2.5] for i in range(8)]
+    table = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "embeddings.parquet"))
+    return dirpath
+
+
+@pytest.fixture(scope="module")
+def degen_1x(tmp_path_factory):
+    return _write_degen_embeddings(str(tmp_path_factory.mktemp("degen_1x")), 2600)
+
+
+@pytest.fixture(scope="module")
+def degen_5x(tmp_path_factory):
+    return _write_degen_embeddings(str(tmp_path_factory.mktemp("degen_5x")), 13000)
+
+
+def test_degenerate_semantic_dedup_bounded_at_5x(spark, degen_1x, degen_5x):
+    r = _ratio(spark, "semantic_dedup_keep", degen_1x, degen_5x)
+    assert r <= 2.0, (
+        f"semantic_dedup_keep: {r:.2f}x wall for 5x identical vectors — "
+        "the embedding collapse should leave only linear stages growing"
+    )
