@@ -888,24 +888,40 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |delta|·|copies| (the same guard as minhash_lsh_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     delta_pred = F.col("doc_id") % 5 == 4
-    fps = d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    return _incremental_verdicts(
+        d.filter(delta_pred), d.filter(~delta_pred)
+    ).orderBy("doc_id")
+
+
+def _incremental_verdicts(
+    delta: DataFrame, corpus: DataFrame, persist: bool = True
+) -> DataFrame:
+    """The incremental-dedup core over two (doc_id, text) frames — the
+    batch query (delta = the ``doc_id % 5 == 4`` slice) and the streaming
+    twin (delta = one micro-batch, ``streaming/jobs.py``) run this SAME
+    plan: exact fp probe, corpus-representative LSH probe, Jaccard
+    verify, per-delta best match, three-way verdict. ``persist=False``
+    for streaming micro-batches, whose tiny shingle frames are cheaper to
+    recompute than to cache-manage across triggers."""
+    dfp = delta.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    cfp = corpus.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
     exact = (
-        fps.filter(delta_pred)
-        .alias("n")
-        .join(fps.filter(~delta_pred).alias("o"), "fp")
+        dfp.alias("n")
+        .join(cfp.alias("o"), "fp")
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.min(F.col("o.doc_id")).alias("exact_of"))
     )
-    corpus_reps = (
-        fps.filter(~delta_pred).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    )
-    sh = _shingle_frame(d).persist(StorageLevel.MEMORY_AND_DISK)
-    long = _sig_long(_minhash_sigs(sh))
+    corpus_reps = cfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    sh_d = _shingle_frame(delta)
+    sh_c = _shingle_frame(corpus)
+    if persist:
+        sh_d = sh_d.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
-        long.filter(delta_pred)
+        _sig_long(_minhash_sigs(sh_d))
         .select(F.col("doc_id").alias("delta_id"), "band", "sig")
         .join(
-            long.filter(~delta_pred)
+            _sig_long(_minhash_sigs(sh_c))
             .join(corpus_reps.select("doc_id"), "doc_id", "left_semi")
             .select(F.col("doc_id").alias("corpus_id"), "band", "sig"),
             ["band", "sig"],
@@ -913,8 +929,8 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id", "corpus_id")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    a = sh_d.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
+    b = sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
@@ -932,10 +948,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("delta_id", F.col("corpus_id").alias("near_of"), "jaccard")
     )
-    delta = d.filter(delta_pred).select("doc_id")
+    dd = delta.select("doc_id")
     return (
-        delta.join(exact, "doc_id", "left")
-        .join(best, delta["doc_id"] == best["delta_id"], "left")
+        dd.join(exact, "doc_id", "left")
+        .join(best, dd["doc_id"] == best["delta_id"], "left")
         .select(
             "doc_id",
             F.when(F.col("exact_of").isNotNull(), F.lit("exact_dup"))
@@ -945,7 +961,6 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("exact_of"), F.col("near_of")).alias("dup_of"),
             F.when(F.col("exact_of").isNull(), F.col("jaccard")).alias("jaccard"),
         )
-        .orderBy("doc_id")
     )
 
 

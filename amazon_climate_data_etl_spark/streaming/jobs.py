@@ -417,3 +417,48 @@ def incremental_dedup_stream(
         .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "ts", "fp")
     )
+
+
+def run_incremental_verdicts_stream(
+    new_docs: DataFrame, corpus: DataFrame, sink_name: str = "inc_verdicts"
+):
+    """FULL-verdict streaming twin of the batch ``incremental_dedup``
+    query: each micro-batch of newly crawled documents runs the SAME
+    ``operators.dedup._incremental_verdicts`` core against the static
+    corpus index — exact-fp probe, corpus-representative LSH probe,
+    Jaccard verify, per-delta best match — appending one
+    (doc_id, verdict, dup_of, jaccard) row per delta doc to a managed
+    sink table. Returns the StreamingQuery (drained with availableNow).
+
+    ``foreachBatch`` is the honest vehicle here, not a limitation
+    workaround to hide: the verdict plan aggregates the stream side
+    (per-doc MinHash signatures are a groupBy) and then joins — a shape
+    Structured Streaming's incremental planner cannot run in append mode
+    as one continuous query. foreachBatch gives each micro-batch the full
+    batch planner against the static corpus, which is exactly the daily-
+    crawl deployment shape: work per trigger ∝ |delta|, corpus state
+    re-read (or Delta-cached) per batch, no stream state carried at all.
+    The simpler always-incremental exact-stage twin
+    (``incremental_dedup_stream`` above) remains the low-latency path;
+    this one closes batch-equivalence for the three-way verdict family
+    (asserted in tests/test_streaming.py)."""
+    from amazon_climate_data_etl_spark.operators.dedup import (
+        _incremental_verdicts,
+    )
+
+    spark = corpus.sparkSession
+
+    def _per_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        out = _incremental_verdicts(
+            batch_df.select("doc_id", "text"), corpus, persist=False
+        )
+        out.write.mode("append").saveAsTable(sink_name)
+
+    spark.sql(f"DROP TABLE IF EXISTS {sink_name}")
+    q = (
+        new_docs.writeStream.foreachBatch(_per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
