@@ -219,9 +219,13 @@ def lz4_compress(src: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def snappy_decompress(src: bytes) -> bytes:
+def snappy_decompress(src: bytes, max_len: int | None = None) -> bytes:
     """Decode one raw snappy block. Corrupt or truncated input always
-    raises ``ValueError`` — every read is bounds-checked first."""
+    raises ``ValueError`` — every read is bounds-checked first, and the
+    output buffer is allocated only after the preamble length passes the
+    caller-known ``max_len`` bound (a ~6-byte corrupt preamble could
+    otherwise trigger a transient 2 GB allocation per task — the same
+    dst-size contract lz4_decompress enforces)."""
     n = len(src)
     ulen = 0
     shift = 0
@@ -239,6 +243,11 @@ def snappy_decompress(src: bytes) -> bytes:
             raise ValueError("corrupt snappy block: preamble varint too long")
     if ulen >= 1 << 31:
         raise ValueError(f"corrupt snappy block: implausible length {ulen}")
+    if max_len is not None and ulen > max_len:
+        raise ValueError(
+            f"corrupt snappy block: preamble claims {ulen} bytes, caller "
+            f"expects at most {max_len}"
+        )
     out = bytearray(ulen)
     op = 0
     while ip < n:
@@ -404,9 +413,10 @@ def decompress(buf: bytes) -> bytes:
 
     elif codec == _CODEC_SNAPPY:
         # c-blosc compresses each split with snappy_compress — one raw
-        # snappy block (varint preamble + elements) per split
-        def dec(b: bytes, size: int) -> bytes:  # noqa: ARG001
-            return snappy_decompress(b)
+        # snappy block (varint preamble + elements) per split; the
+        # expected split size bounds the preamble before allocation
+        def dec(b: bytes, size: int) -> bytes:
+            return snappy_decompress(b, max_len=size)
 
     else:
         raise _gate(f"blosc inner codec {_CODEC_NAMES.get(codec, codec)!r}")

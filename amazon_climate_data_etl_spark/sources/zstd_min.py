@@ -346,7 +346,14 @@ class _HufTable:
             sym = self.syms[state]
             bs.bitpos -= self.nbits[state]
             out[i] = sym
-        if bs.bitpos > 0:
+        if bs.bitpos != 0:
+            # > 0: unconsumed trailing bits; < 0: the stream ran DRY before
+            # all symbols decoded (the back-stream pads past-start reads
+            # with zeros, so without this check a truncated checksum-less
+            # frame would silently decode to wrong literals — libzstd
+            # rejects both via its end-of-stream check). A valid stream
+            # ends exactly at the init-sentinel bit; only the restored
+            # peeks above may legally dip negative mid-loop.
             raise ValueError("corrupt zstd Huffman stream: trailing bits")
         return bytes(out)
 

@@ -455,3 +455,18 @@ class TestNumcodecsInterop:
         arr = np.arange(5000, dtype="<f4")
         enc = B.compress(arr.tobytes(), 4, cname=cname)
         assert bytes(codec.decode(enc)) == arr.tobytes()
+
+
+def test_snappy_preamble_bounded_by_expected_size():
+    """A corrupt preamble claiming a huge output must fail BEFORE
+    allocation when the caller knows the expected split size (r8 ADVICE:
+    a ~6-byte corrupt split could otherwise trigger a transient 2 GB
+    bytearray per task)."""
+    # varint preamble claiming 2^30 bytes, no body
+    huge = bytes([0x80, 0x80, 0x80, 0x80, 0x04])
+    with pytest.raises(ValueError, match="caller expects"):
+        B.snappy_decompress(huge, max_len=4096)
+    # honest blocks still decode under the bound
+    assert B.snappy_decompress(b"\x05\x10hello", max_len=5) == b"hello"
+    with pytest.raises(ValueError, match="caller expects"):
+        B.snappy_decompress(b"\x05\x10hello", max_len=4)

@@ -450,3 +450,26 @@ def test_huffman_overweight_rejected():
     data = bytes([127 + 3, (1 << 4) | 1, (11 << 4)])
     with pytest.raises(ValueError, match="weight"):
         _read_huffman_table(data, 0)
+
+
+def test_huffman_stream_exhaustion_rejected():
+    """A Huffman literal stream that consumes MORE bits than exist must
+    raise, not decode zero-padded symbols (r8 ADVICE): the back-stream
+    pads past-start reads, so only the bitpos == 0 end-of-stream check —
+    the same one libzstd applies — distinguishes a truncated
+    checksum-less stream from a valid one."""
+    import pytest
+
+    from amazon_climate_data_etl_spark.sources.zstd_min import _HufTable
+
+    # direct-representation weight table: two symbols, weight 1 each ->
+    # 1-bit codes (the smallest valid tree)
+    table, _ = __import__(
+        "amazon_climate_data_etl_spark.sources.zstd_min", fromlist=["x"]
+    )._read_huffman_table(bytes([127 + 1, 0x10]), 0)
+    # one data byte = sentinel + 7 payload bits; asking for 50 symbols
+    # over-consumes and must fail loudly
+    with pytest.raises(ValueError, match="Huffman stream"):
+        table.decode_stream(b"\x81", 50)
+    # the exact boundary still decodes: 7 symbols consume every bit
+    assert len(table.decode_stream(b"\x81", 7)) == 7
