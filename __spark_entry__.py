@@ -109,45 +109,13 @@ _MODULES = (
 # the driver verifies this many leading registry entries per round
 GATE_WINDOW = 50
 
-# name -> round the semantic change landed. (Round-6 entries — media real
-# payloads, IVF nlist growth — all earned green r6 rows and have expired.)
-# Round-7 change: stable_round moved from the decimal(24,10) route (whose
-# bit-exactness contract the round-6 review falsified) to the floor-based
-# IEEE form floor(x·10^s + 0.5)/10^s, identical operation sequence in both
-# engines. Values change ONLY for results that land exactly on a decimal
-# half-tie; a DuckDB old-form-vs-new-form sweep over all 139 oracled
-# queries at sf0.01 found exactly these six with any value drift (one ulp
-# of the last rounded digit, both engines moving together — parity suite
-# re-proven 141/141 green). They re-earn their driver row ahead of the
-# oldest-green cohort; entries expire once a green row >= 7 exists.
+# name -> round the semantic change landed. (Expired-and-pruned history:
+# round-6 entries — media real payloads, IVF nlist growth — earned green
+# r6 rows; round-7's stable_round floor-form migration touched six
+# half-tie queries, all green r7; round-8's ADC subspace grouping
+# [ann_pq_topk], narrow/split moment path [summary_stats], and
+# four-index recall panel [ann_recall_eval] all green r8.)
 CHANGED_SINCE_GREEN = {
-    "climate_annual": 7,
-    "climate_monthly": 7,
-    "climate_rollup": 7,
-    # window_rolling_avg and window_cume_dist also drifted at a tie but
-    # were consolidated into window_frame_profile / window_rank_profile
-    # (never-gated, tier 0) the same round
-    "embedding_covariance": 7,
-    # r7: GK approx_percentile replaced by the order-independent HDR
-    # histogram sketch — different (now deterministic) values by design,
-    # and the query gained a full DuckDB oracle (was rows-only)
-    "approx_quantiles_sketch": 7,
-    # r8: ADC now computed from codes × a broadcast lookup table with the
-    # fold GROUPED BY SUBSPACE (per-subspace partial dots, then the
-    # 8-entry fold) instead of the flat 64-dim recon dot — the adc column
-    # can move in the last ulp where the groupings round differently, and
-    # near-ties at the shortlist boundary can legally reorder; the oracle
-    # computes the identical grouping (r7 review item 1)
-    "ann_pq_topk": 8,
-    # r8: _portable moments now convert decimal→double through the
-    # narrow/split dual path (r7 review item 3). In the narrow domain
-    # values are unchanged; summary_stats' Σx² moment lives in the split
-    # zone, where the raw stddev moves ~1e-11 (absorbed by its 2-decimal
-    # round at both fixture SFs, but the rotation rule keys on MAY differ)
-    "summary_stats": 8,
-    # r8: the recall eval now tags all four indexes (pq + ivfpq joined
-    # ivf + lsh) — two new result rows by design
-    "ann_recall_eval": 8,
     # r9 (review item 1): the LSH dedup chain collapses exact duplicates
     # BEFORE banding and the components consumer takes per-bucket STAR
     # edges instead of B² bucket cliques — pair queries no longer emit
