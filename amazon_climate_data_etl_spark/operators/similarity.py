@@ -1570,6 +1570,9 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
        — at a bounded recall cost that only applies to clusters already
        16× over the adaptive-k target (production SemDeDup caps or
        recursively splits oversized clusters the same way)."""
+    import numpy as np
+    import pandas as pd
+
     a = _km_final_assign(spark, sf_dir, k=None).select("vec_id", "cluster_id")
     nzv = _nonzero(load_table(spark, sf_dir, "embeddings"))
     # persisted: the member join and the normalized-representative branch
@@ -1581,37 +1584,63 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = nzv.join(grp, "embedding").select("vec_id", "rep_id")
     n = _normalized(grp.select(F.col("rep_id").alias("vec_id"), "embedding"))
-    v = n.join(a, "vec_id")
-    sizes = v.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csz"))
+    # persisted: the cluster-size agg and the sub-cell annotation both
+    # read the representative⋈assignment frame
+    v0 = n.join(a, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = v0.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csz"))
     nsub = F.ceil(F.col("csz") / F.lit(float(SEM_CLUSTER_CAP)))
-    # persisted: both pair-join sides read this frame (rep-cardinality
-    # rows of normalized doubles — linear, spills if evicted)
-    v = (
-        v.join(F.broadcast(sizes), "cluster_id")
-        .withColumn("sub_id", F.col("vec_id") % nsub)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    v = v0.join(F.broadcast(sizes), "cluster_id").withColumn(
+        "sub_id", F.col("vec_id") % nsub
     )
-    lhs = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"),
-        "cluster_id", "sub_id",
-    )
-    rhs = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"),
-        "cluster_id", "sub_id",
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    dup_of = (
-        lhs.join(rhs, ["cluster_id", "sub_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", stable_round(dot, 6))
-        .filter(F.col("cosine") >= NEARDUP_COS)
-        .groupBy("vec_b")
-        .agg(F.min("vec_a").alias("dup_of"))
-        .withColumnRenamed("vec_b", "rep_id")
+
+    # Within-cell pair scoring as ONE Arrow kernel per (cluster, sub-cell)
+    # group instead of a cell-keyed self-join: the join form evaluates the
+    # d-term dot through an interpreted zip_with fold PER PAIR (HOF lambdas
+    # never reach codegen — measured ~3 s of the 5×-probe wall). The kernel
+    # reproduces the engines' exact IEEE sequence: the Gram block
+    # accumulates one coordinate product per step in j order (the same
+    # left-to-right fold as `aggregate(zip_with(...))` and the oracle's
+    # list_sum/list_transform), and the round is the identical
+    # floor(x·1e6 + 0.5)/1e6 float64 sequence as stable_round — so the
+    # verdicts stay bit-exact vs the unchanged SQL-join oracle (parity-
+    # proven). Column-blocked: memory per task is m×512 doubles even if a
+    # pathological id distribution overfills one sub-cell, and the
+    # SEM_CLUSTER_CAP split bounds expected m at ~2048.
+    tau = NEARDUP_COS
+
+    def _pair_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "rep_id": pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                }
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        EN = np.stack(pdf["en"].to_numpy()[order]).astype(np.float64, copy=False)
+        d = EN.shape[1]
+        rows = np.arange(m)
+        out_b: list[np.ndarray] = []
+        out_a: list[np.ndarray] = []
+        for s in range(0, m, 512):
+            cols = np.arange(s, min(m, s + 512))
+            G = np.zeros((m, len(cols)))
+            for j in range(d):
+                G += EN[:, j, None] * EN[None, cols, j]
+            qual = (np.floor(G * 1e6 + 0.5) / 1e6) >= tau
+            qual &= rows[:, None] < cols[None, :]  # vec_a < vec_b (ids sorted)
+            hit = qual.any(axis=0)
+            first = qual.argmax(axis=0)  # first True row = min vec_a
+            out_b.append(ids[cols[hit]])
+            out_a.append(ids[first[hit]])
+        return pd.DataFrame(
+            {"rep_id": np.concatenate(out_b), "dup_of": np.concatenate(out_a)}
+        )
+
+    dup_of = v.groupBy("cluster_id", "sub_id").applyInPandas(
+        _pair_kernel, schema="rep_id long, dup_of long"
     )
     rep_dup = F.col("dup_of")
     return (

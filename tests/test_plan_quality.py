@@ -256,10 +256,11 @@ _PLAN_BOUNDS = {
     # corpus ⋈ Lloyd assignment on vec_id (shuffle join, see _SMJ_EXEMPT)
     # + cluster-keyed pair join + dup_of agg + keep left-join + sort;
     # r9 adds the exact-embedding collapse (one persisted groupBy; its
-    # subtree prints per consumer) and the broadcast cluster-size join
-    # for the SEM_CLUSTER_CAP sub-cell split; the persisted pair frame
-    # reprints the whole chain per side — textual count, not executed
-    "semantic_dedup_keep": (16, 2),
+    # subtree prints per consumer), the broadcast cluster-size join for
+    # the SEM_CLUSTER_CAP sub-cell split, and the Arrow pair kernel
+    # (one applyInPandas exchange on (cluster, sub-cell) replaces the
+    # former two-sided cell self-join)
+    "semantic_dedup_keep": (8, 2),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly;
     # r9 adds the corpus-side exact-collapse fp agg + semi join (the
