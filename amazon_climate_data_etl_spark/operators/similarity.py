@@ -1729,7 +1729,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     built ONCE (_index_state) and shared by the ivf/pq/ivfpq builds —
     r8 ran the count and the overlapping prefix collects per index."""
     e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
-    n = _normalized(e).persist()
+    # the normalized frame is persisted POST-rebalance: the three Python
+    # index kernels (ivf assign, pq encode, ivfpq) each fan out through
+    # rebalance_for_compute, which no-ops on an already-split input — so
+    # the panel pays the round-robin exchange once, not per kernel
+    n = rebalance_for_compute(_normalized(e)).persist()
     state = _index_state(n)
     exact = (
         _bruteforce_from(e)

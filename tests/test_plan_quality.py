@@ -208,7 +208,11 @@ _PLAN_BOUNDS = {
     # r8: the eval panel grew to all four indexes (pq + ivfpq joined
     # ivf + lsh): their rebalances + slim shortlist/rerank windows and
     # shortlist/query broadcasts add to the composed count
-    "ann_recall_eval": (22, 11),
+    # r9: the normalized frame persists POST-rebalance (one executed
+    # round-robin exchange instead of one per Python kernel), but the
+    # cached subtree now CONTAINS that exchange and explain reprints it
+    # per consumer — textual count up, executed count down
+    "ann_recall_eval": (37, 11),
     "ann_ivf_topk": (4, 2),
     # PQ (r8): rebalance + slim shortlist window + rerank window + final
     # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the
