@@ -1727,13 +1727,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     three redundant corpus scans inside one evaluation. The driver-held
     index state (corpus count + centroid/codebook/probe rows) is also
     built ONCE (_index_state) and shared by the ivf/pq/ivfpq builds —
-    r8 ran the count and the overlapping prefix collects per index."""
+    r8 ran the count and the overlapping prefix collects per index.
+    (The normalized frame deliberately persists at the SCAN's
+    partitioning, NOT pre-rebalanced: sharing one round-robin exchange
+    across the kernels was measured to force every cheap consumer —
+    state collects, probe selections, truth joins — onto 32 tiny tasks,
+    474 vs 201 executed tasks for the whole panel; the per-kernel
+    rebalance fans out only the compute-heavy stages and no-ops on a
+    well-split 100 TB scan anyway.)"""
     e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
-    # the normalized frame is persisted POST-rebalance: the three Python
-    # index kernels (ivf assign, pq encode, ivfpq) each fan out through
-    # rebalance_for_compute, which no-ops on an already-split input — so
-    # the panel pays the round-robin exchange once, not per kernel
-    n = rebalance_for_compute(_normalized(e)).persist()
+    n = _normalized(e).persist()
     state = _index_state(n)
     exact = (
         _bruteforce_from(e)

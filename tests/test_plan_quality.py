@@ -208,11 +208,11 @@ _PLAN_BOUNDS = {
     # r8: the eval panel grew to all four indexes (pq + ivfpq joined
     # ivf + lsh): their rebalances + slim shortlist/rerank windows and
     # shortlist/query broadcasts add to the composed count
-    # r9: the normalized frame persists POST-rebalance (one executed
-    # round-robin exchange instead of one per Python kernel), but the
-    # cached subtree now CONTAINS that exchange and explain reprints it
-    # per consumer — textual count up, executed count down
-    "ann_recall_eval": (37, 11),
+    # r9: the shared _index_state hoist removed the per-index count/
+    # collect jobs (49 -> 44 executed jobs); the normalized frame stays
+    # at scan partitioning (a shared pre-rebalance was measured to force
+    # every cheap consumer onto 32 tiny tasks — 474 vs 196)
+    "ann_recall_eval": (22, 11),
     "ann_ivf_topk": (4, 2),
     # PQ (r8): rebalance + slim shortlist window + rerank window + final
     # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the
