@@ -56,8 +56,10 @@ compose the round-7 review requested) and ``semantic_dedup_keep``
 (SemDeDup): the registry stood at 142 after round 8. Round 9 merged
 ``asof_join_purchases`` + ``asof_join_forward`` → ``asof_join_events``
 (both as-of directions, window shapes, and column families under one
-oracle — the pre-merge the round-8 review asked for), bringing the
-registry to 141: 9 slots under the 150 cap and 4 under the
+oracle — the pre-merge the round-8 review asked for) and spent one
+freed slot on ``range_join_events`` (the bucketed time-range join —
+the remaining classic Spark-lacks-it join shape next to as-of): the
+registry stands at 142, 8 slots under the 150 cap and 3 under the
 judge-agreed ≤145 soft target. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB

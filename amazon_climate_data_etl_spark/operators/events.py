@@ -526,6 +526,93 @@ ORDER BY event_type, day
 
 
 
+RANGE_W_US = 300_000_000  # 5-minute attribution window, in microseconds
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE join (another operator Spark lacks natively): for each
+    error event, the same user's clicks in the preceding 5 minutes —
+    count and nearest gap — the error-attribution / burst-correlation
+    primitive (kdb wj, QuestDB/ClickHouse range joins).
+
+    Expressed as a BUCKETED equi-join, not the naive theta join: a plain
+    ``ON a.user = b.user AND b.ts BETWEEN a.ts - W AND a.ts`` gives
+    Catalyst only the user_id equi-key, so every hot user becomes a
+    per-key cross product (and with no equi-key at all it plans a
+    broadcast-nested-loop — O(|err|·|clk|)). Here each click lands in
+    its W-second time bucket AND the next one (any error in [tc, tc+W]
+    lies in one of those two), the join key is (user_id, bucket), and
+    the exact window predicate filters after the join. Each (click,
+    error) pair meets in exactly ONE bucket (the error's own), so no
+    dedup pass is needed. At 100 TB the shuffle key is
+    (user × time-bucket) — a hot user's traffic spreads across time, so
+    per-key fan-out is bounded by single-bucket occupancy, never by a
+    user's history. Integer microsecond arithmetic end-to-end (``div``
+    = floor division on positives in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("te")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("tc")
+    )
+    bc = F.expr(f"tc div {RANGE_W_US}")
+    clk_b = clk.select("user_id", "tc", bc.alias("bucket")).unionByName(
+        clk.select("user_id", "tc", (bc + 1).alias("bucket"))
+    )
+    err_b = err.withColumn("bucket", F.expr(f"te div {RANGE_W_US}"))
+    gap = F.col("te") - F.col("tc")
+    matched = (
+        err_b.join(clk_b, ["user_id", "bucket"])
+        .filter((gap >= 0) & (gap <= RANGE_W_US))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_5m"),
+            F.min(gap).alias("min_gap_us"),
+        )
+    )
+    return (
+        err.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks_5m"), F.lit(0).cast("long")).alias(
+                "n_clicks_5m"
+            ),
+            "min_gap_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+# oracle: the naive non-equi form IS the semantic ground truth the
+# bucketed plan must reproduce exactly
+RANGE_JOIN_SQL = f"""
+WITH err AS (
+  SELECT event_id, user_id, epoch_us(ts) AS te
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, epoch_us(ts) AS tc
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT err.event_id,
+         count(*) AS n_clicks_5m,
+         min(te - tc) AS min_gap_us
+  FROM err JOIN clk
+    ON err.user_id = clk.user_id
+   AND te - tc BETWEEN 0 AND {RANGE_W_US}
+  GROUP BY err.event_id
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(m.n_clicks_5m, 0) AS n_clicks_5m,
+       m.min_gap_us
+FROM err e LEFT JOIN m ON e.event_id = m.event_id
+ORDER BY e.event_id
+"""
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style compaction: each user's LATEST event — the
     dedup-to-current-row primitive every change-data-capture / SCD-1
@@ -776,6 +863,7 @@ ORDER BY user_id
 
 QUERIES = {
     "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
     "latest_event_per_user": latest_event_per_user,
     "daily_volume_anomalies": daily_volume_anomalies,
     "event_value_trend": event_value_trend,
@@ -793,6 +881,7 @@ QUERIES = {
 
 ORACLE = {
     "asof_join_events": ASOF_SQL,
+    "range_join_events": RANGE_JOIN_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
     "daily_volume_anomalies": DAILY_ANOMALY_SQL,
     "event_value_trend": EVENT_TREND_SQL,

@@ -34,6 +34,7 @@ ORACLE = entry_mod.oracle_sql()
 _EVENT_QUERIES = [
     "tumbling_hourly", "sliding_windows", "session_windows",
     "event_dedup_first", "json_props_stats", "asof_join_events",
+    "range_join_events",
     "pivot_daily_activity", "user_funnel_conversion",
     "user_retention_cohorts", "event_value_trend",
     "event_transition_matrix", "event_interarrival_stats",
@@ -79,6 +80,15 @@ _ROWS = [
     (19, _ns("2024-03-02 00:00:00"), 6, "view", 2.5, '{"k": 4}'),
     # lone user with only an error event
     (20, _ns("2024-03-01 15:30:00"), 7, "error", -0.25, "[1, 2]"),
+    # u8 (distant day, no overlap with the pinned windows above): range-join
+    # boundary cases — click exactly W=300 s before the error (inclusive),
+    # click 1 µs inside the window, click at the SAME ts (gap 0), and a
+    # second error with nothing in its window
+    (21, _ns("2024-03-05 10:00:00"), 8, "click", 1.0, "{}"),
+    (22, _ns("2024-03-05 10:04:59.999999"), 8, "click", 1.0, "{}"),
+    (23, _ns("2024-03-05 10:05:00"), 8, "error", 1.0, "{}"),
+    (24, _ns("2024-03-05 10:05:00"), 8, "click", 1.0, "{}"),
+    (25, _ns("2024-03-05 11:00:00"), 8, "error", 1.0, "{}"),
 ]
 
 
@@ -141,3 +151,19 @@ def test_edge_events_fixture_semantics(spark, edge_events_dir):
     # 13:59:59.999999999 truncates to µs inside hour 13
     assert by_win[("2024-03-01 13:00:00", "view")] == 1
     assert by_win[("2024-03-01 14:00:00", "error")] == 1
+
+
+def test_range_join_boundary_semantics(spark, edge_events_dir):
+    """Pin the window edges themselves: a click exactly W seconds before
+    the error is IN (inclusive), a same-timestamp click gives gap 0, a
+    click after the error never matches, and an error with an empty
+    window reports 0 clicks and a NULL gap."""
+    rows = {
+        r["event_id"]: r
+        for r in QUERIES["range_join_events"](spark, edge_events_dir).collect()
+    }
+    assert rows[23]["n_clicks_5m"] == 3          # 300 s, 1 µs, and 0 gaps
+    assert rows[23]["min_gap_us"] == 0           # the same-ts click
+    assert rows[25]["n_clicks_5m"] == 0 and rows[25]["min_gap_us"] is None
+    assert rows[16]["n_clicks_5m"] == 0          # u6's click is AFTER the error
+    assert rows[20]["n_clicks_5m"] == 0          # u7 has no clicks at all

@@ -229,6 +229,11 @@ _PLAN_BOUNDS = {
     # shared user_id window exchange each + final sort; at runtime
     # ReuseExchange dedupes the window shuffle
     "asof_join_events": (3, 0),
+    # bucketed time-range join (r9): (user, bucket)-keyed join + per-error
+    # agg + final sort; the matched-agg side broadcasts back onto the
+    # error stream at fixture scale (error-cardinality at any scale once
+    # filtered, but left as a stats-driven decision)
+    "range_join_events": (3, 1),
     # merged token budgeting (r7): rebalance + lang agg + sort
     "lang_token_profile": (3, 0),
     # merged CCNet ladder (r7): uni(7) + bi(7) chains share the final
@@ -412,6 +417,10 @@ def test_shuffle_and_broadcast_bounds(spark, sf_dir, name):
 # correct plan at every scale, and both inputs are post-aggregation frames
 # already hash-partitioned on the join key, so the join adds no exchange.
 _SMJ_EXEMPT = {
+    # errors ⋈ clicks on (user_id, time-bucket): both sides grow with the
+    # event log (neither is a dim at scale), so the keyed shuffle join is
+    # the correct 100 TB plan — same contract as the dedup label joins
+    "range_join_events",
     # the SMJ is the point: both sides are bucketed on the join key so the
     # merge join runs exchange-free — a broadcast would hide exactly the
     # write-once co-location this query certifies
