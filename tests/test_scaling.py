@@ -56,24 +56,24 @@ _BASE = "/root/testdata/sf0.01"
 _RUNS = 3
 
 
-def _median_time(spark, name: str, sf_dir: str) -> float:
-    fn = QUERIES[name]
+def _timed_once(spark, name: str, sf_dir: str) -> float:
     spark.catalog.clearCache()
-    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
-    ts = []
-    for _ in range(_RUNS):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
 
 
 def _ratio(spark, name: str, small: str, big: str) -> float:
-    # interleave A/B so slow ambient drift cancels instead of biasing one side
-    t1 = _median_time(spark, name, small)
-    tn = _median_time(spark, name, big)
-    return tn / t1
+    """median(big runs) / median(small runs), the runs INTERLEAVED
+    small/big/small/big so an ambient load drift hits both sides equally
+    instead of biasing whichever scale ran second."""
+    _timed_once(spark, name, small)  # warm-up both plans
+    _timed_once(spark, name, big)
+    ts, tb = [], []
+    for _ in range(_RUNS):
+        ts.append(_timed_once(spark, name, small))
+        tb.append(_timed_once(spark, name, big))
+    return sorted(tb)[len(tb) // 2] / sorted(ts)[len(ts) // 2]
 
 
 # ---------------------------------------------------------------------------
