@@ -4,11 +4,15 @@ phase 4): exact, MinHash+LSH, n-gram Jaccard verification, SimHash.
 Scale design:
 - Exact dedup is a hash groupBy on the content fingerprint — one shuffle on
   a high-cardinality key, the cheapest possible form.
-- MinHash LSH is the shingle→minhash→band→bucket-join pipeline: candidate
-  generation shuffles on (band, signature) — tiny keys — NEVER on document
-  pairs; the quadratic blowup is confined to within-bucket joins. This is
-  the standard 100 TB near-dedup shape (the same plan Spark ML's MinHashLSH
-  lowers to, expressed openly so the oracle can check it).
+- MinHash LSH is the exact-collapse→shingle→minhash→band→bucket-join
+  pipeline (r9: exact duplicates collapse to one representative BEFORE
+  banding — the template-corpus guard): candidate generation shuffles on
+  (band, signature) — tiny keys — NEVER on document pairs; the residual
+  within-bucket blowup applies to representatives only, and the
+  connectivity consumer avoids it entirely with per-bucket STAR edges
+  (_star_edges). This is the standard 100 TB near-dedup shape (the same
+  plan Spark ML's MinHashLSH lowers to, expressed openly so the oracle can
+  check it, plus the collapse/star skew guards production pipelines add).
 - SimHash packs a document into a 16-bit fingerprint (portable variant of
   the usual 64-bit); near-dup candidates join on fingerprint bands and
   verify by Hamming distance.
