@@ -167,3 +167,35 @@ def test_range_join_boundary_semantics(spark, edge_events_dir):
     assert rows[25]["n_clicks_5m"] == 0 and rows[25]["min_gap_us"] is None
     assert rows[16]["n_clicks_5m"] == 0          # u6's click is AFTER the error
     assert rows[20]["n_clicks_5m"] == 0          # u7 has no clicks at all
+
+
+def test_range_join_bucket_emission_property():
+    """The bucketing scheme's correctness argument, property-tested: for
+    any click/error microsecond pair, the click's two emitted buckets
+    (bc, bc+1) contain the error's bucket IFF the pair is within one
+    bucket width of qualifying — never losing a true window match — and
+    in AT MOST one of the two (no duplicate pair rows before the exact
+    predicate filters)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_climate_data_etl_spark.operators.events import RANGE_W_US
+
+    W = RANGE_W_US
+    ts = st.integers(min_value=0, max_value=4 * 10**15)
+
+    @settings(max_examples=500, deadline=None)
+    @given(tc=ts, te=ts)
+    def prop(tc: int, te: int) -> None:
+        bc, be = tc // W, te // W
+        meets = be in (bc, bc + 1)
+        qualifies = 0 <= te - tc <= W
+        if qualifies:
+            assert meets  # recall: a true window match always meets
+        if meets:
+            # a met pair is within one bucket width of the window (the
+            # exact predicate rejects the rest) and meets exactly once
+            assert -W < te - tc < 2 * W
+            assert (be == bc) + (be == bc + 1) == 1
+
+    prop()
