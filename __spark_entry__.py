@@ -136,6 +136,12 @@ CHANGED_SINCE_GREEN = {
     # representatives in one cluster (neither occurs at the fixture SFs,
     # but the rotation rule keys on MAY differ); oracle mirrors both
     "semantic_dedup_keep": 9,
+    # r10 (advice, medium): forward as-of now orders clicks before
+    # purchases at equal ts so an equal-ts purchase falls INSIDE the
+    # click row's following frame — at-or-after now includes the tie,
+    # as the docstring (merge_asof direction='forward') always claimed;
+    # oracle updated identically, edge fixture pins the forward tie
+    "asof_join_events": 10,
 }
 
 

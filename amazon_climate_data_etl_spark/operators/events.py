@@ -212,32 +212,34 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``merge_asof direction='forward'``).
 
     Implemented as the sort-based union form: both sides interleave in
-    one stream ordered by (ts, side, id) within each user; a running
-    ``last(click_ts, ignorenulls)`` window carries the most recent click
-    forward onto purchase rows, and a ``first(purchase_ts, ignorenulls)``
-    over the FOLLOWING frame carries the next purchase backward onto
-    click rows (ties included on both sides via the side-order column —
-    clicks before purchases at equal ts for at-or-before, purchases
-    first for at-or-after). One shuffle on the join key (the two window
-    sorts share the user_id exchange), no range-correlated subquery, no
-    per-key blow-up — the plan a dedicated as-of join operator would
-    produce, expressed with stock exchanges. At 100 TB both sides stream
-    through a single sort-merge pass per key partition; skewed users
-    split fine because the window state is one value."""
+    one stream ordered by (ts, side, id) within each user — clicks
+    before purchases at equal ts, which serves BOTH directions: the
+    same-ts click is inside the purchase row's PRECEDING frame
+    (at-or-before tie) and the same-ts purchase is inside the click
+    row's FOLLOWING frame (at-or-after tie; ordering purchases first
+    would push an equal-ts purchase BEFORE the click row and silently
+    drop the tie — the r9 advice bug). A running ``last(click_ts,
+    ignorenulls)`` window carries the most recent click forward onto
+    purchase rows, and a ``first(purchase_ts, ignorenulls)`` over the
+    FOLLOWING frame carries the next purchase backward onto click rows.
+    One shuffle on the join key (the two frames share one window sort),
+    no range-correlated subquery, no per-key blow-up — the plan a
+    dedicated as-of join operator would produce, expressed with stock
+    exchanges. At 100 TB both sides stream through a single sort-merge
+    pass per key partition; skewed users split fine because the window
+    state is one value."""
     e = load_table(spark, sf_dir, "events")
     sub = e.filter(F.col("event_type").isin("click", "purchase"))
-    # clicks sort before purchases at equal ts => at-or-before semantics
-    side_b = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    # clicks sort before purchases at equal ts — one ordering, two frames
+    side = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
     wb = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), side_b, F.col("event_id"))
+        .orderBy(F.col("ts"), side, F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # purchases sort first at equal ts => at-or-after includes the tie
-    side_f = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), side_f, F.col("event_id"))
+        .orderBy(F.col("ts"), side, F.col("event_id"))
         .rowsBetween(0, Window.unboundedFollowing)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
@@ -269,17 +271,16 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_SQL = """
 WITH sub AS (
   SELECT event_id, user_id, ts, event_type,
-         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side_b,
-         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side_f
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
   FROM events WHERE event_type IN ('click', 'purchase')
 ),
 j AS (
   SELECT event_id, user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, side_b, event_id
+           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
                  ROWS UNBOUNDED PRECEDING) AS last_click_ts,
          first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, side_f, event_id
+           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
            AS next_purchase_ts
   FROM sub

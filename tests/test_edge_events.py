@@ -138,13 +138,18 @@ def test_edge_events_fixture_semantics(spark, edge_events_dir):
     # u2: events at 08:00, 08:30 share a session; 09:00:01 starts a new one
     assert sessions[(2, 1)] == 2 and sessions[(2, 2)] == 1
 
+    asof_rows = QUERIES["asof_join_events"](spark, edge_events_dir).collect()
     asof = {
-        r["event_id"]: r["gap_us"]
-        for r in QUERIES["asof_join_events"](spark, edge_events_dir).collect()
-        if r["direction"] == "backward"
+        r["event_id"]: r["gap_us"] for r in asof_rows if r["direction"] == "backward"
     }
     assert asof[1] is None          # purchase with no prior click
     assert asof[3] == 0             # same-ts click counts (at-or-before)
+    fwd = {
+        r["event_id"]: r["gap_us"] for r in asof_rows if r["direction"] == "forward"
+    }
+    # u1's clicks (ids 2 and 4) at 10:00 match the SAME-ts purchase (id 3):
+    # at-or-after includes the tie (merge_asof direction='forward')
+    assert fwd[2] == 0 and fwd[4] == 0
 
     tumbling = QUERIES["tumbling_hourly"](spark, edge_events_dir).collect()
     by_win = {(str(r["win_start"]), r["event_type"]): r["n_events"] for r in tumbling}
