@@ -118,24 +118,25 @@ GATE_WINDOW = 50
 # [ann_pq_topk], narrow/split moment path [summary_stats], and
 # four-index recall panel [ann_recall_eval] all green r8.)
 CHANGED_SINCE_GREEN = {
-    # r9 (review item 1): the LSH dedup chain collapses exact duplicates
-    # BEFORE banding and the components consumer takes per-bucket STAR
-    # edges instead of B² bucket cliques — pair queries no longer emit
-    # byte-identical copies (decided by exact_dedup / exact edges), and
-    # components now extend to exact-dup groups too short to shingle;
-    # oracles mirror the collapse (parity re-proven at both fixture SFs)
-    "minhash_lsh_pairs": 9,
-    "ngram_jaccard_pairs": 9,
-    "dedup_components": 9,
-    "neardup_keep_corpus": 9,
-    "neardup_keep_best_quality": 9,
-    "dedup_cluster_size_histogram": 9,
-    # r9 (review item 2): SemDeDup gains the exact-embedding collapse
-    # pre-pass and the SEM_CLUSTER_CAP sub-cell split — verdicts change
-    # only where a corpus carries byte-identical embeddings or >2048
-    # representatives in one cluster (neither occurs at the fixture SFs,
-    # but the rotation rule keys on MAY differ); oracle mirrors both
-    "semantic_dedup_keep": 9,
+    # r10 (review item 1 + advice): the LSH collapse key is now
+    # BYTE-exact (md5 of raw text — case/whitespace-variant duplicates
+    # keep their own LSH identity; the r9 normalized-fingerprint key
+    # dropped their case-sensitive shingle buckets), and the
+    # pair-emitting queries cap oversized (band, sig) buckets into
+    # LSH_BUCKET_CAP rank chunks, mirrored in the oracles; components'
+    # star side now runs over byte-exact representatives (exact member
+    # edges stay on the normalized relation). incremental_dedup's
+    # corpus collapse re-keyed byte-exact (bit-identical vs its
+    # UNCOLLAPSED oracle — the r9-advice parity hazard, pinned by the
+    # case-variant pair in the edge corpus). Parity re-proven at both
+    # fixture SFs + the template / near-template / edge fixtures.
+    "minhash_lsh_pairs": 10,
+    "ngram_jaccard_pairs": 10,
+    "dedup_components": 10,
+    "neardup_keep_corpus": 10,
+    "neardup_keep_best_quality": 10,
+    "dedup_cluster_size_histogram": 10,
+    "incremental_dedup": 10,
     # r10 (advice, medium): forward as-of now orders clicks before
     # purchases at equal ts so an equal-ts purchase falls INSIDE the
     # click row's following frame — at-or-after now includes the tie,

@@ -5,11 +5,13 @@ Scale design:
 - Exact dedup is a hash groupBy on the content fingerprint — one shuffle on
   a high-cardinality key, the cheapest possible form.
 - MinHash LSH is the exact-collapse→shingle→minhash→band→bucket-join
-  pipeline (r9: exact duplicates collapse to one representative BEFORE
-  banding — the template-corpus guard): candidate generation shuffles on
-  (band, signature) — tiny keys — NEVER on document pairs; the residual
-  within-bucket blowup applies to representatives only, and the
-  connectivity consumer avoids it entirely with per-bucket STAR edges
+  pipeline (r9/r10: BYTE-identical duplicates collapse to one
+  representative BEFORE banding, and pair-emitting buckets larger than
+  LSH_BUCKET_CAP split into doc_id-mod sub-buckets — the two
+  template-corpus guards): candidate generation shuffles on (band,
+  signature) — tiny keys — NEVER on document pairs; per-bucket pair
+  output is bounded linearly in the bucket size, and the connectivity
+  consumer avoids the pair form entirely with per-bucket STAR edges
   (_star_edges). This is the standard 100 TB near-dedup shape (the same
   plan Spark ML's MinHashLSH lowers to, expressed openly so the oracle can
   check it, plus the collapse/star skew guards production pipelines add).
@@ -39,6 +41,28 @@ from amazon_climate_data_etl_spark.operators._portable import stable_round
 
 N_BANDS = 4  # one minhash per band (banded LSH; tune bands×rows for recall)
 SHINGLE_K = 3
+
+# Per-(band, signature) bucket cap for the PAIR-emitting queries
+# (minhash_lsh_pairs / ngram_jaccard_pairs). The r9 exact-collapse removes
+# byte-identical copies, but a family of B NEAR-identical templates
+# (boilerplate ± one token — each its own byte group, most sharing band
+# signatures) would still emit B²/2 candidate pairs per bucket; at 100 TB a
+# mirrored-site family of 10⁶ near-copies is 5·10¹¹ pairs. A bucket larger
+# than the cap is split deterministically into rank chunks of ≤ CAP docs
+# (doc_id order within the bucket — the SEM_CLUSTER_CAP idea,
+# similarity.py, with ranks instead of a modulus) and pairs are emitted
+# within chunks only: ≤ ceil(B/CAP)·C(CAP,2) ≈ B·CAP/2 pairs per bucket —
+# LINEAR in B, a hard bound. Rank chunks also ALIGN across bands (a
+# template family's buckets have near-identical membership in every band,
+# so the same docs chunk together band after band), which keeps the
+# distinct-pair union near the per-band count instead of N_BANDS× it — a
+# doc_id modulus decorrelates whenever per-band counts straddle a
+# ceil(B/CAP) boundary (measured 3× pair inflation). This is a documented
+# recall trade on pathological buckets only (buckets ≤ CAP are untouched);
+# connectivity consumers (dedup_components) never use the pair form —
+# their star edges are exact AND linear. The oracle mirrors the split
+# bit-exactly (same window, same rank arithmetic, pure integers).
+LSH_BUCKET_CAP = 128
 
 
 def _shingles(text_col) -> "F.Column":
@@ -71,6 +95,21 @@ _SHINGLES_SQL = (
 _TOKS_SQL = "string_split_regex(trim(trim(text, ' '), ' '), '[ \\t\\n\\x0B\\f\\r]+')"
 
 
+def _hashed_shingles(sh_col) -> "F.Column":
+    """array<string> shingles → array<long> (first 15 md5 hex chars as an
+    int64): the Jaccard-verify representation. Injective in practice (the
+    md5-key assumption shared by every collapse in this module) and
+    engine-portable — DuckDB's ('0x' || substr(md5(s), 1, 15))::BIGINT
+    produces the identical integer."""
+    return F.transform(
+        sh_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+_HASHED_SH_SQL = "list_transform({sh}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+
 def _shingle_frame(df: DataFrame) -> DataFrame:
     """doc_id → DISTINCT shingle set, non-empty docs only — the one
     tokenize→shingle pass, shared by signature generation and Jaccard
@@ -88,33 +127,40 @@ def _shingle_frame(df: DataFrame) -> DataFrame:
 
 def _rep_docs(d: DataFrame) -> DataFrame:
     """Exact-collapse pre-pass: ONE representative document (the min
-    doc_id) per normalized-content fingerprint group.
+    doc_id) per BYTE-IDENTICAL text group (md5 of the raw text).
 
     This is the standard pipeline order for near-dedup at scale (exact →
     near): a template-heavy corpus — boilerplate pages, mirrored sites,
     the norm at 100 TB — concentrates thousands of byte-identical docs
     into single LSH buckets, and feeding them all to the banded self-join
     costs B² per bucket. Collapsing first makes that blowup impossible
-    for EXACT copies (the dominant template class) while changing no
-    near-dup decision: exact copies have identical shingle sets, hence
+    for BYTE-EXACT copies (the dominant template class) while changing
+    no near-dup decision — and the lossless claim is exact precisely
+    because the key is the raw bytes: byte-identical copies have
+    identical token streams, hence identical shingle sets, hence
     identical signatures, hence pair with exactly what their
-    representative pairs with.
+    representative pairs with. (The earlier normalized-fingerprint key
+    lowercased before hashing, so case-variant duplicates shared a group
+    while their case-sensitive shingle sets differed — the r9-advice
+    parity hazard. Case/whitespace-variant duplicates now keep their own
+    LSH identity; their EXACT-dup relation is still decided by
+    ``exact_dedup`` on the normalized fingerprint.)
 
-    Shape: the TEXT never rides an exchange — the fingerprint agg
-    shuffles only (fp, doc_id), and the representative-id set semi-joins
-    back onto the corpus. At fixture scale AQE broadcasts the id set (a
-    runtime decision off the agg's measured output); at 100 TB, where
-    most docs are unique and the id set is corpus-sized, it degrades to
-    a doc_id-keyed shuffle semi-join — one well-partitioned corpus
+    Shape: the TEXT never rides an exchange — the hash agg shuffles only
+    (md5, doc_id), and the representative-id set semi-joins back onto
+    the corpus. At fixture scale AQE broadcasts the id set (a runtime
+    decision off the agg's measured output); at 100 TB, where most docs
+    are unique and the id set is corpus-sized, it degrades to a
+    doc_id-keyed shuffle semi-join — one well-partitioned corpus
     exchange, the floor for any collapse."""
-    fps = d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
-    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    fps = d.select("doc_id", F.md5(F.col("text")).alias("bfp"))
+    reps = fps.groupBy("bfp").agg(F.min("doc_id").alias("doc_id"))
     return d.join(reps.select("doc_id"), "doc_id", "left_semi")
 
 
-_REPS_M_SQL = f"""m AS (
+_REPS_M_SQL = """m AS (
   SELECT doc_id, text,
-         min(doc_id) OVER (PARTITION BY {doc_fingerprint_sql('text')}) AS rep_id
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
   FROM documents
 ),
 repdocs AS (SELECT doc_id, text FROM m WHERE doc_id = rep_id)"""
@@ -198,27 +244,43 @@ def _sig_long(sigs: DataFrame) -> DataFrame:
 def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     """Signatures → unsorted banded-LSH candidate pairs (composable form).
 
-    Plan: explode signatures to (band, sig) → self equi-join on the band
-    signature → distinct pairs. The shuffle key is the signature, so
-    co-candidates land on one partition and nothing quadratic crosses the
-    wire. The per-bucket output IS quadratic (B² pairs for a B-document
-    bucket) — that is the declared semantics of a candidate-PAIR stream —
-    so every caller feeds this exact-collapse REPRESENTATIVES
-    (``_rep_docs``), which removes the dominant template-corpus blowup
-    class; consumers that only need connectivity use ``_star_edges``
-    (O(B) per bucket) instead. No global sort here: the pair stream is
-    the LARGE intermediate, and every downstream consumer (Jaccard
-    verify, group assembly) re-shuffles it anyway.
+    Plan: explode signatures to (band, sig) → per-bucket CAP split (see
+    LSH_BUCKET_CAP: buckets larger than the cap split into rank chunks
+    of ≤ CAP members in doc_id order, bounding per-bucket output at
+    ~B·CAP/2 — linear in B; buckets ≤ CAP get sub = 0 everywhere and
+    are untouched) → self equi-join on (band, sig, sub) → distinct
+    pairs. The shuffle keys are the signature (the rank window) and the
+    chunked signature (the join), so co-candidates land on one
+    partition and nothing quadratic crosses the wire. Every caller feeds
+    this exact-collapse REPRESENTATIVES (``_rep_docs``, the
+    byte-identical template guard); the cap is the residual guard for
+    NEAR-identical families. Consumers that only need connectivity use
+    ``_star_edges`` (O(B) per bucket, no recall trade) instead. No
+    global sort here: the pair stream is the LARGE intermediate, and
+    every downstream consumer (Jaccard verify, group assembly)
+    re-shuffles it anyway.
 
     The signature frame is persisted: the self-join's two sides would
     otherwise each recompute the whole collapse→shingle→signature
     pipeline (Catalyst does not CSE across join branches). One row per
     doc with 4 fixed-width hashes — corpus-linear, spills if evicted."""
     long = _sig_long(sigs.persist(StorageLevel.MEMORY_AND_DISK))
-    a = long.alias("a")
-    b = long.alias("b")
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    # floor((rank-1)/CAP): exact rank arithmetic, spelled floor(x/128.0)
+    # in the DuckDB mirror too (a bare BIGINT cast would ROUND there)
+    capped = long.withColumn(
+        "sub",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(LSH_BUCKET_CAP)),
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.sub") == F.col("b.sub")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -263,27 +325,44 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     representatives (see _minhash_pairs_frame), ordered output for the
     driver contract.
 
-    Semantics (r9): exact duplicates are collapsed BEFORE banding — one
-    representative (min doc_id) per normalized-content fingerprint group
-    enters the LSH join, so byte-identical copies never appear in the
-    pair stream (their dedup verdict is already decided by ``exact_dedup``
-    / the exact edges in ``dedup_components``). This is the guard that
-    bounds the per-bucket B² fan-out on template corpora; residual
-    near-identical (but not byte-identical) templates are handled by the
-    star-edge form for connectivity consumers."""
+    Semantics (r9/r10): byte-identical duplicates are collapsed BEFORE
+    banding — one representative (min doc_id) per md5(text) group enters
+    the LSH join, so exact copies never appear in the pair stream (their
+    dedup verdict is already decided by ``exact_dedup`` / the exact
+    edges in ``dedup_components``) — and buckets of NEAR-identical
+    templates larger than LSH_BUCKET_CAP split into doc_id-mod
+    sub-buckets, bounding every bucket's pair output linearly in its
+    size (the r10 guard; a documented recall trade on pathological
+    buckets only). Connectivity consumers use the star-edge form, which
+    needs neither trade."""
     return _minhash_pairs_frame(spark, sf_dir).orderBy("doc_a", "doc_b")
 
+
+# shared oracle CTE: unpivoted signatures with the LSH_BUCKET_CAP rank
+# chunking (mirrors _pairs_from_sigs bit-exactly: same window, same
+# floor((rank-1)/CAP) arithmetic), then the within-chunk candidate pair
+# join
+_CAPPED_PAIRS_SQL = f"""long AS (
+  SELECT doc_id, band, sig,
+         CAST(floor((row_number() OVER (PARTITION BY band, sig
+                                        ORDER BY doc_id) - 1)
+                    / {LSH_BUCKET_CAP}.0) AS BIGINT) AS sub
+  FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long a JOIN long b
+    ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+   AND a.doc_id < b.doc_id
+)"""
 
 MINHASH_PAIRS_SQL = f"""
 WITH {_REPS_M_SQL},
 sigs AS ({_minhash_sigs_sql('repdocs')}),
-long AS (
-  SELECT doc_id, band, sig FROM (
-    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
-  )
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+{_CAPPED_PAIRS_SQL}
+SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -292,8 +371,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard ≥ 0.12 — the
     verify stage of candidate-generation→verification near-dedup. Only
     candidate pairs (not all pairs) pay the set-intersection cost, and
-    (r9) only exact-collapse REPRESENTATIVES enter candidate generation
-    (see minhash_lsh_pairs — the template-corpus B² guard).
+    (r9/r10) only byte-exact-collapse REPRESENTATIVES enter candidate
+    generation, with oversized buckets capped into sub-buckets (see
+    minhash_lsh_pairs / LSH_BUCKET_CAP — the template-corpus B² guards).
 
     The representative shingle frame is built ONCE and persisted:
     signature generation (candidate side) and set-intersection (verify
@@ -306,9 +386,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_frame(
         _rep_docs(load_table(spark, sf_dir, "documents"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = _pairs_from_sigs(_minhash_sigs(sh))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Range-partition + sort the SKINNY candidate stream BEFORE the
+    # verify join, for two measured reasons (400k-pair template family):
+    # (a) fan-out — the pair rows are 16 bytes, so AQE coalesces the
+    #     distinct's output to a couple of partitions by SIZE while the
+    #     per-pair set intersection downstream is the dominant COMPUTE
+    #     (2 tasks × ~3 s); an explicit repartition is never coalesced,
+    #     so the verify spreads across the session's cores;
+    # (b) sort placement — ordering the 16-byte ids here lets the final
+    #     orderBy be satisfied by the preserved output ordering
+    #     (broadcast joins/filter/project keep the streamed side's
+    #     order), so the global sort's range sampling samples the CHEAP
+    #     pair chain instead of re-running the whole verify a second
+    #     time (which it did: a twin ~10 s sampling stage).
+    # At 100 TB a large candidate stream exceeds the coalesce target and
+    # arrives well-split anyway — this guards the small-bytes/heavy-
+    # compute corner, same rationale as catalog.rebalance_for_compute.
+    pairs = (
+        _pairs_from_sigs(_minhash_sigs(sh))
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+    # verify on HASHED shingle sets (int64 = first 15 hex chars of md5,
+    # computed ONCE per doc on the persisted frame): the per-pair
+    # intersection becomes a primitive-array op instead of ~40-char
+    # string hashing — measured 5× cheaper on a 200k-pair family. The
+    # hash is injective in practice (same collision-freeness assumption
+    # as the md5 collapse keys), and the oracle hashes IDENTICALLY
+    # (('0x' || substr(md5, 1, 15))::BIGINT ≡ conv(…, 16, 10)), so the
+    # two engines intersect the same int sets — values cannot diverge
+    # asymmetrically even under a collision.
+    hashed = _hashed_shingles(F.col("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), hashed.alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), hashed.alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
@@ -325,17 +437,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = f"""
 WITH {_REPS_M_SQL},
 sigs AS ({_minhash_sigs_sql('repdocs')}),
-long AS (
-  SELECT doc_id, band, sig FROM (
-    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(N_BANDS))}
-  )
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
+{_CAPPED_PAIRS_SQL},
 sh AS (
-  SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
+  SELECT doc_id,
+         {_HASHED_SH_SQL.format(sh=f"list_distinct({_SHINGLES_SQL.format(t='toks')})")} AS s
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM repdocs)
 ),
 scored AS (
@@ -495,52 +600,65 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint (iterative plans otherwise grow exponentially and
     planning itself OOMs).
 
-    Edge construction (r9, the 100 TB skew guard): the pair CLIQUES of
-    the original formulation are replaced by a linear edge set with the
-    same connectivity —
-    (a) exact-collapse first: one representative per normalized-content
-        fingerprint group enters the LSH pipeline, and each collapsed
-        member contributes one exact edge (rep → member). A
-        million-copy template group is 10⁶ edges, never 10¹² pairs.
-    (b) per-bucket STAR edges among representatives (bucket-min → doc,
-        see _star_edges) instead of the B² bucket clique — identical
-        components, O(B) per bucket, so even near-identical-but-not-
-        byte-identical template families stay linear.
-    Components over (a) ∪ (b) equal components over the original pair
-    graph, extended to docs whose only duplicates are exact copies too
-    short to shingle (an exact-dup group IS a near-dup cluster; they now
-    correctly receive a verdict). Labels are unchanged where both
-    definitions emit a doc: the representative is its group's min doc_id,
-    so min-over-representatives = min-over-members.
+    Edge construction (r9 collapse/star, r10 byte-exact LSH side — the
+    100 TB skew guard): the pair CLIQUES of the original formulation are
+    replaced by a linear edge set with the same connectivity —
+    (a) exact edges from the NORMALIZED fingerprint relation (the
+        engine's exact-dup definition, same as ``exact_dedup``): each
+        member of a fingerprint group contributes one edge to the
+        group's min doc_id. A million-copy template group is 10⁶ edges,
+        never 10¹² pairs.
+    (b) per-bucket STAR edges (bucket-min → doc, see _star_edges) over
+        BYTE-EXACT representatives (one doc per md5(text) group, see
+        _rep_docs) instead of the B² bucket clique — O(B) per bucket,
+        so even near-identical-but-not-byte-identical template families
+        stay linear.
+    Components over (a) ∪ (b) equal components over (full-corpus LSH
+    bucket graph ∪ exact-fingerprint groups), exactly: every dropped doc
+    is byte-identical to its byte-representative (identical shingle
+    sets, hence identical buckets) and reaches it through fingerprint
+    edges (byte groups are subsets of fingerprint groups), so no
+    connectivity is lost — including for case-variant duplicates, whose
+    own case-sensitive shingle buckets now enter the star graph through
+    their byte-representative (the r10 fix: the previous
+    fingerprint-keyed collapse dropped those buckets). The set also
+    extends to docs whose only duplicates are exact copies too short to
+    shingle (an exact-dup group IS a near-dup cluster; they correctly
+    receive a verdict). Labels: every rep is its group's min doc_id, so
+    min-over-representatives = min-over-members.
 
     Not SQL-expressible as one query? It IS — via a recursive CTE (the
     oracle below) — but only because DuckDB evaluates the recursion to the
     same fixpoint; Spark SQL has no recursive CTE, which is exactly why
     the driver-loop form exists."""
     d = load_table(spark, sf_dir, "documents")
-    # annotated collapse frame: (doc_id, rep_id) — TEXT-free, so the one
-    # fingerprint-keyed window exchange carries 40-byte rows; persisted
-    # because both the exact-edge branch and the representative-id semi
-    # join read it (one md5 pass over the corpus, total)
-    fpm = (
-        d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    # both hash layers in ONE text scan: (doc_id, normalized fp,
+    # byte-exact md5) — TEXT-free downstream, so the fingerprint window
+    # and the byte-rep agg each exchange 70-byte rows; persisted because
+    # the exact-edge branch and the byte-representative agg read it
+    hashes = (
+        d.select(
+            "doc_id",
+            doc_fingerprint(F.col("text")).alias("fp"),
+            F.md5(F.col("text")).alias("bfp"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fpm = hashes.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("fp"))
     )
     member_edges = fpm.filter(F.col("doc_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     # text re-enters through a semi join (broadcast at fixture scale via
     # AQE; doc_id-keyed shuffle at 100 TB) — see _rep_docs for the contract
-    rep_docs = d.join(
-        fpm.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    breps = hashes.groupBy("bfp").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = d.join(breps.select("doc_id"), "doc_id", "left_semi")
     star = _star_edges(_minhash_sigs(_shingle_frame(rep_docs)))
     # doc_a < doc_b in both branches (each doc_a is a group/bucket min);
-    # member srcs are non-representatives, star srcs are representatives,
-    # so the branches are disjoint — plain union, no distinct needed
+    # a byte-rep that is NOT its fingerprint group's rep can draw the
+    # same edge from both branches — duplicates are harmless under the
+    # min-aggregate label steps, so plain union beats a distinct shuffle
     pairs = member_edges.union(star)
     # localCheckpoint (eager) rather than persist: iterative plans embed the
     # previous round's logical plan twice per round (join + union), so
@@ -600,6 +718,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same pattern as _SIMHASH_BODY above
 _DEDUP_COMPONENTS_BODY = f"""
 WITH RECURSIVE {_REPS_M_SQL},
+fpm AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY {doc_fingerprint_sql('text')}) AS frep_id
+  FROM documents
+),
 sigs AS ({_minhash_sigs_sql('repdocs')}),
 long AS (
   SELECT doc_id, band, sig FROM (
@@ -614,7 +737,7 @@ star AS (
 pairs AS (
   SELECT doc_a, doc_b FROM star WHERE doc_a <> doc_b
   UNION
-  SELECT rep_id AS doc_a, doc_id AS doc_b FROM m WHERE doc_id <> rep_id
+  SELECT frep_id AS doc_a, doc_id AS doc_b FROM fpm WHERE doc_id <> frep_id
 ),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -881,15 +1004,19 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted across the signature and verify stages (same discipline as
     ngram_jaccard_pairs).
 
-    Corpus-side exact collapse (r9, bit-identical): only one
-    representative (min corpus doc_id) per corpus fingerprint group
-    enters the LSH probe. Every corpus candidate's representative shares
-    its shingle set, hence its buckets and its Jaccard, and the
-    best-match tie-break (max jaccard, then min corpus_id) already
-    selects the representative whenever its group wins — so the verdicts
-    and ``near_of``/``jaccard`` values are unchanged, while a
-    template-heavy corpus probes |delta|·1 per bucket instead of
-    |delta|·|copies| (the same guard as minhash_lsh_pairs)."""
+    Corpus-side exact collapse (r9; r10 re-keyed BYTE-exact, bit-identical
+    by construction): only one representative (min corpus doc_id) per
+    md5(text) group enters the LSH probe. Byte-identical corpus docs have
+    identical shingle sets, hence identical buckets and identical Jaccard
+    against any delta doc, and the best-match tie-break (max jaccard,
+    then min corpus_id) is therefore always attained at a representative
+    — so verdicts and ``near_of``/``jaccard`` match the UNCOLLAPSED
+    oracle exactly, while a template-heavy corpus probes |delta|·1 per
+    bucket instead of |delta|·|copies|. (The r9 key was the lowercased
+    normalized fingerprint; case-variant corpus duplicates share that
+    group while their case-sensitive shingle sets differ, so dropping
+    them changed candidates — the r10-advice parity break, pinned by the
+    case-variant pair in the edge corpus.)"""
     d = load_table(spark, sf_dir, "documents")
     delta_pred = F.col("doc_id") % 5 == 4
     return _incremental_verdicts(
@@ -915,9 +1042,12 @@ def _incremental_verdicts(
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.min(F.col("o.doc_id")).alias("exact_of"))
     )
-    corpus_reps = cfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # byte-exact collapse BEFORE shingling: the expensive tokenize→shingle
+    # pass runs over representatives only (_rep_docs), and both the sig
+    # probe and the Jaccard verify read the collapsed shingle frame —
+    # every corpus_id that can reach a verdict is a representative
     sh_d = _shingle_frame(delta)
-    sh_c = _shingle_frame(corpus)
+    sh_c = _shingle_frame(_rep_docs(corpus))
     if persist:
         sh_d = sh_d.persist(StorageLevel.MEMORY_AND_DISK)
         sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
@@ -925,16 +1055,19 @@ def _incremental_verdicts(
         _sig_long(_minhash_sigs(sh_d))
         .select(F.col("doc_id").alias("delta_id"), "band", "sig")
         .join(
-            _sig_long(_minhash_sigs(sh_c))
-            .join(corpus_reps.select("doc_id"), "doc_id", "left_semi")
-            .select(F.col("doc_id").alias("corpus_id"), "band", "sig"),
+            _sig_long(_minhash_sigs(sh_c)).select(
+                F.col("doc_id").alias("corpus_id"), "band", "sig"
+            ),
             ["band", "sig"],
         )
         .select("delta_id", "corpus_id")
         .distinct()
     )
-    a = sh_d.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
-    b = sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    # hashed-shingle verify (see ngram_jaccard_pairs / _hashed_shingles):
+    # primitive-int intersections, oracle hashes identically
+    hashed = _hashed_shingles(F.col("sh"))
+    a = sh_d.select(F.col("doc_id").alias("delta_id"), hashed.alias("sh_a"))
+    b = sh_c.select(F.col("doc_id").alias("corpus_id"), hashed.alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
@@ -988,7 +1121,8 @@ cand AS (
   WHERE d.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
 ),
 sh AS (
-  SELECT doc_id, list_distinct({_SHINGLES_SQL.format(t='toks')}) AS s
+  SELECT doc_id,
+         {_HASHED_SH_SQL.format(sh=f"list_distinct({_SHINGLES_SQL.format(t='toks')})")} AS s
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 ),
 verified AS (

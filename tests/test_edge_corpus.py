@@ -91,6 +91,16 @@ _EDGE_TEXTS = [
     #     the span is "duplicated" even before doc 20 is counted
     "pre1 pre2 pre3 " + _SPAN20 + " post1 post2",     # 22: span embedded
     #     mid-document (one maximal extent [3, 23) of 25 tokens)
+    # ---- case-variant duplicate group (r10 advice): 23 and 25 share a
+    # normalized fingerprint (same fp group, rep = 23) but differ in EVERY
+    # token's casing, so their case-sensitive shingle sets are disjoint;
+    # 24 (doc_id % 5 == 4 → incremental_dedup's DELTA) is a near-dup of
+    # the LOWERCASE member 25 only. A fingerprint-keyed corpus collapse
+    # would drop 25 and verdict 24 as 'new'; the byte-exact collapse
+    # keeps 25's LSH identity and must verdict near_dup of 25.
+    "Title Case Variant Sentence With Many Distinct Tokens Inside Here Today",  # 23
+    "title case variant sentence with many distinct tokens inside here differs",  # 24
+    "title case variant sentence with many distinct tokens inside here today",  # 25
 ]
 
 
@@ -146,6 +156,23 @@ def test_duplicate_spans_exact_merge_semantics(spark, edge_dir):
     assert (rows[14]["n_spans"], rows[14]["dup_fraction"]) == (1, 1.0)
     assert (rows[12]["n_spans"], rows[12]["dup_tokens"]) == (0, 0)
     assert rows[13]["dup_fraction"] == 0.0
+
+
+def test_incremental_case_variant_verdict(spark, edge_dir):
+    """Pin the r10-advice fix: delta doc 24 is a near-dup of the
+    LOWERCASE corpus member 25, not of its fp-group representative 23
+    (whose case-sensitive shingles are disjoint from 24's). The
+    byte-exact corpus collapse must keep 25 in the LSH probe — a
+    fingerprint-keyed collapse would verdict 24 as 'new'."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["incremental_dedup"](spark, edge_dir).collect()
+    }
+    assert rows[24]["verdict"] == "near_dup"
+    assert rows[24]["dup_of"] == 25
+    # and the exact relation is still the NORMALIZED one: 19's byte-exact
+    # twin (17) sits in the corpus → exact_dup, unchanged by the re-key
+    assert rows[19]["verdict"] == "exact_dup" and rows[19]["dup_of"] == 17
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
@@ -283,6 +310,92 @@ def test_template_corpus_parity(spark, template_dir, name):
     spark.catalog.clearCache()
     sdf = QUERIES[name](spark, template_dir).toPandas()
     with duckdb_conn(template_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0
+
+
+# ---------------------------------------------------------------------------
+# Adversarial NEAR-identical template family (r10 review item 1): 1k variants
+# of one document, each differing by ONE trailing token — every variant is
+# its own byte group (the exact collapse can't touch them) yet most share
+# all band signatures, concentrating into single LSH buckets far larger than
+# LSH_BUCKET_CAP. The pair-emitting queries must stay LINEAR in the family
+# size via the sub-bucket split, and still match the (cap-mirrored) oracle.
+# ---------------------------------------------------------------------------
+
+_NEAR_N = 1000
+
+
+def near_template_texts(n: int) -> list[str]:
+    """n near-identical variants (one appended numbered token — ~1 changed
+    shingle out of ~30, so band signatures mostly survive) + unique filler."""
+    texts = [_TEMPLATE + f" variant{i}" for i in range(n)]
+    texts += [
+        "unique filler document " + " ".join(f"n{i}w{j}" for j in range(30))
+        for i in range(100)
+    ]
+    return texts
+
+
+def write_documents(d, texts) -> str:
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    rows = {
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": [f"src{i % 4}" for i in range(len(texts))],
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(rows, schema=schema), os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def near_template_dir(tmp_path_factory):
+    return write_documents(
+        str(tmp_path_factory.mktemp("near_template")), near_template_texts(_NEAR_N)
+    )
+
+
+def test_near_template_pair_stream_linear(spark, near_template_dir):
+    """Per-bucket pair output must be bounded by B·CAP/2 per band — linear
+    in the family size — never the ~B²/2 ≈ 5·10⁵ pairs of the uncapped
+    join. (The family must also actually exercise the cap: at least one
+    bucket larger than LSH_BUCKET_CAP.)"""
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators import dedup as DD
+
+    spark.catalog.clearCache()
+    d = load_table(spark, near_template_dir, "documents")
+    long = DD._sig_long(DD._minhash_sigs(DD._shingle_frame(DD._rep_docs(d))))
+    import pyspark.sql.functions as F
+
+    sizes = long.groupBy("band", "sig").count().toPandas()
+    assert sizes["count"].max() > DD.LSH_BUCKET_CAP  # the cap is exercised
+    pairs = QUERIES["minhash_lsh_pairs"](spark, near_template_dir).toPandas()
+    n_docs = _NEAR_N + 100
+    assert len(pairs) <= DD.N_BANDS * n_docs * DD.LSH_BUCKET_CAP / 2
+    assert len(pairs) > 0  # the family still surfaces candidates
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_near_template_parity(spark, near_template_dir, name):
+    spark.catalog.clearCache()
+    sdf = QUERIES[name](spark, near_template_dir).toPandas()
+    with duckdb_conn(near_template_dir) as conn:
         odf = conn.execute(ORACLE[name]).df()
     problems = compare_frames(sdf, odf, name)
     assert not problems, "\n".join(problems)

@@ -120,11 +120,12 @@ _PLAN_BOUNDS = {
     # band signatures shuffle on (band, sig), docs never pair across the
     # wire. r9: the persisted signature frame (collapse→shingle→sig runs
     # once, not per self-join side) prints its subtree per side in the
-    # static plan — 2 × (collapse fp agg + rebalance + sig agg) — plus
+    # static plan — 2 × (collapse hash agg + rebalance + sig agg) — plus
     # the distinct agg and the final sort; the exact-collapse semi join
     # broadcasts the representative-id set at fixture scale (a doc_id
-    # shuffle semi-join at 100 TB)
-    "minhash_lsh_pairs": (8, 2),
+    # shuffle semi-join at 100 TB). r10: +2 for the LSH_BUCKET_CAP
+    # window count on (band, sig), reprinted per self-join side
+    "minhash_lsh_pairs": (10, 2),
     "exact_dedup": (2, 0),
     # 6-table chain: 3 dims broadcast; orderkey join + agg + sort bound the
     # exchanges (at dim scale the orderkey join broadcasts too)
@@ -272,9 +273,11 @@ _PLAN_BOUNDS = {
     "semantic_dedup_keep": (8, 2),
     # delta probes corpus fp + (band,sig) indexes, Jaccard verify over the
     # persisted shingle frame, per-delta best window, verdict assembly;
-    # r9 adds the corpus-side exact-collapse fp agg + semi join (the
-    # |delta|·|copies| template-bucket guard, bit-identical output)
-    "incremental_dedup": (10, 4),
+    # r9 adds the corpus-side exact-collapse agg + semi join (the
+    # |delta|·|copies| template-bucket guard, bit-identical output);
+    # r10 re-keys it byte-exact and moves it BEFORE shingling (+1: the
+    # collapse agg now sits inside the persisted shingle subtree)
+    "incremental_dedup": (11, 4),
     "distinct_counts": (3, 0),
     # merged fingerprint family (r7): 2 rebalances + simhash doc agg
     # + sort; the doc-keyed join broadcasts at fixture scale only
@@ -305,9 +308,11 @@ _PLAN_BOUNDS = {
     "multikey_sort": (1, 0),
     # textual count includes the cached shingle AND signature subtrees
     # reprinted per consumer (see test_ngram_jaccard_single_corpus_pass);
-    # r9 adds the exact-collapse fp agg + semi join inside the shingle
-    # subtree (broadcast at fixture scale, doc_id shuffle at 100 TB)
-    "ngram_jaccard_pairs": (12, 6),
+    # r9 adds the exact-collapse hash agg + semi join inside the shingle
+    # subtree (broadcast at fixture scale, doc_id shuffle at 100 TB);
+    # r10 adds the LSH_BUCKET_CAP window count, reprinted per pair-join
+    # side
+    "ngram_jaccard_pairs": (14, 6),
     "nn_join_sorted_1d": (1, 0),
     "pivot_daily_activity": (3, 0),
     "quantiles": (1, 0),

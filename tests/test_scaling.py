@@ -3,21 +3,25 @@ the quadratic-creep checks that previously lived only in the standalone
 ``scaling_probe.py`` artifact now fail a TEST when a worst-ratio query's
 wall-time grows super-linearly with data.
 
-Three probe families:
+Four probe families:
 
 1. the SCALING.json worst-ratio queries at 2× replica data built with the
    probe's pair-structure-honest recipe (token-suffixed documents,
    coordinate-rolled embeddings) — a quadratic operator shows ~4× at 2×
    data; the bar is 3×;
-2. the adversarial TEMPLATE corpus (review item 1 done-bar): 5× the
+2. the adversarial TEMPLATE corpus (r8 review item 1 done-bar): 5× the
    byte-identical copies of one document must leave ``minhash_lsh_pairs``
    nearly flat (≤ 1.3×), because the exact-collapse pre-pass admits one
    representative regardless of copy count;
-3. the DEGENERATE all-duplicate embedding corpus (review item 2 done-bar):
-   5× the identical vectors must leave ``semantic_dedup_keep`` ≤ 2×,
-   because the embedding collapse reduces the within-cluster pair join to
-   one representative and only the linear stages (scan, Lloyd assign,
-   verdict expansion) grow.
+3. the DEGENERATE all-duplicate embedding corpus (r8 review item 2
+   done-bar): 5× the identical vectors must leave ``semantic_dedup_keep``
+   ≤ 2×, because the embedding collapse reduces the within-cluster pair
+   join to one representative and only the linear stages (scan, Lloyd
+   assign, verdict expansion) grow;
+4. the NEAR-identical template family (r10 review item 1 done-bar): 5×
+   the one-token variants — immune to the exact collapse — must leave
+   both pair-emitting queries ≤ 1.5×, because the LSH_BUCKET_CAP rank
+   chunking bounds per-bucket pair output linearly in the bucket size.
 
 Wall-clock ratios are inherently noisy: each measurement is the median of
 ``_RUNS`` post-warm-up runs in the shared session, and the suite is marked
@@ -204,4 +208,68 @@ def test_degenerate_semantic_dedup_bounded_at_5x(spark, degen_1x, degen_5x):
     assert r <= 2.0, (
         f"semantic_dedup_keep: {r:.2f}x wall for 5x identical vectors — "
         "the embedding collapse should leave only linear stages growing"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. NEAR-identical template family (r10 review item 1 done-bar): 5× the
+#    one-token variants — each its own byte group, so the exact collapse
+#    can't help; the LSH_BUCKET_CAP sub-bucket split must keep the
+#    pair-emitting queries' per-bucket output linear in the family size.
+# ---------------------------------------------------------------------------
+
+
+_NEAR_FILLER = 12000  # the family sits inside a larger honest corpus, so
+# the ratio isolates the capped pair join from the fixture's own linear
+# tokenize growth (at 100 TB a template family is a sliver of the corpus)
+
+
+def _write_near_template_corpus(dirpath: str, n_variants: int) -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            dst = os.path.join(dirpath, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(src, dst)
+    texts = [_TEMPLATE + f" variant{i}" for i in range(n_variants)] + [
+        "unique filler document " + " ".join(f"u{i}w{j}" for j in range(30))
+        for i in range(_NEAR_FILLER)
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(
+                [f"src{i % 4}" for i in range(len(texts))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "documents.parquet"))
+    return dirpath
+
+
+@pytest.fixture(scope="module")
+def near_template_1x(tmp_path_factory):
+    return _write_near_template_corpus(
+        str(tmp_path_factory.mktemp("near_template_1x")), 800
+    )
+
+
+@pytest.fixture(scope="module")
+def near_template_5x(tmp_path_factory):
+    return _write_near_template_corpus(
+        str(tmp_path_factory.mktemp("near_template_5x")), 4000
+    )
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_near_template_pairs_linear_at_5x(spark, near_template_1x, near_template_5x, name):
+    r = _ratio(spark, name, near_template_1x, near_template_5x)
+    assert r <= 1.5, (
+        f"{name}: {r:.2f}x wall for 5x near-identical variants — the "
+        "LSH_BUCKET_CAP sub-bucket split should bound per-bucket pairs "
+        "linearly in the family size"
     )
