@@ -1248,6 +1248,87 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Bounded edit-distance fuzzy join (entity resolution)
+# --------------------------------------------------------------------------
+
+_FUZZY_K = 1  # Levenshtein bound
+
+
+def _delete_variants(name) -> "F.Column":
+    """The symmetric-delete (SymSpell) 1-neighborhood of a string: the
+    string itself plus every single-character deletion, distinct. Two
+    strings within Levenshtein distance 1 ALWAYS share a variant —
+    substitution at i: both i-deletions equal; insertion: the shorter
+    string is a deletion of the longer and a member of its own
+    neighborhood — so the variant equi-join is a LOSSLESS candidate
+    generator and the exact ``levenshtein`` post-filter only removes
+    false positives. O(len) emission per row."""
+    big = 1 << 30
+    return F.array_distinct(
+        F.concat(
+            F.array(name),
+            F.transform(
+                F.sequence(F.lit(1), F.length(name)),
+                lambda i: F.concat(
+                    F.substring(name, 1, i - 1), F.substring(name, i + 1, big)
+                ),
+            ),
+        )
+    )
+
+
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution self-join: customer-name pairs within Levenshtein
+    distance ≤ 1 — the bounded edit-distance fuzzy join, the remaining
+    classic join shape Spark lacks natively next to as-of
+    (events.asof_join_events) and time-range (events.range_join_events).
+
+    Same bucket-then-exact-predicate pattern as the range join: candidates
+    come from an EQUI-join on symmetric-delete variants (never a
+    cartesian/BNLJ — asserted in test_plan_quality), then the exact
+    ``levenshtein() <= k`` predicate verifies. The variant key is
+    near-uniform (a bucket holds the ≤ ~(10·len) strings one edit from a
+    common ancestor), so the shuffle partitions cleanly at 100 TB and the
+    candidate volume is output-bound, not |rows|². The oracle is the
+    naive theta-join form — the ground truth the banding must reproduce
+    exactly (the lossless-neighborhood argument above, in test form)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(_delete_variants(F.col("c_name"))).alias("variant"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.variant") == F.col("b.variant")))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= _FUZZY_K)
+        .select("cust_a", "cust_b", "name_a", "name_b", "distance")
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+FUZZY_JOIN_SQL = f"""
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_K}
+ORDER BY cust_a, cust_b
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
@@ -1269,6 +1350,7 @@ QUERIES = {
     "grid_snap_join": grid_snap_join,
     "nn_join_general": nn_join_general,
     "nn_join_sorted_1d": nn_join_sorted_1d,
+    "fuzzy_join_names": fuzzy_join_names,
 }
 
 ORACLE = {
@@ -1292,4 +1374,5 @@ ORACLE = {
     "nn_join_general": NN_GENERAL_SQL,
     "nn_join_sorted_1d": NN_GENERAL_SQL,
     "salted_skew_join": SALTED_JOIN_SQL,
+    "fuzzy_join_names": FUZZY_JOIN_SQL,
 }

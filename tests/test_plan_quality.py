@@ -397,6 +397,10 @@ _PLAN_BOUNDS = {
     # pair distinct + class count-distinct agg + sort; complaint anti-join
     # and part dim broadcast
     "q16_supplier_part_counts": (4, 2),
+    # symmetric-delete variant equi-join (broadcast at fixture scale) +
+    # pair distinct + final sort — never a cartesian/BNLJ (asserted in
+    # test_fuzzy_join_candidates_equi_only)
+    "fuzzy_join_names": (2, 1),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
@@ -757,3 +761,15 @@ def test_salted_join_structural_contract_under_adversarial_skew(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_fuzzy_join_candidates_equi_only(spark, sf_dir):
+    """The bounded edit-distance join's candidates must come from the
+    symmetric-delete variant EQUI-join — never a cartesian product or
+    broadcast nested loop (the naive theta form is the oracle's job).
+    Checked on the executed plan so an AQE re-plan can't hide one."""
+    df = QUERIES["fuzzy_join_names"](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
