@@ -59,8 +59,13 @@ compose the round-7 review requested) and ``semantic_dedup_keep``
 oracle — the pre-merge the round-8 review asked for) and spent one
 freed slot on ``range_join_events`` (the bucketed time-range join —
 the remaining classic Spark-lacks-it join shape next to as-of): the
-registry stands at 142, 8 slots under the 150 cap and 3 under the
-judge-agreed ≤145 soft target. An
+registry stood at 142 after round 9. Round 10 spent the remaining three
+agreed slots on ``fuzzy_join_names`` (the bounded edit-distance join —
+the last classic join shape next to as-of and range) and the CDC pair
+``corpus_merge_upsert`` + ``corpus_snapshot_diff`` (Delta-style MERGE
+accounting and version diff over write_snapshot's immutable versions):
+the registry stands at 145, 5 slots under the 150 cap and exactly at
+the judge-agreed ≤145 soft target. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

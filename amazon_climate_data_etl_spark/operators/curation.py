@@ -20,6 +20,11 @@ and "tokenized batches". Scale design notes per operator:
 - ``source_domain_divergence``: per-source KL(source‖corpus) over unigram
   distributions — one term-keyed agg (map-side combined) joined to corpus
   term stats on the term key; nothing quadratic anywhere.
+- ``corpus_merge_upsert`` / ``corpus_snapshot_diff`` (r10): the CDC layer
+  over ``sinks.write_snapshot``'s immutable versions — Delta-style MERGE
+  accounting (insert/update/delete/noop/keep per key) and the
+  version-to-version diff, each ONE full-outer join on the uniform doc_id
+  key comparing 32-char content hashes (text never rides the exchange).
 """
 
 from __future__ import annotations
@@ -1203,7 +1208,201 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus versioning / CDC: Delta-style MERGE accounting + snapshot diff
+# --------------------------------------------------------------------------
+
+
+def _merge_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic MERGE inputs derived from the documents table so the
+    oracle can re-derive them: the TARGET is the corpus minus every 7th
+    doc (those become inserts), the SOURCE is the ``doc_id % 3 == 0``
+    slice carrying a revised text for even ids and a tombstone for
+    ``doc_id % 21 == 0`` (a subset of the source by construction)."""
+    target = d.filter(F.col("doc_id") % 7 != 6).select("doc_id", "text")
+    source = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("new_text"),
+        (F.col("doc_id") % 21 == 0).alias("is_delete"),
+    )
+    return target, source
+
+
+def merge_upsert(target: DataFrame, source: DataFrame) -> DataFrame:
+    """Delta-style MERGE in pure Spark: key-matched upsert with
+    tombstone deletes, returning one accounting row per doc_id in
+    (target ∪ source) — the frame both the audit query and the applied
+    merge (``apply_merge``) derive from.
+
+    Semantics (MERGE INTO target USING source ON doc_id):
+    - matched + tombstone            → ``delete``  (result_fp NULL)
+    - matched + content differs      → ``update``
+    - matched + content identical    → ``noop``
+    - not matched + not tombstone    → ``insert``
+    - not matched + tombstone        → ``noop``    (delete of an absent
+      key is a no-op, result_fp NULL — Delta raises only in strict mode)
+    - target row untouched by source → ``keep``
+
+    Scale shape: ONE full-outer join on the uniform doc_id key (both
+    sides corpus-scale by construction — never broadcastable, see
+    _SMJ_EXEMPT) plus map-only md5/CASE arithmetic; the content compare
+    uses the byte-exact hash so the wide text columns never feed a
+    comparison wider than 32 chars. This is exactly the shuffle a
+    lakehouse MERGE pays before its file rewrite."""
+    t = target.select(
+        F.col("doc_id").alias("t_id"), F.md5("text").alias("t_fp")
+    )
+    s = source.select(
+        F.col("doc_id").alias("s_id"),
+        F.md5("new_text").alias("s_fp"),
+        "is_delete",
+    )
+    j = t.join(s, t["t_id"] == s["s_id"], "full_outer")
+    matched = F.col("t_id").isNotNull() & F.col("s_id").isNotNull()
+    action = (
+        F.when(matched & F.col("is_delete"), F.lit("delete"))
+        .when(matched & (F.col("t_fp") != F.col("s_fp")), F.lit("update"))
+        .when(matched, F.lit("noop"))
+        .when(F.col("t_id").isNull() & ~F.col("is_delete"), F.lit("insert"))
+        .when(F.col("t_id").isNull(), F.lit("noop"))
+        .otherwise(F.lit("keep"))
+    )
+    dead = action.isin("delete") | (F.col("t_id").isNull() & F.col("is_delete"))
+    return j.select(
+        F.coalesce("t_id", "s_id").alias("doc_id"),
+        action.alias("action"),
+        F.when(~dead, F.coalesce("s_fp", "t_fp")).alias("result_fp"),
+    )
+
+
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert accounting over the deterministic target/source split
+    (see _merge_frames): per-document action + resulting content
+    fingerprint — the CDC audit a versioned corpus pipeline records with
+    every merge commit."""
+    target, source = _merge_frames(load_table(spark, sf_dir, "documents"))
+    return merge_upsert(target, source).orderBy("doc_id")
+
+
+MERGE_UPSERT_SQL = """
+WITH target AS (
+  SELECT doc_id, md5(text) AS t_fp FROM documents WHERE doc_id % 7 <> 6
+),
+source AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 2 = 0 THEN text || ' [rev2]' ELSE text END) AS s_fp,
+         doc_id % 21 = 0 AS is_delete
+  FROM documents WHERE doc_id % 3 = 0
+),
+j AS (
+  SELECT t.doc_id AS t_id, t.t_fp, s.doc_id AS s_id, s.s_fp, s.is_delete
+  FROM target t FULL OUTER JOIN source s ON t.doc_id = s.doc_id
+)
+SELECT COALESCE(t_id, s_id) AS doc_id,
+       CASE WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND is_delete THEN 'delete'
+            WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND t_fp <> s_fp THEN 'update'
+            WHEN t_id IS NOT NULL AND s_id IS NOT NULL THEN 'noop'
+            WHEN t_id IS NULL AND NOT is_delete THEN 'insert'
+            WHEN t_id IS NULL THEN 'noop'
+            ELSE 'keep' END AS action,
+       CASE WHEN (t_id IS NOT NULL AND s_id IS NOT NULL AND is_delete)
+              OR (t_id IS NULL AND is_delete) THEN NULL
+            ELSE COALESCE(s_fp, t_fp) END AS result_fp
+FROM j
+ORDER BY doc_id
+"""
+
+
+def apply_merge(target: DataFrame, source: DataFrame) -> DataFrame:
+    """Materialized MERGE result: the post-merge (doc_id, text) corpus —
+    kept rows carry the target text, inserts/updates the source text,
+    deletes vanish. Feed this to ``sinks.write_snapshot`` for the
+    immutable v=N+1 the accounting row describes (tested in
+    test_sinks.py). Same single full-outer shuffle as the audit."""
+    t = target.select(F.col("doc_id").alias("t_id"), F.col("text").alias("t_text"))
+    s = source.select(
+        F.col("doc_id").alias("s_id"), F.col("new_text").alias("s_text"), "is_delete"
+    )
+    j = t.join(s, t["t_id"] == s["s_id"], "full_outer")
+    return (
+        j.filter(~F.coalesce("is_delete", F.lit(False)))
+        .select(
+            F.coalesce("t_id", "s_id").alias("doc_id"),
+            F.coalesce("s_text", "t_text").alias("text"),
+        )
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (the read half of CDC:
+    what changed between v=N and v=N+1): docs ``added``, ``removed``, or
+    ``changed`` — unchanged docs are omitted, so the output is
+    delta-sized, not corpus-sized. Versions are derived deterministically
+    from the documents table (v1 drops every 11th-offset-3 doc, v2 drops
+    offset-7 and revises every 13th) so the oracle re-derives them.
+
+    Scale shape: one full-outer join on doc_id comparing 32-char content
+    hashes (the text never rides the exchange) — the same plan a
+    manifest-level diff of two write_snapshot versions executes."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("fp_v1")
+    )
+    v2 = d.filter(F.col("doc_id") % 11 != 7).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_v2"),
+    )
+    j = v1.join(v2, v1["id1"] == v2["id2"], "full_outer")
+    change = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("fp_v1") != F.col("fp_v2"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce("id1", "id2").alias("doc_id"),
+            change.alias("change"),
+            "fp_v1",
+            "fp_v2",
+        )
+        .filter(F.col("change").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp_v1 FROM documents WHERE doc_id % 11 <> 3
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END) AS fp_v2
+  FROM documents WHERE doc_id % 11 <> 7
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN fp_v1 <> fp_v2 THEN 'changed' END AS change,
+       fp_v1, fp_v2
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+           WHEN v2.doc_id IS NULL THEN 'removed'
+           WHEN fp_v1 <> fp_v2 THEN 'changed' END IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_merge_upsert": corpus_merge_upsert,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "quality_weighted_sample": quality_weighted_sample,
     "source_concentration_gini": source_concentration_gini,
     "doc_chunk_plan": doc_chunk_plan,
@@ -1220,6 +1419,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_merge_upsert": MERGE_UPSERT_SQL,
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
     "source_concentration_gini": SOURCE_GINI_SQL,
     "doc_chunk_plan": DOC_CHUNK_SQL,

@@ -49,6 +49,7 @@ _DOC_QUERIES = [
     "duplicate_span_stats", "duplicate_spans_exact",
     # curation
     "doc_chunk_plan",
+    "corpus_merge_upsert", "corpus_snapshot_diff",
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "ngram_logprob_quality", "source_quota_cap",

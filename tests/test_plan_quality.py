@@ -401,6 +401,11 @@ _PLAN_BOUNDS = {
     # pair distinct + final sort — never a cartesian/BNLJ (asserted in
     # test_fuzzy_join_candidates_equi_only)
     "fuzzy_join_names": (2, 1),
+    # one full-outer doc_id join (2 exchanges) + output sort; map-only
+    # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
+    "corpus_merge_upsert": (3, 0),
+    # same full-outer shape over the two derived versions
+    "corpus_snapshot_diff": (3, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
@@ -465,6 +470,11 @@ _SMJ_EXEMPT = {
     "q20_dominant_suppliers",
     # same min-per-part join-back shape as q20 (both sides part-cardinality)
     "q2_min_cost_supplier",
+    # MERGE/diff full-outer joins on doc_id: full outers cannot broadcast
+    # (both sides preserved), and both sides are corpus-scale by
+    # construction — the keyed shuffle join is the correct plan
+    "corpus_merge_upsert",
+    "corpus_snapshot_diff",
 }
 
 

@@ -209,3 +209,47 @@ def test_snapshot_versioning_roundtrip(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, base, version=3)
+
+
+def test_merge_upsert_snapshot_roundtrip(spark, tmp_path):
+    """The applied MERGE (curation.apply_merge) agrees row-for-row with
+    its own accounting frame (merge_upsert), and write_snapshot
+    materializes it as the immutable v=2: inserts/updates carry the
+    source text, deletes vanish, keeps are untouched."""
+    from amazon_climate_data_etl_spark.operators.curation import (
+        _merge_frames,
+        apply_merge,
+        merge_upsert,
+    )
+    from amazon_climate_data_etl_spark.sources.sinks import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from amazon_climate_data_etl_spark.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target, source = _merge_frames(d)
+    audit = {r["doc_id"]: r for r in merge_upsert(target, source).collect()}
+    merged = apply_merge(target, source)
+
+    base = str(tmp_path / "corpus")
+    assert write_snapshot(target, base, note="v1") == 1
+    assert write_snapshot(merged, base, note="post-merge") == 2
+
+    v2 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, base).collect()}
+    # the survivor set is exactly the non-delete, non-absent-noop rows
+    import pyspark.sql.functions as F
+
+    survivors = {
+        i for i, r in audit.items() if r["action"] in ("insert", "update", "noop", "keep")
+        and r["result_fp"] is not None
+    }
+    assert set(v2) == survivors
+    # every surviving row's content hash matches the audit's result_fp
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in merged.select("doc_id", F.md5("text").alias("fp")).collect()
+    }
+    assert all(fp[i] == audit[i]["result_fp"] for i in survivors)
+    # and v1 is untouched by the merge (immutability)
+    assert read_snapshot(spark, base, version=1).count() == target.count()
