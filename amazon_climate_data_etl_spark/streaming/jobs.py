@@ -420,7 +420,10 @@ def incremental_dedup_stream(
 
 
 def run_incremental_verdicts_stream(
-    new_docs: DataFrame, corpus: DataFrame, sink_name: str = "inc_verdicts"
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    sink_name: str = "inc_verdicts",
+    overwrite: bool = False,
 ):
     """FULL-verdict streaming twin of the batch ``incremental_dedup``
     query: each micro-batch of newly crawled documents runs the SAME
@@ -454,9 +457,77 @@ def run_incremental_verdicts_stream(
         )
         out.write.mode("append").saveAsTable(sink_name)
 
-    spark.sql(f"DROP TABLE IF EXISTS {sink_name}")
+    _prepare_sink(spark, sink_name, overwrite)
     q = (
         new_docs.writeStream.foreachBatch(_per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+_SINK_NAME_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _prepare_sink(spark: SparkSession, sink_name: str, overwrite: bool) -> None:
+    """Shared sink hygiene for the foreachBatch runners: the table name
+    must be a plain unqualified identifier (it is string-interpolated
+    into DDL — reject anything else loudly), and dropping an existing
+    table is OPT-IN (``overwrite=True``), never an implicit side effect
+    of starting a stream (r10 advice: the old unconditional DROP was
+    destructive if pointed at an existing table)."""
+    if not _SINK_NAME_RE.match(sink_name):
+        raise ValueError(
+            f"sink_name {sink_name!r} is not a plain identifier "
+            "([A-Za-z_][A-Za-z0-9_]*)"
+        )
+    if overwrite:
+        spark.sql(f"DROP TABLE IF EXISTS {sink_name}")
+    elif spark.catalog.tableExists(sink_name):
+        raise ValueError(
+            f"sink table {sink_name!r} already exists; pass overwrite=True "
+            "to replace it or choose a fresh name (appending a new stream "
+            "into an old run's rows is almost never intended)"
+        )
+
+
+def run_semantic_probe_stream(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    sink_name: str = "sem_verdicts",
+    overwrite: bool = False,
+):
+    """Streaming twin for the SEMANTIC dedup family: each micro-batch of
+    newly embedded documents runs the shared
+    ``operators.similarity._semantic_verdicts`` core — exact-embedding
+    probe, Lloyd-centroid assignment, within-cluster cosine verify,
+    per-delta best match — against a STATIC SemDeDup index built once at
+    stream start (``_semantic_probe_state``: k·d driver-held integer
+    centroids + the persisted normalized corpus keyed by cluster).
+    Appends one (vec_id, verdict, dup_of, cosine) row per delta vector;
+    returns the drained StreamingQuery (availableNow).
+
+    foreachBatch for the same reason as ``run_incremental_verdicts_stream``:
+    the verdict plan aggregates the stream side and joins — not an
+    append-mode-incremental shape — and the daily-crawl deployment wants
+    exactly this: index built once, per-trigger work ∝ |delta|·|cluster|,
+    no stream state beyond the static index."""
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        _semantic_probe_state,
+        _semantic_verdicts,
+    )
+
+    spark = corpus.sparkSession
+    state = _semantic_probe_state(corpus)
+
+    def _per_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        out = _semantic_verdicts(batch_df.select("vec_id", "embedding"), state)
+        out.write.mode("append").saveAsTable(sink_name)
+
+    _prepare_sink(spark, sink_name, overwrite)
+    q = (
+        new_vecs.writeStream.foreachBatch(_per_batch)
         .trigger(availableNow=True)
         .start()
     )

@@ -520,7 +520,9 @@ def test_incremental_verdicts_stream_equals_batch(spark, tmp_path):
         .json(str(src))
     )
     try:
-        run_incremental_verdicts_stream(stream, corpus, sink_name="inc_verdicts_eq")
+        run_incremental_verdicts_stream(
+            stream, corpus, sink_name="inc_verdicts_eq", overwrite=True
+        )
         got = (
             spark.table("inc_verdicts_eq")
             .toPandas()
@@ -541,3 +543,108 @@ def test_incremental_verdicts_stream_equals_batch(spark, tmp_path):
         ) <= {"exact_dup", "near_dup", "new"}
     finally:
         spark.sql("DROP TABLE IF EXISTS inc_verdicts_eq")
+
+
+def test_semantic_probe_stream_equals_batch(spark, tmp_path):
+    """Semantic-family batch equivalence (r10 review item 6): streaming a
+    delta slice of the embeddings (vec_id % 5 == 4, split across three
+    micro-batches) against the remaining corpus must reproduce the shared
+    ``_semantic_verdicts`` core's batch output row-for-row — verdicts,
+    dup_of targets, and cosine scores included (the static SemDeDup index
+    is built once; micro-batching must not change any verdict)."""
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        _semantic_probe_state,
+        _semantic_verdicts,
+    )
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        run_semantic_probe_stream,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    delta_pred = F.col("vec_id") % 5 == 4
+    corpus = e.filter(~delta_pred).select("vec_id", "embedding")
+    delta = e.filter(delta_pred).select("vec_id", "embedding")
+
+    rows = delta.collect()
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"part-{part}.json", "w") as f:
+            for r in rows[part::3]:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in (r["embedding"] or [])],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    try:
+        run_semantic_probe_stream(
+            stream, corpus, sink_name="sem_verdicts_eq", overwrite=True
+        )
+        got = (
+            spark.table("sem_verdicts_eq")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            _semantic_verdicts(delta, _semantic_probe_state(corpus))
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == list(want.columns)
+        assert got.equals(want), (got.head(20), want.head(20))
+        assert len(want) == delta.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_verdicts_eq")
+
+    # verdict-class coverage on a crafted corpus (the sf0.001 embeddings
+    # are near-orthogonal, so the real-data delta is all 'new'/'exact'):
+    # a byte-identical vector → exact_dup, a scaled copy (cosine 1.0 to
+    # corpus vec 0, different bytes) → near_dup, an orthogonal one → new
+    base = [1.0, 0.0, 0.0, 0.0]
+    synth_corpus = spark.createDataFrame(
+        [(0, base), (1, [0.0, 1.0, 0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    synth_delta = spark.createDataFrame(
+        [(10, base), (11, [2.0, 0.0, 0.0, 0.0]), (12, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    v = {
+        r["vec_id"]: r
+        for r in _semantic_verdicts(
+            synth_delta, _semantic_probe_state(synth_corpus)
+        ).collect()
+    }
+    assert v[10]["verdict"] == "exact_dup" and v[10]["dup_of"] == 0
+    assert v[11]["verdict"] == "near_dup" and v[11]["dup_of"] == 0
+    assert v[11]["cosine"] == 1.0
+    assert v[12]["verdict"] == "new" and v[12]["dup_of"] is None
+
+
+def test_stream_sink_hygiene(spark):
+    """The foreachBatch sinks reject non-identifier names and refuse to
+    clobber an existing table unless overwrite=True (r10 advice)."""
+    from amazon_climate_data_etl_spark.streaming.jobs import _prepare_sink
+
+    with pytest.raises(ValueError, match="identifier"):
+        _prepare_sink(spark, "x; DROP TABLE y", overwrite=True)
+    with pytest.raises(ValueError, match="identifier"):
+        _prepare_sink(spark, "cat.schema.table", overwrite=False)
+    spark.range(1).write.mode("overwrite").saveAsTable("hygiene_existing")
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            _prepare_sink(spark, "hygiene_existing", overwrite=False)
+        _prepare_sink(spark, "hygiene_existing", overwrite=True)  # drops it
+        assert not spark.catalog.tableExists("hygiene_existing")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hygiene_existing")
