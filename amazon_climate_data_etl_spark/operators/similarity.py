@@ -235,7 +235,7 @@ def _lsh_from(e: DataFrame) -> DataFrame:
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                sign_bucket(F.col("embedding"), dims).alias("bucket"),
+                sign_bucket("embedding", dims).alias("bucket"),
             )
             for t, dims in _LSH_TABLES
         ]
@@ -254,9 +254,9 @@ def _lsh_from(e: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(t).alias("tbl"),
                 (
-                    sign_bucket(F.col("embedding"), dims).bitwiseXOR(F.lit(flip))
+                    sign_bucket("embedding", dims).bitwiseXOR(F.lit(flip))
                     if flip
-                    else sign_bucket(F.col("embedding"), dims)
+                    else sign_bucket("embedding", dims)
                 ).alias("bucket"),
             )
             for t, dims in _LSH_TABLES
@@ -1125,7 +1125,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select(
         "vec_id",
         "embedding",
-        sign_bucket(F.col("embedding")).alias("bucket"),
+        sign_bucket("embedding").alias("bucket"),
         F.sqrt(_norm_sq()).alias("nrm"),
     ).select(
         "vec_id",

@@ -60,6 +60,14 @@ def get_spark(
             "true",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-Column-call origin capture (PySpark 4's DataFrame debugging)
+        # runs a Python traceback inspection + a JVM set/clear round-trip
+        # on EVERY DataFrame/Column API call — measured ~0.3 s of pure
+        # driver latency while BUILDING a plan-heavy query
+        # (ann_recall_eval constructs ~600 wrapped calls). Production
+        # engines run with it off: error messages lose the user call-site
+        # line, execution semantics are untouched.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
