@@ -148,6 +148,12 @@ CHANGED_SINCE_GREEN = {
     # as the docstring (merge_asof direction='forward') always claimed;
     # oracle updated identically, edge fixture pins the forward tie
     "asof_join_events": 10,
+    # r10 (review item 8): image_phash_neardup graduates from rows-only
+    # to hash-checked — the oracle joins the committed pure-Python hash
+    # sidecar (fixtures/media_phashes.parquet) in the naive all-pairs
+    # Hamming form. Values unchanged; the CHECK regime changed, so it
+    # re-enters the window to earn its first hash-green row
+    "image_phash_neardup": 10,
 }
 
 

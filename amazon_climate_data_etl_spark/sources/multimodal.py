@@ -715,10 +715,13 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole recall guarantee: ≤6 differing bits leave ≥2 of 8 bands
     identical, so every true near-dup pair is a candidate.
 
-    Rows-only at the driver (PNG decode is not SQL-expressible); the exact
-    pair set is certified by the pure-Python recomputation twin
-    (tests/test_media_twin.py), which re-derives pixels → dHash → all-pairs
-    Hamming independently of Spark and of the banding."""
+    Hash-checked at the driver since r10 (see IMAGE_PHASH_SQL below): the
+    decode→dHash stage is not SQL-expressible, but its output is a pure
+    function of media_id, so the oracle joins the committed pure-Python
+    hash sidecar with the NAIVE all-pairs Hamming form — certifying the
+    banded join end-to-end. The pure-Python recomputation twin
+    (tests/test_media_twin.py) independently certifies both the Spark
+    decode kernel and the sidecar's freshness."""
     media = synthetic_media(spark, n=media_count_for(sf_dir))
     # both join sides read the hash frame; persist it (16 bytes/image) so
     # the PNG decode + hash runs ONCE per image, not once per side
@@ -849,7 +852,49 @@ QUERIES = {
     "audio_energy_segments": audio_energy_segments,
     "video_scene_changes": video_scene_changes,
 }
-ORACLE: dict[str, str] = {}  # not SQL-expressible: rows-only driver check
+
+# image_phash_neardup graduates from rows-only to hash-checked (r10): the
+# PNG-decode→dHash stage itself is not SQL-expressible, but its OUTPUT is a
+# deterministic pure function of media_id (payloads derive from
+# (seed, media_id) only, and tables at different SFs are row-subsets), so
+# the hashes live in a committed parquet sidecar generated by the
+# INDEPENDENT pure-Python twin path (png_encode_minimal →
+# _png_decode_minimal → dhash64 — the same recomputation
+# tests/test_media_twin.py certifies the Spark kernel against; freshness
+# re-asserted in test_media_twin.test_phash_sidecar_matches_twin). The
+# oracle then checks the whole banded-Hamming join against the NAIVE
+# theta form over the sidecar — banding is lossless by pigeonhole (≤6
+# differing bits leave ≥2 of 8 bands intact), so the sets must be equal.
+# n_media is derived from the registered customer view (150k rows per
+# TPC-H SF; media_count_for = max(96, 96·sf/0.001)), and the arithmetic
+# right shift's fill bits never reach the low byte for shifts ≤ 56, so
+# (phash >> 8b) & 255 equals Spark's shiftrightunsigned band extraction.
+_PHASH_SIDECAR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "media_phashes.parquet",
+)
+
+IMAGE_PHASH_SQL = f"""
+WITH nm AS (
+  SELECT greatest(96, CAST(round(96 * count(*) / 150.0) AS BIGINT)) AS n
+  FROM customer
+),
+hashes AS (
+  SELECT media_id, phash
+  FROM read_parquet('{_PHASH_SIDECAR}')
+  WHERE media_id < (SELECT n FROM nm)
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
+
+ORACLE: dict[str, str] = {"image_phash_neardup": IMAGE_PHASH_SQL}
+# the other four media queries stay rows-only (decode kernels are not
+# SQL-expressible; values certified by the recomputation twins)
 
 
 _MEDIA_KINDS = ("image", "audio", "video")

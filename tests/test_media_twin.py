@@ -313,3 +313,33 @@ def test_video_scene_changes_twin_exact(spark):
         us_per_frame=500_000,
     )
     assert _scene_change_profile(one) == (1, 0, -1, 0, 0)
+
+
+def test_phash_sidecar_matches_twin():
+    """The committed oracle sidecar (fixtures/media_phashes.parquet) must
+    equal the independent pure-Python recomputation for every image id it
+    claims — full coverage at the sf0.001 subset, a deterministic stride
+    across the sf0.1 superset — and cover exactly the image ids of the
+    largest SF the oracle serves (media_id % 3 == 0 below 9600)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        _synth_image_pixels,
+    )
+
+    side = pq.read_table(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            "media_phashes.parquet",
+        )
+    ).to_pydict()
+    got = dict(zip(side["media_id"], side["phash"]))
+    assert sorted(got) == list(range(0, 9600, 3))
+    check_ids = list(range(0, 96, 3)) + list(range(96, 9600, 297))
+    for i in check_ids:
+        px = _synth_image_pixels(i // 3, 42)
+        want = dhash64(_png_decode_minimal(png_encode_minimal(px)))
+        assert got[i] == want, i
