@@ -66,17 +66,25 @@ def sign_bucket(a: Column | str, dims: tuple[int, ...] = (1, 2, 3, 4)) -> Column
     latency (1.3 s of ann_recall_eval's wall). Identical Catalyst tree
     either way."""
     if isinstance(a, str):
-        terms = " + ".join(
-            f"(CASE WHEN try_element_at({a}, {d}) >= 0 THEN 1 ELSE 0 END)"
-            f" * {2 ** i}"
-            for i, d in enumerate(dims)
-        )
-        return F.expr(f"({terms})")
+        return F.expr(sign_bucket_spark_sql(a, dims))
     out = F.lit(0)
     for i, d in enumerate(dims):
         bit = F.when(F.try_element_at(a, F.lit(d)) >= 0, F.lit(1)).otherwise(F.lit(0))
         out = out + bit * F.lit(2**i)
     return out
+
+
+def sign_bucket_spark_sql(a: str, dims: tuple[int, ...] = (1, 2, 3, 4)) -> str:
+    """Spark-SQL text of ``sign_bucket`` — for callers that assemble a
+    LARGER expression (an array of per-table key structs) through one
+    ``F.expr`` parse instead of per-struct Column ops; same Catalyst
+    tree, no per-call py4j round-trips."""
+    terms = " + ".join(
+        f"(CASE WHEN try_element_at({a}, {d}) >= 0 THEN 1 ELSE 0 END)"
+        f" * {2 ** i}"
+        for i, d in enumerate(dims)
+    )
+    return f"({terms})"
 
 
 def sign_bucket_sql(a: str, dims: tuple[int, ...] = (1, 2, 3, 4)) -> str:

@@ -22,11 +22,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from amazon_climate_data_etl_spark.catalog import load_table, rebalance_for_compute
+from amazon_climate_data_etl_spark.catalog import (
+    load_table,
+    rebalance_for_compute,
+    rebalance_for_kernel,
+)
 from amazon_climate_data_etl_spark.functions.vectors import (
     dot_product,
     l2_norm,
     sign_bucket,
+    sign_bucket_spark_sql,
     sign_bucket_sql,
 )
 from amazon_climate_data_etl_spark.operators._portable import stable_round
@@ -82,7 +87,7 @@ def _nonzero(e: DataFrame) -> DataFrame:
     return e.filter(_norm_sq() > 0)
 
 
-def _normalized(e: DataFrame) -> DataFrame:
+def _normalized(e: DataFrame, keep_raw: bool = False) -> DataFrame:
     """``vec_id`` + the L2-normalized double copy ``en``.
 
     The row norm is computed ONCE per row and divided in via
@@ -96,17 +101,23 @@ def _normalized(e: DataFrame) -> DataFrame:
     regular argument, evaluated once per row wherever the optimizer
     inlines it. Per-element arithmetic is unchanged (x_double / nrm, the
     same IEEE sequence as the oracle's ``{_NORMED}``), so results are
-    bit-identical."""
-    return e.select(
-        "vec_id", "embedding", F.sqrt(_norm_sq()).alias("nrm")
-    ).select(
-        "vec_id",
-        F.zip_with(
-            F.col("embedding"),
-            F.array_repeat(F.col("nrm"), F.size("embedding")),
-            lambda x, n: x.cast("double") / n,
-        ).alias("en"),
-    )
+    bit-identical.
+
+    ``keep_raw=True`` carries the raw ``embedding`` column alongside
+    ``en`` so ONE persisted frame can feed both the raw-vector consumers
+    (bruteforce, LSH) and the normalized ones (ivf/pq/ivfpq) — the recall
+    panel previously cached the corpus twice (raw + normalized), paying
+    two materialization passes for one logical dataset. The expression
+    tree for ``en`` is byte-for-byte the same either way."""
+    en = F.zip_with(
+        F.col("embedding"),
+        F.array_repeat(F.col("nrm"), F.size("embedding")),
+        lambda x, n: x.cast("double") / n,
+    ).alias("en")
+    pre = e.select("vec_id", "embedding", F.sqrt(_norm_sq()).alias("nrm"))
+    if keep_raw:
+        return pre.select("vec_id", "embedding", en)
+    return pre.select("vec_id", en)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,14 +242,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_from(e: DataFrame) -> DataFrame:
-    idx_keys = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sign_bucket("embedding", dims).alias("bucket"),
-            )
+    # both key arrays assemble through ONE F.expr parse each: the
+    # 15-struct probe array built struct-by-struct cost ~0.5 s of pure
+    # py4j round-trips per panel build (same driver-latency class as the
+    # sign_bucket string path it composes — see functions/vectors.py)
+    idx_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({t} AS tbl, "
+            f"{sign_bucket_spark_sql('embedding', dims)} AS bucket)"
             for t, dims in _LSH_TABLES
-        ]
+        )
+        + ")"
     )
     # norms precompute ONCE per corpus/query row (before the explode —
     # the Generate node keeps them out of the per-match expression), so
@@ -249,19 +264,20 @@ def _lsh_from(e: DataFrame) -> DataFrame:
         l2_norm(F.col("embedding")).alias("cn"),
         F.explode(idx_keys).alias("k"),
     ).select("cand_id", "ce", "cn", "k.tbl", "k.bucket")
-    probe_keys = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                (
-                    sign_bucket("embedding", dims).bitwiseXOR(F.lit(flip))
-                    if flip
-                    else sign_bucket("embedding", dims)
-                ).alias("bucket"),
+    probe_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({t} AS tbl, "
+            + (
+                f"({sign_bucket_spark_sql('embedding', dims)} ^ {flip})"
+                if flip
+                else sign_bucket_spark_sql("embedding", dims)
             )
+            + " AS bucket)"
             for t, dims in _LSH_TABLES
             for flip in _LSH_FLIPS
-        ]
+        )
+        + ")"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -453,7 +469,7 @@ def _ivf_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
 
     # fan the Python kernel out across cores: a single-row-group parquet
     # scan arrives as ONE task and would serialize the assignment
-    assign = rebalance_for_compute(n).mapInPandas(
+    assign = rebalance_for_kernel(n).mapInPandas(
         assign_kernel, schema="cand_id long, ce array<double>, cell long"
     )
 
@@ -704,7 +720,7 @@ def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True) if out else empty
 
-    cand_stream = rebalance_for_compute(n).mapInPandas(
+    cand_stream = rebalance_for_kernel(n).mapInPandas(
         encode_score_kernel, schema="query_id long, cand_id long, adc double"
     )
     w_short = Window.partitionBy("query_id").orderBy(
@@ -939,7 +955,7 @@ def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFram
                 )
             yield pd.concat(out, ignore_index=True) if out else empty
 
-    cand_stream = rebalance_for_compute(n).mapInPandas(
+    cand_stream = rebalance_for_kernel(n).mapInPandas(
         kernel, schema="query_id long, cand_id long, adc double, cell long"
     )
     w_short = Window.partitionBy("query_id").orderBy(
@@ -1733,11 +1749,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched / (|queries|·k) — an integer ratio, one deterministic double
     division, so the score is bit-exact across engines.
 
-    The searches share ONE persisted non-zero corpus frame AND one
-    persisted normalized copy (the same single-pass discipline as
-    ngram_jaccard_pairs): without them each index re-scans, re-filters,
-    and re-normalizes the embeddings table independently — at 100 TB,
-    three redundant corpus scans inside one evaluation. The driver-held
+    The searches share ONE persisted corpus frame carrying BOTH vector
+    forms — the raw ``embedding`` (bruteforce, LSH) and the normalized
+    ``en`` (ivf/pq/ivfpq) — so the whole panel pays a single scan +
+    filter + normalize + cache-materialization pass (the same
+    single-pass discipline as ngram_jaccard_pairs): without it each
+    index re-scans, re-filters, and re-normalizes the embeddings table
+    independently — at 100 TB, three redundant corpus scans inside one
+    evaluation (and the r9 two-frame form still materialized the
+    corpus into cache twice). The driver-held
     index state (corpus count + centroid/codebook/probe rows) is also
     built ONCE (_index_state) and shared by the ivf/pq/ivfpq builds —
     r8 ran the count and the overlapping prefix collects per index.
@@ -1748,8 +1768,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     474 vs 201 executed tasks for the whole panel; the per-kernel
     rebalance fans out only the compute-heavy stages and no-ops on a
     well-split 100 TB scan anyway.)"""
-    e = _nonzero(load_table(spark, sf_dir, "embeddings")).persist()
-    n = _normalized(e).persist()
+    c = _normalized(
+        _nonzero(load_table(spark, sf_dir, "embeddings")), keep_raw=True
+    ).persist()
+    e = c.select("vec_id", "embedding")
+    n = c.select("vec_id", "en")
     state = _index_state(n)
     exact = (
         _bruteforce_from(e)
