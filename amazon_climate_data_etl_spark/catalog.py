@@ -67,7 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def rebalance_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def rebalance_for_compute(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Spread a narrow scan across cores before a SUPER-LINEAR operator.
 
     Parallelism of a map/cross-join/explode stage equals the stream side's
@@ -88,10 +92,20 @@ def rebalance_for_compute(df: DataFrame, min_partitions: int | None = None) -> D
     own keyed exchange immediately (the count-distinct Expand in
     table_quality_audit): there the extra exchange measured as pure loss.
     The call sites record which side of that line they measured on.
+
+    ``keys`` switches the spread from round-robin to hash-by-key:
+    round-robin repartition is flagged non-deterministic by the planner,
+    which blocks exchange reuse when the SAME rebalanced stream feeds
+    both sides of a self-join (each side keeps its own exchange — the
+    fuzzy join measured one extra full exchange from exactly this).
+    Hash-by-key stays deterministic and reusable; pass a high-cardinality
+    key so the spread is still even.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 

@@ -1294,7 +1294,13 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive theta-join form — the ground truth the banding must reproduce
     exactly (the lossless-neighborhood argument above, in test form)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    v = c.select(
+    # fan the variant explode out before it runs: sequence+transform
+    # lambdas evaluate interpreted (no codegen), and a single-row-group
+    # scan otherwise serializes the whole O(rows·len) neighborhood build
+    # on one core (measured 3.4 s of the query's 4.6 s wall at sf0.1;
+    # 1.5 s with the fan-out). Keyed spread, not round-robin, so the
+    # deterministic exchange is shared by both self-join sides.
+    v = rebalance_for_compute(c, keys=("c_custkey",)).select(
         "c_custkey",
         "c_name",
         F.explode(_delete_variants(F.col("c_name"))).alias("variant"),

@@ -399,8 +399,12 @@ _PLAN_BOUNDS = {
     "q16_supplier_part_counts": (4, 2),
     # symmetric-delete variant equi-join (broadcast at fixture scale) +
     # pair distinct + final sort — never a cartesian/BNLJ (asserted in
-    # test_fuzzy_join_candidates_equi_only)
-    "fuzzy_join_names": (2, 1),
+    # test_fuzzy_join_candidates_equi_only). The +1 over the r10 landing
+    # bound is the keyed pre-explode fan-out (one exchange per self-join
+    # side at fixture scale, absent at 100 TB where the scan is
+    # well-split and rebalance_for_compute no-ops): the interpreted
+    # variant lambda otherwise runs single-task (3.4 s of 4.6 s wall)
+    "fuzzy_join_names": (3, 1),
     # one full-outer doc_id join (2 exchanges) + output sort; map-only
     # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
     "corpus_merge_upsert": (3, 0),
