@@ -3,7 +3,7 @@ the quadratic-creep checks that previously lived only in the standalone
 ``scaling_probe.py`` artifact now fail a TEST when a worst-ratio query's
 wall-time grows super-linearly with data.
 
-Four probe families:
+Five probe families:
 
 1. the SCALING.json worst-ratio queries at 2× replica data built with the
    probe's pair-structure-honest recipe (token-suffixed documents,
@@ -21,7 +21,10 @@ Four probe families:
 4. the NEAR-identical template family (r10 review item 1 done-bar): 5×
    the one-token variants — immune to the exact collapse — must leave
    both pair-emitting queries ≤ 1.5×, because the LSH_BUCKET_CAP rank
-   chunking bounds per-bucket pair output linearly in the bucket size.
+   chunking bounds per-bucket pair output linearly in the bucket size;
+5. the fuzzy join's entity families (r10): 5× disjoint 3-member name
+   families must scale the symmetric-delete join ≤ 4× (linear — the
+   pair structure itself grows 5×; quadratic would read ~25×).
 
 Wall-clock ratios are inherently noisy: each measurement is the median of
 ``_RUNS`` post-warm-up runs in the shared session, and the suite is marked
@@ -272,4 +275,64 @@ def test_near_template_pairs_linear_at_5x(spark, near_template_1x, near_template
         f"{name}: {r:.2f}x wall for 5x near-identical variants — the "
         "LSH_BUCKET_CAP sub-bucket split should bound per-bucket pairs "
         "linearly in the family size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. fuzzy join: entity families at 5× (r10 — the symmetric-delete join's
+#    scale story, measured like the LSH families above)
+# ---------------------------------------------------------------------------
+
+
+def _write_fuzzy_customers(dirpath: str, n_groups: int) -> str:
+    """Customer table of ``n_groups`` 3-member entity families (a base
+    name, a 1-deletion, a 1-insertion — pairwise candidates inside the
+    family, none across families because no variant string is shared),
+    so 5× the groups is 5× the pair structure: the honest linear-growth
+    recipe, same idea as the replica corpus."""
+    os.makedirs(dirpath, exist_ok=True)
+    for t in TABLES:
+        if t != "customer":
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            dst = os.path.join(dirpath, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(src, dst)
+    keys, names = [], []
+    k = 0
+    for g in range(n_groups):
+        base = f"entity {g:07d} alpha"
+        for v in (base, base[:-1], base + "x"):
+            keys.append(k)
+            names.append(v)
+            k += 1
+    table = pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "customer.parquet"))
+    return dirpath
+
+
+@pytest.fixture(scope="module")
+def fuzzy_1x(tmp_path_factory):
+    return _write_fuzzy_customers(str(tmp_path_factory.mktemp("fuzzy_1x")), 1000)
+
+
+@pytest.fixture(scope="module")
+def fuzzy_5x(tmp_path_factory):
+    return _write_fuzzy_customers(str(tmp_path_factory.mktemp("fuzzy_5x")), 5000)
+
+
+def test_fuzzy_join_linear_at_5x(spark, fuzzy_1x, fuzzy_5x):
+    # pair structure (candidates AND output) grows 5x with the family
+    # count, so LINEAR scaling reads ~5x wall minus fixed overhead
+    # (measured ~3.1x); a quadratic candidate generator would read ~25x.
+    # The bar is 4x: room for linear growth, none for |rows|^2.
+    r = _ratio(spark, "fuzzy_join_names", fuzzy_1x, fuzzy_5x)
+    assert r <= 4.0, (
+        f"fuzzy_join_names: {r:.2f}x wall for 5x entity families — the "
+        "variant equi-join's candidate volume should grow with the pair "
+        "structure (per-family, constant), never |rows|^2"
     )
