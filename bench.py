@@ -91,6 +91,17 @@ def _time_query(spark, fn, sf_dir: str, repeat: int) -> float:
     return round(statistics.median(samples), 3)
 
 
+def _executed_work(spark) -> tuple[int, int]:
+    """(completed jobs, completed tasks) from the status store — the
+    load-independent measure of a plan's executed work (wall-clock on
+    this box swings ±40% with ambient load; job/task deltas do not).
+    Callers snapshot before/after one run and record the difference."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    n = jobs.size()
+    return n, sum(jobs.apply(i).numCompletedTasks() for i in range(n))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -211,8 +222,20 @@ def main() -> None:
         _quiesce(spark, max(cooldown, 0.5))
         # 2 reps (after the warm-up inside _time_query): enough to spot a
         # 2x sweep artifact without doubling the harness wall-time
+        j0, t0 = _executed_work(spark)
         iso = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
-        isolated[name] = {"sweep": timings[name], "isolated": iso}
+        j1, t1 = _executed_work(spark)
+        # executed work per single run (warm-up + min(repeat,2) timed runs
+        # between the snapshots): the load-independent companion number —
+        # a wall delta with UNCHANGED jobs/tasks is ambient drift, a wall
+        # delta with a work delta is a plan change
+        runs = 1 + min(repeat, 2)
+        isolated[name] = {
+            "sweep": timings[name],
+            "isolated": iso,
+            "jobs": (j1 - j0) // runs,
+            "tasks": (t1 - t0) // runs,
+        }
         if name in prev:
             isolated[name]["prev_round"] = prev[name]
 
