@@ -91,15 +91,33 @@ def _time_query(spark, fn, sf_dir: str, repeat: int) -> float:
     return round(statistics.median(samples), 3)
 
 
-def _executed_work(spark) -> tuple[int, int]:
-    """(completed jobs, completed tasks) from the status store — the
-    load-independent measure of a plan's executed work (wall-clock on
-    this box swings ±40% with ambient load; job/task deltas do not).
-    Callers snapshot before/after one run and record the difference."""
+def _max_job_id(spark) -> int:
+    """Newest job id in the status store (-1 when empty) — the watermark
+    for _executed_work_since."""
     store = spark.sparkContext._jsc.sc().statusStore()
     jobs = store.jobsList(None)
     n = jobs.size()
-    return n, sum(jobs.apply(i).numCompletedTasks() for i in range(n))
+    return max((jobs.apply(i).jobId() for i in range(n)), default=-1)
+
+
+def _executed_work_since(spark, min_job_id: int) -> tuple[int, int]:
+    """(completed jobs, completed tasks) with jobId > min_job_id — the
+    load-independent measure of a plan's executed work (wall-clock on
+    this box swings ±40% with ambient load; job/task deltas do not).
+    Filtering by job id rather than differencing whole-store sums keeps
+    the delta correct when the store evicts old jobs mid-measure
+    (spark.ui.retainedJobs) — whole-store before/after differences went
+    NEGATIVE once eviction kicked in late in a 145-query session."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    n = jobs.size()
+    tot_j = tot_t = 0
+    for i in range(n):
+        j = jobs.apply(i)
+        if j.jobId() > min_job_id:
+            tot_j += 1
+            tot_t += j.numCompletedTasks()
+    return tot_j, tot_t
 
 
 def main() -> None:
@@ -222,9 +240,9 @@ def main() -> None:
         _quiesce(spark, max(cooldown, 0.5))
         # 2 reps (after the warm-up inside _time_query): enough to spot a
         # 2x sweep artifact without doubling the harness wall-time
-        j0, t0 = _executed_work(spark)
+        watermark = _max_job_id(spark)
         iso = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
-        j1, t1 = _executed_work(spark)
+        djobs, dtasks = _executed_work_since(spark, watermark)
         # executed work per single run (warm-up + min(repeat,2) timed runs
         # between the snapshots): the load-independent companion number —
         # a wall delta with UNCHANGED jobs/tasks is ambient drift, a wall
@@ -233,8 +251,8 @@ def main() -> None:
         isolated[name] = {
             "sweep": timings[name],
             "isolated": iso,
-            "jobs": (j1 - j0) // runs,
-            "tasks": (t1 - t0) // runs,
+            "jobs": djobs // runs,
+            "tasks": dtasks // runs,
         }
         if name in prev:
             isolated[name]["prev_round"] = prev[name]
