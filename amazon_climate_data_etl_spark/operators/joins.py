@@ -1290,7 +1290,9 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein() <= k`` predicate verifies. The variant key is
     near-uniform (a bucket holds the ≤ ~(10·len) strings one edit from a
     common ancestor), so the shuffle partitions cleanly at 100 TB and the
-    candidate volume is output-bound, not |rows|². The oracle is the
+    candidate volume is output-bound, not |rows|² — measured at sf0.1:
+    15k names → 956k distinct candidates vs 262k true ≤1-distance pairs
+    (3.6:1; all-pairs would be 112M), largest variant bucket 38 members. The oracle is the
     naive theta-join form — the ground truth the banding must reproduce
     exactly (the lossless-neighborhood argument above, in test form)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
