@@ -1765,9 +1765,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, NOT pre-rebalanced: sharing one round-robin exchange
     across the kernels was measured to force every cheap consumer —
     state collects, probe selections, truth joins — onto 32 tiny tasks,
-    474 vs 201 executed tasks for the whole panel; the per-kernel
-    rebalance fans out only the compute-heavy stages and no-ops on a
-    well-split 100 TB scan anyway.)"""
+    474 vs 201 executed tasks for the whole panel at the time of the r9
+    measurement; the per-kernel rebalance fans out only the
+    compute-heavy stages — at the kernel fan-out floor since r10, see
+    rebalance_for_kernel — and no-ops on a well-split 100 TB scan
+    anyway. r10 panel executed work: 38 jobs / 62 tasks per run,
+    stamped in BENCH_local.json.)"""
     c = _normalized(
         _nonzero(load_table(spark, sf_dir, "embeddings")), keep_raw=True
     ).persist()
