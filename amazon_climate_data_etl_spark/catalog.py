@@ -99,7 +99,12 @@ def rebalance_for_compute(
     both sides of a self-join (each side keeps its own exchange — the
     fuzzy join measured one extra full exchange from exactly this).
     Hash-by-key stays deterministic and reusable; pass a high-cardinality
-    key so the spread is still even.
+    key so the spread is still even. NOTE: ``keys`` only takes effect when
+    the fan-out actually happens — an input already at >= target
+    partitions takes the early return with NO exchange at all (which is
+    also deterministic: the scan itself is reused). Callers must not rely
+    on the output being hash-partitioned by ``keys`` for downstream
+    co-location; the contract is "deterministic + spread", never "keyed".
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -101,20 +101,23 @@ def _max_job_id(spark) -> int:
 
 
 def _executed_work_since(spark, min_job_id: int) -> tuple[int, int]:
-    """(completed jobs, completed tasks) with jobId > min_job_id — the
-    load-independent measure of a plan's executed work (wall-clock on
+    """(SUCCEEDED jobs, their completed tasks) with jobId > min_job_id —
+    the load-independent measure of a plan's executed work (wall-clock on
     this box swings ±40% with ambient load; job/task deltas do not).
     Filtering by job id rather than differencing whole-store sums keeps
     the delta correct when the store evicts old jobs mid-measure
     (spark.ui.retainedJobs) — whole-store before/after differences went
-    NEGATIVE once eviction kicked in late in a 145-query session."""
+    NEGATIVE once eviction kicked in late in a 145-query session. Only
+    SUCCEEDED jobs count: jobsList(None) returns every status, and a
+    still-RUNNING or FAILED straggler would otherwise inflate the delta
+    with partial task counts."""
     store = spark.sparkContext._jsc.sc().statusStore()
     jobs = store.jobsList(None)
     n = jobs.size()
     tot_j = tot_t = 0
     for i in range(n):
         j = jobs.apply(i)
-        if j.jobId() > min_job_id:
+        if j.jobId() > min_job_id and j.status().toString() == "SUCCEEDED":
             tot_j += 1
             tot_t += j.numCompletedTasks()
     return tot_j, tot_t
@@ -246,13 +249,19 @@ def main() -> None:
         # executed work per single run (warm-up + min(repeat,2) timed runs
         # between the snapshots): the load-independent companion number —
         # a wall delta with UNCHANGED jobs/tasks is ambient drift, a wall
-        # delta with a work delta is a plan change
+        # delta with a work delta is a plan change. The raw deltas + run
+        # count ride along so the per-run numbers are auditable (the
+        # warm-up's noop write can execute a different job count than a
+        # timed run, so per-run is an average, not an exact per-plan count)
         runs = 1 + min(repeat, 2)
         isolated[name] = {
             "sweep": timings[name],
             "isolated": iso,
-            "jobs": djobs // runs,
-            "tasks": dtasks // runs,
+            "jobs": round(djobs / runs),
+            "tasks": round(dtasks / runs),
+            "jobs_raw": djobs,
+            "tasks_raw": dtasks,
+            "runs": runs,
         }
         if name in prev:
             isolated[name]["prev_round"] = prev[name]

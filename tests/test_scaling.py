@@ -286,10 +286,20 @@ def test_near_template_pairs_linear_at_5x(spark, near_template_1x, near_template
 
 def _write_fuzzy_customers(dirpath: str, n_groups: int) -> str:
     """Customer table of ``n_groups`` 3-member entity families (a base
-    name, a 1-deletion, a 1-insertion — pairwise candidates inside the
-    family, none across families because no variant string is shared),
-    so 5× the groups is 5× the pair structure: the honest linear-growth
-    recipe, same idea as the replica corpus."""
+    name, a 1-deletion, a 1-insertion), with the group id encoded as each
+    digit's letter REPEATED 5× ("0017" → "aaaaa aaaaa bbbbb hhhhh"-style
+    blocks): distinct base names are Levenshtein >= 5 apart (two ids
+    differ in >= 1 digit block = 5 substitutions; block boundaries can't
+    be shifted cheaper because neighbor blocks are homogeneous), so family
+    variants are pairwise >= 3 apart across families — sharing a
+    1-deletion variant needs distance <= 2, so there are NO cross-family
+    candidates and NO cross-family output pairs. (The earlier plain-digit
+    encoding leaked both: "entity 0000000" and "entity 0000001" are
+    Levenshtein-1.) Each family contributes exactly 2 candidate = 2 output
+    pairs (base↔del, base↔ins; del↔ins is distance 2 and their deletion
+    neighborhoods occupy disjoint length sets), so 5× the groups is
+    exactly 5× the pair structure: the honest linear-growth recipe, same
+    idea as the replica corpus."""
     os.makedirs(dirpath, exist_ok=True)
     for t in TABLES:
         if t != "customer":
@@ -300,7 +310,8 @@ def _write_fuzzy_customers(dirpath: str, n_groups: int) -> str:
     keys, names = [], []
     k = 0
     for g in range(n_groups):
-        base = f"entity {g:07d} alpha"
+        gid = "".join(chr(97 + int(d)) * 5 for d in f"{g:05d}")
+        base = f"entity {gid} alpha"
         for v in (base, base[:-1], base + "x"):
             keys.append(k)
             names.append(v)
@@ -326,9 +337,10 @@ def fuzzy_5x(tmp_path_factory):
 
 
 def test_fuzzy_join_linear_at_5x(spark, fuzzy_1x, fuzzy_5x):
-    # pair structure (candidates AND output) grows 5x with the family
-    # count, so LINEAR scaling reads ~5x wall minus fixed overhead
-    # (measured ~3.1x); a quadratic candidate generator would read ~25x.
+    # pair structure (candidates AND output) grows EXACTLY 5x with the
+    # family count (families are variant-disjoint by construction — see
+    # _write_fuzzy_customers), so LINEAR scaling reads ~5x wall minus
+    # fixed overhead; a quadratic candidate generator would read ~25x.
     # The bar is 4x: room for linear growth, none for |rows|^2.
     r = _ratio(spark, "fuzzy_join_names", fuzzy_1x, fuzzy_5x)
     assert r <= 4.0, (
