@@ -123,37 +123,21 @@ GATE_WINDOW = 50
 # [ann_pq_topk], narrow/split moment path [summary_stats], and
 # four-index recall panel [ann_recall_eval] all green r8.)
 CHANGED_SINCE_GREEN = {
-    # r10 (review item 1 + advice): the LSH collapse key is now
-    # BYTE-exact (md5 of raw text — case/whitespace-variant duplicates
-    # keep their own LSH identity; the r9 normalized-fingerprint key
-    # dropped their case-sensitive shingle buckets), and the
-    # pair-emitting queries cap oversized (band, sig) buckets into
-    # LSH_BUCKET_CAP rank chunks, mirrored in the oracles; components'
-    # star side now runs over byte-exact representatives (exact member
-    # edges stay on the normalized relation). incremental_dedup's
-    # corpus collapse re-keyed byte-exact (bit-identical vs its
-    # UNCOLLAPSED oracle — the r9-advice parity hazard, pinned by the
-    # case-variant pair in the edge corpus). Parity re-proven at both
-    # fixture SFs + the template / near-template / edge fixtures.
-    "minhash_lsh_pairs": 10,
-    "ngram_jaccard_pairs": 10,
-    "dedup_components": 10,
-    "neardup_keep_corpus": 10,
-    "neardup_keep_best_quality": 10,
-    "dedup_cluster_size_histogram": 10,
-    "incremental_dedup": 10,
-    # r10 (advice, medium): forward as-of now orders clicks before
-    # purchases at equal ts so an equal-ts purchase falls INSIDE the
-    # click row's following frame — at-or-after now includes the tie,
-    # as the docstring (merge_asof direction='forward') always claimed;
-    # oracle updated identically, edge fixture pins the forward tie
-    "asof_join_events": 10,
-    # r10 (review item 8): image_phash_neardup graduates from rows-only
-    # to hash-checked — the oracle joins the committed pure-Python hash
-    # sidecar (fixtures/media_phashes.parquet) in the naive all-pairs
-    # Hamming form. Values unchanged; the CHECK regime changed, so it
-    # re-enters the window to earn its first hash-green row
-    "image_phash_neardup": 10,
+    # (Expired-and-pruned: round-10's byte-exact LSH collapse +
+    # LSH_BUCKET_CAP rank-chunk split [7 dedup-family queries], the
+    # forward as-of tie ordering [asof_join_events], and
+    # image_phash_neardup's rows-only→hash-checked graduation all earned
+    # green r10 rows.)
+    # r11 (review item 1): audio_energy_segments and video_scene_changes
+    # graduate from rows-only to hash-checked — the oracles replay the
+    # strict-mean threshold / run-length / cut-count math in DuckDB SQL
+    # over committed pure-Python decode sidecars
+    # (fixtures/media_energies.parquet, fixtures/media_framediffs.parquet,
+    # generated by tools/gen_media_sidecars.py). Values unchanged; the
+    # CHECK regime changed, so both re-enter the window to earn their
+    # first hash-green rows
+    "audio_energy_segments": 11,
+    "video_scene_changes": 11,
 }
 
 

@@ -556,11 +556,16 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized media table's video rows — the video-analysis member of
     the multimodal family (frame sampling and perceptual hashing cover
     extraction/dedup; this is the temporal-structure kernel a video
-    curation pipeline runs to split clips at cuts). Rows-only at the
-    driver (the container/frame decode is not SQL-expressible); VALUES
-    are certified exactly by the pure-Python recomputation twin in
-    tests/test_media_twin.py. Scale: kind-pruned synthesis, one map-only
-    Arrow-batched pass, one short row per item, sort-only exchange."""
+    curation pipeline runs to split clips at cuts). Hash-checked at the
+    driver since r11 (VIDEO_SCENES_SQL below): the container/frame decode
+    is not SQL-expressible, but its per-boundary diff sums are a pure
+    function of media_id and live in the committed pure-Python sidecar
+    (fixtures/media_framediffs.parquet, tools/gen_media_sidecars.py); the
+    oracle replays the strict-mean cut rule in SQL over those rows. The
+    recomputation twin in tests/test_media_twin.py independently certifies
+    both the Spark decode kernel and the sidecar's freshness. Scale:
+    kind-pruned synthesis, one map-only Arrow-batched pass, one short row
+    per item, sort-only exchange."""
     media = synthetic_media(spark, n=media_count_for(sf_dir), kinds=("video",))
     ship_package_to_workers(spark)
 
@@ -584,11 +589,16 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: per-item audio activity profiles over the
     synthesized media table (tone/noise-half WAVs → real segment
-    structure). Rows-only at the driver (the WAV decode kernel is not
-    SQL-expressible); VALUES are certified exactly by the pure-Python
-    recomputation twin in tests/test_media_twin.py, which replays the
-    integer energy/threshold/run-length math sample-by-sample with plain
-    Python ints. Scale: one map-only Arrow-batched pass over audio rows
+    structure). Hash-checked at the driver since r11 (AUDIO_SEGMENTS_SQL
+    below): the WAV decode kernel is not SQL-expressible, but its
+    per-frame int64 energies are a pure function of media_id and live in
+    the committed pure-Python sidecar (fixtures/media_energies.parquet,
+    tools/gen_media_sidecars.py); the oracle replays the strict-mean
+    threshold + gaps-and-islands run-length segmentation in DuckDB window
+    SQL over those rows. The recomputation twin in
+    tests/test_media_twin.py independently certifies both the Spark
+    kernel (sample-by-sample plain-int replay) and the sidecar's
+    freshness. Scale: one map-only Arrow-batched pass over audio rows
     (pruned before Python), profile output is one short row per item; the
     only exchange is the output sort."""
     media = synthetic_media(spark, n=media_count_for(sf_dir), kinds=("audio",))
@@ -892,9 +902,132 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
 ORDER BY id_a, id_b
 """
 
-ORACLE: dict[str, str] = {"image_phash_neardup": IMAGE_PHASH_SQL}
-# the other four media queries stay rows-only (decode kernels are not
-# SQL-expressible; values certified by the recomputation twins)
+# audio_energy_segments / video_scene_changes graduate from rows-only to
+# hash-checked (r11), the pattern image_phash_neardup proved in r10: the
+# WAV/AVI decode stage is not SQL-expressible, but its OUTPUT (per-frame
+# int64 energies; per-boundary int64 abs-diff sums) is a pure function of
+# media_id, so those integers live in committed parquet sidecars generated
+# by the INDEPENDENT pure-Python twin path (tools/gen_media_sidecars.py —
+# stdlib wave decode / avi_min+PNG decode with plain-int loops, the same
+# recomputation tests/test_media_twin.py certifies the Spark kernels
+# against; freshness re-asserted in test_media_twin's sidecar tests). The
+# oracles then replay the SQL-EXPRESSIBLE half — the cross-multiplied
+# strict-mean threshold, run-length segmentation, cut counting — in DuckDB
+# window/aggregate SQL, so the driver hash certifies the kernels' in-Python
+# segmentation math against an independent SQL implementation. n_media is
+# derived from the registered customer view exactly as IMAGE_PHASH_SQL
+# does; both sidecars cover every id < 9600 (sf0.1, the largest SF the
+# oracles serve), and lower-SF media tables are row-subsets by
+# construction, so the `media_id < n` predicate is the whole SF story.
+_ENERGY_SIDECAR = os.path.join(
+    os.path.dirname(_PHASH_SIDECAR), "media_energies.parquet"
+)
+_FRAMEDIFF_SIDECAR = os.path.join(
+    os.path.dirname(_PHASH_SIDECAR), "media_framediffs.parquet"
+)
+
+# a frame is ACTIVE iff energy·n_frames > total (strict, cross-multiplied —
+# replayed verbatim from _energy_segment_profile); segments are maximal
+# active runs found by the classic gaps-and-islands lag() start-marker
+AUDIO_SEGMENTS_SQL = f"""
+WITH nm AS (
+  SELECT greatest(96, CAST(round(96 * count(*) / 150.0) AS BIGINT)) AS n
+  FROM customer
+),
+e AS (
+  SELECT media_id, frame_idx, energy
+  FROM read_parquet('{_ENERGY_SIDECAR}')
+  WHERE media_id < (SELECT n FROM nm)
+),
+tot AS (
+  SELECT media_id, count(*) AS nf, sum(energy) AS total
+  FROM e GROUP BY media_id
+),
+act AS (
+  SELECT e.media_id, e.frame_idx, (e.energy * t.nf > t.total) AS active
+  FROM e JOIN tot t USING (media_id)
+),
+marked AS (
+  SELECT media_id, frame_idx, active,
+         CASE WHEN active AND NOT coalesce(
+                lag(active) OVER (PARTITION BY media_id ORDER BY frame_idx),
+                FALSE)
+              THEN 1 ELSE 0 END AS is_start
+  FROM act
+),
+seg AS (
+  SELECT media_id, frame_idx, active,
+         sum(is_start) OVER (PARTITION BY media_id ORDER BY frame_idx) AS seg_id
+  FROM marked
+),
+seg_stats AS (
+  SELECT media_id, seg_id, count(*) AS run_len, min(frame_idx) AS seg_start
+  FROM seg WHERE active GROUP BY media_id, seg_id
+),
+per_seg AS (
+  SELECT media_id, count(*) AS n_segments, max(run_len) AS longest_run,
+         min(seg_start) AS first_active
+  FROM seg_stats GROUP BY media_id
+),
+per_act AS (
+  SELECT media_id, sum(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+  FROM act GROUP BY media_id
+)
+SELECT t.media_id,
+       CAST(t.nf AS INTEGER) AS n_frames,
+       CAST(coalesce(a.n_active, 0) AS INTEGER) AS n_active,
+       CAST(coalesce(s.n_segments, 0) AS INTEGER) AS n_segments,
+       CAST(coalesce(s.longest_run, 0) AS INTEGER) AS longest_run,
+       CAST(coalesce(a.n_active, 0) * {_SEGMENT_FRAME_MS} AS INTEGER) AS active_ms,
+       CAST(coalesce(s.first_active, -1) AS INTEGER) AS first_active
+FROM tot t
+LEFT JOIN per_act a USING (media_id)
+LEFT JOIN per_seg s USING (media_id)
+ORDER BY media_id
+"""
+
+# a boundary is a CUT iff diff·n_diffs > total (same strict cross-multiplied
+# rule, replayed from _scene_change_profile); diff_idx is already the later
+# frame's index, so first_cut = min matching diff_idx with no +1 adjustment
+VIDEO_SCENES_SQL = f"""
+WITH nm AS (
+  SELECT greatest(96, CAST(round(96 * count(*) / 150.0) AS BIGINT)) AS n
+  FROM customer
+),
+d AS (
+  SELECT media_id, n_frames, diff_idx, diff
+  FROM read_parquet('{_FRAMEDIFF_SIDECAR}')
+  WHERE media_id < (SELECT n FROM nm)
+),
+tot AS (
+  SELECT media_id, max(n_frames) AS nf, count(*) AS nd,
+         sum(diff) AS total, max(diff) AS max_diff
+  FROM d GROUP BY media_id
+),
+cuts AS (
+  SELECT d.media_id, count(*) AS n_cuts, min(d.diff_idx) AS first_cut
+  FROM d JOIN tot t USING (media_id)
+  WHERE d.diff * t.nd > t.total
+  GROUP BY d.media_id
+)
+SELECT t.media_id,
+       CAST(t.nf AS INTEGER) AS n_frames,
+       CAST(coalesce(c.n_cuts, 0) AS INTEGER) AS n_cuts,
+       CAST(coalesce(c.first_cut, -1) AS INTEGER) AS first_cut,
+       CAST(t.max_diff AS BIGINT) AS max_diff,
+       CAST(t.total AS BIGINT) AS total_diff
+FROM tot t LEFT JOIN cuts c USING (media_id)
+ORDER BY media_id
+"""
+
+ORACLE: dict[str, str] = {
+    "image_phash_neardup": IMAGE_PHASH_SQL,
+    "audio_energy_segments": AUDIO_SEGMENTS_SQL,
+    "video_scene_changes": VIDEO_SCENES_SQL,
+}
+# media_feature_summary / media_frame_pipeline stay rows-only (their whole
+# output is decode-kernel values with no SQL-expressible half to replay;
+# values certified by the recomputation twins)
 
 
 _MEDIA_KINDS = ("image", "audio", "video")

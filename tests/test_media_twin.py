@@ -343,3 +343,73 @@ def test_phash_sidecar_matches_twin():
         px = _synth_image_pixels(i // 3, 42)
         want = dhash64(_png_decode_minimal(png_encode_minimal(px)))
         assert got[i] == want, i
+
+
+def _read_sidecar(name: str) -> dict:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            name,
+        )
+    ).to_pydict()
+
+
+def test_energy_sidecar_matches_twin():
+    """The committed audio oracle sidecar (fixtures/media_energies.parquet)
+    must equal the independent pure-Python twin recomputation (stdlib wave
+    decode + plain-int square sums, tools/gen_media_sidecars.py) for every
+    audio id it claims — full coverage at the sf0.001 subset, a
+    deterministic stride across the sf0.1 superset — and cover exactly the
+    audio ids of the largest SF the oracle serves (media_id % 3 == 1 below
+    9600), each with its full dur//25 frame grid."""
+    from tools.gen_media_sidecars import audio_frame_energies
+
+    side = _read_sidecar("media_energies.parquet")
+    per_id: dict[int, dict[int, int]] = {}
+    for m, k, e in zip(side["media_id"], side["frame_idx"], side["energy"]):
+        per_id.setdefault(m, {})[k] = e
+    assert sorted(per_id) == list(range(1, 9600, 3))
+    for i, frames in per_id.items():
+        dur = 1000 + (i % 300) * 33
+        assert sorted(frames) == list(range(dur // 25)), i
+    check_ids = list(range(1, 96, 3)) + list(range(97, 9600, 297))
+    for i in check_ids:
+        item = synthesize_media_item(i)
+        want = audio_frame_energies(item["content"])
+        assert [per_id[i][k] for k in range(len(want))] == want, i
+
+
+def test_framediff_sidecar_matches_twin():
+    """The committed video oracle sidecar (fixtures/media_framediffs.parquet)
+    must equal the independent pure-Python twin recomputation (avi_min +
+    PNG decode + plain-int pixel loops, tools/gen_media_sidecars.py) for
+    every video id it claims — full coverage at the sf0.001 subset, a
+    deterministic stride across the sf0.1 superset — and cover exactly the
+    video ids below 9600, each with diff_idx 1..n_frames-1 and a constant
+    per-item n_frames equal to duration//500."""
+    from tools.gen_media_sidecars import video_frame_diffs
+
+    side = _read_sidecar("media_framediffs.parquet")
+    per_id: dict[int, dict[int, int]] = {}
+    nf_of: dict[int, set] = {}
+    for m, nf, k, d in zip(
+        side["media_id"], side["n_frames"], side["diff_idx"], side["diff"]
+    ):
+        per_id.setdefault(m, {})[k] = d
+        nf_of.setdefault(m, set()).add(nf)
+    assert sorted(per_id) == list(range(2, 9600, 3))
+    for i, diffs in per_id.items():
+        dur = 1000 + (i % 300) * 33
+        (nf,) = nf_of[i]
+        assert nf == max(1, dur // 500), i
+        assert sorted(diffs) == list(range(1, nf)), i
+    check_ids = list(range(2, 96, 3)) + list(range(98, 9600, 297))
+    for i in check_ids:
+        item = synthesize_media_item(i)
+        nf, want = video_frame_diffs(item["content"])
+        assert (nf_of[i], [per_id[i][k] for k in range(1, nf)]) == ({nf}, want), i
