@@ -1154,7 +1154,204 @@ FROM s WHERE n_terms >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# HTML / boilerplate extraction (r11): raw markup → clean text + per-doc
+# extraction stats — the C4/Gopher boilerplate-rule family, the standard
+# first stage of a web-scrape training pipeline. The markup is synthesized
+# deterministically FROM the documents table with portable SQL expressions
+# (both engines build byte-identical HTML), then the extraction proper —
+# tag stripping, per-line link-density / short-line / terminal-punctuation
+# rules, clean-text reassembly — runs as generic array/regex expressions
+# that work on ANY markup (edge behavior on malformed HTML pinned in
+# tests/test_html_extract.py).
+# --------------------------------------------------------------------------
+
+_HTML_NAV = (
+    '<div class="nav"><a href="/">home</a> <a href="/c">about</a> '
+    '<a href="/x">contact</a></div>'
+)
+_WPL = 8  # words per synthesized content line
+_TAG_PAT = "<[^>]*>"  # a '>' inside an attribute value ends the tag: documented
+_ANCHOR_PAT = "<a[^>]*>([^<]*)</a>"
+_HTML_MIN_WORDS = 5  # Gopher-style short-line rule
+_LINK_NUM, _LINK_DEN = 3, 10  # drop when link chars > 3/10 of visible chars
+
+
+def synth_html(text: Column, source: Column) -> Column:
+    """Deterministic markup around a document: nav header (link-dense
+    boilerplate), 8-word ``<p>`` content lines with a period (every 3rd
+    line fully wrapped in an anchor — link-rule bait), and a source-stamped
+    footer (no terminal punctuation). Pure JVM expressions; the SQL twin
+    builds the identical bytes."""
+    w = tokens(text)
+    nlines = F.greatest(
+        F.lit(1), F.floor((F.size(w) + F.lit(_WPL - 1)) / F.lit(_WPL)).cast("int")
+    )
+    body = F.transform(
+        F.sequence(F.lit(1), nlines),
+        lambda i: F.concat(
+            F.when(i % 3 == 0, F.lit('<p><a href="/ref">')).otherwise(F.lit("<p>")),
+            F.array_join(F.slice(w, (i - 1) * _WPL + 1, _WPL), " "),
+            F.when(i % 3 == 0, F.lit(".</a></p>")).otherwise(F.lit(".</p>")),
+        ),
+    )
+    footer = F.concat(F.lit('<div class="footer">(c) '), source, F.lit("</div>"))
+    return F.concat_ws("\n", F.lit(_HTML_NAV), F.array_join(body, "\n"), footer)
+
+
+def _html_strip(l: Column) -> Column:
+    return F.trim(F.regexp_replace(l, _TAG_PAT, ""))
+
+
+def _html_anchor_chars(s: Column) -> Column:
+    """Total anchor-text chars in a string — int aggregate over the capture
+    group, 0 when no anchors (F.aggregate's init covers the empty list)."""
+    return F.aggregate(
+        F.regexp_extract_all(s, F.lit(_ANCHOR_PAT), 1),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+
+
+def html_is_content(l: Column) -> Column:
+    """The boilerplate verdict for one markup line, C4/Gopher rules:
+    visible word count >= 5, link text <= 3/10 of visible chars
+    (cross-multiplied ints — no float compare), and the visible text ends
+    in terminal punctuation."""
+    s = _html_strip(l)
+    return (
+        (token_count(s) >= _HTML_MIN_WORDS)
+        & (_html_anchor_chars(l) * _LINK_DEN <= _LINK_NUM * F.length(s))
+        & F.substring(s, -1, 1).isin(".", "!", "?")
+    )
+
+
+def html_extract_stage(h: DataFrame) -> DataFrame:
+    """Generic markup → clean text + stats over a (doc_id, html) frame —
+    a pure map (no shuffle): every rule is an array/regex expression inside
+    whole-stage codegen, so at 100 TB this runs at scan speed with zero
+    Python. Emits the clean text's md5 rather than the text itself (the
+    bit-exact certificate without shipping the corpus through the gate)."""
+    lines = F.split(F.col("html"), "\n")
+    kept = F.filter(lines, html_is_content)
+    clean = F.array_join(F.transform(kept, _html_strip), "\n")
+    n_tags = F.regexp_count(F.col("html"), F.lit(_TAG_PAT))
+    visible = F.length(F.regexp_replace(F.col("html"), _TAG_PAT, ""))
+    link_chars = _html_anchor_chars(F.col("html"))
+    return h.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        stable_round(
+            (F.size(lines) - F.size(kept)).cast("double") / F.size(lines), 4
+        ).alias("boiler_frac"),
+        n_tags.alias("n_tags"),
+        # zero-length guards (ANSI mode): empty markup has no tags/links, so
+        # both densities are 0.0 by definition — the synthesized markup is
+        # never empty, but the generic stage must not throw on it
+        F.when(F.length("html") == 0, F.lit(0.0))
+        .otherwise(stable_round(n_tags.cast("double") / F.length("html"), 6))
+        .alias("tag_density"),
+        link_chars.alias("link_chars"),
+        F.when(visible == 0, F.lit(0.0))
+        .otherwise(stable_round(link_chars.cast("double") / visible, 4))
+        .alias("link_ratio"),
+        F.length(clean).alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: markup synthesis + boilerplate extraction
+    over every document. Scale shape: one rebalanced scan (the per-row
+    regex/array work dominates — same contract as lang_token_profile),
+    map-only extraction, sort-only output exchange."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    h = d.select("doc_id", synth_html(F.col("text"), F.col("source")).alias("html"))
+    return html_extract_stage(h).orderBy("doc_id")
+
+
+def _tokens_sql(expr: str) -> str:
+    """DuckDB twin of functions.text.tokens (array form)."""
+    return (
+        f"(CASE WHEN length(trim({expr}, ' ')) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim({expr}, ' '), '{WS}+') END)"
+    )
+
+
+def _strip_sql(expr: str) -> str:
+    # DuckDB regexp_replace is FIRST-match by default: the 'g' flag is
+    # load-bearing (Spark's regexp_replace is always global)
+    return f"trim(regexp_replace({expr}, '{_TAG_PAT}', '', 'g'), ' ')"
+
+
+def _anchor_chars_sql(expr: str) -> str:
+    return (
+        f"CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all({expr}, '{_ANCHOR_PAT}', 1), a -> length(a))), 0)"
+        f" AS INTEGER)"
+    )
+
+
+def _is_content_sql(line: str) -> str:
+    s = _strip_sql(line)
+    return (
+        f"({token_count_sql(s)} >= {_HTML_MIN_WORDS}"
+        f" AND {_anchor_chars_sql(line)} * {_LINK_DEN} <= {_LINK_NUM} * length({s})"
+        f" AND right({s}, 1) IN ('.', '!', '?'))"
+    )
+
+
+HTML_EXTRACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_tokens_sql('text')} AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           '{_HTML_NAV.replace("'", "''")}',
+           array_to_string(
+             list_transform(
+               range(1, greatest(1, (len(toks) + {_WPL - 1}) // {_WPL}) + 1),
+               i -> (CASE WHEN i % 3 = 0 THEN '<p><a href="/ref">' ELSE '<p>' END
+                     || array_to_string(
+                          list_slice(toks, (i - 1) * {_WPL} + 1, (i - 1) * {_WPL} + {_WPL}),
+                          ' ')
+                     || CASE WHEN i % 3 = 0 THEN '.</a></p>' ELSE '.</p>' END)),
+             chr(10)),
+           '<div class="footer">(c) ' || source || '</div>') AS html
+  FROM t
+),
+x AS (
+  SELECT doc_id, html,
+         string_split(html, chr(10)) AS lines,
+         list_filter(string_split(html, chr(10)), l -> {_is_content_sql('l')}) AS kept
+  FROM h
+),
+c AS (
+  SELECT doc_id, html, lines, kept,
+         array_to_string(list_transform(kept, k -> {_strip_sql('k')}), chr(10)) AS clean
+  FROM x
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       round(CAST(len(lines) - len(kept) AS DOUBLE) / len(lines), 4) AS boiler_frac,
+       CAST(len(regexp_extract_all(html, '{_TAG_PAT}')) AS INTEGER) AS n_tags,
+       round(CAST(len(regexp_extract_all(html, '{_TAG_PAT}')) AS DOUBLE)
+             / length(html), 6) AS tag_density,
+       {_anchor_chars_sql('html')} AS link_chars,
+       round(CAST({_anchor_chars_sql('html')} AS DOUBLE)
+             / length(regexp_replace(html, '{_TAG_PAT}', '', 'g')), 4) AS link_ratio,
+       CAST(length(clean) AS INTEGER) AS clean_chars,
+       md5(clean) AS clean_md5
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "html_boilerplate_extract": html_boilerplate_extract,
     "textrank_keywords": textrank_keywords,
     "zipf_law_fit": zipf_law_fit,
     "token_triangle_census": token_triangle_census,
@@ -1175,6 +1372,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "html_boilerplate_extract": HTML_EXTRACT_SQL,
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "pmi_collocations": PMI_SQL,

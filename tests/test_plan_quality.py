@@ -405,6 +405,9 @@ _PLAN_BOUNDS = {
     # well-split and rebalance_for_compute no-ops): the interpreted
     # variant lambda otherwise runs single-task (3.4 s of 4.6 s wall)
     "fuzzy_join_names": (3, 1),
+    # markup synthesis + extraction are one map-only codegen stage; the 2
+    # are the heavy-regex scan rebalance (no-op at 100 TB) + output sort
+    "html_boilerplate_extract": (2, 0),
     # one full-outer doc_id join (2 exchanges) + output sort; map-only
     # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
     "corpus_merge_upsert": (3, 0),
