@@ -1350,8 +1350,144 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Exact BPE tokenization (r11): apply the committed merge list — real
+# subword tokenization, closing the gap between the pre-tokenizer COUNTS
+# (lang_token_profile / tokenizer_fertility estimate fertility) and actual
+# token streams. Merges apply in rank order, each as one left-to-right
+# non-overlapping replace — the rule the trainer itself used
+# (tools/gen_bpe_merges.py), so trained words re-tokenize to their training
+# segmentation, and unseen words get a well-defined deterministic split.
+#
+# Encoding: a word's symbols are wrapped/joined with the \x1f unit
+# separator as  SEP sym SEP SEP sym SEP ... SEP  (single SEP at word edges,
+# DOUBLE between symbols; words joined by ' '). Merge (l, r) is then the
+# literal replace  SEP l SEP SEP r SEP  →  SEP lr SEP : the leading/
+# trailing single SEPs anchor full-symbol matches (no suffix/prefix false
+# positives — 'xa'+'b' never matches merge (a,b)), and consuming only ONE
+# boundary's separators keeps an adjacent same-pair mergeable in the same
+# pass ('abab' → 'ab','ab', exactly the list-walk rule — verified against
+# the symbol-list twin in tests/test_bpe_twin.py). String replace is
+# left-to-right non-overlapping in Spark, DuckDB, and Python alike.
+# --------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"
+_BPE_WORD_PAT = "[a-z]+"
+
+
+def _bpe_stream(text: Column) -> Column:
+    """SEP-encoded exact token stream after the committed merges — pure
+    JVM expressions (one regexp pre-tokenize + 40 literal replaces)."""
+    from amazon_climate_data_etl_spark.functions.bpe_vocab import MERGES
+
+    words = F.regexp_extract_all(ascii_lower(text), F.lit(_BPE_WORD_PAT), 0)
+    s = F.array_join(
+        F.transform(
+            words,
+            # (?<=.)(?=.) splits between every pair of chars, never at the
+            # string edges (split('') keeps a trailing empty at limit -1)
+            lambda w: F.concat(
+                F.lit(_BPE_SEP),
+                F.array_join(F.split(w, "(?<=.)(?=.)"), _BPE_SEP + _BPE_SEP),
+                F.lit(_BPE_SEP),
+            ),
+        ),
+        " ",
+    )
+    for left, right in MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{_BPE_SEP}{left}{_BPE_SEP}{_BPE_SEP}{right}{_BPE_SEP}"),
+            F.lit(f"{_BPE_SEP}{left}{right}{_BPE_SEP}"),
+        )
+    return s
+
+
+def bpe_tokenize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: exact per-document BPE tokenization stats —
+    pre-token count, real token count after the committed merges, exact
+    fertility, and the md5 of the full encoded token stream (the bit-exact
+    segmentation certificate, same pattern as html's clean_md5). Scale
+    shape: one rebalanced scan (the replace chain is the per-row cost),
+    map-only, sort-only output exchange — zero Python, zero joins."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    words = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit(_BPE_WORD_PAT), 0)
+    s = _bpe_stream(F.col("text"))
+    n_words = F.size(words)
+    # tokens per word = inter-symbol DOUBLE-separator count + 1; summed:
+    # n_words + (#doubles), where each double shrinks by one char under
+    # replace(SEP SEP → SEP)
+    n_tokens = n_words + (
+        F.length(s) - F.length(F.replace(s, F.lit(_BPE_SEP * 2), F.lit(_BPE_SEP)))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_tokens.alias("n_tokens"),
+            F.when(
+                n_words > 0,
+                stable_round(n_tokens.cast("double") / n_words, 4),
+            ).alias("fertility"),
+            F.md5(s).alias("token_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_replace_chain_sql(expr: str) -> str:
+    """The identical merge chain as nested DuckDB replace() calls."""
+    from amazon_climate_data_etl_spark.functions.bpe_vocab import MERGES
+
+    s = expr
+    for left, right in MERGES:
+        pat = f"{_BPE_SEP}{left}{_BPE_SEP}{_BPE_SEP}{right}{_BPE_SEP}"
+        rep = f"{_BPE_SEP}{left}{right}{_BPE_SEP}"
+        s = f"replace({s}, '{pat}', '{rep}')"
+    return s
+
+
+def _build_bpe_sql() -> str:
+    sep = _BPE_SEP
+    encode = (
+        f"array_to_string(list_transform("
+        f"regexp_extract_all({ascii_lower_sql('text')}, '{_BPE_WORD_PAT}'), "
+        f"w -> '{sep}' || array_to_string(string_split(w, ''), '{sep}{sep}') || '{sep}'"
+        f"), ' ')"
+    )
+    return f"""
+WITH s0 AS (
+  SELECT doc_id,
+         len(regexp_extract_all({ascii_lower_sql('text')}, '{_BPE_WORD_PAT}')) AS n_words,
+         {encode} AS s
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, n_words, {_bpe_replace_chain_sql('s')} AS s FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_words,
+         n_words + (length(s) - length(replace(s, '{sep}{sep}', '{sep}'))) AS n_tokens,
+         s
+  FROM s1
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / n_words, 4) END AS fertility,
+       md5(s) AS token_md5
+FROM s2
+ORDER BY doc_id
+"""
+
+
+BPE_TOKENIZE_SQL = _build_bpe_sql()
+
+
 QUERIES = {
     "html_boilerplate_extract": html_boilerplate_extract,
+    "bpe_tokenize_profile": bpe_tokenize_profile,
     "textrank_keywords": textrank_keywords,
     "zipf_law_fit": zipf_law_fit,
     "token_triangle_census": token_triangle_census,
@@ -1373,6 +1509,7 @@ QUERIES = {
 
 ORACLE = {
     "html_boilerplate_extract": HTML_EXTRACT_SQL,
+    "bpe_tokenize_profile": BPE_TOKENIZE_SQL,
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "pmi_collocations": PMI_SQL,

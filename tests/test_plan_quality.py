@@ -408,6 +408,9 @@ _PLAN_BOUNDS = {
     # markup synthesis + extraction are one map-only codegen stage; the 2
     # are the heavy-regex scan rebalance (no-op at 100 TB) + output sort
     "html_boilerplate_extract": (2, 0),
+    # the 40-replace merge chain is one map-only codegen stage; same
+    # rebalance + sort pair as html_boilerplate_extract
+    "bpe_tokenize_profile": (2, 0),
     # one full-outer doc_id join (2 exchanges) + output sort; map-only
     # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
     "corpus_merge_upsert": (3, 0),
