@@ -1400,9 +1400,134 @@ ORDER BY doc_id
 """
 
 
+# PID-scoped snapshot store (same lifetime contract as climate.E2E_SINK_ROOT:
+# the returned frame lazily re-reads the store, so it must outlive the call;
+# PID-scoping keeps parallel pytest workers / bench-alongside-parity runs
+# from overwriting each other's live reads). The query wipes and rebuilds
+# its own sf-keyed subdir per invocation, so versions never accumulate
+# across bench repeats.
+SNAPSHOT_STORE_ROOT = None  # initialized lazily below
+
+
+def _snapshot_store(sf_dir: str) -> str:
+    import os
+
+    global SNAPSHOT_STORE_ROOT
+    if SNAPSHOT_STORE_ROOT is None:
+        SNAPSHOT_STORE_ROOT = f"/tmp/spark_graft_corpus_snapshots_{os.getpid()}"
+    return os.path.join(
+        SNAPSHOT_STORE_ROOT, sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+
+
+def corpus_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over ``write_snapshot`` versions — the READ half of
+    the versioned-corpus family, next to ``corpus_snapshot_diff`` (diff)
+    and ``corpus_merge_upsert`` (write accounting): materialize corpus
+    v=1 and v=2 (the same deterministic derivations the diff query uses)
+    into an immutable snapshot store, then read BOTH back through
+    ``read_snapshot``'s manifest-gated resolution — v=1 by EXPLICIT pin
+    (the "training run pinned corpus v=N" reproducibility contract) and
+    the default read resolving to the LATEST committed manifest (= v2) —
+    and profile each from the files actually re-read: per (version,
+    source) doc counts, char volume, revision count, id range. The output
+    is computed from the round-tripped parquet, so the oracle match
+    certifies write → manifest commit → pinned read end-to-end, not just
+    the logical derivations (the climate_e2e pattern for the CDC family).
+
+    Scale shape: each snapshot write is one ordinary distributed parquet
+    job into a fresh ``v=<N>`` directory (write_snapshot never rewrites
+    history; the manifest is O(1) driver metadata); each read-back is a
+    version-pinned scan feeding a tiny (version, source)-grain aggregate.
+    Cites reference scripts' write-then-reread verification step
+    (process_climate_amazon_annual.py:380-531) as the round-trip model."""
+    import shutil
+
+    from amazon_climate_data_etl_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_manifests,
+        write_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 11 != 3).select("doc_id", "source", "text")
+    v2 = d.filter(F.col("doc_id") % 11 != 7).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    store = _snapshot_store(sf_dir)
+    shutil.rmtree(store, ignore_errors=True)
+    write_snapshot(v1, store, note="initial crawl")
+    write_snapshot(v2, store, note="drop 11k+7, revise 13k")
+    assert [m["version"] for m in snapshot_manifests(store)] == [1, 2]
+    pinned = read_snapshot(spark, store, version=1)  # explicit as-of pin
+    latest = read_snapshot(spark, store)  # manifest-gated latest == v2
+
+    def profile(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.sum(F.col("text").endswith(" [v2]").cast("long")).alias(
+                    "n_revised"
+                ),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+
+    return (
+        profile(pinned, 1)
+        .unionByName(profile(latest, 2))
+        .select(
+            "version", "source", "n_docs", "total_chars", "n_revised",
+            "min_doc", "max_doc",
+        )
+        .orderBy("version", "source")
+    )
+
+
+READ_ASOF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 3
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 7
+),
+p1 AS (
+  SELECT 1 AS version, source, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN text LIKE '% [v2]' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_revised,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM v1 GROUP BY source
+),
+p2 AS (
+  SELECT 2 AS version, source, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN text LIKE '% [v2]' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_revised,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM v2 GROUP BY source
+)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+ORDER BY version, source
+"""
+
+
 QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_read_asof": corpus_read_asof,
     "quality_weighted_sample": quality_weighted_sample,
     "source_concentration_gini": source_concentration_gini,
     "doc_chunk_plan": doc_chunk_plan,
@@ -1421,6 +1546,7 @@ QUERIES = {
 ORACLE = {
     "corpus_merge_upsert": MERGE_UPSERT_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "corpus_read_asof": READ_ASOF_SQL,
     "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
     "source_concentration_gini": SOURCE_GINI_SQL,
     "doc_chunk_plan": DOC_CHUNK_SQL,

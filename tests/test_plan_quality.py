@@ -416,6 +416,10 @@ _PLAN_BOUNDS = {
     "corpus_merge_upsert": (3, 0),
     # same full-outer shape over the two derived versions
     "corpus_snapshot_diff": (3, 0),
+    # two version-pinned snapshot scans → (version, source)-grain aggs
+    # (1 exchange each) + the union's output sort; the snapshot WRITES
+    # happen before this plan (write_snapshot jobs, not exchanges here)
+    "corpus_read_asof": (3, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
