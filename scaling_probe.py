@@ -22,6 +22,17 @@ fixture, not the engine. Instead:
 Writes SCALING.json at the repo root:
     {"<query>": {"sf0.1_sec": t1, "sf0.5_sec": t5, "ratio": t5/t1}, ...}
 Pass/fail bar (asserted): ratio < 5 for 5× data on every probed query.
+
+r11 adds a 10× epoch (sf1.0-equivalent) for the two families whose scale
+story carries the most weight — the dedup chain's label propagation
+(``neardup_keep_corpus``) and the symmetric-delete fuzzy join
+(``fuzzy_join_names``) — recorded as ``sf1.0_sec`` / ``ratio_10x`` on the
+same entries, bar ratio_10x < 10. The fuzzy join's 10× customer table is
+replica-suffixed with 5-repeated-letter blocks (``name bbbbb``), so
+cross-replica names sit at Levenshtein ≥ 5: no cross-replica candidates
+or pairs, pair structure grows exactly 10× — the same honesty argument
+as the token-suffixed documents (naive row replication would make every
+replica a distance-0 duplicate and measure the fixture, not the engine).
 """
 
 from __future__ import annotations
@@ -41,6 +52,9 @@ sys.path.insert(0, REPO)
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SCALING_DIR", "/tmp/spark_graft_sf0.5")
 REPLICAS = 5
+WORK10 = os.environ.get("SCALING_DIR_10X", "/tmp/spark_graft_sf1.0")
+TENX_REPLICAS = 10
+TENX_QUERIES = ("neardup_keep_corpus", "fuzzy_join_names")
 QUERIES = tuple(
     q.strip()
     for q in os.environ.get(
@@ -117,6 +131,40 @@ def build_corpus(
             os.symlink(os.path.join(base, f), dst)
 
 
+def build_fuzzy_customer(
+    base: str, work: str, replicas: int
+) -> None:
+    """Replica-scale the CUSTOMER table with honest fuzzy-pair structure:
+    replica r > 0 appends ' ' + a 5-repeated letter block to every name
+    (keys offset by r·10M). A common suffix within a replica preserves
+    every intra-replica Levenshtein distance, and distinct 5-letter blocks
+    put cross-replica names at distance ≥ 5 — outside both the ≤1 output
+    predicate and the ≤2 shared-deletion-variant candidate horizon — so
+    the fuzzy join's pair structure grows exactly ×replicas."""
+    import duckdb
+
+    os.makedirs(work, exist_ok=True)
+    con = duckdb.connect()
+    cols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{base}/customer.parquet')"
+        ).fetchall()
+    ]
+    others = ", ".join(c for c in cols if c not in ("c_custkey", "c_name"))
+    con.execute(
+        f"""
+        COPY (
+          SELECT c_custkey + r * 10000000 AS c_custkey,
+                 CASE WHEN r = 0 THEN c_name
+                      ELSE c_name || ' ' || repeat(chr(98 + r), 5)
+                 END AS c_name{', ' + others if others else ''}
+          FROM read_parquet('{base}/customer.parquet'), range({replicas}) t(r)
+        ) TO '{work}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
 def _run_child() -> None:
     """Measure the (single) query named by SCALING_QUERIES in THIS process
     and emit one machine-readable result line."""
@@ -159,13 +207,14 @@ def _run_child() -> None:
             ts.append(time.perf_counter() - t0)
         return round(statistics.median(ts), 3)
 
+    work = os.environ.get("SCALING_WORK", WORK)
     for name in QUERIES:
         t1 = timed(name, BASE)
-        t5 = timed(name, WORK)
+        t5 = timed(name, work)
         rec = {
             "query": name,
-            "sf0.1_sec": t1,
-            "sf0.5_sec": t5,
+            "base_sec": t1,
+            "work_sec": t5,
             "ratio": round(t5 / t1, 2),
         }
         print("##RESULT " + json.dumps(rec), flush=True)
@@ -183,11 +232,13 @@ def main() -> None:
     # carries over). bench.py keeps the shared-session sweep + isolated
     # pairs as the interference signal; here a per-query JVM (~10 s each)
     # buys the clean scaling number this artifact exists to pin.
-    out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    def run_child(name: str, work_dir: str | None = None) -> dict | None:
         env = dict(os.environ, SCALING_QUERIES=name, SCALING_CHILD="1")
+        if work_dir:
+            env["SCALING_WORK"] = work_dir
         # one retry: child JVMs occasionally die to transient allocation
         # failures (GCLocker) unrelated to the query under test
+        r = None
         for attempt in (1, 2):
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -198,20 +249,50 @@ def main() -> None:
             for line in r.stdout.splitlines():
                 if line.startswith("##RESULT "):
                     rec = json.loads(line[len("##RESULT "):])
-                    out[rec.pop("query")] = rec
-            if name in out:
-                break
+                    if rec.pop("query") == name:
+                        return rec
             print(f"{name}: child attempt {attempt} failed (rc={r.returncode})",
                   flush=True)
-        if name not in out:
-            print(f"{name}: child failed\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}",
-                  flush=True)
+        print(f"{name}: child failed\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}",
+              flush=True)
+        return None
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        rec = run_child(name)
+        if rec is None:
             sys.exit(1)
+        out[name] = {
+            "sf0.1_sec": rec["base_sec"],
+            "sf0.5_sec": rec["work_sec"],
+            "ratio": rec["ratio"],
+        }
         print(name, out[name], flush=True)
+
+    # 10× epoch (r11): the two scale-story-critical families only — the
+    # dedup chain's label propagation and the symmetric-delete fuzzy join.
+    # build order matters: the honest customer table must exist BEFORE
+    # build_corpus symlinks the remaining siblings through. Skipped in
+    # SCALING_QUERIES subset-diagnosis runs (like the artifact write).
+    tenx = () if "SCALING_QUERIES" in os.environ else TENX_QUERIES
+    if tenx:
+        build_fuzzy_customer(BASE, WORK10, TENX_REPLICAS)
+        build_corpus(base=BASE, work=WORK10, replicas=TENX_REPLICAS)
+    for name in tenx:
+        rec = run_child(name, work_dir=WORK10)
+        if rec is None:
+            sys.exit(1)
+        entry = out.setdefault(name, {"sf0.1_sec": rec["base_sec"]})
+        entry["sf1.0_sec"] = rec["work_sec"]
+        entry["ratio_10x"] = rec["ratio"]
+        print(name, "10x", {k: entry[k] for k in ("sf1.0_sec", "ratio_10x")},
+              flush=True)
 
     payload = {
         "data_ratio": float(REPLICAS),
         "bar": "ratio < 5 for 5x data (sub-quadratic)",
+        "data_ratio_10x": float(TENX_REPLICAS),
+        "bar_10x": "ratio_10x < 10 for 10x data (dedup chain + fuzzy join)",
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "queries": out,
     }
@@ -221,9 +302,14 @@ def main() -> None:
         with open(os.path.join(REPO, "SCALING.json"), "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
-    worst = max(v["ratio"] for v in out.values())
-    print(json.dumps({"worst_ratio": worst, "pass": worst < REPLICAS}))
-    if worst >= REPLICAS:
+    worst = max(v["ratio"] for v in out.values() if "ratio" in v)
+    worst10 = max(
+        (v["ratio_10x"] for v in out.values() if "ratio_10x" in v), default=0.0
+    )
+    ok = worst < REPLICAS and worst10 < TENX_REPLICAS
+    print(json.dumps({"worst_ratio": worst, "worst_ratio_10x": worst10,
+                      "pass": ok}))
+    if not ok:
         sys.exit(1)
 
 

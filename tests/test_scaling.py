@@ -24,7 +24,12 @@ Five probe families:
    chunking bounds per-bucket pair output linearly in the bucket size;
 5. the fuzzy join's entity families (r10): 5× disjoint 3-member name
    families must scale the symmetric-delete join ≤ 4× (linear — the
-   pair structure itself grows 5×; quadratic would read ~25×).
+   pair structure itself grows 5×; quadratic would read ~25×);
+6. the 10× epoch (r11): an order of magnitude, not just 5× — the dedup
+   chain's label propagation over the 10× replica corpus and the fuzzy
+   join over 10× entity families must both stay under 10× wall
+   (quadratic would read ~100×); the standalone probe records the same
+   bar at sf0.1→sf1.0 scale in SCALING.json.
 
 Wall-clock ratios are inherently noisy: each measurement is the median of
 ``_RUNS`` post-warm-up runs in the shared session, and the suite is marked
@@ -347,4 +352,44 @@ def test_fuzzy_join_linear_at_5x(spark, fuzzy_1x, fuzzy_5x):
         f"fuzzy_join_names: {r:.2f}x wall for 5x entity families — the "
         "variant equi-join's candidate volume should grow with the pair "
         "structure (per-family, constant), never |rows|^2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. the 10× epoch (r11): an order of magnitude for the two families whose
+#    scale story carries the most weight
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def replica10_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf0.1_replicas10"))
+    scaling_probe.build_corpus(base=_BASE, work=d, replicas=10)
+    return d
+
+
+def test_neardup_keep_corpus_subquadratic_at_10x(spark, replica10_dir):
+    # pair density grows 10x (token-suffixed replicas share no shingles);
+    # the label-propagation chain's work is star-edge/component-bounded,
+    # so linear-ish growth is expected and |corpus|^2 would read ~100x
+    r = _ratio(spark, "neardup_keep_corpus", _BASE, replica10_dir)
+    assert r <= 10.0, (
+        f"neardup_keep_corpus: {r:.2f}x wall at 10x data — the collapse/"
+        "star/pointer-jumping chain should stay near-linear"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzzy_10x(tmp_path_factory):
+    return _write_fuzzy_customers(str(tmp_path_factory.mktemp("fuzzy_10x")), 10000)
+
+
+def test_fuzzy_join_linear_at_10x(spark, fuzzy_1x, fuzzy_10x):
+    # 10x disjoint families = exactly 10x candidates and pairs; linear
+    # scaling reads ~10x minus fixed overhead, quadratic ~100x
+    r = _ratio(spark, "fuzzy_join_names", fuzzy_1x, fuzzy_10x)
+    assert r <= 10.0, (
+        f"fuzzy_join_names: {r:.2f}x wall for 10x entity families — the "
+        "variant equi-join's candidate volume must grow with the pair "
+        "structure, never |rows|^2"
     )
