@@ -64,8 +64,20 @@ agreed slots on ``fuzzy_join_names`` (the bounded edit-distance join —
 the last classic join shape next to as-of and range) and the CDC pair
 ``corpus_merge_upsert`` + ``corpus_snapshot_diff`` (Delta-style MERGE
 accounting and version diff over write_snapshot's immutable versions):
-the registry stands at 145, 5 slots under the 150 cap and exactly at
-the judge-agreed ≤145 soft target. An
+the registry stood at 145 after round 10 — 5 slots under the 150 cap
+and exactly at the judge-agreed ≤145 soft target. Round 11 spent three
+of those on the two genuinely-new extension surfaces plus the CDC read
+half the r10 review proposed: ``html_boilerplate_extract`` (markup →
+clean text + C4/Gopher boilerplate stats), ``bpe_tokenize_profile``
+(exact BPE merge application over a committed trained merge list —
+token COUNTS existed; actual tokenization did not), and
+``corpus_read_asof`` (manifest-gated time-travel read over
+write_snapshot versions, certified from the round-tripped files): the
+registry stands at 148, 2 under the cap. Round 11 also graduated
+``audio_energy_segments`` and ``video_scene_changes`` from rows-only to
+hash-checked (decode-sidecar oracles — rows-only set now 2:
+media_feature_summary / media_frame_pipeline, whose entire output is
+decode values, plus the documented HLL check). An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves
