@@ -1314,9 +1314,12 @@ h AS (
              list_transform(
                range(1, greatest(1, (len(toks) + {_WPL - 1}) // {_WPL}) + 1),
                i -> (CASE WHEN i % 3 = 0 THEN '<p><a href="/ref">' ELSE '<p>' END
-                     || array_to_string(
+                     -- coalesce: array_to_string of an EMPTY slice is NULL
+                     -- in DuckDB ('' in Spark), and || NULL would erase the
+                     -- whole wordless line (the empty-document case)
+                     || coalesce(array_to_string(
                           list_slice(toks, (i - 1) * {_WPL} + 1, (i - 1) * {_WPL} + {_WPL}),
-                          ' ')
+                          ' '), '')
                      || CASE WHEN i % 3 = 0 THEN '.</a></p>' ELSE '.</p>' END)),
              chr(10)),
            '<div class="footer">(c) ' || source || '</div>') AS html
@@ -1330,7 +1333,11 @@ x AS (
 ),
 c AS (
   SELECT doc_id, html, lines, kept,
-         array_to_string(list_transform(kept, k -> {_strip_sql('k')}), chr(10)) AS clean
+         -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' (all-boilerplate docs hit this)
+         coalesce(
+           array_to_string(list_transform(kept, k -> {_strip_sql('k')}), chr(10)),
+           '') AS clean
   FROM x
 )
 SELECT doc_id,
@@ -1449,11 +1456,14 @@ def _bpe_replace_chain_sql(expr: str) -> str:
 
 def _build_bpe_sql() -> str:
     sep = _BPE_SEP
+    # outer coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' (word-less docs hit this); the inner call is
+    # safe because [a-z]+ pre-tokens are never empty strings
     encode = (
-        f"array_to_string(list_transform("
+        f"coalesce(array_to_string(list_transform("
         f"regexp_extract_all({ascii_lower_sql('text')}, '{_BPE_WORD_PAT}'), "
         f"w -> '{sep}' || array_to_string(string_split(w, ''), '{sep}{sep}') || '{sep}'"
-        f"), ' ')"
+        f"), ' '), '')"
     )
     return f"""
 WITH s0 AS (

@@ -41,6 +41,7 @@ _DOC_QUERIES = [
     "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
     "source_concentration_gini", "zipf_law_fit",
     "dedup_cluster_size_histogram",
+    "html_boilerplate_extract", "bpe_tokenize_profile",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_near_pairs", "dedup_components",
@@ -49,7 +50,7 @@ _DOC_QUERIES = [
     "duplicate_span_stats", "duplicate_spans_exact",
     # curation
     "doc_chunk_plan",
-    "corpus_merge_upsert", "corpus_snapshot_diff",
+    "corpus_merge_upsert", "corpus_snapshot_diff", "corpus_read_asof",
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "ngram_logprob_quality", "source_quota_cap",
