@@ -65,15 +65,17 @@ the last classic join shape next to as-of and range) and the CDC pair
 ``corpus_merge_upsert`` + ``corpus_snapshot_diff`` (Delta-style MERGE
 accounting and version diff over write_snapshot's immutable versions):
 the registry stood at 145 after round 10 — 5 slots under the 150 cap
-and exactly at the judge-agreed ≤145 soft target. Round 11 spent three
-of those on the two genuinely-new extension surfaces plus the CDC read
+and exactly at the judge-agreed ≤145 soft target. Round 11 spent four
+of those on the genuinely-new extension surfaces plus the CDC read
 half the r10 review proposed: ``html_boilerplate_extract`` (markup →
 clean text + C4/Gopher boilerplate stats), ``bpe_tokenize_profile``
 (exact BPE merge application over a committed trained merge list —
-token COUNTS existed; actual tokenization did not), and
+token COUNTS existed; actual tokenization did not),
 ``corpus_read_asof`` (manifest-gated time-travel read over
-write_snapshot versions, certified from the round-tripped files): the
-registry stands at 148, 2 under the cap. Round 11 also graduated
+write_snapshot versions, certified from the round-tripped files), and
+``pii_redact_stats`` (the C4-family PII scrub: ordered email→ip→phone
+redaction with staged counts): the registry stands at 149, 1 under
+the cap. Round 11 also graduated
 ``audio_energy_segments`` and ``video_scene_changes`` from rows-only to
 hash-checked (decode-sidecar oracles — rows-only set now 2:
 media_feature_summary / media_frame_pipeline, whose entire output is

@@ -1358,6 +1358,145 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# PII detection / redaction (r11): the scrub stage every public-web
+# training pipeline runs (the C4 family strips emails/phones/IPs before
+# anything else sees the text). The corpus carries no real PII, so the
+# query plants deterministic doc_id-derived PII spans first (same
+# portable-synthesis pattern as html_boilerplate_extract), then runs the
+# GENERIC detect+redact stage: three anchored regex families applied in a
+# fixed order (emails before IPs before phones — an email's host can
+# contain digit runs, so order is part of the contract), counts per kind,
+# and the redacted text's md5 as the bit-exact certificate. Patterns stay
+# inside the Java-regex ∩ RE2 dialect: ASCII classes, bounded repeats,
+# \\b word boundaries (ASCII \\w in both), no lookaround.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+_PII_RULES = (  # (kind, pattern, replacement) — applied IN ORDER
+    ("email", _PII_EMAIL, "<EMAIL>"),
+    ("ip", _PII_IP, "<IP>"),
+    ("phone", _PII_PHONE, "<PHONE>"),
+)
+
+
+def plant_pii(text: Column, doc_id: Column) -> Column:
+    """Deterministic doc_id-derived PII spans: doc_id % 4 picks none /
+    email / phone / ip+email, with digits folded from the id so values
+    vary. Portable int arithmetic + concat only."""
+    email = F.concat(
+        F.lit("user"), doc_id.cast("string"), F.lit("@mail-"),
+        (doc_id % 97).cast("string"), F.lit(".example.com"),
+    )
+    phone = F.concat(F.lit("555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    ip = F.concat(
+        (doc_id % 256).cast("string"), F.lit("."),
+        ((doc_id * 7) % 256).cast("string"), F.lit("."),
+        ((doc_id + 3) % 256).cast("string"), F.lit("."),
+        ((doc_id * 13) % 256).cast("string"),
+    )
+    m = doc_id % 4
+    return F.concat(
+        text,
+        F.when(m == 1, F.concat(F.lit(" contact "), email, F.lit(" now")))
+        .when(m == 2, F.concat(F.lit(" call "), phone, F.lit(" today")))
+        .when(m == 3, F.concat(F.lit(" from "), ip, F.lit(" by "), email))
+        .otherwise(F.lit("")),
+    )
+
+
+def pii_redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Generic detect + redact over any text column — a pure map (regex
+    counts + the ordered regexp_replace chain inside whole-stage codegen).
+    Each kind's count runs on the stream AFTER the earlier kinds redacted
+    (counts == spans actually replaced per kind), so an IP that only
+    exists inside an email host is an email, never also an ip — the
+    counters and the redaction can never disagree on overlaps."""
+    t = F.col(text_col)
+    stage = t
+    counts = {}
+    for k, p, rep in _PII_RULES:
+        counts[k] = F.regexp_count(stage, F.lit(p))
+        stage = F.regexp_replace(stage, p, rep)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        total.alias("n_pii"),
+        (F.length(t) - F.length(stage)).alias("chars_delta"),
+        F.md5(stage).alias("redacted_md5"),
+    )
+
+
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: plant deterministic PII spans, then detect
+    and redact them with the generic stage. Scale shape: one rebalanced
+    scan (regex chain is the per-row cost), map-only, sort-only output
+    exchange — the same contract as html_boilerplate_extract."""
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    planted = d.select(
+        "doc_id", plant_pii(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    return pii_redact_stage(planted).orderBy("doc_id")
+
+
+def _pii_planted_sql() -> str:
+    email = "'user' || CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'"
+    phone = "'555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    ip = (
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id + 3) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+    )
+    return (
+        f"text || CASE doc_id % 4"
+        f" WHEN 1 THEN ' contact ' || {email} || ' now'"
+        f" WHEN 2 THEN ' call ' || {phone} || ' today'"
+        f" WHEN 3 THEN ' from ' || {ip} || ' by ' || {email}"
+        f" ELSE '' END"
+    )
+
+
+def _build_pii_sql() -> str:
+    # staged counts, mirroring the engine: kind k counts on the stream
+    # after kinds < k redacted ('g': DuckDB regexp_replace defaults to
+    # first-match)
+    stage = "t"
+    counts, stages = [], []
+    for k, p, rep in _PII_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all({stage}, '{p}')) AS INTEGER) AS n_{k}"
+        )
+        stage = f"regexp_replace({stage}, '{p}', '{rep}', 'g')"
+        stages.append(stage)
+    red = stages[-1]
+    total = " + ".join(f"n_{k}" for k, _, _ in _PII_RULES)
+    counts_sql = ",\n       ".join(counts)
+    return f"""
+WITH p AS (
+  SELECT doc_id, {_pii_planted_sql()} AS t FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+       {counts_sql},
+       {red} AS red
+  FROM p
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       CAST({total} AS INTEGER) AS n_pii,
+       CAST(length(t) - length(red) AS INTEGER) AS chars_delta,
+       md5(red) AS redacted_md5
+FROM c
+ORDER BY doc_id
+"""
+
+
+PII_REDACT_SQL = _build_pii_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact BPE tokenization (r11): apply the committed merge list — real
 # subword tokenization, closing the gap between the pre-tokenizer COUNTS
 # (lang_token_profile / tokenizer_fertility estimate fertility) and actual
@@ -1498,6 +1637,7 @@ BPE_TOKENIZE_SQL = _build_bpe_sql()
 QUERIES = {
     "html_boilerplate_extract": html_boilerplate_extract,
     "bpe_tokenize_profile": bpe_tokenize_profile,
+    "pii_redact_stats": pii_redact_stats,
     "textrank_keywords": textrank_keywords,
     "zipf_law_fit": zipf_law_fit,
     "token_triangle_census": token_triangle_census,
@@ -1520,6 +1660,7 @@ QUERIES = {
 ORACLE = {
     "html_boilerplate_extract": HTML_EXTRACT_SQL,
     "bpe_tokenize_profile": BPE_TOKENIZE_SQL,
+    "pii_redact_stats": PII_REDACT_SQL,
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "pmi_collocations": PMI_SQL,
