@@ -1231,19 +1231,42 @@ def html_extract_stage(h: DataFrame) -> DataFrame:
     a pure map (no shuffle): every rule is an array/regex expression inside
     whole-stage codegen, so at 100 TB this runs at scan speed with zero
     Python. Emits the clean text's md5 rather than the text itself (the
-    bit-exact certificate without shipping the corpus through the gate)."""
-    lines = F.split(F.col("html"), "\n")
-    kept = F.filter(lines, html_is_content)
-    clean = F.array_join(F.transform(kept, _html_strip), "\n")
+    bit-exact certificate without shipping the corpus through the gate).
+
+    The per-line rule chain (split → filter lambda with regex counts) is
+    materialized through an INTERMEDIATE projection: higher-order-function
+    lambdas are outside Catalyst's common-subexpression elimination, so
+    the single-select form re-evaluated the kept-filter chain once per
+    consuming output column (3× the per-row regex work — 19 lambda nodes
+    in the executed plan vs 7 staged; CollapseProject keeps the boundary
+    because the produced attributes are non-cheap and multiply-referenced).
+    Same trick as the dedup chain's persisted signature frames, but free:
+    a projection, not a cache."""
+    mid = h.select(
+        "doc_id",
+        "html",
+        F.split(F.col("html"), "\n").alias("lines"),
+        F.filter(F.split(F.col("html"), "\n"), html_is_content).alias("kept"),
+    ).select(
+        "doc_id",
+        "html",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        F.array_join(F.transform(F.col("kept"), _html_strip), "\n").alias(
+            "clean"
+        ),
+    )
     n_tags = F.regexp_count(F.col("html"), F.lit(_TAG_PAT))
     visible = F.length(F.regexp_replace(F.col("html"), _TAG_PAT, ""))
     link_chars = _html_anchor_chars(F.col("html"))
-    return h.select(
+    return mid.select(
         "doc_id",
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
+        "n_lines",
+        "n_kept",
         stable_round(
-            (F.size(lines) - F.size(kept)).cast("double") / F.size(lines), 4
+            (F.col("n_lines") - F.col("n_kept")).cast("double")
+            / F.col("n_lines"),
+            4,
         ).alias("boiler_frac"),
         n_tags.alias("n_tags"),
         # zero-length guards (ANSI mode): empty markup has no tags/links, so
@@ -1256,8 +1279,8 @@ def html_extract_stage(h: DataFrame) -> DataFrame:
         F.when(visible == 0, F.lit(0.0))
         .otherwise(stable_round(link_chars.cast("double") / visible, 4))
         .alias("link_ratio"),
-        F.length(clean).alias("clean_chars"),
-        F.md5(clean).alias("clean_md5"),
+        F.length("clean").alias("clean_chars"),
+        F.md5("clean").alias("clean_md5"),
     )
 
 
@@ -1557,25 +1580,38 @@ def bpe_tokenize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one rebalanced scan (the replace chain is the per-row cost),
     map-only, sort-only output exchange — zero Python, zero joins."""
     d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    words = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit(_BPE_WORD_PAT), 0)
-    s = _bpe_stream(F.col("text"))
-    n_words = F.size(words)
+    # the 40-replace chain and the pre-tokenize regex are materialized
+    # through intermediate projections (the html_extract_stage finding:
+    # repeated non-cheap expressions re-evaluate per consuming column —
+    # the stream feeds length/replace/md5, so the single-select form ran
+    # the chain 3× per row; CollapseProject keeps these boundaries)
+    mid = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                ascii_lower(F.col("text")), F.lit(_BPE_WORD_PAT), 0
+            )
+        ).alias("n_words"),
+        _bpe_stream(F.col("text")).alias("s"),
+    )
+    n_words = F.col("n_words")
     # tokens per word = inter-symbol DOUBLE-separator count + 1; summed:
     # n_words + (#doubles), where each double shrinks by one char under
     # replace(SEP SEP → SEP)
     n_tokens = n_words + (
-        F.length(s) - F.length(F.replace(s, F.lit(_BPE_SEP * 2), F.lit(_BPE_SEP)))
+        F.length("s")
+        - F.length(F.replace(F.col("s"), F.lit(_BPE_SEP * 2), F.lit(_BPE_SEP)))
     )
     return (
-        d.select(
+        mid.select(
             "doc_id",
-            n_words.alias("n_words"),
+            "n_words",
             n_tokens.alias("n_tokens"),
             F.when(
                 n_words > 0,
                 stable_round(n_tokens.cast("double") / n_words, 4),
             ).alias("fertility"),
-            F.md5(s).alias("token_md5"),
+            F.md5("s").alias("token_md5"),
         )
         .orderBy("doc_id")
     )
