@@ -157,7 +157,7 @@ def build_fuzzy_customer(
         COPY (
           SELECT c_custkey + r * 10000000 AS c_custkey,
                  CASE WHEN r = 0 THEN c_name
-                      ELSE c_name || ' ' || repeat(chr(98 + r), 5)
+                      ELSE c_name || ' ' || repeat(chr(CAST(98 + r AS INTEGER)), 5)
                  END AS c_name{', ' + others if others else ''}
           FROM read_parquet('{base}/customer.parquet'), range({replicas}) t(r)
         ) TO '{work}/customer.parquet' (FORMAT PARQUET)
@@ -222,6 +222,11 @@ def _run_child() -> None:
 
 def main() -> None:
     import subprocess
+
+    # ambient load BEFORE any probe work: the end-of-run snapshot (also
+    # recorded) mostly reads back the probe's own 32-core children — the
+    # r11 close measured 0.04 ambient but 16.5 at exit
+    ambient = [round(x, 2) for x in os.getloadavg()]
 
     build_corpus()
     # one SUBPROCESS per query: this probe measures how each query scales
@@ -293,7 +298,8 @@ def main() -> None:
         "bar": "ratio < 5 for 5x data (sub-quadratic)",
         "data_ratio_10x": float(TENX_REPLICAS),
         "bar_10x": "ratio_10x < 10 for 10x data (dedup chain + fuzzy join)",
-        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_ambient_at_start": ambient,
+        "load_avg_at_exit": [round(x, 2) for x in os.getloadavg()],
         "queries": out,
     }
     # subset runs (SCALING_QUERIES) are a diagnosis aid: print only, never
