@@ -124,6 +124,10 @@ def _executed_work_since(spark, min_job_id: int) -> tuple[int, int]:
 
 
 def main() -> None:
+    # ambient load BEFORE any bench work: the end-of-run snapshot (also
+    # recorded) mostly reads back the bench's own 32-core sweep — the r11
+    # close measured 0.12 ambient but 13.2 at exit
+    ambient = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -324,7 +328,8 @@ def main() -> None:
         # ambient contention context: observed ~45% total inflation when the
         # 5-min load average sat at ~5 on this 32-core box — lets a round-
         # over-round diff discount noisy windows instead of misreading them
-        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_ambient_at_start": ambient,
+        "load_avg_at_exit": [round(x, 2) for x in os.getloadavg()],
     }
     if isolated:
         payload["isolated"] = isolated
