@@ -470,3 +470,157 @@ def test_stable_round_bulk_near_tie_sweep(spark):
         .reset_index(drop=True)
     )
     assert exact_float_mismatches(got[["r"]], want[["r"]]) == 0
+
+
+# ---------------------------------------------------------------------------
+# r11 fragments: HTML boilerplate rules, PII staged redaction, BPE encoding
+# ---------------------------------------------------------------------------
+
+_MARKUPISH = st.lists(
+    st.sampled_from(
+        [
+            "<p>", "</p>", '<a href="/x">', "</a>", "<div>", "<b", ">", "<",
+            "word", "alpha beta gamma delta", "w.", "!", "?", "\n", " ",
+            "café", 'title="a>b"', "<a>", "</a", "<>", "a@b.co", "..",
+        ]
+    ),
+    min_size=0,
+    max_size=25,
+).map("".join)
+
+
+@given(ts=st.lists(_MARKUPISH, min_size=1, max_size=12))
+@example(ts=["", "<p>.</p>", "<a >x</a> y.", "<p title=\"a>b\">five words go here ok.</p>"])
+@settings(**_SETTINGS)
+def test_html_line_rules_portable(spark, ts):
+    """The per-line boilerplate verdict and tag-stripped text (Java regex
+    vs RE2, trim semantics, anchor capture-group aggregation) must agree
+    on arbitrary — including malformed — markup. A verdict flip on ONE
+    line changes n_kept/boiler_frac/clean_md5 for the whole document."""
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _is_content_sql,
+        _strip_sql,
+        _html_strip,
+        html_is_content,
+    )
+
+    # one row per LINE, mirroring the per-line lambda application
+    lines = [l for t in ts for l in t.split("\n")]
+    pdf = pd.DataFrame({"x": lines})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            html_is_content(F.col("x")).alias("keep"),
+            _html_strip(F.col("x")).alias("s"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {_is_content_sql('x')} AS keep, {_strip_sql('x')} AS s FROM t"
+    ).df()
+    assert list(got["keep"]) == [bool(v) for v in want["keep"]]
+    assert list(got["s"]) == list(want["s"])
+
+
+_PIIISH = st.lists(
+    st.sampled_from(
+        [
+            "user@ex.com", "a@b.c", "a@b.co", "jo.doe+x@sub.example.org",
+            "10.0.0.1", "555-1234", "1234-555", "999.999.999.999",
+            "1.2.3.4.5", "x", "admin@10.0.0.12", " ", ".", "-", "007",
+            "call", "@", "a@", "@b.co", "12.34", "555-123", "555-12345",
+        ]
+    ),
+    min_size=0,
+    max_size=20,
+).map(" ".join)
+
+
+@given(ts=st.lists(_PIIISH, min_size=1, max_size=12))
+@example(ts=["", "a@b.co 1.2.3.4 555-0000", "x555-1234 1.2.3.4.5"])
+@settings(**_SETTINGS)
+def test_pii_staged_redaction_portable(spark, ts):
+    """The staged count + ordered redact chain must agree byte-for-byte:
+    \\b boundaries, {1,3} octet repeats, the alphabetic-tld email rule,
+    and the email→ip→phone order all have to line up in both dialects."""
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _PII_RULES,
+        pii_redact_stage,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+    got = (
+        pii_redact_stage(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    stage = "text"
+    counts = []
+    for k, p, rep in _PII_RULES:
+        counts.append(f"CAST(len(regexp_extract_all({stage}, '{p}')) AS INTEGER) AS n_{k}")
+        stage = f"regexp_replace({stage}, '{p}', '{rep}', 'g')"
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT doc_id, {', '.join(counts)}, md5({stage}) AS redacted_md5 "
+        f"FROM t ORDER BY doc_id"
+    ).df()
+    for c in ("n_email", "n_ip", "n_phone", "redacted_md5"):
+        assert list(got[c]) == list(want[c]), c
+
+
+_BPE_WORDS = st.lists(
+    st.text(alphabet="abcdefgrstin", min_size=1, max_size=12),
+    min_size=0,
+    max_size=15,
+).map(" ".join)
+
+
+@given(ts=st.lists(_BPE_WORDS, min_size=1, max_size=10))
+@example(ts=["erer inin stst", "xer erx", "e r er re", ""])
+@settings(**_SETTINGS)
+def test_bpe_stream_three_way_portable(spark, ts):
+    """THREE-way agreement on arbitrary small-alphabet words (the alphabet
+    overlaps the trained merges, so merges actually fire): the Spark
+    replace chain, the DuckDB replace chain, and the pure-Python
+    symbol-list walk must produce the identical encoded stream — any
+    boundary false-positive in the separator encoding breaks one of the
+    three first."""
+    import hashlib
+    import re as _re
+
+    from amazon_climate_data_etl_spark.functions.bpe_vocab import MERGES
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _BPE_SEP,
+        _bpe_stream,
+        _build_bpe_sql,
+    )
+    from tools.gen_bpe_merges import merge_word
+
+    pdf = pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", F.md5(_bpe_stream(F.col("text"))).alias("h"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # DuckDB: reuse the registered oracle's stream construction by running
+    # the full query over a documents view shaped like the fixture
+    con = duckdb.connect()
+    pdf2 = pdf.assign(lang="en", source="src0", n_chars=pdf["text"].str.len())
+    con.register("documents", pdf2)
+    want = con.execute(
+        "SELECT doc_id, token_md5 FROM (" + _build_bpe_sql().replace("ORDER BY doc_id", "") + ") q ORDER BY doc_id"
+    ).df()
+    twin = []
+    for t in ts:
+        streams = []
+        for w in _re.findall("[a-z]+", t.lower()):
+            sym = list(w)
+            for left, right in MERGES:
+                sym = merge_word(sym, left, right)
+            streams.append(_BPE_SEP + (_BPE_SEP * 2).join(sym) + _BPE_SEP)
+        twin.append(hashlib.md5(" ".join(streams).encode()).hexdigest())
+    assert list(got["h"]) == list(want["token_md5"]) == twin
