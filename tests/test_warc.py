@@ -1,0 +1,159 @@
+"""WARC ingest boundary: round trip, gzip member layouts, fail-loud
+malformed input, and the crawl → extract e2e (read_warc feeding
+html_boilerplate_extract's generic stage) — the source-boundary test
+pattern of test_arrow_ipc/test_zarr."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from amazon_climate_data_etl_spark.operators.textops import html_extract_stage
+from amazon_climate_data_etl_spark.sources.warc_min import (
+    build_warc,
+    http_payload,
+    parse_warc,
+    read_warc,
+)
+
+
+def _http_response(body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+        + b"\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\n\r\n" + body
+    )
+
+
+def _crawl_records(n: int = 6) -> list[dict]:
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "warcinfo",
+                "WARC-Date": "2026-08-16T00:00:00Z",
+                "WARC-Record-ID": "<urn:uuid:info>",
+                "Content-Type": "application/warc-fields",
+            },
+            "block": b"software: test-crawler/0.1\r\n",
+        }
+    ]
+    for i in range(n):
+        body = (
+            f'<div class="nav"><a href="/">home</a></div>\n'
+            f"<p>page {i} alpha beta gamma delta epsilon.</p>\n"
+            f"<div>(c) crawl</div>"
+        ).encode()
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"https://example.org/page/{i}",
+                    "WARC-Date": "2026-08-16T00:00:01Z",
+                    "WARC-Record-ID": f"<urn:uuid:{i}>",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "block": _http_response(body),
+            }
+        )
+    return recs
+
+
+def test_roundtrip_plain_and_gzip_member():
+    recs = _crawl_records()
+    for gz in (False, True):
+        data = build_warc(recs, gzip_per_record=gz)
+        parsed = parse_warc(data)
+        assert [r.warc_type for r in parsed] == ["warcinfo"] + ["response"] * 6
+        assert parsed[0].block == b"software: test-crawler/0.1\r\n"
+        for i, r in enumerate(parsed[1:]):
+            assert r.get("WARC-Target-URI") == f"https://example.org/page/{i}"
+            status, headers, body = http_payload(r)
+            assert status == 200
+            assert headers["Content-Type"] == "text/html"
+            assert f"page {i} ".encode() in body
+
+
+def test_whole_file_single_gzip_member():
+    data = build_warc(_crawl_records(2))
+    co = zlib.compressobj(wbits=31)
+    gz = co.compress(data) + co.flush()
+    assert len(parse_warc(gz)) == 3
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: b"WARX/1.0" + d[8:], "bad version line"),
+        (lambda d: d.replace(b"Content-Length", b"Content-Lengt h", 1),
+         "Content-Length"),
+        (lambda d: d[:-6], "truncated|separator"),
+        (lambda d: d[:-2], "separator"),
+        (lambda d: d + b"garbage", "version line|bad version"),
+    ],
+)
+def test_malformed_fails_loudly(mutate, msg):
+    import re
+
+    data = build_warc(_crawl_records(1))
+    with pytest.raises(ValueError) as e:
+        parse_warc(mutate(data))
+    assert re.search(msg, str(e.value)), e.value
+
+
+def test_truncated_gzip_member_fails_loudly():
+    data = build_warc(_crawl_records(1), gzip_per_record=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(data[:-4])
+
+
+def test_distributed_read_and_extract_e2e(spark, tmp_path):
+    """The crawl-ingest story end-to-end: N .warc.gz files → distributed
+    read_warc scan → response payloads as an html column →
+    html_extract_stage — row counts, per-record metadata, and extraction
+    values all asserted against the local pure-Python parse of the same
+    bytes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    paths = []
+    for f in range(3):
+        recs = _crawl_records(4)
+        p = os.path.join(str(tmp_path), f"seg-{f}.warc.gz")
+        with open(p, "wb") as fh:
+            fh.write(build_warc(recs, gzip_per_record=True))
+        paths.append(p)
+
+    df = read_warc(spark, str(tmp_path))
+    rows = df.orderBy("file", "record_idx").collect()
+    assert len(rows) == 3 * 5  # 1 warcinfo + 4 responses per file
+    assert {r.warc_type for r in rows} == {"warcinfo", "response"}
+    responses = [r for r in rows if r.warc_type == "response"]
+    assert all(r.http_status == 200 for r in responses)
+    assert all(r.target_uri.startswith("https://example.org/") for r in responses)
+
+    html = (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("payload").cast("string").alias("html"),
+        )
+    )
+    got = html_extract_stage(html).toPandas().drop(columns=["doc_id"])
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+
+    # local twin: parse the same files pure-Python, run the same stage
+    local_html = []
+    for p in paths:
+        for rec in parse_warc(open(p, "rb").read()):
+            if rec.warc_type == "response":
+                local_html.append(http_payload(rec)[2].decode())
+    twin_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(local_html)), "html": local_html})
+    )
+    want = html_extract_stage(twin_df).toPandas().drop(columns=["doc_id"])
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert got.equals(want)
+    # the nav/footer boilerplate is dropped, the content line kept
+    assert (got["n_kept"] == 1).all() and (got["n_lines"] == 3).all()
