@@ -1429,19 +1429,27 @@ def plant_pii(text: Column, doc_id: Column) -> Column:
     )
 
 
-def pii_redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Generic detect + redact over any text column — a pure map (regex
-    counts + the ordered regexp_replace chain inside whole-stage codegen).
-    Each kind's count runs on the stream AFTER the earlier kinds redacted
-    (counts == spans actually replaced per kind), so an IP that only
-    exists inside an email host is an email, never also an ip — the
-    counters and the redaction can never disagree on overlaps."""
-    t = F.col(text_col)
+def pii_scrub_columns(t: Column) -> tuple[dict, Column]:
+    """(staged per-kind count Columns, redacted-text Column) over ``t`` —
+    the composable core of the scrub stage. Each kind's count runs on the
+    stream AFTER the earlier kinds redacted (counts == spans actually
+    replaced per kind), so an IP that only exists inside an email host is
+    an email, never also an ip — the counters and the redaction can never
+    disagree on overlaps."""
     stage = t
     counts = {}
     for k, p, rep in _PII_RULES:
         counts[k] = F.regexp_count(stage, F.lit(p))
         stage = F.regexp_replace(stage, p, rep)
+    return counts, stage
+
+
+def pii_redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Generic detect + redact over any text column — a pure map (regex
+    counts + the ordered regexp_replace chain inside whole-stage
+    codegen); see ``pii_scrub_columns`` for the staged-count contract."""
+    t = F.col(text_col)
+    counts, red = pii_scrub_columns(t)
     total = None
     for c in counts.values():
         total = c if total is None else total + c
@@ -1449,8 +1457,8 @@ def pii_redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         total.alias("n_pii"),
-        (F.length(t) - F.length(stage)).alias("chars_delta"),
-        F.md5(stage).alias("redacted_md5"),
+        (F.length(t) - F.length(red)).alias("chars_delta"),
+        F.md5(red).alias("redacted_md5"),
     )
 
 

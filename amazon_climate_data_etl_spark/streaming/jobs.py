@@ -533,3 +533,38 @@ def run_semantic_probe_stream(
     )
     q.awaitTermination()
     return q
+
+
+def crawl_extract_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the crawl-ingest map chain (r11): markup →
+    boilerplate extraction → PII scrub of the extracted clean text, as
+    one continuous query over a (doc_id, html) stream — the Kafka→extract
+    hop of a crawl pipeline. Every rule is a stateless pure map
+    (textops.html_is_content / _html_strip / pii_scrub_columns), so the
+    chain lifts to Structured Streaming unchanged: append mode, no
+    watermark, no state store — per-record latency is one codegen pass.
+    Batch equivalence is the correctness contract (test_streaming)."""
+    from pyspark.sql import functions as F
+
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _html_strip,
+        html_is_content,
+        pii_scrub_columns,
+    )
+
+    lines = F.split(F.col("html"), "\n")
+    kept = F.filter(lines, html_is_content)
+    mid = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(F.transform(kept, _html_strip), "\n").alias("clean"),
+    )
+    counts, red = pii_scrub_columns(F.col("clean"))
+    return mid.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(red).alias("scrubbed_md5"),
+    )

@@ -648,3 +648,51 @@ def test_stream_sink_hygiene(spark):
         assert not spark.catalog.tableExists("hygiene_existing")
     finally:
         spark.sql("DROP TABLE IF EXISTS hygiene_existing")
+
+
+def test_crawl_extract_stream_matches_batch(spark, tmp_path):
+    """The crawl-ingest map chain (markup → boilerplate extraction → PII
+    scrub of the clean text) streamed file-by-file must equal the same
+    chain applied in batch to the same documents — the stateless-map
+    lifting contract of the r11 family."""
+    import json
+
+    from amazon_climate_data_etl_spark.streaming.jobs import crawl_extract_stream
+
+    docs = [
+        {
+            "doc_id": i,
+            "html": (
+                '<div class="nav"><a href="/">home</a></div>\n'
+                f"<p>page {i} alpha beta mail user{i}@ex.com gamma delta.</p>\n"
+                f"<p>short {i}.</p>\n"
+                f"<div>(c) crawl 10.0.0.{i % 250}</div>"
+            ),
+        }
+        for i in range(40)
+    ]
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    for b in range(4):  # 4 files → 4 micro-batches
+        with open(os.path.join(d, f"part-{b}.json"), "w") as f:
+            for doc in docs[b * 10 : (b + 1) * 10]:
+                f.write(json.dumps(doc) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, html string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    run_to_memory_sink(crawl_extract_stream(stream), "t_crawl_extract")
+    got = {r.doc_id: r for r in spark.table("t_crawl_extract").collect()}
+
+    batch = spark.createDataFrame(
+        [(doc["doc_id"], doc["html"]) for doc in docs], "doc_id long, html string"
+    )
+    want = {r.doc_id: r for r in crawl_extract_stream(batch).collect()}
+    assert got == want and len(got) == 40
+    # the chain actually did its job: nav/footer dropped, emails counted
+    assert all(r.n_kept == 1 and r.n_lines == 4 for r in got.values())
+    assert all(r.n_email == 1 for r in got.values())
+    # the footer IP is boilerplate-dropped before the scrub sees it
+    assert all(r.n_ip == 0 for r in got.values())
