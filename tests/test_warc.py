@@ -157,3 +157,30 @@ def test_distributed_read_and_extract_e2e(spark, tmp_path):
     assert got.equals(want)
     # the nav/footer boilerplate is dropped, the content line kept
     assert (got["n_kept"] == 1).all() and (got["n_lines"] == 3).all()
+
+
+def test_wet_conversion_records_flow_through(spark, tmp_path):
+    """WET files (Common Crawl's extracted-text sibling) are WARC files
+    whose records are type `conversion` with text/plain blocks — the
+    reader must surface them with payload == block and no HTTP split."""
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": f"https://example.org/page/{i}",
+                "WARC-Date": "2026-08-16T00:00:02Z",
+                "WARC-Record-ID": f"<urn:uuid:wet{i}>",
+                "Content-Type": "text/plain",
+            },
+            "block": f"extracted text of page {i}\nsecond line".encode(),
+        }
+        for i in range(4)
+    ]
+    p = os.path.join(str(tmp_path), "seg.warc.wet.gz")
+    with open(p, "wb") as fh:
+        fh.write(build_warc(recs, gzip_per_record=True))
+    rows = read_warc(spark, str(tmp_path)).orderBy("record_idx").collect()
+    assert [r.warc_type for r in rows] == ["conversion"] * 4
+    assert all(r.http_status is None for r in rows)
+    for i, r in enumerate(rows):
+        assert bytes(r.payload) == f"extracted text of page {i}\nsecond line".encode()
