@@ -1464,7 +1464,9 @@ def corpus_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(store, ignore_errors=True)
     write_snapshot(v1, store, note="initial crawl")
     write_snapshot(v2, store, note="drop 11k+7, revise 13k")
-    assert [m["version"] for m in snapshot_manifests(store)] == [1, 2]
+    versions = [m["version"] for m in snapshot_manifests(store)]
+    if versions != [1, 2]:  # fail-loud, not assert: survives python -O
+        raise RuntimeError(f"snapshot store {store!r} has versions {versions}")
     pinned = read_snapshot(spark, store, version=1)  # explicit as-of pin
     latest = read_snapshot(spark, store)  # manifest-gated latest == v2
 

@@ -66,7 +66,9 @@ def _gunzip_members(data: bytes) -> bytes:
 
 
 def parse_warc(data: bytes) -> list[WarcRecord]:
-    """Parse every record in one WARC object (gzip auto-detected)."""
+    """Parse every record in one WARC object (gzip auto-detected). A
+    zero-byte object yields [] (visible in any file listing, unlike a
+    mid-record truncation — which raises)."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     records: list[WarcRecord] = []
