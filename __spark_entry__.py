@@ -73,7 +73,7 @@ clean text + C4/Gopher boilerplate stats), ``bpe_tokenize_profile``
 token COUNTS existed; actual tokenization did not),
 ``corpus_read_asof`` (manifest-gated time-travel read over
 write_snapshot versions, certified from the round-tripped files), and
-``pii_redact_stats`` (the C4-family PII scrub: ordered email→ip→phone
+``pii_scrub_docs`` (the C4-family PII scrub: ordered email→ip→phone
 redaction with staged counts): the registry stands at 149, 1 under
 the cap. Round 11 also graduated
 ``audio_energy_segments`` and ``video_scene_changes`` from rows-only to

@@ -885,7 +885,12 @@ _PII_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scan + redaction accounting over a support-ticket corpus.
+    """PII scan + redaction ACCOUNTING over a support-ticket corpus — the
+    segment-grain compliance report. Sibling of textops.pii_scrub_docs
+    (r11), which is the per-document scrub itself (documents scan, ordered
+    three-rule chain with staged counts, redacted-md5 certificate); this
+    one answers "how much PII per segment", that one produces and
+    certifies the scrubbed corpus.
 
     The documents fixture carries no PII, so the corpus is CONSTRUCTED
     from the customer dimension: name, market segment, a TPC-H-format

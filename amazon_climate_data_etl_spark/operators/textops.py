@@ -1381,9 +1381,17 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# PII detection / redaction (r11): the scrub stage every public-web
-# training pipeline runs (the C4 family strips emails/phones/IPs before
-# anything else sees the text). The corpus carries no real PII, so the
+# PII scrub (r11): the per-DOCUMENT scrub stage every public-web training
+# pipeline runs (the C4 family strips emails/phones/IPs before anything
+# else sees the text). Sibling of curation.pii_redaction_stats — that
+# query is the corpus-level compliance ACCOUNTING report (segment-grain
+# aggregate over a customer-derived ticket corpus, unordered rule pair);
+# this one is the scrub itself: per-doc grain over documents, an ORDERED
+# three-rule chain with staged counts, and the redacted text's md5 as the
+# bit-exact certificate — the form the streaming hop
+# (streaming.jobs.crawl_extract_stream) consumes. Different scan, grain,
+# and contract; the shared name fragment is the domain, not the shape.
+# The corpus carries no real PII, so the
 # query plants deterministic doc_id-derived PII spans first (same
 # portable-synthesis pattern as html_boilerplate_extract), then runs the
 # GENERIC detect+redact stage: three anchored regex families applied in a
@@ -1462,7 +1470,7 @@ def pii_redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: plant deterministic PII spans, then detect
     and redact them with the generic stage. Scale shape: one rebalanced
     scan (regex chain is the per-row cost), map-only, sort-only output
@@ -1681,7 +1689,7 @@ BPE_TOKENIZE_SQL = _build_bpe_sql()
 QUERIES = {
     "html_boilerplate_extract": html_boilerplate_extract,
     "bpe_tokenize_profile": bpe_tokenize_profile,
-    "pii_redact_stats": pii_redact_stats,
+    "pii_scrub_docs": pii_scrub_docs,
     "textrank_keywords": textrank_keywords,
     "zipf_law_fit": zipf_law_fit,
     "token_triangle_census": token_triangle_census,
@@ -1704,7 +1712,7 @@ QUERIES = {
 ORACLE = {
     "html_boilerplate_extract": HTML_EXTRACT_SQL,
     "bpe_tokenize_profile": BPE_TOKENIZE_SQL,
-    "pii_redact_stats": PII_REDACT_SQL,
+    "pii_scrub_docs": PII_REDACT_SQL,
     "textrank_keywords": TEXTRANK_SQL,
     "token_triangle_census": TRIANGLE_CENSUS_SQL,
     "pmi_collocations": PMI_SQL,

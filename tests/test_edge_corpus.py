@@ -41,7 +41,7 @@ _DOC_QUERIES = [
     "token_triangle_census", "quality_weighted_sample", "pmi_collocations",
     "source_concentration_gini", "zipf_law_fit",
     "dedup_cluster_size_histogram",
-    "html_boilerplate_extract", "bpe_tokenize_profile", "pii_redact_stats",
+    "html_boilerplate_extract", "bpe_tokenize_profile", "pii_scrub_docs",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_near_pairs", "dedup_components",

@@ -413,7 +413,7 @@ _PLAN_BOUNDS = {
     "bpe_tokenize_profile": (2, 0),
     # plant + detect + redact are one map-only codegen stage; same
     # rebalance + sort pair
-    "pii_redact_stats": (2, 0),
+    "pii_scrub_docs": (2, 0),
     # one full-outer doc_id join (2 exchanges) + output sort; map-only
     # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
     "corpus_merge_upsert": (3, 0),
