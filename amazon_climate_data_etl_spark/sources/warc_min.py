@@ -58,7 +58,10 @@ def _gunzip_members(data: bytes) -> bytes:
     out, rest = [], data
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as e:  # non-gzip bytes between/after members
+            raise ValueError(f"warc: corrupt gzip member ({e})") from e
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
         rest = d.unused_data

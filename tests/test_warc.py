@@ -184,3 +184,9 @@ def test_wet_conversion_records_flow_through(spark, tmp_path):
     assert all(r.http_status is None for r in rows)
     for i, r in enumerate(rows):
         assert bytes(r.payload) == f"extracted text of page {i}\nsecond line".encode()
+
+
+def test_garbage_after_gzip_member_fails_loudly():
+    data = build_warc(_crawl_records(1), gzip_per_record=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(data + b"not gzip at all")
