@@ -35,11 +35,16 @@ from tests.oracle_harness import (
 from tests.test_edge_corpus import _DOC_QUERIES, ORACLE, QUERIES
 
 # a small vocabulary forces shingle collisions and term-frequency ties;
-# unicode entries exercise the casing/width traps the advice items hit
+# unicode entries exercise the casing/width traps the advice items hit;
+# markup/PII-shaped tokens (r11) stress the html/bpe/pii queries through
+# the REGISTERED parity path — '<' inside document text flows into the
+# synthesized markup, and email/ip/phone look-alikes meet the staged
+# scrub on top of the planted spans
 _VOCAB = (
     [f"tok{i}" for i in range(40)]
     + ["the", "and", "of", "a", "in"]
     + ["café", "naïve", "Straße", "İstanbul", "ΣΙΓΜΑ", "мир", "你好"]
+    + ["<p>", "</a", "a>b", "x@y.co", "10.0.0.1", "555-1234", "1.2.3.4.5"]
 )
 
 _WS = [" ", "  ", "\t", "\n"]
