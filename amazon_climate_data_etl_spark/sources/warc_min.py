@@ -20,6 +20,17 @@ count). Corrupt input FAILS LOUDLY — truncated blocks, missing
 Content-Length, a bad version line, or a missing record separator raise
 with offsets rather than yielding silently-truncated corpora (the same
 contract as zstd_min/blosc_min).
+
+Task-memory contract (r12): decoding is MEMBER-AT-A-TIME and the reader
+emits CHUNKED output frames, so a task's transient peak is the raw file
+bytes (the ``binaryFile`` row — unavoidable at this API) plus ONE
+decompressed gzip member plus one bounded output chunk. In the
+splittable member-per-record layout that is one record, not the ~4-5×
+whole-file expansion of a 1 GB Common Crawl segment; only the
+degenerate whole-file-single-member layout still holds a full
+decompressed copy (inherent to that layout). A record may NOT span gzip
+members (the splittable convention's invariant) — a member ending
+mid-record raises, same fail-loud contract.
 """
 
 from __future__ import annotations
@@ -52,29 +63,47 @@ class WarcRecord:
         return self.get("WARC-Type", "") or ""
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenate every gzip member (member-per-record .warc.gz layout;
-    a single whole-file member is the degenerate case)."""
-    out, rest = [], data
+def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield each decompressed gzip member ONE AT A TIME (member-per-record
+    .warc.gz layout; a single whole-file member is the degenerate case) —
+    the memory contract: at most one member is materialized at once."""
+    rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(rest))
+            member = d.decompress(rest)
         except zlib.error as e:  # non-gzip bytes between/after members
             raise ValueError(f"warc: corrupt gzip member ({e})") from e
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
+        yield member
         rest = d.unused_data
-    return b"".join(out)
+
+
+def iter_warc(data: bytes) -> Iterator[WarcRecord]:
+    """Yield every record in one WARC object (gzip auto-detected),
+    decoding member-at-a-time so peak memory is one decompressed member
+    (= one record in the splittable layout), never the whole expanded
+    file. A record spanning gzip members raises (the splittable
+    convention's invariant: members hold whole records). A zero-byte
+    object yields nothing (visible in any file listing, unlike a
+    mid-record truncation — which raises)."""
+    if data[:2] == b"\x1f\x8b":
+        for member in _iter_gunzip_members(data):
+            yield from _parse_uncompressed(member)
+    else:
+        yield from _parse_uncompressed(data)
 
 
 def parse_warc(data: bytes) -> list[WarcRecord]:
-    """Parse every record in one WARC object (gzip auto-detected). A
-    zero-byte object yields [] (visible in any file listing, unlike a
-    mid-record truncation — which raises)."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    records: list[WarcRecord] = []
+    """Eager form of :func:`iter_warc` (tests / small objects)."""
+    return list(iter_warc(data))
+
+
+def _parse_uncompressed(data: bytes) -> Iterator[WarcRecord]:
+    """Parse records from one uncompressed buffer (a gzip member, or the
+    whole object for plain ``.warc``); offsets in errors are relative to
+    this buffer."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -115,8 +144,7 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
         if data[pos : pos + 4] != _CRLF + _CRLF:
             raise ValueError(f"warc: missing record separator at offset {pos}")
         pos += 4
-        records.append(WarcRecord(version.decode(), headers, block))
-    return records
+        yield WarcRecord(version.decode(), headers, block)
 
 
 def http_payload(record: WarcRecord) -> tuple[int, dict, bytes]:
@@ -142,10 +170,18 @@ def build_warc(records: list[dict], gzip_per_record: bool = False) -> bytes:
     """Serialize records (dicts with ``headers`` incl. WARC-Type, and
     ``block`` bytes) — the test/writer half of the boundary. Adds the
     mandatory Content-Length; optional member-per-record gzip (the
-    splittable .warc.gz convention)."""
+    splittable .warc.gz convention). Fail-loud AT WRITE TIME, matching the
+    reader's boundary contract: a header name containing ':' or either
+    side containing CR/LF would serialize structurally corrupt framing
+    that only surfaces at parse time, so it raises here instead."""
     out = []
     for r in records:
         headers = dict(r.get("headers", {}))
+        for k, v in headers.items():
+            if ":" in k or "\r" in k or "\n" in k or not k:
+                raise ValueError(f"warc: invalid header name {k!r}")
+            if "\r" in str(v) or "\n" in str(v):
+                raise ValueError(f"warc: header {k!r} value contains CR/LF")
         block = r.get("block", b"")
         headers["Content-Length"] = str(len(block))
         buf = (
@@ -170,12 +206,25 @@ _READ_SCHEMA = (
 )
 
 
+# output rows per emitted pandas frame: bounds the decoded-rows side of a
+# task's memory to one chunk regardless of records-per-file (the raw file
+# bytes + one gzip member being the other, fixed, side — module docstring)
+_READ_CHUNK_ROWS = 1024
+
+_READ_COLUMNS = [
+    "file", "record_idx", "warc_type", "target_uri",
+    "warc_date", "content_type", "http_status", "payload",
+]
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over the objects →
     Arrow-batched per-file decode, one short row per record (response
     records carry the HTTP body as ``payload`` and its status; other
-    record types carry the raw block). No driver-side decode, no
-    collect."""
+    record types carry the raw block). No driver-side decode, no collect;
+    records decode member-at-a-time and rows flush every
+    ``_READ_CHUNK_ROWS``, so task memory never holds a whole expanded
+    segment (module docstring's memory contract)."""
     import pandas as pd
 
     from amazon_climate_data_etl_spark.session import ship_package_to_workers
@@ -189,10 +238,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
         for pdf in batches:
-            rows = []
             for p, c in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc(bytes(c))):
+                for i, rec in enumerate(iter_warc(bytes(c))):
                     status, body = None, rec.block
                     if rec.warc_type == "response":
                         status, _, body = http_payload(rec)
@@ -208,12 +257,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             body,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file", "record_idx", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status", "payload",
-                ],
-            )
+                    if len(rows) >= _READ_CHUNK_ROWS:
+                        yield pd.DataFrame(rows, columns=_READ_COLUMNS)
+                        rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=_READ_COLUMNS)
 
     return raw.mapInPandas(worker, schema=_READ_SCHEMA)

@@ -26,9 +26,18 @@ from tools.gen_bpe_merges import merge_word
 SF = "/root/testdata/sf0.001"
 
 
+# ASCII-only lower, matching the engines' ascii_lower (r12, advice item):
+# Python str.lower() maps e.g. 'İ' to 'i' + combining dot, inventing [a-z]+
+# pre-tokens the engines never produce — the twin must not depend on the
+# corpus happening to lack non-ASCII casing pairs.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def _twin_tokenize(text: str) -> tuple[int, int, str]:
     """(n_words, n_tokens, token_md5) by the symbol-list rule."""
-    words = re.findall("[a-z]+", text.lower())
+    words = re.findall("[a-z]+", text.translate(_ASCII_LOWER))
     streams = []
     n_tokens = 0
     for w in words:
@@ -53,7 +62,7 @@ def test_merge_list_fresh():
     for t in pq.read_table(
         f"{SF}/documents.parquet", columns=["text"]
     ).to_pydict()["text"]:
-        counts.update(re.findall(r"[a-z]+", t.lower()))
+        counts.update(re.findall(r"[a-z]+", t.translate(_ASCII_LOWER)))
     assert train(counts, N_MERGES) == MERGES
 
 
@@ -86,6 +95,8 @@ def test_tokenize_twin_adversarial_words(spark):
         "xer erx inx xin",         # boundary false-positive bait
         "e r er re",               # single symbols + the pair itself
         "merer spark sparkk",      # chained generations + unseen suffix
+        "İstanbul STRASSE ΣΣ er",  # non-ASCII casing pairs: ascii_lower
+        #   leaves 'İ'/'Σ' alone (str.lower would invent an extra 'i')
         "",                        # empty doc
     ]
     df = spark.createDataFrame(
@@ -96,7 +107,7 @@ def test_tokenize_twin_adversarial_words(spark):
     got = df.select("doc_id", _bpe_stream(F.col("text")).alias("s")).collect()
     for r in got:
         text = crafted[r.doc_id]
-        words = re.findall("[a-z]+", text.lower())
+        words = re.findall("[a-z]+", text.translate(_ASCII_LOWER))
         streams = []
         for w in words:
             sym = list(w)

@@ -108,6 +108,39 @@ def test_truncated_gzip_member_fails_loudly():
         parse_warc(data[:-4])
 
 
+@pytest.mark.parametrize(
+    "headers",
+    [
+        {"X-Bad:Name": "v", "WARC-Type": "resource"},
+        {"X-CR\rName": "v", "WARC-Type": "resource"},
+        {"X-Custom": "line1\r\nline2", "WARC-Type": "resource"},
+        {"X-Custom": "v\n", "WARC-Type": "resource"},
+        {"": "v", "WARC-Type": "resource"},
+    ],
+)
+def test_build_warc_rejects_framing_breakers(headers):
+    """Fail-loud at WRITE time (r12): a ':' in a name or CR/LF anywhere
+    would serialize corrupt framing that only surfaces at parse time."""
+    with pytest.raises(ValueError, match="header"):
+        build_warc([{"headers": headers, "block": b"x"}])
+
+
+def test_record_spanning_gzip_members_fails_loudly():
+    """The splittable convention's invariant: gzip members hold WHOLE
+    records. Member-at-a-time decode (r12's task-memory contract) makes a
+    spanning record a framing error, not a silently-joined parse."""
+    import zlib
+
+    data = build_warc(_crawl_records(1))
+    mid = len(data) // 2
+    out = []
+    for part in (data[:mid], data[mid:]):
+        co = zlib.compressobj(wbits=31)
+        out.append(co.compress(part) + co.flush())
+    with pytest.raises(ValueError):
+        parse_warc(b"".join(out))
+
+
 def test_distributed_read_and_extract_e2e(spark, tmp_path):
     """The crawl-ingest story end-to-end: N .warc.gz files → distributed
     read_warc scan → response payloads as an html column →
