@@ -77,9 +77,19 @@ write_snapshot versions, certified from the round-tripped files), and
 redaction with staged counts): the registry stands at 149, 1 under
 the cap. Round 11 also graduated
 ``audio_energy_segments`` and ``video_scene_changes`` from rows-only to
-hash-checked (decode-sidecar oracles — rows-only set now 2:
-media_feature_summary / media_frame_pipeline, whose entire output is
-decode values, plus the documented HLL check). An
+hash-checked (decode-sidecar oracles). Round 12 ran the two consolidation
+merges the r11 review agreed to, funding future growth from the 149/150
+registry: ``duplicate_span_stats`` + ``duplicate_spans_exact`` →
+``duplicate_span_profile`` (both grains of the Lee-et-al exact-substring
+family — 3-token window accounting and 20-token maximal extents — one
+doc-grain frame under one oracle, one shared tokenize pass) and
+``media_feature_summary`` + ``media_frame_pipeline`` →
+``media_pipeline_profile`` (the full multimodal chain — per-kind feature
+summary + frame-sample/resize stage profile — over one persisted media
+frame; both inputs were rows-only, so the merge also shrinks the
+rows-only set to its floor of 1 + the documented HLL check). Every
+operator shape of all four is preserved; the registry stood at 147 after
+the merges. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

@@ -534,7 +534,7 @@ def climate_heatwave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: daily peaks are exact decimal maxes of the 1-dp grid
     values, so threshold membership is exact; runs use the
     gaps-and-islands identity (day-index − row_number is constant within
-    a consecutive run — the ``duplicate_spans_exact`` recipe on the
+    a consecutive run — the ``duplicate_span_profile`` recipe on the
     calendar axis). Shape: per-(mun, date) peak agg, ONE mun-keyed window
     over the hot-day subset, per-run agg, sort — the window partitions by
     municipality, so state is bounded by each municipality's hot days."""

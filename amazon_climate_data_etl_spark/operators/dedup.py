@@ -73,7 +73,12 @@ def _shingles(text_col) -> "F.Column":
     captures the outer token expression re-evaluates the regex tokenizer per
     element (no CSE inside higher-order functions) — measured 12× slower.
     Here ``toks`` is referenced a constant 4 times regardless of length."""
-    toks = tokens(F.trim(text_col))
+    return _shingles_of(tokens(F.trim(text_col)))
+
+
+def _shingles_of(toks) -> "F.Column":
+    """:func:`_shingles` over an ALREADY-tokenized array column (callers
+    that materialize the token array once for several consumers)."""
     n = F.size(toks)
     big = 1 << 30  # "to end of array" slice length
     z = F.arrays_zip(
@@ -1154,38 +1159,65 @@ ORDER BY d.doc_id
 
 
 # --------------------------------------------------------------------------
-# Exact-substring duplicate-span accounting (Lee et al. 2022 shape)
+# Exact-substring duplicate-span profile (Lee et al. 2022 shape)
 # --------------------------------------------------------------------------
 
 
-def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplicated-span accounting: how much of each document
-    is covered by token windows that also occur in OTHER documents — the
-    measurement half of exact-substring deduplication ("Deduplicating
-    Training Data Makes Language Models Better", Lee et al. 2022, which
-    removes any 50-token span occurring twice; here the window is the
-    engine's 3-token shingle so the fixture corpus yields non-trivial
-    overlap, and the span REMOVAL is a trivial filter on these counts).
+SPAN_W = 20  # exact-substring window, in tokens
 
-    Shape: one tokenize→shingle pass (rebalanced scan) → (doc, shingle)
-    multiset counts in ONE map-side-combined agg, persisted; the
-    document-frequency table re-aggregates that frame and joins back ON
-    THE SHINGLE KEY (uniform, high-cardinality — the same candidate-keyed
-    discipline as the LSH family; the DF side is NOT broadcast because
-    the shingle universe grows with the corpus, unlike a vocabulary).
-    Integer counts end-to-end; the only float is the final rounded
-    fraction of exact integers, identical IEEE division in both engines."""
+
+def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile — BOTH grains of the
+    exact-substring dedup family ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022) in one doc-grain frame
+    (r12 consolidation of the former ``duplicate_span_stats`` +
+    ``duplicate_spans_exact`` registrations; every operator shape of both
+    is preserved under this one oracle):
+
+    - the SHINGLE-ACCOUNTING half (W=3 multiset counts): how many of a
+      document's 3-token windows also occur in OTHER documents — the
+      measurement grain (``n_windows``, ``n_dup_windows``,
+      ``shingle_dup_fraction``; NULL fraction for docs with <3 tokens,
+      which have no windows);
+    - the EXACT-EXTENT half (W=20 maximal extents): any W-token window
+      whose hash occurs ≥2 times corpus-wide (including twice in one
+      document) is duplicated, and runs of duplicated positions merge
+      into MAXIMAL extents (positions p, q merge when q ≤ p + W) — the
+      unit the paper deletes (``n_spans``, ``dup_tokens``, ``max_span``,
+      ``span_dup_fraction``; W=20 because the paper's 50 exceeds half of
+      the fixture docs, whose median length is 56 tokens).
+
+    Scale shape — the distributed stand-in for the paper's single-node
+    suffix array: ONE tokenize pass, persisted (the token array feeds the
+    shingle explode, the window-hash explode, and the n_tokens spine —
+    three consumers, one regex pass). The shingle half shuffles on the
+    (doc, shingle) multiset key then the shingle key (uniform,
+    high-cardinality — the LSH-family key discipline; the DF side is
+    NEVER broadcast: the shingle universe grows with the corpus). The
+    extent half computes per-position window hashes inside a higher-order
+    transform over the MATERIALIZED token array, shuffles ONCE on the
+    window hash for occurrence counts, joins back on that key, and merges
+    extents with a gaps-and-islands window over doc_id partitions. The
+    final doc-grain assembly left-joins both halves onto the spine —
+    doc_id is uniform and high-cardinality, and both sides are already
+    doc-grain aggregates. Integer token arithmetic end-to-end; the only
+    floats are the final rounded fractions of exact integers, identical
+    IEEE division in both engines."""
     d = load_table(spark, sf_dir, "documents")
-    sh = rebalance_for_compute(d).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    t = (
+        rebalance_for_compute(d)
+        .select("doc_id", tokens(F.trim(F.col("text"))).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ---- shingle-accounting half (W=3)
+    sh = t.select("doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s"))
     ds = (
         sh.groupBy("doc_id", "s")
         .agg(F.count(F.lit(1)).alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs_with = ds.groupBy("s").agg(F.count(F.lit(1)).alias("docs_with"))
-    agg = (
+    stats = (
         ds.join(docs_with, "s")
         .groupBy("doc_id")
         .agg(
@@ -1195,74 +1227,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dup_windows"),
         )
     )
-    return agg.select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        stable_round(
-            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
-        ).alias("dup_fraction"),
-    ).orderBy("doc_id")
-
-
-DUP_SPAN_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL.format(t="toks")}) AS s FROM t
-),
-ds AS (
-  SELECT doc_id, s, count(*) AS n FROM sh GROUP BY doc_id, s
-),
-freq AS (
-  SELECT s, count(*) AS docs_with FROM ds GROUP BY s
-)
-SELECT ds.doc_id,
-       CAST(sum(n) AS BIGINT) AS n_windows,
-       CAST(sum(CASE WHEN docs_with > 1 THEN n ELSE 0 END) AS BIGINT)
-         AS n_dup_windows,
-       round(CAST(sum(CASE WHEN docs_with > 1 THEN n ELSE 0 END) AS DOUBLE)
-             / CAST(sum(n) AS DOUBLE), 6) AS dup_fraction
-FROM ds JOIN freq ON ds.s = freq.s
-GROUP BY ds.doc_id
-ORDER BY doc_id
-"""
-
-
-SPAN_W = 20  # exact-substring window, in tokens
-
-
-def duplicate_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplicated-SPAN extents per document — the actual
-    Lee et al. 2022 form ("Deduplicating Training Data Makes Language
-    Models Better": remove any W-token span occurring twice in the
-    corpus), upgraded from the 3-token shingle accounting of
-    ``duplicate_span_stats``. W = 20 here (the paper's 50 exceeds half of
-    the fixture docs, whose median length is 56 tokens); any W-token
-    window whose hash occurs ≥ 2 times corpus-wide (including twice in
-    one document) is duplicated, and runs of duplicated window positions
-    merge into MAXIMAL extents (positions p, q merge when q ≤ p + W, i.e.
-    their token spans overlap or touch), the unit the paper deletes.
-
-    Scale shape — the distributed stand-in for the paper's single-node
-    suffix array: (1) one tokenize pass; window hashes are computed per
-    position inside a higher-order transform over the MATERIALIZED token
-    array (multi-use of the non-cheap tokenizer blocks projection
-    collapse, so it runs once per doc, not once per window); (2) the
-    (pos, hash) stream is persisted and shuffles ONCE on the window hash
-    — high-cardinality, uniform, the LSH-family key discipline; the
-    occurrence-count side re-aggregates the same frame and joins back on
-    that key (never broadcast: the window universe grows with the
-    corpus); (3) extent merging is a per-doc sort — lag/gaps-and-islands
-    window over hash-partitioned doc_ids, the partitioning reused by the
-    island and per-doc aggregates (no extra exchange). Integer token
-    arithmetic end-to-end; the one float is the final rounded fraction of
-    exact integers."""
-    d = load_table(spark, sf_dir, "documents")
-    t = rebalance_for_compute(d).select(
-        "doc_id", tokens(F.trim(F.col("text"))).alias("toks")
-    )
+    # ---- exact-extent half (W=20)
     n = F.size("toks")
     wins = F.when(
         n >= SPAN_W,
@@ -1296,14 +1261,24 @@ def duplicate_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
         F.max(F.col("e") - F.col("s")).alias("max_span"),
     )
-    doc_tokens = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.trim(F.col("text")))).alias("n_tokens")
-    )
+    # ---- doc-grain assembly
+    spine = t.select("doc_id", n.alias("n_tokens"))
     return (
-        doc_tokens.join(per_doc, "doc_id", "left")
+        spine.join(stats, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.when(
+                F.col("n_windows").isNotNull(),
+                stable_round(
+                    F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+                ),
+            ).alias("shingle_dup_fraction"),
             F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
             F.coalesce("max_span", F.lit(0)).alias("max_span"),
@@ -1314,13 +1289,13 @@ def duplicate_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_tokens"),
                 ).otherwise(F.lit(0.0)),
                 6,
-            ).alias("dup_fraction"),
+            ).alias("span_dup_fraction"),
         )
         .orderBy("doc_id")
     )
 
 
-DUP_SPANS_EXACT_SQL = f"""
+DUP_SPAN_PROFILE_SQL = f"""
 WITH t AS (
   -- empty guard mirrors functions.text.tokens(): splitting '' yields ['']
   -- in DuckDB (len 1) where Spark's guarded tokenizer yields [] (len 0)
@@ -1328,6 +1303,23 @@ WITH t AS (
          CASE WHEN length(trim(text, ' ')) = 0
               THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_SQL} END AS toks
   FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL.format(t="toks")}) AS s FROM t
+),
+ds AS (
+  SELECT doc_id, s, count(*) AS n FROM sh GROUP BY doc_id, s
+),
+sfreq AS (
+  SELECT s, count(*) AS docs_with FROM ds GROUP BY s
+),
+stats AS (
+  SELECT ds.doc_id,
+         CAST(sum(n) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN docs_with > 1 THEN n ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM ds JOIN sfreq USING (s)
+  GROUP BY ds.doc_id
 ),
 wp AS (
   SELECT doc_id, u.pos AS pos, u.h AS h FROM (
@@ -1339,9 +1331,9 @@ wp AS (
     FROM t
   )
 ),
-freq AS (SELECT h, count(*) AS n_occ FROM wp GROUP BY h),
+wfreq AS (SELECT h, count(*) AS n_occ FROM wp GROUP BY h),
 dup AS (
-  SELECT doc_id, pos FROM wp JOIN freq USING (h) WHERE n_occ >= 2
+  SELECT doc_id, pos FROM wp JOIN wfreq USING (h) WHERE n_occ >= 2
 ),
 isl AS (
   SELECT doc_id, pos,
@@ -1367,21 +1359,26 @@ per_doc AS (
 )
 SELECT t.doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN n_windows > 0
+            THEN round(CAST(n_dup_windows AS DOUBLE)
+                       / CAST(n_windows AS DOUBLE), 6)
+       END AS shingle_dup_fraction,
        COALESCE(n_spans, 0) AS n_spans,
        COALESCE(dup_tokens, 0) AS dup_tokens,
        COALESCE(max_span, 0) AS max_span,
        CASE WHEN len(toks) > 0
             THEN round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
                        / CAST(len(toks) AS DOUBLE), 6)
-            ELSE 0.0 END AS dup_fraction
-FROM t LEFT JOIN per_doc USING (doc_id)
+            ELSE 0.0 END AS span_dup_fraction
+FROM t LEFT JOIN stats USING (doc_id) LEFT JOIN per_doc USING (doc_id)
 ORDER BY doc_id
 """
 
 
 QUERIES = {
-    "duplicate_span_stats": duplicate_span_stats,
-    "duplicate_spans_exact": duplicate_spans_exact,
+    "duplicate_span_profile": duplicate_span_profile,
     "exact_dedup": exact_dedup,
     "dedup_components": dedup_components,
     "neardup_keep_corpus": neardup_keep_corpus,
@@ -1395,8 +1392,7 @@ QUERIES = {
 }
 
 ORACLE = {
-    "duplicate_span_stats": DUP_SPAN_SQL,
-    "duplicate_spans_exact": DUP_SPANS_EXACT_SQL,
+    "duplicate_span_profile": DUP_SPAN_PROFILE_SQL,
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

@@ -883,7 +883,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Comparison is integer-exact after scaling (4·pair > total avoids the
     division); the per-part totals re-aggregate the persisted pair frame
-    and join back on partkey — the duplicate_span_stats key discipline.
+    and join back on partkey — the duplicate_span_profile key discipline.
     Quantities are exact decimals, so both engines agree on every
     threshold decision."""
     li = load_table(spark, sf_dir, "lineitem").filter(

@@ -774,16 +774,14 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_summary(features: DataFrame) -> DataFrame:
-    """Typed-metadata aggregation over extracted features (pure JVM)."""
-    return (
-        features.groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("entropy_proxy"), 4).alias("avg_entropy"),
-            F.countDistinct("sha256").alias("n_unique"),
-        )
-        .orderBy("kind")
+    """Typed-metadata aggregation over extracted features (pure JVM).
+    Unsorted — callers that need an order add their own (keeps the agg
+    reusable under a union without a buried mid-plan sort)."""
+    return features.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("entropy_proxy"), 4).alias("avg_entropy"),
+        F.countDistinct("sha256").alias("n_unique"),
     )
 
 
@@ -811,7 +809,7 @@ def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this runs the REAL decode kernels (PNG/WAV/AVI → pixels/samples →
     moment+histogram features), not the sha256 stand-in."""
     media = synthetic_media(spark, n=media_count_for(sf_dir))
-    return media_summary(extract_features(media, fake=False))
+    return media_summary(extract_features(media, fake=False)).orderBy("kind")
 
 
 def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,9 +853,65 @@ def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the FULL multimodal chain in one profile —
+    r12 consolidation of the former ``media_feature_summary`` +
+    ``media_frame_pipeline`` registrations (both rows-only, same decode
+    path; every operator shape of both is preserved): synthesize binary
+    media once, then (a) Arrow-batched decode/feature-extract
+    (mapInPandas) → typed per-kind metadata aggregation (``features:*``
+    stages, with entropy/uniqueness columns), and (b) the frame-sample +
+    resize stages' row/byte profile (``frames``/``resize`` stages —
+    cardinality law frames = duration//step + 1). Registered WITHOUT a
+    SQL oracle (the decode kernels are not SQL-expressible — the one
+    remaining rows-only registration); the VALUES are certified by the
+    pure-Python recomputation twins in tests/test_media_twin.py, which
+    exercise ``media_feature_summary`` and ``media_frame_pipeline``
+    directly.
+
+    The media frame feeds THREE downstream Python branches (features,
+    frames, resize), so the branch point is persisted — an unpersisted
+    branch re-runs the synthesis mapInPandas per branch, and every extra
+    Python eval costs a runner round-trip per task (the same DAG-branch
+    materialization you'd do before fanning a decoded media scan out to
+    multiple extractors on a cluster). Item count scales with ``sf_dir``'s
+    scale factor (96 at sf0.001); all three branches are map-only up to
+    their short per-stage aggregates."""
+    media = synthetic_media(spark, n=media_count_for(sf_dir)).persist()
+    feats = media_summary(extract_features(media, fake=False)).select(
+        F.concat(F.lit("features:"), F.col("kind")).alias("stage"),
+        F.col("n_items"),
+        F.col("n_items").alias("n_rows"),  # feature extraction is 1 row/item
+        "total_bytes",
+        "avg_entropy",
+        "n_unique",
+    )
+    frames = sample_frames(media, fake=False).select(
+        F.lit("frames").alias("stage"),
+        F.col("media_id"),
+        F.length("frame").alias("n_bytes"),
+    )
+    resized = resize_images(media, fake=False).select(
+        F.lit("resize").alias("stage"),
+        F.col("media_id"),
+        F.length("resized").alias("n_bytes"),
+    )
+    stages = (
+        frames.unionByName(resized)
+        .groupBy("stage")
+        .agg(
+            F.countDistinct("media_id").alias("n_items"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .withColumn("avg_entropy", F.lit(None).cast("double"))
+        .withColumn("n_unique", F.lit(None).cast("long"))
+    )
+    return feats.unionByName(stages).orderBy("stage")
+
+
 QUERIES = {
-    "media_feature_summary": media_feature_summary,
-    "media_frame_pipeline": media_frame_pipeline,
+    "media_pipeline_profile": media_pipeline_profile,
     "image_phash_neardup": image_phash_neardup,
     "audio_energy_segments": audio_energy_segments,
     "video_scene_changes": video_scene_changes,
@@ -1025,9 +1079,11 @@ ORACLE: dict[str, str] = {
     "audio_energy_segments": AUDIO_SEGMENTS_SQL,
     "video_scene_changes": VIDEO_SCENES_SQL,
 }
-# media_feature_summary / media_frame_pipeline stay rows-only (their whole
-# output is decode-kernel values with no SQL-expressible half to replay;
-# values certified by the recomputation twins)
+# media_pipeline_profile (r12 merge of media_feature_summary +
+# media_frame_pipeline) stays rows-only — the ONE remaining rows-only
+# registration: its whole output is decode-kernel values with no
+# SQL-expressible half to replay; values certified by the recomputation
+# twins over the two underlying stage queries
 
 
 _MEDIA_KINDS = ("image", "audio", "video")

@@ -60,7 +60,7 @@ QUERIES = tuple(
     for q in os.environ.get(
         "SCALING_QUERIES",
         "minhash_lsh_pairs,ngram_jaccard_pairs,neardup_keep_corpus,"
-        "duplicate_span_stats,duplicate_spans_exact,ann_lsh_topk,"
+        "duplicate_span_profile,ann_lsh_topk,"
         "ann_ivf_topk,ann_pq_topk,ann_ivfpq_topk,textrank_keywords,"
         # round 8: the full recall panel (5 searches, one shared corpus),
         # the map-side Gram kernel, and the Lloyd loop — the reworked

@@ -47,7 +47,7 @@ _DOC_QUERIES = [
     "simhash_near_pairs", "dedup_components",
     "neardup_keep_corpus", "neardup_keep_best_quality", "incremental_dedup",
     "source_overlap_matrix",
-    "duplicate_span_stats", "duplicate_spans_exact",
+    "duplicate_span_profile",
     # curation
     "doc_chunk_plan",
     "corpus_merge_upsert", "corpus_snapshot_diff", "corpus_read_asof",
@@ -57,7 +57,8 @@ _DOC_QUERIES = [
     "corpus_filter_funnel",
 ]
 
-# a dedicated 20-token sentence (= duplicate_spans_exact's window W) and a
+# a dedicated 20-token sentence (= duplicate_span_profile's extent window W)
+# and a
 # 20-token unique spacer, for the span-extent boundary cases below
 _SPAN20 = " ".join(f"sp{i}" for i in range(20))
 _GAP20 = " ".join(f"gp{i}" for i in range(20))
@@ -85,7 +86,7 @@ _EDGE_TEXTS = [
     "an exact duplicate that crosses the incremental split boundary",  # 19:
     # doc_id % 5 == 4 puts this in incremental_dedup's DELTA slice, with
     # its exact twin (17) in the corpus — exercises the exact_dup verdict
-    # ---- exact-substring span extents (duplicate_spans_exact, W=20) ----
+    # ---- exact-substring span extents (duplicate_span_profile, W=20) ----
     _SPAN20,                                          # 20: exactly W tokens
     _SPAN20 + " " + _GAP20 + " " + _SPAN20,           # 21: two islands W
     #     apart in ONE doc (positions 0 and 40; 40 - 0 > W → they must NOT
@@ -137,7 +138,7 @@ def edge_dir(tmp_path_factory):
     return str(d)
 
 
-def test_duplicate_spans_exact_merge_semantics(spark, edge_dir):
+def test_duplicate_span_extent_merge_semantics(spark, edge_dir):
     """Hand-derivable span extents — parity alone proves only that both
     engines agree, not that the gaps-and-islands merge is RIGHT. Doc 20 is
     exactly one duplicated window; doc 21 carries the same span twice with
@@ -148,16 +149,16 @@ def test_duplicate_spans_exact_merge_semantics(spark, edge_dir):
     (12, 13) is under W and must report zero windows."""
     rows = {
         r["doc_id"]: r
-        for r in QUERIES["duplicate_spans_exact"](spark, edge_dir).collect()
+        for r in QUERIES["duplicate_span_profile"](spark, edge_dir).collect()
     }
     assert (rows[20]["n_spans"], rows[20]["dup_tokens"], rows[20]["n_tokens"]) == (1, 20, 20)
-    assert rows[20]["dup_fraction"] == 1.0
+    assert rows[20]["span_dup_fraction"] == 1.0
     assert (rows[21]["n_spans"], rows[21]["dup_tokens"], rows[21]["max_span"]) == (2, 40, 20)
     assert rows[21]["n_tokens"] == 60
     assert (rows[22]["n_spans"], rows[22]["dup_tokens"], rows[22]["n_tokens"]) == (1, 20, 25)
-    assert (rows[14]["n_spans"], rows[14]["dup_fraction"]) == (1, 1.0)
+    assert (rows[14]["n_spans"], rows[14]["span_dup_fraction"]) == (1, 1.0)
     assert (rows[12]["n_spans"], rows[12]["dup_tokens"]) == (0, 0)
-    assert rows[13]["dup_fraction"] == 0.0
+    assert rows[13]["span_dup_fraction"] == 0.0
 
 
 def test_incremental_case_variant_verdict(spark, edge_dir):

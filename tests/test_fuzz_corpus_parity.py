@@ -168,8 +168,7 @@ _DUP_CORE = [
     "neardup_keep_corpus",
     "neardup_keep_best_quality",
     "incremental_dedup",
-    "duplicate_span_stats",
-    "duplicate_spans_exact",
+    "duplicate_span_profile",
     "doc_fingerprint_profile",
 ]
 

@@ -298,11 +298,14 @@ _PLAN_BOUNDS = {
     "json_props_stats": (2, 0),
     "lang_id_confusion": (2, 0),
     "left_join_order_gaps": (2, 1),
-    # media synthesizes one split per core (the decode stage is compute-bound
-    # Python); the 3 exchanges sit DOWNSTREAM of extract_features and carry
-    # only per-item feature rows / final aggregates, never the binary payloads
-    "media_feature_summary": (3, 0),
-    "media_frame_pipeline": (3, 0),
+    # merged multimodal chain (r12: media_feature_summary +
+    # media_frame_pipeline under one rows-only registration). Media
+    # synthesizes one split per core (the decode stages are compute-bound
+    # Python); the persisted media subtree reprints textually per consumer
+    # (features / frames / resize), and every exchange sits DOWNSTREAM of
+    # the Python kernels carrying only per-item feature rows / short
+    # per-stage aggregates, never the binary payloads
+    "media_pipeline_profile": (10, 0),
     "minmax_range": (1, 0),
     "monthly_agg": (2, 0),
     "multikey_sort": (1, 0),
@@ -341,16 +344,16 @@ _PLAN_BOUNDS = {
     "pii_redaction_stats": (2, 0),
     # one source-keyed window (rank + per-source count) + bucket agg + sort
     "ccnet_quality_buckets": (3, 0),
-    # ONE persisted (doc,shingle) agg; the shingle-DF side re-aggregates
-    # the cache (textual reprint per consumer) and joins back on the
-    # shingle key + doc agg + sort (AQE broadcasts freq at fixture scale
-    # only — min stays 0, the shingle universe grows with the corpus)
-    "duplicate_span_stats": (8, 0),
-    # persisted (doc,pos,hash) stream: occurrence-count agg + hash-keyed
-    # join-back (AQE broadcasts at fixture scale only) + doc-keyed
-    # island/extent windows (one exchange, reused by both aggs) + the
-    # token-count left join + sort
-    "duplicate_spans_exact": (6, 0),
+    # merged span family (r12: duplicate_span_stats + duplicate_spans_exact
+    # under one doc-grain oracle). ONE persisted tokenize pass feeds both
+    # halves + the spine; the textual count includes that cached subtree
+    # reprinted per consumer. Shingle half: (doc,shingle) agg + shingle-DF
+    # re-agg + shingle-keyed join-back + doc agg; extent half: (doc,pos,
+    # hash) occurrence agg + hash-keyed join-back + doc-keyed island/extent
+    # windows (one exchange, reused); assembly: two doc_id left joins +
+    # sort. AQE broadcasts the freq sides at fixture scale only — min
+    # stays 0, shingle/window universes grow with the corpus.
+    "duplicate_span_profile": (12, 0),
     # two map-side-counted scans unioned + tiny slice agg + sort
     "tokenizer_fertility": (2, 0),
     # date-filtered orders broadcast into the semi-join + priority agg

@@ -150,7 +150,7 @@ _WORST = [
     "minhash_lsh_pairs",
     "neardup_keep_corpus",
     "semantic_dedup_keep",
-    "duplicate_span_stats",
+    "duplicate_span_profile",
 ]
 
 
