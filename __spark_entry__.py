@@ -89,7 +89,13 @@ summary + frame-sample/resize stage profile — over one persisted media
 frame; both inputs were rows-only, so the merge also shrinks the
 rows-only set to its floor of 1 + the documented HLL check). Every
 operator shape of all four is preserved; the registry stood at 147 after
-the merges. An
+the merges. Round 12 spent the first freed slot on ``crawl_e2e`` — the
+crawl boundary end to end (documents → PII-planted markup → real
+member-per-record ``.warc.gz`` segments written distributed → read_warc
+→ HTTP split → boilerplate extraction → PII scrub → exact-dedup
+fingerprint), the climate_e2e pattern: the oracle replays the logical
+derivations, so the hash match certifies the physical WARC round trip —
+the one r11 surface that lacked a driver row. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

@@ -1226,6 +1226,30 @@ def html_is_content(l: Column) -> Column:
     )
 
 
+def html_clean_stage(h: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Markup → (doc_id, *carry, html, n_lines, n_kept, clean): the
+    line-rule core of the extraction, exposing the CLEAN TEXT itself for
+    downstream stages (the crawl pipeline scrubs and fingerprints it).
+    The per-line rule chain is materialized through this projection for
+    the CSE reason documented on :func:`html_extract_stage`."""
+    return h.select(
+        "doc_id",
+        *carry,
+        "html",
+        F.split(F.col("html"), "\n").alias("lines"),
+        F.filter(F.split(F.col("html"), "\n"), html_is_content).alias("kept"),
+    ).select(
+        "doc_id",
+        *carry,
+        "html",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        F.array_join(F.transform(F.col("kept"), _html_strip), "\n").alias(
+            "clean"
+        ),
+    )
+
+
 def html_extract_stage(h: DataFrame) -> DataFrame:
     """Generic markup → clean text + stats over a (doc_id, html) frame —
     a pure map (no shuffle): every rule is an array/regex expression inside
@@ -1242,20 +1266,7 @@ def html_extract_stage(h: DataFrame) -> DataFrame:
     because the produced attributes are non-cheap and multiply-referenced).
     Same trick as the dedup chain's persisted signature frames, but free:
     a projection, not a cache."""
-    mid = h.select(
-        "doc_id",
-        "html",
-        F.split(F.col("html"), "\n").alias("lines"),
-        F.filter(F.split(F.col("html"), "\n"), html_is_content).alias("kept"),
-    ).select(
-        "doc_id",
-        "html",
-        F.size("lines").alias("n_lines"),
-        F.size("kept").alias("n_kept"),
-        F.array_join(F.transform(F.col("kept"), _html_strip), "\n").alias(
-            "clean"
-        ),
-    )
+    mid = html_clean_stage(h)
     n_tags = F.regexp_count(F.col("html"), F.lit(_TAG_PAT))
     visible = F.length(F.regexp_replace(F.col("html"), _TAG_PAT, ""))
     link_chars = _html_anchor_chars(F.col("html"))
@@ -1325,27 +1336,34 @@ def _is_content_sql(line: str) -> str:
     )
 
 
+def _synth_html_sql(toks: str, source: str) -> str:
+    """DuckDB twin of :func:`synth_html` over a token-array expression and
+    a source expression (parameterized in r12 so the crawl oracle can
+    synthesize from PII-planted text)."""
+    return f"""concat_ws(chr(10),
+           '{_HTML_NAV.replace("'", "''")}',
+           array_to_string(
+             list_transform(
+               range(1, greatest(1, (len({toks}) + {_WPL - 1}) // {_WPL}) + 1),
+               i -> (CASE WHEN i % 3 = 0 THEN '<p><a href="/ref">' ELSE '<p>' END
+                     -- coalesce: array_to_string of an EMPTY slice is NULL
+                     -- in DuckDB ('' in Spark), and || NULL would erase the
+                     -- whole wordless line (the empty-document case)
+                     || coalesce(array_to_string(
+                          list_slice({toks}, (i - 1) * {_WPL} + 1, (i - 1) * {_WPL} + {_WPL}),
+                          ' '), '')
+                     || CASE WHEN i % 3 = 0 THEN '.</a></p>' ELSE '.</p>' END)),
+             chr(10)),
+           '<div class="footer">(c) ' || {source} || '</div>')"""
+
+
 HTML_EXTRACT_SQL = f"""
 WITH t AS (
   SELECT doc_id, source, {_tokens_sql('text')} AS toks FROM documents
 ),
 h AS (
   SELECT doc_id,
-         concat_ws(chr(10),
-           '{_HTML_NAV.replace("'", "''")}',
-           array_to_string(
-             list_transform(
-               range(1, greatest(1, (len(toks) + {_WPL - 1}) // {_WPL}) + 1),
-               i -> (CASE WHEN i % 3 = 0 THEN '<p><a href="/ref">' ELSE '<p>' END
-                     -- coalesce: array_to_string of an EMPTY slice is NULL
-                     -- in DuckDB ('' in Spark), and || NULL would erase the
-                     -- whole wordless line (the empty-document case)
-                     || coalesce(array_to_string(
-                          list_slice(toks, (i - 1) * {_WPL} + 1, (i - 1) * {_WPL} + {_WPL}),
-                          ' '), '')
-                     || CASE WHEN i % 3 = 0 THEN '.</a></p>' ELSE '.</p>' END)),
-             chr(10)),
-           '<div class="footer">(c) ' || source || '</div>') AS html
+         {_synth_html_sql('toks', 'source')} AS html
   FROM t
 ),
 x AS (
@@ -1498,19 +1516,23 @@ def _pii_planted_sql() -> str:
     )
 
 
-def _build_pii_sql() -> str:
-    # staged counts, mirroring the engine: kind k counts on the stream
-    # after kinds < k redacted ('g': DuckDB regexp_replace defaults to
-    # first-match)
-    stage = "t"
-    counts, stages = [], []
+def _pii_scrub_sql_parts(expr: str) -> tuple[list[str], str]:
+    """(staged per-kind ``n_<kind>`` count exprs, fully-redacted expr) over
+    ``expr`` — the DuckDB twin of :func:`pii_scrub_columns`, mirroring the
+    engine: kind k counts on the stream after kinds < k redacted ('g':
+    DuckDB regexp_replace defaults to first-match)."""
+    stage = expr
+    counts = []
     for k, p, rep in _PII_RULES:
         counts.append(
             f"CAST(len(regexp_extract_all({stage}, '{p}')) AS INTEGER) AS n_{k}"
         )
         stage = f"regexp_replace({stage}, '{p}', '{rep}', 'g')"
-        stages.append(stage)
-    red = stages[-1]
+    return counts, stage
+
+
+def _build_pii_sql() -> str:
+    counts, red = _pii_scrub_sql_parts("t")
     total = " + ".join(f"n_{k}" for k, _, _ in _PII_RULES)
     counts_sql = ",\n       ".join(counts)
     return f"""
@@ -1686,7 +1708,235 @@ ORDER BY doc_id
 BPE_TOKENIZE_SQL = _build_bpe_sql()
 
 
+# --------------------------------------------------------------------------
+# crawl_e2e (r12): the WHOLE crawl boundary in one driver-checked query —
+# the climate_e2e pattern for the web-crawl family. Deterministic WARC
+# bytes are synthesized FROM the documents table (PII-planted text →
+# synth_html markup → HTTP response records → member-per-record .warc.gz
+# files, written DISTRIBUTED), then read back through read_warc's
+# distributed decode and pushed through the registered extraction stages:
+# html_clean_stage (boilerplate rules) → pii_scrub_columns (ordered
+# staged redaction) → exact-dedup fingerprint over the redacted clean
+# text. The DuckDB oracle replays only the LOGICAL derivations from
+# documents; the hash match therefore certifies
+# build_warc → gzip → parse_warc → HTTP split → URI round-trip → extract
+# end to end, exactly as climate_e2e's oracle certifies its CSV sink.
+# Cites reference scripts' write-then-reread verification step
+# (process_climate_amazon_annual.py:380-531) as the round-trip model.
+# --------------------------------------------------------------------------
+
+# files per crawl snapshot: the Common Crawl "segment" unit — read_warc
+# fans out one task per file, so this is the read parallelism; doc → file
+# assignment is doc_id % N (replayed by the oracle only through the
+# per-doc outputs, which are file-independent)
+N_CRAWL_FILES = 16
+CRAWL_SINK_ROOT = None  # PID-scoped, initialized lazily (climate.E2E pattern)
+
+
+def _crawl_sink(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    global CRAWL_SINK_ROOT
+    if CRAWL_SINK_ROOT is None:
+        CRAWL_SINK_ROOT = f"/tmp/spark_graft_crawl_e2e_{os.getpid()}"
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.sha256(full.encode()).hexdigest()[:16]
+    return os.path.join(CRAWL_SINK_ROOT, f"{os.path.basename(full)}-{key}")
+
+
+def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize and WRITE the crawl: documents → PII-planted text →
+    markup → one HTTP response record per doc → member-per-record
+    ``.warc.gz`` files, one per ``doc_id % N_CRAWL_FILES`` group, written
+    executor-side via ``applyInPandas`` (the driver never sees a page).
+    Deterministic bytes: records sort by doc_id within a file and zlib
+    gzip is level-default with no mtime. Returns the sink dir; fail-loud
+    if the manifest's record total disagrees with the corpus size."""
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        "source",
+        synth_html(
+            plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
+        ).alias("html"),
+        (F.col("doc_id") % N_CRAWL_FILES).cast("int").alias("file_seq"),
+    )
+    sink = _crawl_sink(sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from amazon_climate_data_etl_spark.sources.warc_min import build_warc
+
+        seq = int(pdf["file_seq"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, source, html in zip(
+            pdf["doc_id"], pdf["source"], pdf["html"]
+        ):
+            body = html.encode("utf-8")
+            block = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+                b"\r\n" + body
+            )
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:doc-{doc_id}>",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Target-URI": (
+                            f"http://{source}.example.com/doc/{doc_id}"
+                        ),
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    "block": block,
+                }
+            )
+        data = build_warc(recs, gzip_per_record=True)
+        path = os.path.join(sink, f"crawl-{seq:05d}.warc.gz")
+        # atomic publish: task retries write identical bytes, last replace
+        # wins; no reader ever sees a partial file
+        fd, tmp = tempfile.mkstemp(dir=sink, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_seq": [seq], "n_records": [len(recs)]})
+
+    manifest = (
+        pages.groupBy("file_seq")
+        .applyInPandas(write_group, "file_seq int, n_records long")
+        .collect()  # bounded: one row per file — this IS the write action
+    )
+    total = sum(r.n_records for r in manifest)
+    n_docs = d.count()
+    if total != n_docs:
+        raise RuntimeError(
+            f"crawl_e2e: wrote {total} records for {n_docs} documents"
+        )
+    return sink
+
+
+def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the crawl pipeline END TO END — write real
+    ``.warc.gz`` segments (distributed), read them back through
+    ``read_warc``'s distributed member-at-a-time decode, split the HTTP
+    payloads, recover doc identity from the target URI, extract clean
+    text with the boilerplate rules, scrub PII with the ordered staged
+    chain, and exact-dedup the redacted text corpus-wide. Per-doc output
+    carries the URI-recovered source, the HTTP status, extraction and
+    scrub counters, the redacted text's md5 (the bit-exact certificate),
+    and the dedup verdict (group size + keep-smallest-doc_id flag).
+
+    Scale shape: the write is one shuffle on file_seq into
+    executor-side file writes (one Common Crawl segment per group; the
+    driver sees a 16-row manifest); the read is binaryFile → one task per
+    segment file → map-only decode/extract/scrub (all JVM regex/array
+    expressions after the Arrow boundary); the only logical-plan shuffles
+    are the fingerprint window and the output sort. At 100 TB the file
+    count is the fan-out and nothing driver-side grows with the corpus."""
+    from amazon_climate_data_etl_spark.sources.warc_min import read_warc
+
+    sink = _write_crawl_warcs(spark, sf_dir)
+    recs = read_warc(spark, sink)
+    h = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract(
+            "target_uri", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
+        ).alias("source"),
+        "http_status",
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    mid = html_clean_stage(h, carry=("source", "http_status"))
+    counts, red = pii_scrub_columns(F.col("clean"))
+    scrubbed = mid.select(
+        "doc_id",
+        "source",
+        "http_status",
+        "n_lines",
+        "n_kept",
+        F.length("clean").alias("clean_chars"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(red).alias("redacted_md5"),
+    )
+    byfp = Window.partitionBy("redacted_md5")
+    return (
+        scrubbed.withColumn("dup_count", F.count(F.lit(1)).over(byfp))
+        .withColumn(
+            "is_kept", F.col("doc_id") == F.min("doc_id").over(byfp)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _build_crawl_e2e_sql() -> str:
+    """The oracle replays the LOGICAL chain from documents (plant →
+    synth → extract → scrub → fingerprint window); matching the engine's
+    from-the-files result hash-certifies the physical WARC round trip."""
+    counts, red = _pii_scrub_sql_parts("clean")
+    counts_sql = ",\n       ".join(counts)
+    return f"""
+WITH p AS (
+  SELECT doc_id, source, {_pii_planted_sql()} AS ptext FROM documents
+),
+t AS (
+  SELECT doc_id, source, {_tokens_sql('ptext')} AS toks FROM p
+),
+h AS (
+  SELECT doc_id, source,
+         {_synth_html_sql('toks', 'source')} AS html
+  FROM t
+),
+x AS (
+  SELECT doc_id, source, html,
+         string_split(html, chr(10)) AS lines,
+         list_filter(string_split(html, chr(10)), l -> {_is_content_sql('l')}) AS kept
+  FROM h
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(len(lines) AS INTEGER) AS n_lines,
+         CAST(len(kept) AS INTEGER) AS n_kept,
+         coalesce(
+           array_to_string(list_transform(kept, k -> {_strip_sql('k')}), chr(10)),
+           '') AS clean
+  FROM x
+),
+s AS (
+  SELECT doc_id, source, n_lines, n_kept,
+       CAST(length(clean) AS INTEGER) AS clean_chars,
+       {counts_sql},
+       md5({red}) AS redacted_md5
+  FROM c
+)
+SELECT doc_id, source,
+       200 AS http_status,
+       n_lines, n_kept, clean_chars, n_email, n_ip, n_phone,
+       redacted_md5,
+       count(*) OVER (PARTITION BY redacted_md5) AS dup_count,
+       doc_id = min(doc_id) OVER (PARTITION BY redacted_md5) AS is_kept
+FROM s
+ORDER BY doc_id
+"""
+
+
+CRAWL_E2E_SQL = _build_crawl_e2e_sql()
+
+
 QUERIES = {
+    "crawl_e2e": crawl_e2e,
     "html_boilerplate_extract": html_boilerplate_extract,
     "bpe_tokenize_profile": bpe_tokenize_profile,
     "pii_scrub_docs": pii_scrub_docs,
@@ -1710,6 +1960,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "crawl_e2e": CRAWL_E2E_SQL,
     "html_boilerplate_extract": HTML_EXTRACT_SQL,
     "bpe_tokenize_profile": BPE_TOKENIZE_SQL,
     "pii_scrub_docs": PII_REDACT_SQL,
