@@ -95,7 +95,13 @@ member-per-record ``.warc.gz`` segments written distributed → read_warc
 → HTTP split → boilerplate extraction → PII scrub → exact-dedup
 fingerprint), the climate_e2e pattern: the oracle replays the logical
 derivations, so the hash match certifies the physical WARC round trip —
-the one r11 surface that lacked a driver row. An
+the one r11 surface that lacked a driver row. The second freed slot went
+to ``url_domain_profile`` — the URL-side curation stage (generic
+canonicalization: fragment/tracking-param/default-port stripping +
+case-folding; registrable-domain extraction with a multi-part-suffix
+slice; per-domain doc/token concentration and blocklist accounting),
+closing read_warc's ``target_uri`` column into the curation family. The
+registry stands at 149, 1 under the cap. An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

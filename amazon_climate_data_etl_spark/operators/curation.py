@@ -1541,6 +1541,288 @@ ORDER BY version, source
 """
 
 
+# --------------------------------------------------------------------------
+# URL-side curation (r12): the crawl-pipeline stage between ingest and
+# content filtering — URL canonicalization + registrable-domain
+# aggregation + blocklist accounting (the CCNet/C4 pipelines run exactly
+# this before touching page text: tracking-param and fragment stripping so
+# mirrors collapse, per-domain doc/token concentration so one host can't
+# dominate a mix, domain blocklist filtering). Closes read_warc's
+# ``target_uri`` column into the curation family. Raw URLs are synthesized
+# deterministically FROM doc_id/source (the synth_html/plant_pii pattern —
+# mixed-case schemes/hosts, default and explicit ports, empty paths,
+# utm_* tracking params, fragments), then the canonicalization proper is
+# GENERIC string/regex derivation that works on any URL. Pure JVM
+# expressions; every step has an exact DuckDB twin (regexp_extract returns
+# '' on no-match in BOTH engines, which the empty-component CASEs lean on).
+# --------------------------------------------------------------------------
+
+# registrable-domain extraction: last two labels, or last three under a
+# multi-part public suffix (a representative slice of the PSL — the full
+# list is a data file swap, not a code change)
+_URL_MULTI_SUFFIX = ("co.uk", "com.br")
+_URL_DOMAIN_PAT = (
+    "([^.]+\\.(?:" + "|".join(s.replace(".", "\\.") for s in _URL_MULTI_SUFFIX)
+    + ")|[^.]+\\.[^.]+)$"
+)
+_URL_BLOCKLIST = ("site7.com", "site16.co.uk", "site21.net")
+_URL_SCHEME = "^[A-Za-z][A-Za-z0-9+.-]*"
+
+
+def synth_url(doc_id) -> "F.Column":
+    """Deterministic doc_id-derived raw URL exercising every
+    canonicalization rule: upper-case scheme/host, optional www/m
+    subdomains, default (:80/:443) and explicit (:8080) ports, empty
+    paths, utm_* tracking params (alone and mixed with real params), and
+    fragments. Portable int arithmetic + concat only."""
+    scheme = F.when(doc_id % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    # case-mixing keyed on %9 so SOME urls are already canonical — the
+    # n_canonicalized accounting must discriminate, not fire on every row
+    www = F.when(
+        doc_id % 3 == 0,
+        F.when(doc_id % 9 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+    ).otherwise(F.lit(""))
+    sub = F.when(doc_id % 5 == 0, F.lit("m.")).otherwise(F.lit(""))
+    dom = F.concat(
+        F.when(doc_id % 9 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (doc_id % 23).cast("string"),
+    )
+    suf = (
+        F.when(doc_id % 4 == 0, F.lit("com"))
+        .when(doc_id % 4 == 1, F.lit("org"))
+        .when(doc_id % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("net"))
+    )
+    port = (
+        F.when(doc_id % 11 == 0, F.lit(":8080"))
+        .when(
+            doc_id % 7 == 0,
+            F.when(doc_id % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(""))
+    )
+    path = F.when(doc_id % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), doc_id.cast("string"))
+    )
+    query = (
+        F.when(
+            doc_id % 3 == 1,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (doc_id % 50).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(doc_id % 3 == 2, F.lit("?utm_medium=email"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        doc_id % 2 == 1, F.concat(F.lit("#sec"), (doc_id % 5).cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), www, sub, dom, F.lit("."), suf,
+        port, path, query, frag,
+    )
+
+
+def url_canonical_columns(url) -> dict:
+    """Generic URL canonicalization over any URL column: lower-case
+    scheme+host, drop the fragment, drop utm_* tracking params (keeping
+    real params in order), drop the scheme-default port, normalize an
+    empty path to '/'. Returns the derived Columns (host, registrable
+    domain, canonical form) — composable, all JVM expressions."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, f"({_URL_SCHEME})://", 1))
+    hostport = F.lower(
+        F.regexp_extract(nofrag, f"{_URL_SCHEME}://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    path = F.regexp_extract(nofrag, f"{_URL_SCHEME}://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(nofrag, "\\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, _URL_DOMAIN_PAT, 1)
+    domain = F.when(domain == "", host).otherwise(domain)
+    return {"host": host, "domain": domain, "canon": canon}
+
+
+def url_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-registrable-domain curation profile —
+    doc/host counts, token volume and concentration (share + cumulative
+    share in token-desc order), canonicalization accounting (how many raw
+    URLs the rules actually changed), and the blocklist verdict. Scale
+    shape: one map-only scan (regex canonicalization inside whole-stage
+    codegen) → one domain-keyed aggregate (the domain universe is
+    blocklist/PSL-bounded — orders of magnitude under doc count, the
+    classic heavy-key rollup) → window shares over the domain-grain frame
+    (bounded rows; the empty-partition window never sees corpus-sized
+    data) → sort. No joins, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    raw = synth_url(doc_id)
+    cols = url_canonical_columns(raw)
+    per_doc = d.select(
+        cols["domain"].alias("domain"),
+        cols["host"].alias("host"),
+        (cols["canon"] != raw).cast("int").alias("changed"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    g = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("changed").alias("n_canonicalized"),
+    )
+    tot = Window.partitionBy()
+    cum = Window.partitionBy().orderBy(
+        F.col("n_tokens").desc(), F.col("domain")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.select(
+            "domain",
+            "n_docs",
+            "n_hosts",
+            "n_tokens",
+            "n_canonicalized",
+            stable_round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(tot), 6
+            ).alias("doc_share"),
+            stable_round(
+                F.col("n_tokens").cast("double") / F.sum("n_tokens").over(tot),
+                6,
+            ).alias("token_share"),
+            stable_round(
+                F.sum("n_tokens").over(cum).cast("double")
+                / F.sum("n_tokens").over(tot),
+                6,
+            ).alias("cum_token_share"),
+            F.col("domain").isin(*_URL_BLOCKLIST).alias("blocked"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _build_url_domain_sql() -> str:
+    multi = "|".join(s.replace(".", "\\.") for s in _URL_MULTI_SUFFIX)
+    synth = """
+  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END || '://'
+  || CASE WHEN doc_id % 3 = 0 THEN
+       CASE WHEN doc_id % 9 = 0 THEN 'WWW.' ELSE 'www.' END ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN 'm.' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN 'Site' ELSE 'site' END
+  || CAST(doc_id % 23 AS VARCHAR) || '.'
+  || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                     WHEN 2 THEN 'co.uk' ELSE 'net' END
+  || CASE WHEN doc_id % 11 = 0 THEN ':8080'
+          WHEN doc_id % 7 = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ''
+          ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+  || CASE doc_id % 3
+       WHEN 1 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                   || '&utm_campaign=x'
+       WHEN 2 THEN '?utm_medium=email'
+       ELSE '' END
+  || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR)
+          ELSE '' END"""
+    scheme_pat = "^[A-Za-z][A-Za-z0-9+.-]*"
+    block_list = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {token_count_sql('text')} AS n_tok,
+         ({synth}) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_tok, url,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM raw
+),
+comp AS (
+  SELECT doc_id, n_tok, url,
+         lower(regexp_extract(nofrag, '({scheme_pat})://', 1)) AS scheme,
+         lower(regexp_extract(nofrag, '{scheme_pat}://([^/?#]*)', 1))
+           AS hostport,
+         regexp_extract(nofrag, '{scheme_pat}://[^/?#]*([^?#]*)', 1) AS rpath,
+         regexp_extract(nofrag, '\\?([^#]*)', 1) AS qs
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, n_tok, url,
+         regexp_replace(hostport, ':[0-9]+$', '') AS host,
+         scheme || '://'
+         || regexp_replace(hostport, ':[0-9]+$', '')
+         || CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                  AND NOT ((scheme = 'http'
+                            AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                        OR (scheme = 'https'
+                            AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'))
+                 THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1)
+                 ELSE '' END
+         || CASE WHEN rpath = '' THEN '/' ELSE rpath END
+         || CASE WHEN len(list_filter(string_split(qs, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+                 THEN '?' || coalesce(array_to_string(
+                        list_filter(string_split(qs, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_')), '&'), '')
+                 ELSE '' END AS canon
+  FROM comp
+),
+dom AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN regexp_extract(host,
+                '([^.]+\\.(?:{multi})|[^.]+\\.[^.]+)$', 1) = ''
+              THEN host
+              ELSE regexp_extract(host,
+                '([^.]+\\.(?:{multi})|[^.]+\\.[^.]+)$', 1) END AS domain,
+         host,
+         CASE WHEN canon <> url THEN 1 ELSE 0 END AS changed
+  FROM canon
+),
+g AS (
+  SELECT domain,
+         count(*) AS n_docs,
+         count(DISTINCT host) AS n_hosts,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(changed) AS BIGINT) AS n_canonicalized
+  FROM dom GROUP BY domain
+)
+SELECT domain, n_docs, n_hosts, n_tokens, n_canonicalized,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+         AS token_share,
+       round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, domain
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / sum(n_tokens) OVER (), 6) AS cum_token_share,
+       domain IN ({block_list}) AS blocked
+FROM g
+ORDER BY domain
+"""
+
+
+URL_DOMAIN_SQL = _build_url_domain_sql()
+
+
 QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "corpus_snapshot_diff": corpus_snapshot_diff,
@@ -1558,9 +1840,11 @@ QUERIES = {
     "stratified_sample_stats": stratified_sample_stats,
     "source_mixture_plan": source_mixture_plan,
     "source_domain_divergence": source_domain_divergence,
+    "url_domain_profile": url_domain_profile,
 }
 
 ORACLE = {
+    "url_domain_profile": URL_DOMAIN_SQL,
     "corpus_merge_upsert": MERGE_UPSERT_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "corpus_read_asof": READ_ASOF_SQL,

@@ -55,7 +55,7 @@ _DOC_QUERIES = [
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "ngram_logprob_quality", "source_quota_cap",
-    "corpus_filter_funnel",
+    "corpus_filter_funnel", "url_domain_profile",
 ]
 
 # a dedicated 20-token sentence (= duplicate_span_profile's extent window W)

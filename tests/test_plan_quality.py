@@ -431,6 +431,11 @@ _PLAN_BOUNDS = {
     # (1 exchange each) + the union's output sort; the snapshot WRITES
     # happen before this plan (write_snapshot jobs, not exchanges here)
     "corpus_read_asof": (3, 0),
+    # map-only regex canonicalization on the scan + domain-keyed agg +
+    # the share windows over the DOMAIN-GRAIN frame (single-partition by
+    # design — the domain universe is PSL-bounded, never corpus-sized) +
+    # sort
+    "url_domain_profile": (6, 0),
 }
 
 # every registered query must carry a plan bound (coverage is asserted so a
