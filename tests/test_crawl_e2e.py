@@ -1,0 +1,112 @@
+"""Hand-derivable semantics for the crawl_e2e round trip (r12).
+
+The DuckDB oracle proves the engines agree; these cases prove the chain
+is RIGHT on a corpus crafted so every verdict is derivable by hand —
+and they certify the WRITTEN .warc.gz segments independently, by
+re-parsing them with the pure-Python path and checking the splittable
+member-per-record framing.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# doc_ids chosen so the PII plant class (doc_id % 4) is controlled:
+# 0/4/8 are class 0 (no plant) — 0 and 4 share TEXT_A, so their planted
+# text, markup, clean text, and redacted text are identical: an exact-dup
+# pair the fingerprint must collapse (keep 0, drop 4). 8 is unique.
+# 5 is class 1 (email planted), 6 is class 2 (phone planted).
+TEXT_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+TEXT_B = "completely different body of running text for the unique doc."
+DOCS = [
+    (0, TEXT_A, "src0"),
+    (4, TEXT_A, "src0"),
+    (8, TEXT_B, "src1"),
+    (5, "call me maybe and write soon", "src1"),
+    (6, "phone home tomorrow morning", "src2"),
+]
+
+
+@pytest.fixture(scope="module")
+def crawl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawl_sem")
+    table = pa.table(
+        {
+            "doc_id": pa.array([i for i, _, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t, _ in DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(DOCS), pa.string()),
+            "source": pa.array([s for _, _, s in DOCS], pa.string()),
+            "n_chars": pa.array([len(t) for _, t, _ in DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, d / "documents.parquet")
+    return str(d)
+
+
+def test_crawl_e2e_dedup_and_pii_semantics(spark, crawl_dir):
+    from amazon_climate_data_etl_spark.operators.textops import crawl_e2e
+
+    rows = {r.doc_id: r for r in crawl_e2e(spark, crawl_dir).collect()}
+    assert set(rows) == {0, 4, 5, 6, 8}
+    # URI identity + HTTP status round-tripped
+    assert all(r.http_status == 200 for r in rows.values())
+    assert rows[0].source == "src0" and rows[8].source == "src1"
+    # the exact-dup pair collapses: same fingerprint, keep the smaller id
+    assert rows[0].redacted_md5 == rows[4].redacted_md5
+    assert (rows[0].dup_count, rows[0].is_kept) == (2, True)
+    assert (rows[4].dup_count, rows[4].is_kept) == (2, False)
+    assert rows[8].dup_count == 1 and rows[8].is_kept
+    # planted PII is found in the EXTRACTED text: class 1 → email,
+    # class 2 → phone, class 0 → nothing
+    assert (rows[5].n_email, rows[5].n_ip, rows[5].n_phone) == (1, 0, 0)
+    assert (rows[6].n_email, rows[6].n_ip, rows[6].n_phone) == (0, 0, 1)
+    assert (rows[0].n_email, rows[0].n_ip, rows[0].n_phone) == (0, 0, 0)
+
+
+def test_written_segments_are_splittable_member_per_record(spark, crawl_dir):
+    """Each written .warc.gz must be a sequence of INDEPENDENT gzip
+    members, one record each — the Common Crawl splittable convention the
+    reader's task-memory contract relies on — and the pure-Python parse
+    of the files must recover exactly the synthesized pages."""
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _crawl_sink,
+        _write_crawl_warcs,
+    )
+    from amazon_climate_data_etl_spark.sources.warc_min import (
+        http_payload,
+        parse_warc,
+    )
+
+    sink = _write_crawl_warcs(spark, crawl_dir)
+    assert sink == _crawl_sink(crawl_dir)
+    files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
+    assert files, "no segments written"
+    seen = {}
+    for path in files:
+        data = open(path, "rb").read()
+        # count raw gzip members and parsed records independently
+        members, rest = 0, data
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(rest)
+            assert d.eof, f"truncated member in {path}"
+            members += 1
+            rest = d.unused_data
+        recs = parse_warc(data)
+        assert members == len(recs), (path, members, len(recs))
+        for rec in recs:
+            assert rec.warc_type == "response"
+            status, headers, body = http_payload(rec)
+            assert status == 200
+            doc_id = int(rec.get("WARC-Target-URI").rsplit("/", 1)[-1])
+            seen[doc_id] = body.decode("utf-8")
+    assert set(seen) == {i for i, _, _ in DOCS}
+    # identical source docs (same plant class) produced identical pages
+    assert seen[0] == seen[4]
+    assert "<p>" in seen[8]
