@@ -223,3 +223,36 @@ def test_garbage_after_gzip_member_fails_loudly():
     data = build_warc(_crawl_records(1), gzip_per_record=True)
     with pytest.raises(ValueError, match="gzip"):
         parse_warc(data + b"not gzip at all")
+
+
+def test_read_warc_chunked_flush_over_many_records(spark, tmp_path):
+    """Exercise the 1024-row output-chunk flush (r12's task-memory
+    contract): one segment holding well over _READ_CHUNK_ROWS records
+    must surface every record exactly once, in file order, across the
+    multiple emitted Arrow batches."""
+    from amazon_climate_data_etl_spark.sources.warc_min import _READ_CHUNK_ROWS
+
+    n = _READ_CHUNK_ROWS * 2 + 137  # 3 flushes: 2 full chunks + remainder
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "resource",
+                "WARC-Target-URI": f"http://h.example.com/{i}",
+            },
+            "block": f"payload-{i}".encode(),
+        }
+        for i in range(n)
+    ]
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(build_warc(recs, gzip_per_record=True))
+    got = (
+        read_warc(spark, str(tmp_path))
+        .orderBy("record_idx")
+        .select("record_idx", "target_uri", "payload")
+        .collect()
+    )
+    assert len(got) == n
+    assert [r.record_idx for r in got] == list(range(n))
+    assert all(
+        bytes(r.payload) == f"payload-{i}".encode() for i, r in enumerate(got)
+    )
