@@ -101,7 +101,13 @@ canonicalization: fragment/tracking-param/default-port stripping +
 case-folding; registrable-domain extraction with a multi-part-suffix
 slice; per-domain doc/token concentration and blocklist accounting),
 closing read_warc's ``target_uri`` column into the curation family. The
-registry stands at 149, 1 under the cap. An
+registry stands at 149, 1 under the cap. Next consolidation candidates
+(pre-agreed shape: same grain over the same scan, every operator shape
+preserved under one oracle), to fund r13+ additions beyond one query:
+``doc_quality_scores`` + ``doc_repetition_scores`` (both per-doc score
+frames over one documents scan — the lang_token_profile precedent
+exactly) and ``vocab_coverage`` + ``zipf_law_fit`` (both derive from the
+same term-frequency aggregate). An
 individual query's driver row may
 be up to ~3 rounds old at the moment it rotates back in. The local DuckDB
 parity suite (tests/check_parity.py, run in full every round) re-proves

@@ -26,6 +26,37 @@ def test_media_feature_summary_deterministic(spark, sf_dir):
     assert all(0.0 < r.avg_entropy <= 1.0 for r in a)
 
 
+def test_media_pipeline_profile_deterministic(spark, sf_dir):
+    """The merged registration (r12) IS the driver's rows-only row — its
+    determinism is what makes that check meaningful. The five stages and
+    their cardinalities are pinned; the feature rows must carry the
+    per-kind columns and the stage rows must not."""
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        media_pipeline_profile,
+    )
+
+    a = media_pipeline_profile(spark, sf_dir).collect()
+    b = media_pipeline_profile(spark, sf_dir).collect()
+    assert a == b
+    stages = [r.stage for r in a]
+    assert stages == [
+        "features:audio", "features:image", "features:video",
+        "frames", "resize",
+    ]
+    rows = {r.stage: r for r in a}
+    assert all(
+        rows[s].avg_entropy is not None and rows[s].n_unique is not None
+        for s in stages[:3]
+    )
+    assert all(
+        rows[s].avg_entropy is None and rows[s].n_unique is None
+        for s in ("frames", "resize")
+    )
+    # flatMap cardinality law: frames = sum(duration//step + 1) > items
+    assert rows["frames"].n_rows > rows["frames"].n_items
+    assert rows["resize"].n_rows == rows["resize"].n_items
+
+
 def test_approx_quantiles_value_error_bound(spark, sf_dir):
     """HDR-histogram sketch guarantee (round 7 — the query is now fully
     DuckDB-oracled, this asserts its ACCURACY contract): each reported
