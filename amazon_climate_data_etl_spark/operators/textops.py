@@ -1843,7 +1843,8 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver sees a 16-row manifest); the read is binaryFile → one task per
     segment file → map-only decode/extract/scrub (all JVM regex/array
     expressions after the Arrow boundary); the only logical-plan shuffles
-    are the fingerprint window and the output sort. At 100 TB the file
+    are the fingerprint group agg + skew-splittable join-back (see the
+    inline note) and the output sort. At 100 TB the file
     count is the fan-out and nothing driver-side grows with the corpus."""
     from amazon_climate_data_etl_spark.sources.warc_min import read_warc
 
@@ -1870,12 +1871,32 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").alias("clean_chars"),
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         F.md5(red).alias("redacted_md5"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # dedup verdicts via map-combinable group agg + join-back, NOT a
+    # window over the fingerprint: a crawl's mega-duplicate group (the
+    # boilerplate page mirrored millions of times) would land in ONE
+    # unsplittable window partition, while the join-back's group side is
+    # one short row per fingerprint (map-side combined) and AQE's
+    # skew-join can split the probe side. The branch point is persisted
+    # (short counter rows) so the binaryFile read + decode + extract
+    # chain runs once, not once per join side.
+    groups = scrubbed.groupBy("redacted_md5").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("keeper_doc_id"),
     )
-    byfp = Window.partitionBy("redacted_md5")
     return (
-        scrubbed.withColumn("dup_count", F.count(F.lit(1)).over(byfp))
-        .withColumn(
-            "is_kept", F.col("doc_id") == F.min("doc_id").over(byfp)
+        scrubbed.join(groups, "redacted_md5")
+        .select(
+            "doc_id",
+            "source",
+            "http_status",
+            "n_lines",
+            "n_kept",
+            "clean_chars",
+            *[f"n_{k}" for k, _, _ in _PII_RULES],
+            "redacted_md5",
+            "dup_count",
+            (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_kept"),
         )
         .orderBy("doc_id")
     )

@@ -412,9 +412,13 @@ _PLAN_BOUNDS = {
     # are the heavy-regex scan rebalance (no-op at 100 TB) + output sort
     "html_boilerplate_extract": (2, 0),
     # the READ plan: binaryFile → one task per .warc.gz segment → map-only
-    # decode/extract/scrub; the 2 are the fingerprint window + output
-    # sort. The WRITE is a separate job (file_seq shuffle into
-    # executor-side file writes) that runs before this plan exists.
+    # decode/extract/scrub (persisted branch point); the 2 are the
+    # fingerprint group agg + join-back (AQE broadcasts the group table
+    # at fixture scale; at crawl scale it's a skew-splittable shuffle
+    # join — a WINDOW over the fingerprint would trap a mega-dup group
+    # in one partition) + output sort. The WRITE is a separate job
+    # (file_seq shuffle into executor-side file writes) that runs before
+    # this plan exists.
     "crawl_e2e": (2, 0),
     # the 40-replace merge chain is one map-only codegen stage; same
     # rebalance + sort pair as html_boilerplate_extract
