@@ -1849,8 +1849,10 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_climate_data_etl_spark.sources.warc_min import read_warc
 
     sink = _write_crawl_warcs(spark, sf_dir)
-    recs = read_warc(spark, sink)
-    h = recs.filter(F.col("warc_type") == "response").select(
+    # decode-side type pushdown: on a real segment this skips the
+    # request/metadata blocks before the Arrow boundary
+    recs = read_warc(spark, sink, record_types=("response",))
+    h = recs.select(
         F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
         .cast("long")
         .alias("doc_id"),

@@ -217,14 +217,27 @@ _READ_COLUMNS = [
 ]
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, record_types: tuple[str, ...] | None = None
+) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over the objects →
     Arrow-batched per-file decode, one short row per record (response
     records carry the HTTP body as ``payload`` and its status; other
     record types carry the raw block). No driver-side decode, no collect;
     records decode member-at-a-time and rows flush every
     ``_READ_CHUNK_ROWS``, so task memory never holds a whole expanded
-    segment (module docstring's memory contract)."""
+    segment (module docstring's memory contract).
+
+    ``record_types`` pushes the type filter INTO the decoder (r12): a
+    real Common Crawl segment interleaves request + response + metadata
+    records, so ``record_types=("response",)`` skips ~2/3 of the payload
+    bytes BEFORE they cross the Arrow boundary — the decode-side
+    equivalent of parquet predicate pushdown (a post-hoc
+    ``.filter(warc_type == ...)`` ships every block first). Skipped
+    records still count toward ``record_idx`` (it stays the record's
+    position IN THE FILE, stable under any filter), and framing of
+    skipped records is still fully validated — filtering never weakens
+    the fail-loud contract."""
     import pandas as pd
 
     from amazon_climate_data_etl_spark.session import ship_package_to_workers
@@ -236,12 +249,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
+    wanted = set(record_types) if record_types is not None else None
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
         for pdf in batches:
             for p, c in zip(pdf["path"], pdf["content"]):
                 for i, rec in enumerate(iter_warc(bytes(c))):
+                    if wanted is not None and rec.warc_type not in wanted:
+                        continue
                     status, body = None, rec.block
                     if rec.warc_type == "response":
                         status, _, body = http_payload(rec)

@@ -256,3 +256,71 @@ def test_read_warc_chunked_flush_over_many_records(spark, tmp_path):
     assert all(
         bytes(r.payload) == f"payload-{i}".encode() for i, r in enumerate(got)
     )
+
+
+def test_record_type_pushdown_filters_in_decoder(spark, tmp_path):
+    """record_types pushes the filter into the decoder: only the wanted
+    types surface, record_idx keeps FILE positions (stable under any
+    filter), and framing of skipped records is still validated — a
+    corrupt skipped record still fails the read."""
+    recs = _crawl_records(3)  # 1 warcinfo + 3 responses
+    (tmp_path / "seg.warc.gz").write_bytes(build_warc(recs, gzip_per_record=True))
+
+    got = (
+        read_warc(spark, str(tmp_path), record_types=("response",))
+        .orderBy("record_idx")
+        .collect()
+    )
+    assert [r.warc_type for r in got] == ["response"] * 3
+    assert [r.record_idx for r in got] == [1, 2, 3]  # warcinfo held slot 0
+
+    # corrupt the SKIPPED warcinfo record (before compression — the
+    # version line isn't visible in gzip bytes): the filtered read must
+    # still fail loudly (filtering never weakens the framing contract)
+    plain = build_warc(recs)
+    plain = plain.replace(b"WARC/1.1", b"WARC/9.9", 1)  # first record only
+    co = zlib.compressobj(wbits=31)
+    (tmp_path / "seg.warc.gz").write_bytes(co.compress(plain) + co.flush())
+
+    with pytest.raises(Exception, match="bad version"):
+        read_warc(spark, str(tmp_path), record_types=("response",)).collect()
+
+
+def test_wat_metadata_records_flow_through(spark, tmp_path):
+    """WAT files (Common Crawl's metadata sibling) are WARC files whose
+    records are type `metadata` with JSON blocks — completing the
+    WARC/WET/WAT trio: the reader surfaces them as raw payloads the JSON
+    functions consume directly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    recs = [
+        {
+            "headers": {
+                "WARC-Type": "metadata",
+                "WARC-Target-URI": f"https://example.org/page/{i}",
+                "WARC-Date": "2026-08-16T00:00:03Z",
+                "WARC-Record-ID": f"<urn:uuid:wat{i}>",
+                "Content-Type": "application/json",
+            },
+            "block": json.dumps(
+                {"Envelope": {"links": i + 1, "lang": "en"}}
+            ).encode(),
+        }
+        for i in range(4)
+    ]
+    (tmp_path / "x.warc.wat.gz").write_bytes(build_warc(recs, gzip_per_record=True))
+    got = (
+        read_warc(spark, str(tmp_path), record_types=("metadata",))
+        .select(
+            "target_uri",
+            F.get_json_object(
+                F.col("payload").cast("string"), "$.Envelope.links"
+            ).cast("int").alias("links"),
+        )
+        .orderBy("links")
+        .collect()
+    )
+    assert [r.links for r in got] == [1, 2, 3, 4]
+    assert all(r.target_uri.startswith("https://example.org/") for r in got)
