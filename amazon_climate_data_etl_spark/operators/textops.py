@@ -1752,7 +1752,13 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
     executor-side via ``applyInPandas`` (the driver never sees a page).
     Deterministic bytes: records sort by doc_id within a file and zlib
     gzip is level-default with no mtime. Returns the sink dir; fail-loud
-    if the manifest's record total disagrees with the corpus size."""
+    if the manifest's record total disagrees with the corpus size.
+
+    Deployment contract: the sink path must be storage every executor
+    AND the subsequent ``read_warc`` scan can reach — trivially true in
+    local mode (/tmp), a shared filesystem or object mount on a cluster
+    (the same contract as any ``open()``-based executor-side sink; the
+    atomic tempfile+replace publish keeps task retries safe there too)."""
     import os
     import shutil
     import tempfile
