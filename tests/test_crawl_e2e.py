@@ -110,3 +110,39 @@ def test_written_segments_are_splittable_member_per_record(spark, crawl_dir):
     # identical source docs (same plant class) produced identical pages
     assert seen[0] == seen[4]
     assert "<p>" in seen[8]
+
+
+def test_mega_duplicate_group_structural(spark, tmp_path):
+    """Adversarial skew: EVERY document is the same page (one fingerprint
+    holds the whole corpus — the boilerplate-mirror case the join-back
+    design exists for). The query must complete and the verdicts must be
+    exact: one keeper (the minimum doc_id), dup_count == corpus size on
+    every row. Same contract style as the salted-join structural test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_climate_data_etl_spark.operators.textops import crawl_e2e
+
+    n = 400
+    # identical text AND identical plant class (all doc_id % 4 == 0) so
+    # the redacted clean text is byte-identical corpus-wide
+    ids = [4 * i for i in range(n)]
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([TEXT_A] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["src0"] * n, pa.string()),
+            "n_chars": pa.array([len(TEXT_A)] * n, pa.int64()),
+        }
+    )
+    d = tmp_path / "mega"
+    d.mkdir()
+    pq.write_table(table, d / "documents.parquet")
+
+    rows = crawl_e2e(spark, str(d)).collect()
+    assert len(rows) == n
+    assert len({r.redacted_md5 for r in rows}) == 1
+    assert all(r.dup_count == n for r in rows)
+    keepers = [r.doc_id for r in rows if r.is_kept]
+    assert keepers == [0]
