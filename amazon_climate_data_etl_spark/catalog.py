@@ -37,6 +37,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def pid_scoped_store(prefix: str, sf_dir: str) -> str:
+    """A /tmp store dir scoped to (process, full sf_dir path) — shared by
+    the e2e queries that materialize files a returned DataFrame lazily
+    re-reads (corpus snapshots, crawl segments). PID-scoping keeps
+    parallel pytest workers / bench-alongside-parity runs from
+    overwriting each other's live reads; the full-path hash keeps two sf
+    dirs that merely share a basename apart. HARD CONTRACT:
+    single-threaded per (process, sf_dir) — callers wipe and rebuild
+    their store per invocation, so two concurrent invocations on the
+    same sf_dir in one process would rmtree under each other's reads.
+    Every harness here (driver gate, bench.py, check_parity,
+    pytest-per-worker) runs queries sequentially within a process."""
+    import hashlib
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.sha256(full.encode()).hexdigest()[:16]
+    return os.path.join(
+        f"/tmp/{prefix}_{os.getpid()}", f"{os.path.basename(full)}-{key}"
+    )
+
+
 # Timestamp columns whose physical parquet type has varied across testdata
 # generations: TIMESTAMP(NANOS) (read as int64 via nanosAsLong, truncated to
 # micros) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).

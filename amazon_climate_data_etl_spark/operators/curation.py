@@ -1405,34 +1405,14 @@ ORDER BY doc_id
 """
 
 
-# PID-scoped snapshot store (same lifetime contract as climate.E2E_SINK_ROOT:
-# the returned frame lazily re-reads the store, so it must outlive the call;
-# PID-scoping keeps parallel pytest workers / bench-alongside-parity runs
-# from overwriting each other's live reads). The query wipes and rebuilds
-# its own sf-keyed subdir per invocation, so versions never accumulate
-# across bench repeats. The subdir key is a hash of the FULL sf_dir path
-# (r12, advice item): two sf dirs that merely share a basename (e.g. two
-# tmp fixture trees both ending in "edge_corpus") get distinct stores.
-# HARD CONTRACT: single-threaded per (process, sf_dir) — the wipe/rebuild
-# plus lazy re-read means two concurrent invocations on the SAME sf_dir in
-# one process would rmtree under each other's live reads. Every harness
-# here (driver gate, bench.py, check_parity, pytest-per-worker) runs
-# queries sequentially within a process, which is what PID-scoping assumes.
-SNAPSHOT_STORE_ROOT = None  # initialized lazily below
-
-
 def _snapshot_store(sf_dir: str) -> str:
-    import hashlib
-    import os
+    """PID- and full-path-scoped snapshot store (see
+    catalog.pid_scoped_store for the lifetime + single-threaded
+    contract; the query wipes and rebuilds its subdir per invocation, so
+    versions never accumulate across bench repeats)."""
+    from amazon_climate_data_etl_spark.catalog import pid_scoped_store
 
-    global SNAPSHOT_STORE_ROOT
-    if SNAPSHOT_STORE_ROOT is None:
-        SNAPSHOT_STORE_ROOT = f"/tmp/spark_graft_corpus_snapshots_{os.getpid()}"
-    full = os.path.abspath(sf_dir.rstrip("/"))
-    key = hashlib.sha256(full.encode()).hexdigest()[:16]
-    return os.path.join(
-        SNAPSHOT_STORE_ROOT, f"{os.path.basename(full)}-{key}"
-    )
+    return pid_scoped_store("spark_graft_corpus_snapshots", sf_dir)
 
 
 def corpus_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1728,31 +1728,33 @@ BPE_TOKENIZE_SQL = _build_bpe_sql()
 # files per crawl snapshot: the Common Crawl "segment" unit — read_warc
 # fans out one task per file, so this is the read parallelism; doc → file
 # assignment is doc_id % N (replayed by the oracle only through the
-# per-doc outputs, which are file-independent)
+# per-doc outputs, which are file-independent). N_CRAWL_FILES is the
+# FLOOR: the count grows with the corpus (ceil(n_docs / RECORDS_PER
+# _FILE)) so one applyInPandas write group — delivered as a single
+# pandas frame — holds a bounded page count at any scale, never
+# corpus/16.
 N_CRAWL_FILES = 16
-CRAWL_SINK_ROOT = None  # PID-scoped, initialized lazily (climate.E2E pattern)
+CRAWL_RECORDS_PER_FILE = 2048
 
 
 def _crawl_sink(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from amazon_climate_data_etl_spark.catalog import pid_scoped_store
 
-    global CRAWL_SINK_ROOT
-    if CRAWL_SINK_ROOT is None:
-        CRAWL_SINK_ROOT = f"/tmp/spark_graft_crawl_e2e_{os.getpid()}"
-    full = os.path.abspath(sf_dir.rstrip("/"))
-    key = hashlib.sha256(full.encode()).hexdigest()[:16]
-    return os.path.join(CRAWL_SINK_ROOT, f"{os.path.basename(full)}-{key}")
+    return pid_scoped_store("spark_graft_crawl_e2e", sf_dir)
 
 
 def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
     """Synthesize and WRITE the crawl: documents → PII-planted text →
     markup → one HTTP response record per doc → member-per-record
-    ``.warc.gz`` files, one per ``doc_id % N_CRAWL_FILES`` group, written
+    ``.warc.gz`` files, one per ``doc_id % n_files`` group, written
     executor-side via ``applyInPandas`` (the driver never sees a page).
-    Deterministic bytes: records sort by doc_id within a file and zlib
-    gzip is level-default with no mtime. Returns the sink dir; fail-loud
-    if the manifest's record total disagrees with the corpus size.
+    The file count grows with the corpus (bounded records per file —
+    an applyInPandas group arrives as ONE pandas frame, so a fixed count
+    would put corpus/16 pages in task memory at scale; the floor keeps
+    the read fan-out at bench scales). Deterministic bytes: records sort
+    by doc_id within a file and zlib gzip is level-default with no
+    mtime. Returns the sink dir; fail-loud if the manifest's record
+    total disagrees with the corpus size.
 
     Deployment contract: the sink path must be storage every executor
     AND the subsequent ``read_warc`` scan can reach — trivially true in
@@ -1767,13 +1769,15 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
 
     ship_package_to_workers(spark)
     d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
     pages = d.select(
         "doc_id",
         "source",
         synth_html(
             plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
         ).alias("html"),
-        (F.col("doc_id") % N_CRAWL_FILES).cast("int").alias("file_seq"),
+        (F.col("doc_id") % n_files).cast("int").alias("file_seq"),
     )
     sink = _crawl_sink(sf_dir)
     shutil.rmtree(sink, ignore_errors=True)
@@ -1825,7 +1829,6 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
         .collect()  # bounded: one row per file — this IS the write action
     )
     total = sum(r.n_records for r in manifest)
-    n_docs = d.count()
     if total != n_docs:
         raise RuntimeError(
             f"crawl_e2e: wrote {total} records for {n_docs} documents"
@@ -1846,7 +1849,7 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the write is one shuffle on file_seq into
     executor-side file writes (one Common Crawl segment per group; the
-    driver sees a 16-row manifest); the read is binaryFile → one task per
+    driver sees a one-row-per-file manifest); the read is binaryFile → one task per
     segment file → map-only decode/extract/scrub (all JVM regex/array
     expressions after the Arrow boundary); the only logical-plan shuffles
     are the fingerprint group agg + skew-splittable join-back (see the

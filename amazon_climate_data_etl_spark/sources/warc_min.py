@@ -21,16 +21,22 @@ Content-Length, a bad version line, or a missing record separator raise
 with offsets rather than yielding silently-truncated corpora (the same
 contract as zstd_min/blosc_min).
 
-Task-memory contract (r12): decoding is MEMBER-AT-A-TIME and the reader
-emits CHUNKED output frames, so a task's transient peak is the raw file
-bytes (the ``binaryFile`` row — unavoidable at this API) plus ONE
-decompressed gzip member plus one bounded output chunk. In the
-splittable member-per-record layout that is one record, not the ~4-5×
-whole-file expansion of a 1 GB Common Crawl segment; only the
+Task-memory contract (r12): decoding is MEMBER-AT-A-TIME — the
+decompressor is fed bounded 1 MiB slices of a memoryview, so no step
+ever copies the remaining compressed tail — and the reader emits
+CHUNKED output frames, so a task's transient peak is the raw file bytes
+(the ``binaryFile`` row — unavoidable at this API) plus ONE decompressed
+member plus any carried partial record plus one bounded output chunk.
+In the splittable member-per-record layout that is one record, not the
+~4-5× whole-file expansion of a 1 GB Common Crawl segment; only the
 degenerate whole-file-single-member layout still holds a full
-decompressed copy (inherent to that layout). A record may NOT span gzip
-members (the splittable convention's invariant) — a member ending
-mid-record raises, same fail-loud contract.
+decompressed copy (inherent to that layout). Records MAY span member
+boundaries (some chunked gzip writers flush members mid-record): the
+parser carries the unconsumed tail into the next member, so generality
+costs one record of buffer, never the whole file. Structural corruption
+still raises the moment it is definitive (bad version line, malformed
+header, missing separator); a trailing truncated record raises at end
+of input.
 """
 
 from __future__ import annotations
@@ -63,36 +69,57 @@ class WarcRecord:
         return self.get("WARC-Type", "") or ""
 
 
+# feed the decompressor bounded slices: zlib's unused_data is a fresh
+# bytes copy of EVERYTHING after the member, so feeding the whole tail
+# would cost O(members x file_size) memcpy on a member-per-record
+# segment; capping the input caps unused_data at one slice
+_GUNZIP_CHUNK = 1 << 20
+
+
 def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each decompressed gzip member ONE AT A TIME (member-per-record
-    .warc.gz layout; a single whole-file member is the degenerate case) —
-    the memory contract: at most one member is materialized at once."""
-    rest = data
-    while rest:
+    .warc.gz layout; a single whole-file member is the degenerate case).
+    Memory: one member + one input slice; time: O(len(data)) total —
+    the decompressor reads bounded memoryview slices, never the whole
+    remaining tail."""
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out = []
         try:
-            member = d.decompress(rest)
+            while not d.eof:
+                if pos >= n:
+                    raise ValueError("warc: truncated gzip member")
+                chunk = view[pos : pos + _GUNZIP_CHUNK]
+                pos += len(chunk)
+                out.append(d.decompress(chunk))
         except zlib.error as e:  # non-gzip bytes between/after members
             raise ValueError(f"warc: corrupt gzip member ({e})") from e
-        if not d.eof:
-            raise ValueError("warc: truncated gzip member")
-        yield member
-        rest = d.unused_data
+        pos -= len(d.unused_data)  # rewind to the next member's start
+        yield b"".join(out)
 
 
 def iter_warc(data: bytes) -> Iterator[WarcRecord]:
     """Yield every record in one WARC object (gzip auto-detected),
     decoding member-at-a-time so peak memory is one decompressed member
-    (= one record in the splittable layout), never the whole expanded
-    file. A record spanning gzip members raises (the splittable
-    convention's invariant: members hold whole records). A zero-byte
-    object yields nothing (visible in any file listing, unlike a
-    mid-record truncation — which raises)."""
+    plus any carried partial record — never the whole expanded file.
+    Records may span member boundaries (the unconsumed tail carries into
+    the next member — module docstring). A zero-byte object yields
+    nothing (visible in any file listing, unlike a mid-record truncation
+    — which raises at end of input)."""
     if data[:2] == b"\x1f\x8b":
+        buf = b""
         for member in _iter_gunzip_members(data):
-            yield from _parse_uncompressed(member)
+            buf = buf + member if buf else member
+            records, consumed = _parse_records(buf, eof=False)
+            yield from records
+            buf = buf[consumed:]
+        records, consumed = _parse_records(buf, eof=True)
+        yield from records
     else:
-        yield from _parse_uncompressed(data)
+        records, consumed = _parse_records(data, eof=True)
+        yield from records
 
 
 def parse_warc(data: bytes) -> list[WarcRecord]:
@@ -100,16 +127,24 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
     return list(iter_warc(data))
 
 
-def _parse_uncompressed(data: bytes) -> Iterator[WarcRecord]:
-    """Parse records from one uncompressed buffer (a gzip member, or the
-    whole object for plain ``.warc``); offsets in errors are relative to
-    this buffer."""
+def _parse_records(data: bytes, eof: bool) -> tuple[list[WarcRecord], int]:
+    """Parse complete records from the head of one uncompressed buffer;
+    returns (records, bytes consumed). With ``eof=False`` a trailing
+    PARTIAL record is left unconsumed (it may complete in the next gzip
+    member); with ``eof=True`` it raises. Violations that no further
+    bytes could repair — bad version line, malformed header, non-numeric
+    Content-Length, missing record separator — raise immediately either
+    way. Offsets in errors are relative to this buffer."""
+    records: list[WarcRecord] = []
     pos = 0
     n = len(data)
     while pos < n:
+        start = pos
         eol = data.find(_CRLF, pos)
         if eol < 0:
-            raise ValueError(f"warc: no version line at offset {pos}")
+            if eof:
+                raise ValueError(f"warc: no version line at offset {pos}")
+            break  # partial version line — wait for the next member
         version = data[pos:eol]
         if version not in _VERSIONS:
             raise ValueError(
@@ -117,34 +152,52 @@ def _parse_uncompressed(data: bytes) -> Iterator[WarcRecord]:
             )
         pos = eol + 2
         headers: dict[str, str] = {}
+        complete = False
         while True:
             eol = data.find(_CRLF, pos)
             if eol < 0:
-                raise ValueError(f"warc: unterminated headers at offset {pos}")
+                if eof:
+                    raise ValueError(
+                        f"warc: unterminated headers at offset {pos}"
+                    )
+                break  # partial header line — wait for the next member
             line = data[pos:eol]
             pos = eol + 2
             if not line:
+                complete = True
                 break
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"warc: malformed header {line[:40]!r}")
             headers[k.decode("utf-8")] = v.strip().decode("utf-8")
+        if not complete:
+            pos = start
+            break
         length_s = next(
             (v for k, v in headers.items() if k.lower() == "content-length"), None
         )
         if length_s is None or not length_s.isdigit():
             raise ValueError("warc: record missing a numeric Content-Length")
         length = int(length_s)
-        if pos + length > n:
-            raise ValueError(
-                f"warc: block truncated (need {length} bytes at offset {pos})"
-            )
+        if pos + length + 4 > n:
+            if eof:
+                if pos + length > n:
+                    raise ValueError(
+                        f"warc: block truncated (need {length} bytes at "
+                        f"offset {pos})"
+                    )
+                raise ValueError(
+                    f"warc: missing record separator at offset {pos + length}"
+                )
+            pos = start
+            break  # block (or its separator) continues in the next member
         block = data[pos : pos + length]
         pos += length
         if data[pos : pos + 4] != _CRLF + _CRLF:
             raise ValueError(f"warc: missing record separator at offset {pos}")
         pos += 4
-        yield WarcRecord(version.decode(), headers, block)
+        records.append(WarcRecord(version.decode(), headers, block))
+    return records, pos
 
 
 def http_payload(record: WarcRecord) -> tuple[int, dict, bytes]:

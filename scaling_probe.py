@@ -67,8 +67,9 @@ QUERIES = tuple(
         # kernels' scale claims, probed with data
         "token_triangle_census,ann_recall_eval,embedding_top_component,"
         "kmeans_cluster_profile,semantic_dedup_keep,"
-        # round 12: the crawl round trip (write+read+window — linear in
-        # docs by design) and the URL rollup (map + bounded-domain agg)
+        # round 12: the crawl round trip (write + read + group-agg/join-back
+        # dedup — linear in docs by design) and the URL rollup (map +
+        # bounded-domain agg)
         "crawl_e2e,url_domain_profile",
     ).split(",")
     if q.strip()

@@ -146,3 +146,21 @@ def test_mega_duplicate_group_structural(spark, tmp_path):
     assert all(r.dup_count == n for r in rows)
     keepers = [r.doc_id for r in rows if r.is_kept]
     assert keepers == [0]
+
+
+def test_file_count_grows_with_corpus(spark, crawl_dir, monkeypatch):
+    """The write fan-out is corpus-derived: an applyInPandas group is ONE
+    pandas frame, so the file count must grow once groups would exceed
+    the per-file record budget (shrunk here so 5 docs exercise it)."""
+    import amazon_climate_data_etl_spark.operators.textops as t
+
+    monkeypatch.setattr(t, "N_CRAWL_FILES", 2)
+    monkeypatch.setattr(t, "CRAWL_RECORDS_PER_FILE", 2)
+    sink = t._write_crawl_warcs(spark, crawl_dir)
+    files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
+    # 5 docs / 2-per-file budget → ceil = 3 files (> the floor of 2)
+    assert len(files) == 3
+    from amazon_climate_data_etl_spark.sources.warc_min import parse_warc
+
+    n = sum(len(parse_warc(open(p, "rb").read())) for p in files)
+    assert n == len(DOCS)

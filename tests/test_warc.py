@@ -125,20 +125,34 @@ def test_build_warc_rejects_framing_breakers(headers):
         build_warc([{"headers": headers, "block": b"x"}])
 
 
-def test_record_spanning_gzip_members_fails_loudly():
-    """The splittable convention's invariant: gzip members hold WHOLE
-    records. Member-at-a-time decode (r12's task-memory contract) makes a
-    spanning record a framing error, not a silently-joined parse."""
-    import zlib
+def test_records_spanning_gzip_members_parse_with_bounded_carry():
+    """Some chunked gzip writers flush members mid-record; the
+    member-at-a-time decoder carries the unconsumed tail into the next
+    member (bounded at one record), so EVERY member split of the same
+    uncompressed stream parses to the identical records — including
+    splits inside a version line, a header, and a block."""
+    data = build_warc(_crawl_records(2))
+    want = [(r.headers, r.block) for r in parse_warc(data)]
+    for nparts in (2, 3, 7):
+        step = max(1, len(data) // nparts)
+        out = []
+        for i in range(0, len(data), step):
+            co = zlib.compressobj(wbits=31)
+            out.append(co.compress(data[i : i + step]) + co.flush())
+        got = [(r.headers, r.block) for r in parse_warc(b"".join(out))]
+        assert got == want, f"split into {nparts} members diverged"
+
+
+def test_truncated_final_record_across_members_fails_loudly():
+    """The carry defers only COMPLETION, never corruption: a stream whose
+    final member ends mid-record still raises at end of input."""
+    import zlib as _zlib
 
     data = build_warc(_crawl_records(1))
-    mid = len(data) // 2
-    out = []
-    for part in (data[:mid], data[mid:]):
-        co = zlib.compressobj(wbits=31)
-        out.append(co.compress(part) + co.flush())
-    with pytest.raises(ValueError):
-        parse_warc(b"".join(out))
+    co = _zlib.compressobj(wbits=31)
+    gz = co.compress(data[: len(data) - 10]) + co.flush()  # drop the tail
+    with pytest.raises(ValueError, match="truncated|separator"):
+        parse_warc(gz)
 
 
 def test_distributed_read_and_extract_e2e(spark, tmp_path):
