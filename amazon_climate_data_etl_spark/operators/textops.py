@@ -1721,18 +1721,22 @@ BPE_TOKENIZE_SQL = _build_bpe_sql()
 # documents; the hash match therefore certifies
 # build_warc → gzip → parse_warc → HTTP split → URI round-trip → extract
 # end to end, exactly as climate_e2e's oracle certifies its CSV sink.
-# Cites reference scripts' write-then-reread verification step
-# (process_climate_amazon_annual.py:380-531) as the round-trip model.
+# Modeled on the reference's write-and-validate close
+# (process_climate_amazon_annual.py:380-531 — writes the CSV sink and
+# reports stats from the in-memory frame).
 # --------------------------------------------------------------------------
 
 # files per crawl snapshot: the Common Crawl "segment" unit — read_warc
 # fans out one task per file, so this is the read parallelism; doc → file
-# assignment is doc_id % N (replayed by the oracle only through the
-# per-doc outputs, which are file-independent). N_CRAWL_FILES is the
-# FLOOR: the count grows with the corpus (ceil(n_docs / RECORDS_PER
-# _FILE)) so one applyInPandas write group — delivered as a single
-# pandas frame — holds a bounded page count at any scale, never
-# corpus/16.
+# assignment is pmod(xxhash64(doc_id), N) — a HASH, not doc_id % N,
+# because strided/sparse id patterns (e.g. ids 4·i) concentrate whole
+# residue classes into a few groups under a modulo, defeating the
+# records-per-group bound (r12 ADVICE); per-doc outputs are
+# file-independent, so the oracle never sees the assignment.
+# N_CRAWL_FILES is the FLOOR: the count grows with the corpus
+# (ceil(n_docs / RECORDS_PER_FILE)) so one applyInPandas write group —
+# delivered as a single pandas frame — holds ≈RECORDS_PER_FILE pages in
+# expectation at any scale (hash-uniform balls-in-bins), never corpus/16.
 N_CRAWL_FILES = 16
 CRAWL_RECORDS_PER_FILE = 2048
 
@@ -1753,8 +1757,8 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
     would put corpus/16 pages in task memory at scale; the floor keeps
     the read fan-out at bench scales). Deterministic bytes: records sort
     by doc_id within a file and zlib gzip is level-default with no
-    mtime. Returns the sink dir; fail-loud if the manifest's record
-    total disagrees with the corpus size.
+    mtime. Returns (sink dir, record total); fail-loud if the manifest's
+    record total disagrees with the corpus size.
 
     Deployment contract: the sink path must be storage every executor
     AND the subsequent ``read_warc`` scan can reach — trivially true in
@@ -1777,7 +1781,7 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
         synth_html(
             plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
         ).alias("html"),
-        (F.col("doc_id") % n_files).cast("int").alias("file_seq"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
     )
     sink = _crawl_sink(sf_dir)
     shutil.rmtree(sink, ignore_errors=True)
@@ -1833,7 +1837,7 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError(
             f"crawl_e2e: wrote {total} records for {n_docs} documents"
         )
-    return sink
+    return sink, total
 
 
 def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,7 +1861,7 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the fan-out and nothing driver-side grows with the corpus."""
     from amazon_climate_data_etl_spark.sources.warc_min import read_warc
 
-    sink = _write_crawl_warcs(spark, sf_dir)
+    sink, n_written = _write_crawl_warcs(spark, sf_dir)
     # decode-side type pushdown: on a real segment this skips the
     # request/metadata blocks before the Arrow boundary
     recs = read_warc(spark, sink, record_types=("response",))
@@ -1883,6 +1887,18 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         F.md5(red).alias("redacted_md5"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # read-back completeness guard (r12 ADVICE): the write manifest counts
+    # WRITES; on a deployment whose sink isn't shared storage, executors
+    # write node-local files and the scan would silently yield a truncated
+    # corpus. One cheap count on the persisted frame (which also warms it
+    # before the two join branches) makes that fail loudly instead.
+    n_read = scrubbed.count()
+    if n_read != n_written:
+        raise RuntimeError(
+            f"crawl_e2e: wrote {n_written} records but read back {n_read} — "
+            "the sink path must be storage every executor AND the read_warc "
+            "scan can reach (shared filesystem / object mount)"
+        )
     # dedup verdicts via map-combinable group agg + join-back, NOT a
     # window over the fingerprint: a crawl's mega-duplicate group (the
     # boilerplate page mirrored millions of times) would land in ONE

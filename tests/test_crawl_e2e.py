@@ -83,8 +83,9 @@ def test_written_segments_are_splittable_member_per_record(spark, crawl_dir):
         parse_warc,
     )
 
-    sink = _write_crawl_warcs(spark, crawl_dir)
+    sink, n_written = _write_crawl_warcs(spark, crawl_dir)
     assert sink == _crawl_sink(crawl_dir)
+    assert n_written == len(DOCS)
     files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
     assert files, "no segments written"
     seen = {}
@@ -156,9 +157,12 @@ def test_file_count_grows_with_corpus(spark, crawl_dir, monkeypatch):
 
     monkeypatch.setattr(t, "N_CRAWL_FILES", 2)
     monkeypatch.setattr(t, "CRAWL_RECORDS_PER_FILE", 2)
-    sink = t._write_crawl_warcs(spark, crawl_dir)
+    sink, _ = t._write_crawl_warcs(spark, crawl_dir)
     files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
-    # 5 docs / 2-per-file budget → ceil = 3 files (> the floor of 2)
+    # 5 docs / 2-per-file budget → ceil = 3 file GROUPS (> the floor of
+    # 2); assignment is pmod(xxhash64(doc_id), 3), under which these five
+    # ids happen to occupy all 3 buckets (hash occupancy, not a law —
+    # the growth law is the GROUP count, asserted via the budget above)
     assert len(files) == 3
     from amazon_climate_data_etl_spark.sources.warc_min import parse_warc
 
