@@ -30,7 +30,9 @@ member plus any carried partial record plus one bounded output chunk.
 In the splittable member-per-record layout that is one record, not the
 ~4-5× whole-file expansion of a 1 GB Common Crawl segment; only the
 degenerate whole-file-single-member layout still holds a full
-decompressed copy (inherent to that layout). Records MAY span member
+decompressed copy (inherent to that layout — the ``max_member_bytes``
+cap turns it into a loud per-file error for deployments that must not
+absorb it). Records MAY span member
 boundaries (some chunked gzip writers flush members mid-record): the
 parser carries the unconsumed tail into the next member, so generality
 costs one record of buffer, never the whole file. Structural corruption
@@ -76,41 +78,64 @@ class WarcRecord:
 _GUNZIP_CHUNK = 1 << 20
 
 
-def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
+def _iter_gunzip_members(
+    data: bytes, max_member_bytes: int | None = None
+) -> Iterator[bytes]:
     """Yield each decompressed gzip member ONE AT A TIME (member-per-record
     .warc.gz layout; a single whole-file member is the degenerate case).
     Memory: one member + one input slice; time: O(len(data)) total —
     the decompressor reads bounded memoryview slices, never the whole
-    remaining tail."""
+    remaining tail.
+
+    ``max_member_bytes`` caps ONE member's decompressed size and raises
+    the moment the cap is crossed mid-stream (peak memory stays cap +
+    one input slice) — the fail-loud gate for the degenerate
+    whole-file-single-member layout, whose full-file expansion is
+    inherent to the layout and can't be bounded any other way."""
     view = memoryview(data)
     pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         out = []
+        size = 0
         try:
             while not d.eof:
                 if pos >= n:
                     raise ValueError("warc: truncated gzip member")
                 chunk = view[pos : pos + _GUNZIP_CHUNK]
                 pos += len(chunk)
-                out.append(d.decompress(chunk))
+                piece = d.decompress(chunk)
+                size += len(piece)
+                if max_member_bytes is not None and size > max_member_bytes:
+                    raise ValueError(
+                        f"warc: gzip member exceeds max_member_bytes="
+                        f"{max_member_bytes} while decompressing (a "
+                        "whole-file-single-member .warc.gz holds its full "
+                        "expansion in one member; re-write it "
+                        "member-per-record or raise the cap)"
+                    )
+                out.append(piece)
         except zlib.error as e:  # non-gzip bytes between/after members
             raise ValueError(f"warc: corrupt gzip member ({e})") from e
         pos -= len(d.unused_data)  # rewind to the next member's start
         yield b"".join(out)
 
 
-def iter_warc(data: bytes) -> Iterator[WarcRecord]:
+def iter_warc(
+    data: bytes, max_member_bytes: int | None = None
+) -> Iterator[WarcRecord]:
     """Yield every record in one WARC object (gzip auto-detected),
     decoding member-at-a-time so peak memory is one decompressed member
     plus any carried partial record — never the whole expanded file.
     Records may span member boundaries (the unconsumed tail carries into
     the next member — module docstring). A zero-byte object yields
     nothing (visible in any file listing, unlike a mid-record truncation
-    — which raises at end of input)."""
+    — which raises at end of input). ``max_member_bytes`` bounds one
+    member's decompressed size, failing loudly on the degenerate
+    whole-file-single-member layout (see ``_iter_gunzip_members``)."""
     if data[:2] == b"\x1f\x8b":
         buf = b""
-        for member in _iter_gunzip_members(data):
+        for member in _iter_gunzip_members(data, max_member_bytes):
             buf = buf + member if buf else member
             records, consumed = _parse_records(buf, eof=False)
             yield from records
@@ -122,9 +147,11 @@ def iter_warc(data: bytes) -> Iterator[WarcRecord]:
         yield from records
 
 
-def parse_warc(data: bytes) -> list[WarcRecord]:
+def parse_warc(
+    data: bytes, max_member_bytes: int | None = None
+) -> list[WarcRecord]:
     """Eager form of :func:`iter_warc` (tests / small objects)."""
-    return list(iter_warc(data))
+    return list(iter_warc(data, max_member_bytes))
 
 
 def _parse_records(data: bytes, eof: bool) -> tuple[list[WarcRecord], int]:
@@ -271,7 +298,10 @@ _READ_COLUMNS = [
 
 
 def read_warc(
-    spark: SparkSession, path: str, record_types: tuple[str, ...] | None = None
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = None,
+    max_member_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over the objects →
     Arrow-batched per-file decode, one short row per record (response
@@ -290,7 +320,15 @@ def read_warc(
     records still count toward ``record_idx`` (it stays the record's
     position IN THE FILE, stable under any filter), and framing of
     skipped records is still fully validated — filtering never weakens
-    the fail-loud contract."""
+    the fail-loud contract.
+
+    ``max_member_bytes`` (r13): task memory is bounded by ONE
+    decompressed gzip member — one record in the splittable
+    member-per-record layout, but the WHOLE expanded file in the
+    degenerate whole-file-single-member layout (inherent to that
+    layout). A deployment that must not absorb that expansion sets the
+    cap and gets a loud per-file error instead of an executor OOM;
+    None (the default) accepts both layouts."""
     import pandas as pd
 
     from amazon_climate_data_etl_spark.session import ship_package_to_workers
@@ -308,7 +346,7 @@ def read_warc(
         rows: list[tuple] = []
         for pdf in batches:
             for p, c in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(iter_warc(bytes(c))):
+                for i, rec in enumerate(iter_warc(bytes(c), max_member_bytes)):
                     if wanted is not None and rec.warc_type not in wanted:
                         continue
                     status, body = None, rec.block

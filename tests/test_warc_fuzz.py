@@ -64,6 +64,46 @@ def test_roundtrip_property(recs, gz):
             assert got.get(k) == v
 
 
+# write-time header validation (r12 added the CR/LF/colon rejection;
+# r13 ADVICE: cover it by PROPERTY, not only hand-built cases): names and
+# values drawn from an alphabet that INCLUDES the framing metacharacters —
+# any name containing ':' or CR/LF (or empty), or value containing CR/LF,
+# must raise at build time; everything else must round-trip exactly
+# (values compare stripped: the spec's `name: value` line model sheds
+# value edge-whitespace on parse).
+_hostile = st.text(
+    alphabet="abcXYZ019-_.:\r\n\t ",
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(
+    name=_hostile,
+    value=_hostile,
+    block=st.binary(max_size=64),
+    gz=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_header_validation_property(name, value, block, gz):
+    import pytest
+
+    rec = {
+        "headers": {"WARC-Type": "resource", name: value},
+        "block": block,
+    }
+    name_bad = (not name) or (":" in name) or ("\r" in name) or ("\n" in name)
+    value_bad = "\r" in value or "\n" in value
+    if name_bad or value_bad:
+        with pytest.raises(ValueError):
+            build_warc([rec], gzip_per_record=gz)
+        return
+    parsed = parse_warc(build_warc([rec], gzip_per_record=gz))
+    assert len(parsed) == 1
+    assert parsed[0].block == block
+    assert parsed[0].get(name) == value.strip()
+
+
 @given(
     recs=st.lists(_record, min_size=1, max_size=3),
     pos_frac=st.floats(min_value=0.0, max_value=1.0),
@@ -85,6 +125,39 @@ def test_single_byte_corruption_never_silent(recs, pos_frac, delta):
     except ValueError:
         return
     assert after != before
+
+
+def test_max_member_bytes_gate():
+    """The degenerate whole-file-single-member layout must trip the cap
+    loudly; the splittable member-per-record layout must pass the same
+    cap as long as each individual member fits — the cap bounds ONE
+    member, not the file's total expansion."""
+    import gzip
+
+    import pytest
+
+    recs = [
+        {
+            "headers": {"WARC-Type": "resource", "X-Custom": f"r{i}"},
+            "block": bytes([i]) * 300,
+        }
+        for i in range(8)
+    ]
+    plain = build_warc(recs)  # ~8 * ~400 bytes expanded
+    whole_file = gzip.compress(plain)
+    per_record = build_warc(recs, gzip_per_record=True)
+
+    # cap below the whole-file expansion: degenerate layout raises...
+    with pytest.raises(ValueError, match="max_member_bytes"):
+        parse_warc(whole_file, max_member_bytes=1000)
+    # ...while the splittable layout sails through the SAME cap (each
+    # member is one ~400-byte record)
+    got = parse_warc(per_record, max_member_bytes=1000)
+    assert [r.block for r in got] == [r["block"] for r in recs]
+    # a generous cap accepts the degenerate layout too
+    assert len(parse_warc(whole_file, max_member_bytes=1 << 20)) == len(recs)
+    # default stays unbounded (both layouts accepted)
+    assert len(parse_warc(whole_file)) == len(recs)
 
 
 def test_crawl_to_dedup_end_to_end(spark, tmp_path):
