@@ -86,8 +86,11 @@ doc-grain frame under one oracle, one shared tokenize pass) and
 ``media_feature_summary`` + ``media_frame_pipeline`` →
 ``media_pipeline_profile`` (the full multimodal chain — per-kind feature
 summary + frame-sample/resize stage profile — over one persisted media
-frame; both inputs were rows-only, so the merge also shrinks the
-rows-only set to its floor of 1 + the documented HLL check). Every
+frame; both inputs were rows-only, so the merge also shrank the
+rows-only set — and round 13 graduated the merged query itself to
+hash-checked via the decode-sidecar oracle pattern, leaving
+``approx_distinct_users`` as the ONLY rows-only registration, by design:
+HLL ≠ DuckDB's exact distinct). Every
 operator shape of all four is preserved; the registry stood at 147 after
 the merges. Round 12 spent the first freed slot on ``crawl_e2e`` — the
 crawl boundary end to end (documents → PII-planted markup → real
@@ -170,16 +173,19 @@ CHANGED_SINCE_GREEN = {
     # forward as-of tie ordering [asof_join_events], and
     # image_phash_neardup's rows-only→hash-checked graduation all earned
     # green r10 rows.)
-    # r11 (review item 1): audio_energy_segments and video_scene_changes
-    # graduate from rows-only to hash-checked — the oracles replay the
-    # strict-mean threshold / run-length / cut-count math in DuckDB SQL
-    # over committed pure-Python decode sidecars
-    # (fixtures/media_energies.parquet, fixtures/media_framediffs.parquet,
-    # generated by tools/gen_media_sidecars.py). Values unchanged; the
-    # CHECK regime changed, so both re-enter the window to earn their
-    # first hash-green rows
-    "audio_energy_segments": 11,
-    "video_scene_changes": 11,
+    # (Expired-and-pruned: r11's audio_energy_segments /
+    # video_scene_changes rows-only→hash-checked graduations earned green
+    # r11 rows.)
+    # r13 (review item 2): media_pipeline_profile graduates from rows-only
+    # to hash-checked — the oracle replays the per-kind feature
+    # aggregation and the frames/resize stage profiles in DuckDB SQL over
+    # the committed pure-Python decode sidecar
+    # (fixtures/media_pipeline.parquet, tools/gen_media_sidecars.py). The
+    # avg_entropy aggregation also moved to the portable exact-integer
+    # ppb form (order-independent, oracle-replayable), so both the CHECK
+    # regime and that column's low digits changed; it re-enters the
+    # window to earn its first hash-green row
+    "media_pipeline_profile": 13,
 }
 
 

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from amazon_climate_data_etl_spark.operators._portable import (
+    _moment_to_double,
+    _moment_to_double_sql,
+    stable_round,
+)
 from amazon_climate_data_etl_spark.session import ship_package_to_workers
 
 MEDIA_SCHEMA = T.StructType(
@@ -51,6 +56,11 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("sha256", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
+        # compressed length as an INTEGER next to the double ratio: the
+        # portable avg_entropy aggregation (media_summary) needs an
+        # exact-integer form of the per-item entropy so both engines can
+        # replay it without any double→decimal cast (r13 graduation)
+        T.StructField("comp_len", T.IntegerType()),
         T.StructField("entropy_proxy", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
@@ -263,15 +273,17 @@ def extract_features(
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decode(bytes(c), k) for c, k in zip(pdf["content"], pdf["kind"])]
+            comp = [len(zlib.compress(bytes(c))) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "sha256": [hashlib.sha256(bytes(c)).hexdigest() for c in pdf["content"]],
                     "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "comp_len": comp,
                     "entropy_proxy": [
-                        min(1.0, len(zlib.compress(bytes(c))) / max(1, len(bytes(c))))
-                        for c in pdf["content"]
+                        min(1.0, cl / max(1, len(bytes(c))))
+                        for cl, c in zip(comp, pdf["content"])
                     ],
                     "feature": [f.tolist() for f in feats],
                 }
@@ -773,14 +785,46 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-item entropy as an exact INTEGER (parts-per-billion): half-up
+# integer rounding of comp_len/n_bytes, clamped at 1.0 — pure int64
+# arithmetic both engines execute identically (comp_len ≤ ~10^8, so the
+# product is < 10^17, well inside int64), replacing the double-avg whose
+# partition-order-dependent sum could not be oracled (r13 graduation).
+# The DuckDB twin is _ENT_PPB_SQL below (// is DuckDB's integer divide,
+# `div` Spark's — both floor on the nonnegative domain used here).
+_ENT_PPB = (
+    "least(CAST(1000000000 AS BIGINT), "
+    "(CAST(comp_len AS BIGINT) * 1000000000 + "
+    "(greatest(CAST(n_bytes AS BIGINT), 1) div 2)) "
+    "div greatest(CAST(n_bytes AS BIGINT), 1))"
+)
+_ENT_PPB_SQL = (
+    "least(1000000000, (comp_len * 1000000000 + "
+    "(greatest(n_bytes, 1) // 2)) // greatest(n_bytes, 1))"
+)
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Typed-metadata aggregation over extracted features (pure JVM).
     Unsorted — callers that need an order add their own (keeps the agg
-    reusable under a union without a buried mid-plan sort)."""
+    reusable under a union without a buried mid-plan sort).
+
+    ``avg_entropy`` goes through the _portable moment contract: the
+    per-item ratio is quantized to an exact ppb INTEGER (``_ENT_PPB``),
+    summed as exact decimal (order-independent), portably converted to
+    double and divided — so the value is bit-identical in any
+    partitioning AND replayable by the DuckDB oracle (the r13
+    hash-graduation of media_pipeline_profile rests on this)."""
+    ent_sum = F.sum(F.expr(_ENT_PPB).cast("decimal(38,0)"))
     return features.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("entropy_proxy"), 4).alias("avg_entropy"),
+        stable_round(
+            _moment_to_double(ent_sum, 0, "media_summary.avg_entropy")
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_entropy"),
         F.countDistinct("sha256").alias("n_unique"),
     )
 
@@ -798,12 +842,12 @@ def media_count_for(sf_dir: str) -> int:
 
 
 def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry: full multimodal chain — synthesize binary
-    media, Arrow-batched decode/feature-extract (mapInPandas), typed
-    metadata aggregation. Deterministic output; registered WITHOUT a SQL
-    oracle (the decode kernel is not SQL-expressible) so the driver records
-    the rows-only check — the VALUES are certified by the pure-Python
-    recomputation twin in tests/test_media_twin.py. Media is synthesized
+    """Feature-summary stage query (merged into ``media_pipeline_profile``
+    in r12 — kept as the twin-test surface): synthesize binary media,
+    Arrow-batched decode/feature-extract (mapInPandas), typed metadata
+    aggregation. Deterministic output; the VALUES are certified by the
+    pure-Python recomputation twin in tests/test_media_twin.py and, via
+    the merged registration, by the sidecar oracle. Media is synthesized
     executor-side, with the item count scaled to ``sf_dir``'s scale factor
     (96 at sf0.001). Since round 6 every payload is real decodable media,
     so this runs the REAL decode kernels (PNG/WAV/AVI → pixels/samples →
@@ -813,11 +857,12 @@ def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry for the resize + frame-sample stages: per-stage
-    row/byte profile over the synthesized media table. Rows-only check (the
-    kernels are not SQL-expressible); determinism and cardinality law
-    (frames = duration//step + 1) are pinned in tests. Item count scales
-    with ``sf_dir``'s scale factor.
+    """Resize + frame-sample stage query (merged into
+    ``media_pipeline_profile`` in r12 — kept as the twin-test surface):
+    per-stage row/byte profile over the synthesized media table.
+    Determinism and the cardinality law (frames = duration//step + 1)
+    are pinned in tests. Item count scales with ``sf_dir``'s scale
+    factor.
 
     The media frame feeds TWO downstream branches (frames + resize). An
     unpersisted branch point re-runs the upstream mapInPandas per branch,
@@ -862,12 +907,16 @@ def media_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas) → typed per-kind metadata aggregation (``features:*``
     stages, with entropy/uniqueness columns), and (b) the frame-sample +
     resize stages' row/byte profile (``frames``/``resize`` stages —
-    cardinality law frames = duration//step + 1). Registered WITHOUT a
-    SQL oracle (the decode kernels are not SQL-expressible — the one
-    remaining rows-only registration); the VALUES are certified by the
-    pure-Python recomputation twins in tests/test_media_twin.py, which
-    exercise ``media_feature_summary`` and ``media_frame_pipeline``
-    directly.
+    cardinality law frames = duration//step + 1). HASH-CHECKED at the
+    driver since r13 (MEDIA_PIPELINE_SQL below): the decode kernels are
+    not SQL-expressible, but every aggregated number is a pure function
+    of media_id and lives in the committed stage-discriminated sidecar
+    (fixtures/media_pipeline.parquet, tools/gen_media_sidecars.py); the
+    oracle replays the per-kind feature aggregation (exact-integer ppb
+    entropy average — see ``media_summary``) and the stage profiles in
+    DuckDB SQL over those rows. The recomputation twins in
+    tests/test_media_twin.py independently certify both the Spark
+    kernels and the sidecar's freshness.
 
     The media frame feeds THREE downstream Python branches (features,
     frames, resize), so the branch point is persisted — an unpersisted
@@ -1074,16 +1123,66 @@ FROM tot t LEFT JOIN cuts c USING (media_id)
 ORDER BY media_id
 """
 
+# media_pipeline_profile graduates from rows-only to hash-checked (r13),
+# completing the decode-sidecar program (phash r10, audio/video r11): the
+# decode kernels are not SQL-expressible, but every number the profile
+# aggregates — payload/compressed lengths, sha256, per-sampled-frame byte
+# sizes, resized-PNG sizes — is a pure function of media_id, so those live
+# in the committed stage-discriminated sidecar
+# (fixtures/media_pipeline.parquet, tools/gen_media_sidecars.py, pure-
+# Python twin path). The oracle replays the SQL-EXPRESSIBLE half — the
+# per-kind feature aggregation (incl. the exact-integer ppb entropy
+# average through the _portable moment contract) and the frames/resize
+# stage profiles — so the driver hash certifies the Spark decode +
+# aggregation chain against an independent SQL implementation. n_media
+# derives from the registered customer view exactly as the three earlier
+# sidecar oracles do; the sidecar covers ids < 9600 (sf0.1) and lower-SF
+# tables are row-subsets, so `media_id < n` is the whole SF story.
+_PIPELINE_SIDECAR = os.path.join(
+    os.path.dirname(_PHASH_SIDECAR), "media_pipeline.parquet"
+)
+
+MEDIA_PIPELINE_SQL = f"""
+WITH nm AS (
+  SELECT greatest(96, CAST(round(96 * count(*) / 150.0) AS BIGINT)) AS n
+  FROM customer
+),
+sc AS (
+  SELECT stage, media_id, kind, n_bytes, sha256, comp_len
+  FROM read_parquet('{_PIPELINE_SIDECAR}')
+  WHERE media_id < (SELECT n FROM nm)
+),
+feat AS (
+  SELECT 'features:' || kind AS stage,
+         count(*) AS n_items,
+         count(*) AS n_rows,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         round({_moment_to_double_sql(f"sum({_ENT_PPB_SQL})", 0)}
+               / 1000000000.0 / count(*), 4) AS avg_entropy,
+         count(DISTINCT sha256) AS n_unique
+  FROM sc WHERE stage = 'features' GROUP BY kind
+),
+st AS (
+  SELECT stage,
+         count(DISTINCT media_id) AS n_items,
+         count(*) AS n_rows,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(NULL AS DOUBLE) AS avg_entropy,
+         CAST(NULL AS BIGINT) AS n_unique
+  FROM sc WHERE stage IN ('frames', 'resize') GROUP BY stage
+)
+SELECT * FROM feat
+UNION ALL
+SELECT * FROM st
+ORDER BY stage
+"""
+
 ORACLE: dict[str, str] = {
+    "media_pipeline_profile": MEDIA_PIPELINE_SQL,
     "image_phash_neardup": IMAGE_PHASH_SQL,
     "audio_energy_segments": AUDIO_SEGMENTS_SQL,
     "video_scene_changes": VIDEO_SCENES_SQL,
 }
-# media_pipeline_profile (r12 merge of media_feature_summary +
-# media_frame_pipeline) stays rows-only — the ONE remaining rows-only
-# registration: its whole output is decode-kernel values with no
-# SQL-expressible half to replay; values certified by the recomputation
-# twins over the two underlying stage queries
 
 
 _MEDIA_KINDS = ("image", "audio", "video")

@@ -23,8 +23,6 @@ from __future__ import annotations
 import hashlib
 import math
 import zlib
-from decimal import ROUND_HALF_UP, Decimal
-
 import numpy as np
 
 from amazon_climate_data_etl_spark.sources.avi_min import read_avi
@@ -97,11 +95,13 @@ def test_media_feature_summary_twin_exact(spark):
     for it in items:
         content = it["content"]
         feat = _decode_real(content, it["kind"])
+        comp = len(zlib.compress(content))
         expected_rows[it["media_id"]] = (
             it["kind"],
             hashlib.sha256(content).hexdigest(),
             len(content),
-            min(1.0, len(zlib.compress(content)) / max(1, len(content))),
+            comp,
+            min(1.0, comp / max(1, len(content))),
             [float(x) for x in feat],
         )
 
@@ -110,17 +110,21 @@ def test_media_feature_summary_twin_exact(spark):
     ).collect()
     assert len(got) == N_ITEMS
     for r in got:
-        kind, sha, n_bytes, entropy, feat = expected_rows[r["media_id"]]
+        kind, sha, n_bytes, comp, entropy, feat = expected_rows[r["media_id"]]
         assert r["kind"] == kind
         assert r["sha256"] == sha
         assert r["n_bytes"] == n_bytes
+        assert r["comp_len"] == comp
         assert r["entropy_proxy"] == entropy  # exact: same double both sides
         assert [float(x) for x in r["feature"]] == feat
 
-    # aggregate twin: plain-Python grouping, HALF_UP 4dp round like F.round
+    # aggregate twin: plain-Python grouping; avg_entropy replays the
+    # portable exact-integer ppb path (r13) — half-up integer rounding of
+    # comp/len to parts-per-billion, exact int sum, the identical IEEE
+    # divide-then-stable-round sequence media_summary executes
     by_kind: dict[str, list] = {}
-    for kind, sha, n_bytes, entropy, _ in expected_rows.values():
-        by_kind.setdefault(kind, []).append((sha, n_bytes, entropy))
+    for kind, sha, n_bytes, comp, _, _ in expected_rows.values():
+        by_kind.setdefault(kind, []).append((sha, n_bytes, comp))
     summary = {r["kind"]: r for r in media_feature_summary(spark, SF).collect()}
     assert sorted(summary) == sorted(by_kind)
     for kind, rows in by_kind.items():
@@ -128,10 +132,12 @@ def test_media_feature_summary_twin_exact(spark):
         assert r["n_items"] == len(rows)
         assert r["total_bytes"] == sum(n for _, n, _ in rows)
         assert r["n_unique"] == len({s for s, _, _ in rows})
-        avg = math.fsum(e for _, _, e in rows) / len(rows)
-        expect = float(
-            Decimal(repr(avg)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        s = sum(
+            min(10**9, (c * 10**9 + max(1, n) // 2) // max(1, n))
+            for _, n, c in rows
         )
+        avg = float(s) / 1e9 / len(rows)
+        expect = math.floor(avg * 10000.0 + 0.5) / 10000.0
         assert r["avg_entropy"] == expect, (kind, r["avg_entropy"], avg)
 
 
@@ -413,3 +419,46 @@ def test_framediff_sidecar_matches_twin():
         item = synthesize_media_item(i)
         nf, want = video_frame_diffs(item["content"])
         assert (nf_of[i], [per_id[i][k] for k in range(1, nf)]) == ({nf}, want), i
+
+
+def test_pipeline_sidecar_matches_twin():
+    """The committed pipeline oracle sidecar (fixtures/media_pipeline.parquet,
+    the r13 graduation of media_pipeline_profile) must equal the independent
+    pure-Python twin recomputation (tools/gen_media_sidecars.pipeline_rows)
+    for every id it claims — full coverage at the sf0.001 subset, a
+    deterministic stride across the sf0.1 superset — and carry exactly one
+    'features' row per id below 9600, one 'frames' row per 500 ms grid
+    point per video id, and one 'resize' row per image id."""
+    from tools.gen_media_sidecars import pipeline_rows
+
+    side = _read_sidecar("media_pipeline.parquet")
+    rows = list(
+        zip(
+            side["stage"], side["media_id"], side["kind"], side["row_idx"],
+            side["n_bytes"], side["sha256"], side["comp_len"],
+        )
+    )
+    by_stage_id: dict[tuple, list] = {}
+    for r in rows:
+        by_stage_id.setdefault((r[0], r[1]), []).append(r)
+
+    feat_ids = sorted(i for s, i in by_stage_id if s == "features")
+    assert feat_ids == list(range(9600))
+    assert sorted(i for s, i in by_stage_id if s == "frames") == list(
+        range(2, 9600, 3)
+    )
+    assert sorted(i for s, i in by_stage_id if s == "resize") == list(
+        range(0, 9600, 3)
+    )
+    for i in range(2, 9600, 3):  # full frame grid per video id
+        dur = 1000 + (i % 300) * 33
+        grid = sorted(r[3] for r in by_stage_id[("frames", i)])
+        assert grid == list(range(dur // 500 + 1)), i
+
+    check_ids = list(range(96)) + list(range(96, 9600, 97))
+    for i in check_ids:
+        want = sorted(pipeline_rows(i, synthesize_media_item(i)))
+        got = sorted(
+            r for (s, m), rs in by_stage_id.items() if m == i for r in rs
+        )
+        assert got == want, i

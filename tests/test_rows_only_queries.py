@@ -1,5 +1,7 @@
 """Checks for the queries registered WITHOUT a DuckDB oracle (rows-only at
-the driver): they still get semantic assertions here, just not SQL twins."""
+the driver) plus shape/determinism pins that predate a query's oracle.
+Since r13 the rows-only set is exactly one query — approx_distinct_users
+(HLL ≠ DuckDB's exact distinct, by design)."""
 
 from __future__ import annotations
 
@@ -27,10 +29,10 @@ def test_media_feature_summary_deterministic(spark, sf_dir):
 
 
 def test_media_pipeline_profile_deterministic(spark, sf_dir):
-    """The merged registration (r12) IS the driver's rows-only row — its
-    determinism is what makes that check meaningful. The five stages and
-    their cardinalities are pinned; the feature rows must carry the
-    per-kind columns and the stage rows must not."""
+    """Hash-checked at the driver since r13 (decode-sidecar oracle) —
+    kept here as the shape/determinism pin that predates the oracle. The
+    five stages and their cardinalities are pinned; the feature rows must
+    carry the per-kind columns and the stage rows must not."""
     from amazon_climate_data_etl_spark.sources.multimodal import (
         media_pipeline_profile,
     )

@@ -39,6 +39,7 @@ from amazon_climate_data_etl_spark.sources.avi_min import read_avi
 from amazon_climate_data_etl_spark.sources.multimodal import (
     _SEGMENT_FRAME_MS,
     _png_decode_minimal,
+    png_encode_minimal,
     synthesize_media_item,
 )
 
@@ -65,6 +66,36 @@ def audio_frame_energies(content: bytes) -> list[int]:
     ]
 
 
+def pipeline_rows(i: int, item: dict):
+    """media_pipeline.parquet rows for one item (the r13 graduation
+    sidecar): a 'features' row per item (payload length, sha256,
+    zlib-compressed length — the inputs of the per-kind feature
+    aggregation), one 'frames' row per sampled video frame (byte length
+    of the AVI frame on screen at each 500 ms grid point), and a
+    'resize' row per image (byte length of the 32×32 nearest-neighbor
+    re-encoded PNG, resample indices computed independently of the Spark
+    kernel's clip form)."""
+    import hashlib
+    import zlib
+
+    content = item["content"]
+    yield ("features", i, item["kind"], 0, len(content),
+           hashlib.sha256(content).hexdigest(), len(zlib.compress(content)))
+    if item["kind"] == "video":
+        v = read_avi(content)
+        for k in range(item["duration_ms"] // 500 + 1):
+            yield ("frames", i, "video", k,
+                   len(v.frames[v.frame_at_ms(k * 500)]), None, None)
+    elif item["kind"] == "image":
+        px = _png_decode_minimal(content)
+        h, w = px.shape[:2]
+        ys = [min(h - 1, y * h // 32) for y in range(32)]
+        xs = [min(w - 1, x * w // 32) for x in range(32)]
+        out = px[ys][:, xs]
+        yield ("resize", i, "image", 0,
+               len(png_encode_minimal(out)), None, None)
+
+
 def video_frame_diffs(content: bytes) -> tuple[int, list[int]]:
     """(n_frames, per-boundary abs-diff sums) of one MPNG AVI, PLAIN
     PYTHON INT pixel loops over the shared pure-Python decoders."""
@@ -83,13 +114,26 @@ def video_frame_diffs(content: bytes) -> tuple[int, list[int]]:
 
 
 def main() -> None:
+    # select which sidecars to (re)generate: 'all' (default), 'pipeline'
+    # (only the r13 media_pipeline.parquet), or 'legacy' (only the r11
+    # energies/framediffs pair) — regeneration is deterministic either
+    # way, the selector just saves the slow pure-Python video-diff loops
+    # when only the pipeline sidecar changed
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    do_pipeline = which in ("all", "pipeline")
+    do_legacy = which in ("all", "legacy")
     a_ids, a_fidx, a_energy = [], [], []
     v_ids, v_nf, v_didx, v_diff = [], [], [], []
+    p_rows = []
     for i in range(MAX_ID):
         kind = ("image", "audio", "video")[i % 3]
-        if kind == "image":
-            continue
         item = synthesize_media_item(i)
+        if do_pipeline:
+            p_rows.extend(pipeline_rows(i, item))
+        if not do_legacy or kind == "image":
+            if i % 600 == 599:
+                print(f"  ... {i + 1}/{MAX_ID}", flush=True)
+            continue
         if kind == "audio":
             for k, e in enumerate(audio_frame_energies(item["content"])):
                 a_ids.append(i)
@@ -107,28 +151,46 @@ def main() -> None:
         if i % 600 == 599:
             print(f"  ... {i + 1}/{MAX_ID}", flush=True)
 
-    pq.write_table(
-        pa.table(
-            {
-                "media_id": pa.array(a_ids, pa.int64()),
-                "frame_idx": pa.array(a_fidx, pa.int32()),
-                "energy": pa.array(a_energy, pa.int64()),
-            }
-        ),
-        os.path.join(FIXTURES, "media_energies.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "media_id": pa.array(v_ids, pa.int64()),
-                "n_frames": pa.array(v_nf, pa.int32()),
-                "diff_idx": pa.array(v_didx, pa.int32()),
-                "diff": pa.array(v_diff, pa.int64()),
-            }
-        ),
-        os.path.join(FIXTURES, "media_framediffs.parquet"),
-    )
-    print(f"audio rows: {len(a_ids)}, video rows: {len(v_ids)}")
+    if do_legacy:
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(a_ids, pa.int64()),
+                    "frame_idx": pa.array(a_fidx, pa.int32()),
+                    "energy": pa.array(a_energy, pa.int64()),
+                }
+            ),
+            os.path.join(FIXTURES, "media_energies.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(v_ids, pa.int64()),
+                    "n_frames": pa.array(v_nf, pa.int32()),
+                    "diff_idx": pa.array(v_didx, pa.int32()),
+                    "diff": pa.array(v_diff, pa.int64()),
+                }
+            ),
+            os.path.join(FIXTURES, "media_framediffs.parquet"),
+        )
+        print(f"audio rows: {len(a_ids)}, video rows: {len(v_ids)}")
+    if do_pipeline:
+        cols = list(zip(*p_rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "stage": pa.array(cols[0], pa.string()),
+                    "media_id": pa.array(cols[1], pa.int64()),
+                    "kind": pa.array(cols[2], pa.string()),
+                    "row_idx": pa.array(cols[3], pa.int32()),
+                    "n_bytes": pa.array(cols[4], pa.int64()),
+                    "sha256": pa.array(cols[5], pa.string()),
+                    "comp_len": pa.array(cols[6], pa.int64()),
+                }
+            ),
+            os.path.join(FIXTURES, "media_pipeline.parquet"),
+        )
+        print(f"pipeline rows: {len(p_rows)}")
 
 
 if __name__ == "__main__":
