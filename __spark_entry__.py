@@ -103,10 +103,23 @@ to ``url_domain_profile`` — the URL-side curation stage (generic
 canonicalization: fragment/tracking-param/default-port stripping +
 case-folding; registrable-domain extraction with a multi-part-suffix
 slice; per-domain doc/token concentration and blocklist accounting),
-closing read_warc's ``target_uri`` column into the curation family. The
-registry stands at 149, 1 under the cap. Next consolidation candidates
-(pre-agreed shape: same grain over the same scan, every operator shape
-preserved under one oracle), to fund r13+ additions beyond one query:
+closing read_warc's ``target_uri`` column into the curation family.
+Round 13 ran the pre-agreed linear-algebra merge —
+``embedding_covariance`` + ``embedding_top_component`` →
+``embedding_spectrum_profile`` (both derive from the SAME
+``_gram_partials`` corpus pass, which the merged query now pays ONCE;
+cov and dominant-eigenvector frames unified under one oracle) — and
+spent the freed slot on ``wat_metadata_profile``: the WAT/metadata half
+of the crawl boundary (interleaved response+metadata ``.warc.gz``
+segments written distributed → read_warc's metadata-type decode-side
+pushdown provably skipping the response blocks → ``from_json`` →
+per-(source, lang) rollup), the driver attestation the r12 review asked
+for. Round 13 also graduated ``media_pipeline_profile`` from rows-only
+to hash-checked (decode-sidecar oracle — see CHANGED_SINCE_GREEN).
+The registry stands at 149, 1 under the cap. Next consolidation
+candidates (pre-agreed shape: same grain over the same scan, every
+operator shape preserved under one oracle), to fund r14+ additions
+beyond one query:
 ``doc_quality_scores`` + ``doc_repetition_scores`` (both per-doc score
 frames over one documents scan — the lang_token_profile precedent
 exactly) and ``vocab_coverage`` + ``zipf_law_fit`` (both derive from the

@@ -1996,30 +1996,10 @@ def _gram_partials(ex: DataFrame, with_sums: bool) -> DataFrame:
     return ex.mapInPandas(kernel, schema="i int, j int, s_ij decimal(38,0)")
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass covariance (Gram) matrix over the embedding column — the
-    distributed linear-algebra primitive under PCA / whitening / OOD
-    scoring: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j], upper triangle.
-
-    Scale shape (round 8): the ``_gram_partials`` kernel reduces each
-    partition to its exact integer Gram partial in ONE corpus pass (the
-    coordinate sums and row counts ride the same pass), so the only
-    exchange carries partitions·d² slim decimal rows; the final
-    covariance arithmetic is double over exact decimal sums —
-    deterministic in both engines — rounded to 8 dp. The DuckDB twin
-    keeps the declarative explode: identical integer sums by
-    associativity, which is the whole certification argument.
-
-    Domain: exact for |v| ≤ 3 (q ≤ 3e9, split products < 2^53); larger
-    magnitudes FAIL LOUDLY in the kernel rather than silently wrapping
-    (contract pinned in tests/test_edge_embeddings.py)."""
-    ex = _gram_quantized(_nonzero(load_table(spark, sf_dir, "embeddings")))
-    # persist the per-partition partials (tiny: partitions·(d²/2 + 2d)
-    # rows): the pair aggregate and the coordinate aggregate are separate
-    # consumers, and an unpersisted kernel would re-run the corpus pass
-    part = _gram_partials(ex, with_sums=True).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+def _cov_frame(part: DataFrame) -> DataFrame:
+    """Covariance rows (i, j, cov) from a persisted ``with_sums=True``
+    partials frame — the math half of ``embedding_covariance``, shared
+    with the r13 ``embedding_spectrum_profile`` merge. Unsorted."""
     pairs = (
         part.filter(F.col("j") >= 0)
         .groupBy("i", "j")
@@ -2046,8 +2026,36 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
         .select("i", "j", stable_round(cov, 8).alias("cov"))
-        .orderBy("i", "j")
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance (Gram) matrix over the embedding column — the
+    distributed linear-algebra primitive under PCA / whitening / OOD
+    scoring: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j], upper triangle.
+    (Registered through the r13 ``embedding_spectrum_profile`` merge;
+    kept as the direct test surface.)
+
+    Scale shape (round 8): the ``_gram_partials`` kernel reduces each
+    partition to its exact integer Gram partial in ONE corpus pass (the
+    coordinate sums and row counts ride the same pass), so the only
+    exchange carries partitions·d² slim decimal rows; the final
+    covariance arithmetic is double over exact decimal sums —
+    deterministic in both engines — rounded to 8 dp. The DuckDB twin
+    keeps the declarative explode: identical integer sums by
+    associativity, which is the whole certification argument.
+
+    Domain: exact for |v| ≤ 3 (q ≤ 3e9, split products < 2^53); larger
+    magnitudes FAIL LOUDLY in the kernel rather than silently wrapping
+    (contract pinned in tests/test_edge_embeddings.py)."""
+    ex = _gram_quantized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    # persist the per-partition partials (tiny: partitions·(d²/2 + 2d)
+    # rows): the pair aggregate and the coordinate aggregate are separate
+    # consumers, and an unpersisted kernel would re-run the corpus pass
+    part = _gram_partials(ex, with_sums=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _cov_frame(part).orderBy("i", "j")
 
 
 _PI_SCALE = 1_000_000
@@ -2090,6 +2098,14 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s_ij").alias("s_ij"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _component_frame(upper).orderBy("k")
+
+
+def _component_frame(upper: DataFrame) -> DataFrame:
+    """Component rows (k, component_q, component) from a persisted
+    aggregated upper-triangle Gram frame — the math half of
+    ``embedding_top_component``, shared with the r13
+    ``embedding_spectrum_profile`` merge. Unsorted."""
     full = upper.unionAll(
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "s_ij"
@@ -2167,7 +2183,51 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.col("v").alias("component_q"),
         stable_round(F.col("v").cast("double") / _PI_SCALE, 6).alias("component"),
-    ).orderBy("k")
+    )
+
+
+def embedding_spectrum_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding SPECTRUM in one frame — r13 consolidation of the
+    former ``embedding_covariance`` + ``embedding_top_component``
+    registrations (the pre-agreed merge shape: both derive from the SAME
+    ``_gram_partials`` corpus pass, every operator shape of both is
+    preserved under one oracle): the ``cov`` frame carries the exact
+    upper-triangle covariance rows, the ``component`` frame the power-
+    iteration dominant eigenvector of the second-moment matrix.
+
+    Scale shape: ONE ``_gram_partials`` kernel pass over the corpus
+    (persisted — the merge's whole point: the two predecessors each paid
+    this pass), then two tiny d²-bounded consumers: the covariance
+    join (broadcast coordinate sums) and the single-task exact-integer
+    power kernel. Columns are unified as (frame, i, j, value_q, value):
+    cov rows carry value = cov(i,j) with value_q NULL; component rows
+    carry value_q = the exact ≤1e6 integer iterate and value = its
+    6 dp projection, with j = -1. Determinism/domain contracts are the
+    predecessors' own (see their docstrings above)."""
+    ex = _gram_quantized(_nonzero(load_table(spark, sf_dir, "embeddings")))
+    part = _gram_partials(ex, with_sums=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    upper = (
+        part.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("s_ij").alias("s_ij"))
+    )
+    cov = _cov_frame(part).select(
+        F.lit("cov").alias("frame"),
+        "i",
+        "j",
+        F.lit(None).cast("long").alias("value_q"),
+        F.col("cov").alias("value"),
+    )
+    comp = _component_frame(upper).select(
+        F.lit("component").alias("frame"),
+        F.col("k").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.col("component_q").alias("value_q"),
+        F.col("component").alias("value"),
+    )
+    return cov.unionByName(comp).orderBy("frame", "i", "j")
 
 
 _PI_STEP_SQL = """
@@ -2182,7 +2242,7 @@ v{n} AS (
   FROM it{n}, w{n}max
 )"""
 
-EMB_TOP_COMPONENT_SQL = f"""
+EMB_SPECTRUM_SQL = f"""
 WITH nz AS (
   SELECT list_transform(
            embedding,
@@ -2201,6 +2261,17 @@ pr AS (
   FROM (SELECT i, vi, eq, unnest(range(1, len(eq) + 1)) AS pos2 FROM comp)
   WHERE pos2 - 1 >= i
 ),
+-- covariance branch: hugeint sums + the coordinate sums (verbatim the
+-- former EMB_COVARIANCE_SQL math)
+s_pairs AS (
+  SELECT i, j, sum(vi * vj) AS s_ij FROM pr GROUP BY i, j
+),
+s_comp AS (
+  SELECT i AS k, sum(vi) AS s_k, count(*) AS n FROM comp GROUP BY i
+),
+-- power-iteration branch: decimal upper triangle -> symmetrize ->
+-- requantize -> 3 exact-integer sweeps (verbatim the former
+-- EMB_TOP_COMPONENT_SQL trajectory)
 upper_s AS (
   SELECT i, j, sum(CAST(vi * vj AS DECIMAL(38,0))) AS s_ij FROM pr GROUP BY i, j
 ),
@@ -2219,49 +2290,20 @@ v0 AS (SELECT DISTINCT i AS k, CAST(1000000 AS BIGINT) AS v FROM s_full),
 {_PI_STEP_SQL.format(n=1, p=0)},
 {_PI_STEP_SQL.format(n=2, p=1)},
 {_PI_STEP_SQL.format(n=3, p=2)}
-SELECT k, v AS component_q,
-       round(CAST(v AS DOUBLE) / 1000000, 6) AS component
-FROM v3
-ORDER BY k
-"""
-
-
-EMB_COVARIANCE_SQL = """
-WITH nz AS (
-  SELECT list_transform(
-           embedding,
-           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))
-                     * 1000000000 AS BIGINT)
-         ) AS eq
-  FROM embeddings
-  WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
-),
-comp AS (
-  SELECT pos - 1 AS i, eq[pos] AS vi, eq
-  FROM (SELECT eq, unnest(range(1, len(eq) + 1)) AS pos FROM nz)
-),
-pairs AS (
-  SELECT i, pos2 - 1 AS j, vi, eq[pos2] AS vj
-  FROM (
-    SELECT i, vi, eq, unnest(range(1, len(eq) + 1)) AS pos2
-    FROM comp
-  )
-  WHERE pos2 - 1 >= i
-),
-s_pairs AS (
-  SELECT i, j, sum(vi * vj) AS s_ij FROM pairs GROUP BY i, j
-),
-s_comp AS (
-  SELECT i AS k, sum(vi) AS s_k, count(*) AS n FROM comp GROUP BY i
-)
-SELECT p.i, p.j,
-       round(CAST(s_ij AS DOUBLE) / 1e18 / CAST(a.n AS DOUBLE)
+SELECT 'cov' AS frame, p.i, p.j,
+       CAST(NULL AS BIGINT) AS value_q,
+       round(CAST(p.s_ij AS DOUBLE) / 1e18 / CAST(a.n AS DOUBLE)
              - (CAST(a.s_k AS DOUBLE) / 1e9 / CAST(a.n AS DOUBLE))
-               * (CAST(b.s_k AS DOUBLE) / 1e9 / CAST(a.n AS DOUBLE)), 8) AS cov
+               * (CAST(b.s_k AS DOUBLE) / 1e9 / CAST(a.n AS DOUBLE)), 8) AS value
 FROM s_pairs p
 JOIN s_comp a ON p.i = a.k
 JOIN s_comp b ON p.j = b.k
-ORDER BY i, j
+UNION ALL
+SELECT 'component' AS frame, k AS i, -1 AS j,
+       v AS value_q,
+       round(CAST(v AS DOUBLE) / 1000000, 6) AS value
+FROM v3
+ORDER BY frame, i, j
 """
 
 
@@ -2358,8 +2400,7 @@ def _semantic_verdicts(delta: DataFrame, state) -> DataFrame:
 
 
 QUERIES = {
-    "embedding_covariance": embedding_covariance,
-    "embedding_top_component": embedding_top_component,
+    "embedding_spectrum_profile": embedding_spectrum_profile,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
@@ -2381,8 +2422,7 @@ ORACLE = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
-    "embedding_covariance": EMB_COVARIANCE_SQL,
-    "embedding_top_component": EMB_TOP_COMPONENT_SQL,
+    "embedding_spectrum_profile": EMB_SPECTRUM_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_label_stats": EMBEDDING_STATS_SQL,

@@ -29,7 +29,11 @@ from amazon_climate_data_etl_spark.functions.text import (
     token_count_sql,
     tokens,
 )
-from amazon_climate_data_etl_spark.operators._portable import stable_round
+from amazon_climate_data_etl_spark.operators._portable import (
+    _moment_to_double,
+    _moment_to_double_sql,
+    stable_round,
+)
 
 
 def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1983,7 +1987,231 @@ ORDER BY doc_id
 CRAWL_E2E_SQL = _build_crawl_e2e_sql()
 
 
+# --------------------------------------------------------------------------
+# wat_metadata_profile (r13): the WAT/metadata half of the crawl boundary —
+# crawl_e2e certifies RESPONSE records end to end; this certifies METADATA
+# records the same way. Common Crawl's WAT files carry per-page JSON
+# metadata next to the WARC payloads; here deterministic WAT-style
+# metadata-JSON records are synthesized FROM the documents table,
+# interleaved with stub response records in member-per-record .warc.gz
+# segments (so the read's record_types=("metadata",) pushdown provably
+# SKIPS the response blocks), read back through read_warc, parsed with
+# from_json, and rolled up per (source, lang). The DuckDB oracle replays
+# only the logical derivations from documents, so the hash match
+# certifies build_warc → gzip → metadata-type pushdown → JSON round trip
+# → from_json → aggregation physically.
+# --------------------------------------------------------------------------
+
+_WAT_SCHEMA = (
+    "struct<url:string, lang:string, n_chars:bigint, n_tokens:bigint, "
+    "links:array<string>>"
+)
+
+
+def _wat_sink(sf_dir: str) -> str:
+    from amazon_climate_data_etl_spark.catalog import pid_scoped_store
+
+    return pid_scoped_store("spark_graft_wat_profile", sf_dir)
+
+
+def _write_wat_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Synthesize and WRITE the WAT-style snapshot: per doc, ONE stub
+    response record AND ONE metadata record whose JSON block carries the
+    page's derived metadata (url, lang, n_chars, n_tokens, links — the
+    link list is doc_id%4 deterministic URLs). Same distributed write
+    shape, hashed file assignment, atomic publish, manifest fail-loud,
+    and shared-storage deployment contract as ``_write_crawl_warcs``.
+    Returns (sink dir, metadata-record total)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
+    pages = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("int").alias("n_links"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
+    )
+    sink = _wat_sink(sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from amazon_climate_data_etl_spark.sources.warc_min import build_warc
+
+        seq = int(pdf["file_seq"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        n_meta = 0
+        for doc_id, source, lang, n_chars, n_tokens, n_links in zip(
+            pdf["doc_id"], pdf["source"], pdf["lang"],
+            pdf["n_chars"], pdf["n_tokens"], pdf["n_links"],
+        ):
+            url = f"http://{source}.example.com/doc/{doc_id}"
+            body = b"<html><body>wat stub</body></html>"
+            block = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+                b"\r\n" + body
+            )
+            meta = json.dumps(
+                {
+                    "url": url,
+                    "lang": lang,
+                    "n_chars": int(n_chars),
+                    "n_tokens": int(n_tokens),
+                    "links": [
+                        f"http://{source}.example.com/doc/{doc_id + j + 1}"
+                        for j in range(int(n_links))
+                    ],
+                },
+                sort_keys=True,
+            ).encode("utf-8")
+            common = {
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Target-URI": url,
+            }
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:wat-resp-{doc_id}>",
+                        "Content-Type": "application/http; msgtype=response",
+                        **common,
+                    },
+                    "block": block,
+                }
+            )
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "metadata",
+                        "WARC-Record-ID": f"<urn:uuid:wat-meta-{doc_id}>",
+                        "Content-Type": "application/json",
+                        **common,
+                    },
+                    "block": meta,
+                }
+            )
+            n_meta += 1
+        data = build_warc(recs, gzip_per_record=True)
+        path = os.path.join(sink, f"wat-{seq:05d}.warc.gz")
+        fd, tmp = tempfile.mkstemp(dir=sink, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_seq": [seq], "n_records": [n_meta]})
+
+    manifest = (
+        pages.groupBy("file_seq")
+        .applyInPandas(write_group, "file_seq int, n_records long")
+        .collect()  # bounded: one row per file — this IS the write action
+    )
+    total = sum(r.n_records for r in manifest)
+    if total != n_docs:
+        raise RuntimeError(
+            f"wat_metadata_profile: wrote {total} metadata records for "
+            f"{n_docs} documents"
+        )
+    return sink, total
+
+
+def wat_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the WAT/metadata crawl boundary END TO END —
+    write real interleaved response+metadata ``.warc.gz`` segments
+    (distributed), read back ONLY the metadata records through
+    ``read_warc``'s decode-side type pushdown (the response blocks are
+    skipped before the Arrow boundary — this query is the driver
+    attestation of that pushdown), parse the JSON blocks with
+    ``from_json``, recover page identity from the round-tripped URL, and
+    roll the corpus up per (source, lang): doc counts, token/char/link
+    sums, and the portable token mean.
+
+    Scale shape: the write is one shuffle on the hashed file_seq into
+    executor-side file writes; the read is binaryFile → one task per
+    segment → map-only decode + JSON parse; the only logical-plan
+    shuffles are the (source, lang) aggregate and the output sort.
+    Nothing driver-side grows with the corpus (one manifest row per
+    file, one guard count)."""
+    from amazon_climate_data_etl_spark.sources.warc_min import read_warc
+
+    sink, n_written = _write_wat_warcs(spark, sf_dir)
+    recs = read_warc(spark, sink, record_types=("metadata",))
+    m = recs.select(
+        F.from_json(F.decode(F.col("payload"), "UTF-8"), _WAT_SCHEMA).alias("m")
+    ).select(
+        F.regexp_extract(
+            "m.url", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
+        ).alias("source"),
+        F.col("m.lang").alias("lang"),
+        F.col("m.n_chars").alias("n_chars"),
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.size("m.links").cast("long").alias("n_links"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # read-back completeness guard, the crawl_e2e contract: a sink the
+    # scan can't reach fails loudly instead of truncating the corpus
+    n_read = m.count()
+    if n_read != n_written:
+        raise RuntimeError(
+            f"wat_metadata_profile: wrote {n_written} metadata records but "
+            "read back "
+            f"{n_read} — the sink path must be storage every executor AND "
+            "the read_warc scan can reach (shared filesystem / object mount)"
+        )
+    return (
+        m.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_links").alias("sum_links"),
+            stable_round(
+                _moment_to_double(
+                    F.sum(F.col("n_tokens").cast("decimal(38,0)")),
+                    0,
+                    "wat_metadata_profile.avg_tokens",
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+WAT_METADATA_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, lang, n_chars,
+         {token_count_sql('text')} AS n_tokens,
+         doc_id % 4 AS n_links
+  FROM documents
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_links) AS BIGINT) AS sum_links,
+       round({_moment_to_double_sql("sum(CAST(n_tokens AS DECIMAL(38,0)))", 0)}
+             / count(*), 4) AS avg_tokens
+FROM t
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 QUERIES = {
+    "wat_metadata_profile": wat_metadata_profile,
     "crawl_e2e": crawl_e2e,
     "html_boilerplate_extract": html_boilerplate_extract,
     "bpe_tokenize_profile": bpe_tokenize_profile,
@@ -2008,6 +2236,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "wat_metadata_profile": WAT_METADATA_SQL,
     "crawl_e2e": CRAWL_E2E_SQL,
     "html_boilerplate_extract": HTML_EXTRACT_SQL,
     "bpe_tokenize_profile": BPE_TOKENIZE_SQL,

@@ -65,7 +65,7 @@ QUERIES = tuple(
         # round 8: the full recall panel (5 searches, one shared corpus),
         # the map-side Gram kernel, and the Lloyd loop — the reworked
         # kernels' scale claims, probed with data
-        "token_triangle_census,ann_recall_eval,embedding_top_component,"
+        "token_triangle_census,ann_recall_eval,embedding_spectrum_profile,"
         "kmeans_cluster_profile,semantic_dedup_keep,"
         # round 12: the crawl round trip (write + read + group-agg/join-back
         # dedup — linear in docs by design) and the URL rollup (map +

@@ -168,3 +168,69 @@ def test_file_count_grows_with_corpus(spark, crawl_dir, monkeypatch):
 
     n = sum(len(parse_warc(open(p, "rb").read())) for p in files)
     assert n == len(DOCS)
+
+
+def test_wat_metadata_semantics_and_pushdown(spark, crawl_dir):
+    """The WAT sibling (r13) on the same hand-crafted corpus: the written
+    segments must interleave response+metadata member-per-record (parsed
+    independently by the pure-Python path), read_warc's metadata pushdown
+    must skip the response blocks while record_idx stays file-positional,
+    and the profile's per-(source, lang) sums must be hand-derivable."""
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _wat_sink,
+        _write_wat_warcs,
+        wat_metadata_profile,
+    )
+    from amazon_climate_data_etl_spark.sources.warc_min import (
+        parse_warc,
+        read_warc,
+    )
+
+    sink, n_written = _write_wat_warcs(spark, crawl_dir)
+    assert sink == _wat_sink(crawl_dir)
+    assert n_written == len(DOCS)
+    files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
+    assert files
+    import json
+
+    metas = {}
+    for path in files:
+        recs = parse_warc(open(path, "rb").read())
+        # strict response/metadata interleave, one pair per doc
+        assert [r.warc_type for r in recs] == ["response", "metadata"] * (
+            len(recs) // 2
+        )
+        for r in recs:
+            if r.warc_type == "metadata":
+                m = json.loads(r.block)
+                assert m["url"] == r.get("WARC-Target-URI")
+                metas[int(m["url"].rsplit("/", 1)[-1])] = m
+    assert set(metas) == {i for i, _, _ in DOCS}
+    # hand-derivable fields: token counts are whitespace tokens of the RAW
+    # text; links count is doc_id % 4
+    texts = {i: t for i, t, _ in DOCS}
+    for i, m in metas.items():
+        assert m["n_tokens"] == len(texts[i].split())
+        assert len(m["links"]) == i % 4
+        assert m["n_chars"] == len(texts[i])
+
+    # decode-side pushdown: only metadata rows cross the Arrow boundary,
+    # and record_idx stays the file position (odd slots in the interleave)
+    got = read_warc(spark, sink, record_types=("metadata",)).collect()
+    assert len(got) == len(DOCS)
+    assert all(r.warc_type == "metadata" for r in got)
+    assert all(r.record_idx % 2 == 1 for r in got)
+
+    # the registered profile: (source, lang) grain, hand-checked sums
+    rows = {
+        (r.source, r.lang): r
+        for r in wat_metadata_profile(spark, crawl_dir).collect()
+    }
+    # crawl_dir docs: src0 x {0, 4} (TEXT_A twice), src1 x {8, 5}, src2 x {6}
+    assert rows[("src0", "en")].n_docs == 2
+    assert rows[("src0", "en")].sum_tokens == 2 * len(TEXT_A.split())
+    assert rows[("src0", "en")].sum_links == (0 % 4) + (4 % 4)
+    assert rows[("src2", "en")].sum_links == 6 % 4
+    assert rows[("src1", "en")].sum_chars == len(TEXT_B) + len(
+        "call me maybe and write soon"
+    )

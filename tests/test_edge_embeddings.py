@@ -36,11 +36,12 @@ _SIM_QUERIES = [
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_cosine_neardup", "semantic_lexical_neardup",
     "embedding_label_stats",
-    # embedding_covariance / embedding_top_component are NOT parity-run
-    # here: this fixture's |v| up to 9 sits outside their documented
-    # quantization domain (|v| ≤ 3 keeps the exact long products under
-    # 2^63) — the fail-loud overflow contract is pinned in
-    # test_gram_operators_fail_loud_out_of_domain instead
+    # embedding_spectrum_profile (the r13 merge of embedding_covariance +
+    # embedding_top_component) is NOT parity-run here: this fixture's |v|
+    # up to 9 sits outside the documented quantization domain (|v| ≤ 3
+    # keeps the exact long products under 2^63) — the fail-loud overflow
+    # contract is pinned in test_gram_operators_fail_loud_out_of_domain
+    # instead
     # recall vs the ACTUAL truth-set size: the zero-vector probe shrinks
     # the ground truth below |queries|*k here, the case the old constant
     # denominator mis-scored
@@ -186,10 +187,15 @@ def test_gram_operators_fail_loud_out_of_domain(spark, edge_emb_dir):
 
     from amazon_climate_data_etl_spark.operators.similarity import (
         embedding_covariance,
+        embedding_spectrum_profile,
         embedding_top_component,
     )
 
-    for fn in (embedding_covariance, embedding_top_component):
+    for fn in (
+        embedding_covariance,
+        embedding_top_component,
+        embedding_spectrum_profile,
+    ):
         with _pytest.raises(Exception, match="overflow"):
             fn(spark, edge_emb_dir).collect()
 

@@ -259,10 +259,13 @@ _PLAN_BOUNDS = {
     # persisted (source, shingle) frame: distinct + shingle-keyed self-join
     # + pair agg + 2 tiny total broadcasts + sort (textual reprints incl.)
     "source_overlap_matrix": (12, 2),
-    # r8: ONE gram-kernel pass + d²-keyed agg (persisted, reprinted by
-    # both union branches) + smax broadcast + the single-task power
-    # kernel + sort — the ~12-stage unrolled sweeps are gone
-    "embedding_top_component": (5, 1),
+    # r13 merge (embedding_covariance + embedding_top_component): ONE
+    # gram-kernel pass (persisted partials, the subtree reprinted per
+    # consumer) feeding the covariance join (2 tiny coordinate
+    # broadcasts) AND the smax-broadcast + single-task power kernel; the
+    # textual count is the sum of the predecessors' bounds (4,2)+(5,1)
+    # because the shared persisted subtree prints in both branches
+    "embedding_spectrum_profile": (9, 3),
     # corpus ⋈ Lloyd assignment on vec_id (shuffle join, see _SMJ_EXEMPT)
     # + cluster-keyed pair join + dup_of agg + keep left-join + sort;
     # r9 adds the exact-embedding collapse (one persisted groupBy; its
@@ -369,10 +372,6 @@ _PLAN_BOUNDS = {
     # orderkey agg joined back to the fact + (order,supp) distinct +
     # supplier agg + dim broadcast + TakeOrdered
     "q21_blocking_supplier": (6, 2),
-    # r8: ONE gram-kernel pass (persisted partials, reprinted by the pair
-    # and coordinate consumers) + pair agg + coordinate agg + 2 tiny
-    # broadcasts + sort
-    "embedding_covariance": (4, 2),
     # (type, day) count agg; per-type moments re-agg broadcast back;
     # map-only z/flag + sort
     "daily_volume_anomalies": (5, 1),
@@ -420,6 +419,11 @@ _PLAN_BOUNDS = {
     # (file_seq shuffle into executor-side file writes) that runs before
     # this plan exists.
     "crawl_e2e": (2, 0),
+    # the WAT sibling: binaryFile → one task per segment → map-only
+    # metadata decode + from_json (the persisted branch point); the 2 are
+    # the (source, lang) aggregate + output sort. The WRITE is a separate
+    # pre-plan job, exactly as crawl_e2e
+    "wat_metadata_profile": (2, 0),
     # the 40-replace merge chain is one map-only codegen stage; same
     # rebalance + sort pair as html_boilerplate_extract
     "bpe_tokenize_profile": (2, 0),
