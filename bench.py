@@ -13,6 +13,17 @@ Env knobs (driver contract):
                         every query also gets one untimed warm-up run first,
                         so round-over-round deltas are attributable signal,
                         not single-shot scheduler noise)
+    BENCH_SWEEPS        full passes over the query set (default 1). With
+                        N > 1 each query's reported number is the MIN of
+                        its N sweep medians — min-of-medians is the
+                        standard noise-floor estimator, and two identical-
+                        tree sweeps on this box have differed by ±19 s
+                        total (15%), wide enough to hide a real 10%
+                        regression (r12 finding). Ambient load is recorded
+                        at the START of each sweep (sweeps_ambient).
+                        ROUND-CLOSE PROTOCOL (r13+): BENCH_SWEEPS=2 — the
+                        default stays 1 so a single driver-budgeted run
+                        keeps its historical wall shape.
     BENCH_COOLDOWN      seconds to sleep between queries after the cache
                         clear + GC (default 0)
     BENCH_ISOLATED      how many of the slowest queries to re-measure after
@@ -160,13 +171,26 @@ def main() -> None:
     _run_to_completion(extract_features(synthetic_media(spark, n=32)))
 
     cooldown = float(os.environ.get("BENCH_COOLDOWN", "0"))
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        _quiesce(spark, cooldown)
-        # per-query warm-up (inside _time_query): populates codegen/
-        # broadcast/file-listing caches so the timed runs measure
-        # steady-state plan cost
-        timings[name] = _time_query(spark, queries[name], sf_dir, repeat)
+    n_sweeps = max(1, int(os.environ.get("BENCH_SWEEPS", "1")))
+    sweep_maps: list[dict[str, float]] = []
+    sweeps_ambient: list[list[float]] = []
+    for _ in range(n_sweeps):
+        # ambient at the START of each sweep: a sweep that began quiet but
+        # aged into a noisy window is visible in the artifact
+        sweeps_ambient.append([round(x, 2) for x in os.getloadavg()])
+        tm: dict[str, float] = {}
+        for name in sorted(queries):
+            _quiesce(spark, cooldown)
+            # per-query warm-up (inside _time_query): populates codegen/
+            # broadcast/file-listing caches so the timed runs measure
+            # steady-state plan cost
+            tm[name] = _time_query(spark, queries[name], sf_dir, repeat)
+        sweep_maps.append(tm)
+    # per-query MIN across sweeps (min-of-medians): the noise-floor
+    # estimator the round-close protocol commits (r12 review item 4)
+    timings: dict[str, float] = {
+        name: min(m[name] for m in sweep_maps) for name in sorted(queries)
+    }
 
     # isolated re-measurement of the slowest queries: sweep medians can
     # misreport by ~2× under cross-query memory/GC pressure (r4 finding);
@@ -324,7 +348,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": repeat,
-        "stat": "median",
+        "sweeps": n_sweeps,
+        "stat": "median" if n_sweeps == 1 else "min-of-medians",
+        # per-sweep context: totals expose the sweep-to-sweep environmental
+        # band the min collapses; ambient is sampled at each sweep's start
+        "sweep_totals": [
+            round(sum(m.values()), 3) for m in sweep_maps
+        ],
+        "sweeps_ambient": sweeps_ambient,
         # ambient contention context: observed ~45% total inflation when the
         # 5-min load average sat at ~5 on this 32-core box — lets a round-
         # over-round diff discount noisy windows instead of misreading them
@@ -345,6 +376,11 @@ def main() -> None:
         durable["queries"] = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])
         )
+        if n_sweeps > 1:
+            # full per-sweep maps ride in the durable artifact only (the
+            # stdout line stays tail-truncation-friendly): every paired
+            # close is auditable query-by-query, not just via the min
+            durable["queries_per_sweep"] = sweep_maps
         with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
             json.dump(durable, f, indent=1)
             f.write("\n")
