@@ -69,8 +69,9 @@ QUERIES = tuple(
         "kmeans_cluster_profile,semantic_dedup_keep,"
         # round 12: the crawl round trip (write + read + group-agg/join-back
         # dedup — linear in docs by design) and the URL rollup (map +
-        # bounded-domain agg)
-        "crawl_e2e,url_domain_profile",
+        # bounded-domain agg); round 13 adds the WAT sibling (write +
+        # metadata-pushdown read + (source, lang) agg — same linear shape)
+        "crawl_e2e,url_domain_profile,wat_metadata_profile",
     ).split(",")
     if q.strip()
 )

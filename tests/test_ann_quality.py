@@ -64,3 +64,32 @@ def test_ivfpq_recall_floor(spark, sf):
           for r in ann_ivfpq_topk(spark, sf).collect()}
     recall = len(bf & iv) / len(bf)
     assert recall >= 0.6, f"IVF-PQ recall@k {recall} fell below 0.6 at {sf}"
+
+
+def test_spectrum_merge_preserves_predecessor_values(spark):
+    """The r13 merge contract: embedding_spectrum_profile's cov frame
+    must equal embedding_covariance row-for-row and its component frame
+    must equal embedding_top_component — the merge shares one kernel
+    pass but may not change a single value."""
+    from amazon_climate_data_etl_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_spectrum_profile,
+        embedding_top_component,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    prof = embedding_spectrum_profile(spark, sf).collect()
+    spark.catalog.clearCache()
+    cov = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(spark, sf).collect()}
+    spark.catalog.clearCache()
+    comp = {
+        r["k"]: (r["component_q"], r["component"])
+        for r in embedding_top_component(spark, sf).collect()
+    }
+    got_cov = {(r.i, r.j): r.value for r in prof if r.frame == "cov"}
+    got_comp = {r.i: (r.value_q, r.value) for r in prof if r.frame == "component"}
+    assert got_cov == cov
+    assert got_comp == comp
+    assert all(r.value_q is None for r in prof if r.frame == "cov")
+    assert all(r.j == -1 for r in prof if r.frame == "component")
