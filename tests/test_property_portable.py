@@ -624,3 +624,89 @@ def test_bpe_stream_three_way_portable(spark, ts):
             streams.append(_BPE_SEP + (_BPE_SEP * 2).join(sym) + _BPE_SEP)
         twin.append(hashlib.md5(" ".join(streams).encode()).hexdigest())
     assert list(got["h"]) == list(want["token_md5"]) == twin
+
+
+# media_summary's exact-integer ppb entropy (r13 graduation): the per-item
+# quantization must be the IDENTICAL integer program in both engines —
+# Spark `div` vs DuckDB `//` (both floor on this nonnegative domain), the
+# half-up (+den//2) bias, the 1e9 clamp — and the aggregated mean must ride
+# the portable moment conversion bit-exactly. Generators hunt the seams:
+# den=0 (the greatest() guard), comp=0, clamp boundary (comp == den,
+# comp = den ± 1), and odd denominators where the +den//2 bias rounds down
+# on exact halves.
+_ppb_pairs = st.one_of(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**8),
+        st.integers(min_value=0, max_value=10**8),
+    ),
+    # clamp/tie seams: comp pinned around den
+    st.integers(min_value=1, max_value=10**6).flatmap(
+        lambda den: st.tuples(
+            st.sampled_from(
+                [max(0, den - 1), den, den + 1, den // 2, 2 * den + 1]
+            ),
+            st.just(den),
+        )
+    ),
+)
+
+
+def _ppb_py(comp: int, den: int) -> int:
+    d = max(1, den)
+    return min(10**9, (comp * 10**9 + d // 2) // d)
+
+
+@given(pairs=st.lists(_ppb_pairs, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_entropy_ppb_bit_identical(spark, pairs):
+    from amazon_climate_data_etl_spark.sources.multimodal import (
+        _ENT_PPB,
+        _ENT_PPB_SQL,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "comp_len": [c for c, _ in pairs],
+            "n_bytes": [n for _, n in pairs],
+        }
+    )
+    want = [_ppb_py(c, n) for c, n in pairs]
+
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        r["p"] for r in sdf.select(F.expr(_ENT_PPB).alias("p")).collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.execute(f"SELECT {_ENT_PPB_SQL} AS p FROM t").df()["p"]
+    assert [int(x) for x in got_duck] == want
+
+    # the aggregated mean: exact decimal sum -> portable conversion ->
+    # /1e9 /count -> stable_round(4), bit-identical across engines
+    from amazon_climate_data_etl_spark.operators._portable import (
+        _moment_to_double,
+        _moment_to_double_sql,
+    )
+
+    s_avg = sdf.agg(
+        stable_round(
+            _moment_to_double(
+                F.sum(F.expr(_ENT_PPB).cast("decimal(38,0)")), 0, "t"
+            )
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("a")
+    ).collect()[0]["a"]
+    d_avg = con.execute(
+        "SELECT "
+        + stable_round_sql(
+            f"{_moment_to_double_sql(f'sum({_ENT_PPB_SQL})', 0)}"
+            " / 1000000000.0 / count(*)",
+            4,
+        )
+        + " AS a FROM t"
+    ).df()["a"][0]
+    assert s_avg == d_avg

@@ -260,3 +260,37 @@ def test_crawl_to_dedup_end_to_end(spark, tmp_path):
 
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, d).collect()}
     assert pairs == {(2 * k, 2 * k + 1) for k in range(8)}
+
+
+def test_max_member_bytes_gate_distributed(spark, tmp_path):
+    """The cap must also trip on the DISTRIBUTED path: a read_warc scan of
+    a whole-file-single-member segment with a too-small cap fails the job
+    loudly (the Python worker error carries the gate message), while the
+    same scan with the cap sized for the splittable sibling file passes
+    and returns every record."""
+    import gzip
+
+    import pytest
+
+    recs = [
+        {
+            "headers": {"WARC-Type": "resource", "X-Custom": f"r{i}"},
+            "block": bytes([i]) * 300,
+        }
+        for i in range(8)
+    ]
+    seg = str(tmp_path / "seg")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "whole.warc.gz"), "wb") as f:
+        f.write(gzip.compress(build_warc(recs)))
+
+    with pytest.raises(Exception, match="max_member_bytes"):
+        read_warc(spark, seg, max_member_bytes=1000).count()
+
+    split = str(tmp_path / "split")
+    os.makedirs(split)
+    with open(os.path.join(split, "split.warc.gz"), "wb") as f:
+        f.write(build_warc(recs, gzip_per_record=True))
+    got = read_warc(spark, split, max_member_bytes=1000).collect()
+    assert len(got) == len(recs)
+    assert sorted(r.record_idx for r in got) == list(range(len(recs)))
