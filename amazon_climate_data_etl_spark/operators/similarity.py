@@ -2244,9 +2244,14 @@ v{n} AS (
 
 EMB_SPECTRUM_SQL = f"""
 WITH nz AS (
+  -- quantize at scale 9 through a WIDE decimal: DuckDB stores
+  -- DECIMAL(12,9) in 64 bits and its product with the 1e9 literal
+  -- overflows the narrow multiply for |x| >= 1.0 (r13 review finding —
+  -- inside the registered |v| <= 3 domain); DECIMAL(20,9) forces the
+  -- INT128 path with identical quantized values
   SELECT list_transform(
            embedding,
-           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,9))
                      * 1000000000 AS BIGINT)
          ) AS eq
   FROM embeddings
@@ -2261,19 +2266,26 @@ pr AS (
   FROM (SELECT i, vi, eq, unnest(range(1, len(eq) + 1)) AS pos2 FROM comp)
   WHERE pos2 - 1 >= i
 ),
--- covariance branch: hugeint sums + the coordinate sums (verbatim the
--- former EMB_COVARIANCE_SQL math)
+-- one exact product frame feeds both branches. The left factor widens to
+-- DECIMAL(38,0) BEFORE the multiply: a BIGINT/DECIMAL(18) product of two
+-- q ≤ 3.037e9 components can overflow DuckDB's narrow multiply even
+-- inside the registered |v| ≤ 3 domain (r13 review finding — the
+-- pre-merge SQLs multiplied narrow and only survived on sub-1.0
+-- fixtures); DECIMAL(38) products are exact to q² ≈ 9.2e18 and beyond
+prod AS (
+  SELECT i, j, CAST(vi AS DECIMAL(38,0)) * vj AS p FROM pr
+),
 s_pairs AS (
-  SELECT i, j, sum(vi * vj) AS s_ij FROM pr GROUP BY i, j
+  SELECT i, j, sum(p) AS s_ij FROM prod GROUP BY i, j
 ),
 s_comp AS (
   SELECT i AS k, sum(vi) AS s_k, count(*) AS n FROM comp GROUP BY i
 ),
--- power-iteration branch: decimal upper triangle -> symmetrize ->
+-- power-iteration branch: the same exact sums -> symmetrize ->
 -- requantize -> 3 exact-integer sweeps (verbatim the former
 -- EMB_TOP_COMPONENT_SQL trajectory)
 upper_s AS (
-  SELECT i, j, sum(CAST(vi * vj AS DECIMAL(38,0))) AS s_ij FROM pr GROUP BY i, j
+  SELECT i, j, s_ij FROM s_pairs
 ),
 s_full AS (
   SELECT i, j, s_ij FROM upper_s

@@ -1751,6 +1751,64 @@ def _crawl_sink(sf_dir: str) -> str:
     return pid_scoped_store("spark_graft_crawl_e2e", sf_dir)
 
 
+def _write_warc_segments(
+    pages: DataFrame,
+    sink: str,
+    file_prefix: str,
+    make_records,
+    n_docs: int,
+    label: str,
+) -> int:
+    """Shared distributed ``.warc.gz`` segment writer (r13 — factored out
+    of ``_write_crawl_warcs`` so the crawl and WAT paths cannot diverge
+    on the write-path invariants): ``pages`` must carry ``doc_id`` and
+    ``file_seq``; each ``file_seq`` group arrives as ONE pandas frame,
+    is sorted by doc_id, turned into WARC record dicts by
+    ``make_records(pdf)``, serialized member-per-record, and published
+    atomically (tempfile + ``os.replace`` — task retries write identical
+    bytes, last replace wins, no reader ever sees a partial file). The
+    driver sees only a one-row-per-file manifest; returns the doc total,
+    fail-loud if it disagrees with ``n_docs``.
+
+    Deployment contract: the sink path must be storage every executor
+    AND the subsequent scan can reach — trivially true in local mode
+    (/tmp), a shared filesystem or object mount on a cluster."""
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_climate_data_etl_spark.session import ship_package_to_workers
+
+    ship_package_to_workers(pages.sparkSession)
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from amazon_climate_data_etl_spark.sources.warc_min import build_warc
+
+        seq = int(pdf["file_seq"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        data = build_warc(make_records(pdf), gzip_per_record=True)
+        path = os.path.join(sink, f"{file_prefix}{seq:05d}.warc.gz")
+        fd, tmp = tempfile.mkstemp(dir=sink, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_seq": [seq], "n_records": [len(pdf)]})
+
+    manifest = (
+        pages.groupBy("file_seq")
+        .applyInPandas(write_group, "file_seq int, n_records long")
+        .collect()  # bounded: one row per file — this IS the write action
+    )
+    total = sum(r.n_records for r in manifest)
+    if total != n_docs:
+        raise RuntimeError(
+            f"{label}: wrote {total} records for {n_docs} documents"
+        )
+    return total
+
+
 def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
     """Synthesize and WRITE the crawl: documents → PII-planted text →
     markup → one HTTP response record per doc → member-per-record
@@ -1764,18 +1822,9 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
     mtime. Returns (sink dir, record total); fail-loud if the manifest's
     record total disagrees with the corpus size.
 
-    Deployment contract: the sink path must be storage every executor
-    AND the subsequent ``read_warc`` scan can reach — trivially true in
-    local mode (/tmp), a shared filesystem or object mount on a cluster
-    (the same contract as any ``open()``-based executor-side sink; the
-    atomic tempfile+replace publish keeps task retries safe there too)."""
-    import os
-    import shutil
-    import tempfile
-
-    from amazon_climate_data_etl_spark.session import ship_package_to_workers
-
-    ship_package_to_workers(spark)
+    Deployment contract: see ``_write_warc_segments`` (the shared writer
+    carries the sink/atomic-publish/manifest invariants for both the
+    crawl and WAT paths)."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
@@ -1787,15 +1836,8 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
         ).alias("html"),
         F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
     )
-    sink = _crawl_sink(sf_dir)
-    shutil.rmtree(sink, ignore_errors=True)
-    os.makedirs(sink, exist_ok=True)
 
-    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from amazon_climate_data_etl_spark.sources.warc_min import build_warc
-
-        seq = int(pdf["file_seq"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
+    def make_records(pdf: pd.DataFrame) -> list:
         recs = []
         for doc_id, source, html in zip(
             pdf["doc_id"], pdf["source"], pdf["html"]
@@ -1821,26 +1863,12 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
                     "block": block,
                 }
             )
-        data = build_warc(recs, gzip_per_record=True)
-        path = os.path.join(sink, f"crawl-{seq:05d}.warc.gz")
-        # atomic publish: task retries write identical bytes, last replace
-        # wins; no reader ever sees a partial file
-        fd, tmp = tempfile.mkstemp(dir=sink, suffix=".tmp")
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, path)
-        return pd.DataFrame({"file_seq": [seq], "n_records": [len(recs)]})
+        return recs
 
-    manifest = (
-        pages.groupBy("file_seq")
-        .applyInPandas(write_group, "file_seq int, n_records long")
-        .collect()  # bounded: one row per file — this IS the write action
+    sink = _crawl_sink(sf_dir)
+    total = _write_warc_segments(
+        pages, sink, "crawl-", make_records, n_docs, "crawl_e2e"
     )
-    total = sum(r.n_records for r in manifest)
-    if total != n_docs:
-        raise RuntimeError(
-            f"crawl_e2e: wrote {total} records for {n_docs} documents"
-        )
     return sink, total
 
 
@@ -2023,13 +2051,7 @@ def _write_wat_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     and shared-storage deployment contract as ``_write_crawl_warcs``.
     Returns (sink dir, metadata-record total)."""
     import json
-    import os
-    import shutil
-    import tempfile
 
-    from amazon_climate_data_etl_spark.session import ship_package_to_workers
-
-    ship_package_to_workers(spark)
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
@@ -2042,17 +2064,8 @@ def _write_wat_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         (F.col("doc_id") % 4).cast("int").alias("n_links"),
         F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
     )
-    sink = _wat_sink(sf_dir)
-    shutil.rmtree(sink, ignore_errors=True)
-    os.makedirs(sink, exist_ok=True)
-
-    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from amazon_climate_data_etl_spark.sources.warc_min import build_warc
-
-        seq = int(pdf["file_seq"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
+    def make_records(pdf: pd.DataFrame) -> list:
         recs = []
-        n_meta = 0
         for doc_id, source, lang, n_chars, n_tokens, n_links in zip(
             pdf["doc_id"], pdf["source"], pdf["lang"],
             pdf["n_chars"], pdf["n_tokens"], pdf["n_links"],
@@ -2104,26 +2117,14 @@ def _write_wat_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                     "block": meta,
                 }
             )
-            n_meta += 1
-        data = build_warc(recs, gzip_per_record=True)
-        path = os.path.join(sink, f"wat-{seq:05d}.warc.gz")
-        fd, tmp = tempfile.mkstemp(dir=sink, suffix=".tmp")
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, path)
-        return pd.DataFrame({"file_seq": [seq], "n_records": [n_meta]})
+        return recs
 
-    manifest = (
-        pages.groupBy("file_seq")
-        .applyInPandas(write_group, "file_seq int, n_records long")
-        .collect()  # bounded: one row per file — this IS the write action
+    sink = _wat_sink(sf_dir)
+    # the shared writer's manifest counts DOCS per file (= metadata
+    # records here; each doc also carries its stub response record)
+    total = _write_warc_segments(
+        pages, sink, "wat-", make_records, n_docs, "wat_metadata_profile"
     )
-    total = sum(r.n_records for r in manifest)
-    if total != n_docs:
-        raise RuntimeError(
-            f"wat_metadata_profile: wrote {total} metadata records for "
-            f"{n_docs} documents"
-        )
     return sink, total
 
 

@@ -104,17 +104,34 @@ def _iter_gunzip_members(
                     raise ValueError("warc: truncated gzip member")
                 chunk = view[pos : pos + _GUNZIP_CHUNK]
                 pos += len(chunk)
-                piece = d.decompress(chunk)
-                size += len(piece)
-                if max_member_bytes is not None and size > max_member_bytes:
-                    raise ValueError(
-                        f"warc: gzip member exceeds max_member_bytes="
-                        f"{max_member_bytes} while decompressing (a "
-                        "whole-file-single-member .warc.gz holds its full "
-                        "expansion in one member; re-write it "
-                        "member-per-record or raise the cap)"
-                    )
-                out.append(piece)
+                # with a cap, decompress through max_length so the cap is a
+                # TRUE memory bound: one compressed chunk can expand ~1000x
+                # (deflate's limit is ~1032:1 — a zeros bomb), so an
+                # uncapped decompress(chunk) could materialize ~1 GiB
+                # before any size check ran (r13 review finding). The
+                # max_length form emits at most cap-size+1 bytes per call;
+                # leftover input waits in unconsumed_tail.
+                data_in = chunk
+                while True:
+                    if max_member_bytes is None:
+                        piece = d.decompress(data_in)
+                    else:
+                        piece = d.decompress(
+                            data_in, max_member_bytes - size + 1
+                        )
+                    size += len(piece)
+                    if max_member_bytes is not None and size > max_member_bytes:
+                        raise ValueError(
+                            f"warc: gzip member exceeds max_member_bytes="
+                            f"{max_member_bytes} while decompressing (a "
+                            "whole-file-single-member .warc.gz holds its "
+                            "full expansion in one member; re-write it "
+                            "member-per-record or raise the cap)"
+                        )
+                    out.append(piece)
+                    if not d.unconsumed_tail:
+                        break
+                    data_in = d.unconsumed_tail
         except zlib.error as e:  # non-gzip bytes between/after members
             raise ValueError(f"warc: corrupt gzip member ({e})") from e
         pos -= len(d.unused_data)  # rewind to the next member's start

@@ -282,3 +282,48 @@ def test_semantic_dedup_subcell_cap_engages(spark, degen_emb_dir):
     )[0][0]
     # mod-split cells stay within ~2× the cap for non-adversarial id sets
     assert per_cell <= 2 * cap
+
+
+@pytest.fixture(scope="module")
+def domain_boundary_emb_dir(tmp_path_factory):
+    """Embeddings at the GRAM-DOMAIN BOUNDARY (|v| up to 3, incl. exact
+    1.0 components): in-domain for embedding_spectrum_profile's documented
+    contract (|v| ≤ 3, split products < 2^53), but fatal to any oracle
+    that multiplies the 1e9-quantized components in narrow BIGINT/
+    DECIMAL(18) arithmetic (1e9·1e9 overflows DuckDB's narrow multiply —
+    the r13 review finding; generated-corpus fixtures never exceed 0.58,
+    so only this fixture exercises the boundary)."""
+    d = tmp_path_factory.mktemp("domain_boundary_emb")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    vecs = [
+        (0, [1.0, 0.0, 0.5, -1.0]),
+        (1, [3.0, -3.0, 1.0, 2.0]),      # the documented |v| ≤ 3 edge
+        (2, [0.25, 1.0, -0.125, 0.0]),
+        (3, [2.5, 2.5, -2.5, 2.5]),
+        (4, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array([v for v, _ in vecs], pa.int64()),
+            "embedding": pa.array([e for _, e in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_spectrum_parity_at_domain_boundary(spark, domain_boundary_emb_dir):
+    """embedding_spectrum_profile must hash-match its oracle on |v| up to
+    the documented domain edge — both engines' exact-integer paths must
+    survive q² products ≈ 9e18."""
+    spark.catalog.clearCache()
+    name = "embedding_spectrum_profile"
+    sdf = QUERIES[name](spark, domain_boundary_emb_dir).toPandas()
+    with duckdb_conn(domain_boundary_emb_dir) as conn:
+        odf = conn.execute(ORACLE[name]).df()
+    problems = compare_frames(sdf, odf, name)
+    assert not problems, "\n".join(problems)
+    assert exact_float_mismatches(sdf, odf) == 0

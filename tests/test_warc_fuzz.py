@@ -294,3 +294,28 @@ def test_max_member_bytes_gate_distributed(spark, tmp_path):
     got = read_warc(spark, split, max_member_bytes=1000).collect()
     assert len(got) == len(recs)
     assert sorted(r.record_idx for r in got) == list(range(len(recs)))
+
+
+def test_max_member_bytes_is_a_true_memory_bound():
+    """The cap must bound ALLOCATION, not just trip after the fact:
+    deflate expands up to ~1032:1, so a zeros-bomb member's first
+    compressed chunk alone could materialize the whole expansion in one
+    decompress() call. With the max_length-bounded decode, peak Python
+    allocation while rejecting a 64 MiB expansion under a 1 MiB cap must
+    stay within a few MiB (cap + one input slice + slack)."""
+    import gzip
+    import tracemalloc
+
+    import pytest
+
+    from amazon_climate_data_etl_spark.sources.warc_min import iter_warc
+
+    bomb = gzip.compress(b"\x00" * (64 << 20))  # ~64 KiB compressed
+    cap = 1 << 20
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    with pytest.raises(ValueError, match="max_member_bytes"):
+        list(iter_warc(bomb, max_member_bytes=cap))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 << 20, f"peak {peak} bytes — cap is not bounding memory"

@@ -74,7 +74,16 @@ def pipeline_rows(i: int, item: dict):
     of the AVI frame on screen at each 500 ms grid point), and a
     'resize' row per image (byte length of the 32×32 nearest-neighbor
     re-encoded PNG, resample indices computed independently of the Spark
-    kernel's clip form)."""
+    kernel's clip form).
+
+    COMPRESSOR PIN: unlike the phash/energy/framediff sidecars (pure
+    arithmetic over decoded bytes), comp_len and the resize n_bytes
+    depend on zlib's exact level-default output length — a runtime
+    linking a different deflate (e.g. zlib-ng) would compute different
+    lengths. That divergence fails LOUDLY before any driver run:
+    tests/test_media_twin.py::test_pipeline_sidecar_matches_twin
+    recomputes these values with the runtime's own zlib every suite run
+    and compares them to the committed sidecar."""
     import hashlib
     import zlib
 
@@ -120,6 +129,10 @@ def main() -> None:
     # way, the selector just saves the slow pure-Python video-diff loops
     # when only the pipeline sidecar changed
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which not in ("all", "pipeline", "legacy"):
+        raise SystemExit(
+            f"unknown sidecar selector {which!r}: use all | pipeline | legacy"
+        )
     do_pipeline = which in ("all", "pipeline")
     do_legacy = which in ("all", "legacy")
     a_ids, a_fidx, a_energy = [], [], []
