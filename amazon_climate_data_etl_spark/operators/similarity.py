@@ -2281,16 +2281,13 @@ s_pairs AS (
 s_comp AS (
   SELECT i AS k, sum(vi) AS s_k, count(*) AS n FROM comp GROUP BY i
 ),
--- power-iteration branch: the same exact sums -> symmetrize ->
--- requantize -> 3 exact-integer sweeps (verbatim the former
--- EMB_TOP_COMPONENT_SQL trajectory)
-upper_s AS (
-  SELECT i, j, s_ij FROM s_pairs
-),
+-- power-iteration branch: the same exact upper-triangle sums ->
+-- symmetrize -> requantize -> 3 exact-integer sweeps (verbatim the
+-- former EMB_TOP_COMPONENT_SQL trajectory)
 s_full AS (
-  SELECT i, j, s_ij FROM upper_s
+  SELECT i, j, s_ij FROM s_pairs
   UNION ALL
-  SELECT j AS i, i AS j, s_ij FROM upper_s WHERE i <> j
+  SELECT j AS i, i AS j, s_ij FROM s_pairs WHERE i <> j
 ),
 smax_t AS (SELECT greatest(CAST(max(abs(s_ij)) AS DOUBLE), 1.0) AS smax FROM s_full),
 m AS (

@@ -1794,22 +1794,25 @@ def _write_warc_segments(
         with os.fdopen(fd, "wb") as fh:
             fh.write(data)
         os.replace(tmp, path)
-        return pd.DataFrame({"file_seq": [seq], "n_records": [len(pdf)]})
+        # the manifest counts DOCS, not WARC records (a doc may emit
+        # several records — the WAT path writes two per doc)
+        return pd.DataFrame({"file_seq": [seq], "n_docs": [len(pdf)]})
 
     manifest = (
         pages.groupBy("file_seq")
-        .applyInPandas(write_group, "file_seq int, n_records long")
+        .applyInPandas(write_group, "file_seq int, n_docs long")
         .collect()  # bounded: one row per file — this IS the write action
     )
-    total = sum(r.n_records for r in manifest)
+    total = sum(r.n_docs for r in manifest)
     if total != n_docs:
         raise RuntimeError(
-            f"{label}: wrote {total} records for {n_docs} documents"
+            f"{label}: the write manifest accounts for {total} documents "
+            f"but the corpus has {n_docs}"
         )
     return total
 
 
-def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> str:
+def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Synthesize and WRITE the crawl: documents → PII-planted text →
     markup → one HTTP response record per doc → member-per-record
     ``.warc.gz`` files, one per ``doc_id % n_files`` group, written
