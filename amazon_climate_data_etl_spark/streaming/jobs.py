@@ -568,3 +568,51 @@ def crawl_extract_stream(docs: DataFrame) -> DataFrame:
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         F.md5(red).alias("scrubbed_md5"),
     )
+
+
+def wat_metadata_stream(meta: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``wat_metadata_profile``'s rollup (r13): WAT
+    metadata-JSON lines arrive as a (fetch_ts, value) stream — the
+    continuous-ingestion hop of a crawl pipeline (Common Crawl WAT
+    records off a queue) — are parsed with ``from_json`` against the
+    batch query's schema, and roll up per 1-hour tumbling window ×
+    (source, lang): doc counts and token/link sums.
+
+    Scale shape: the parse + URL-identity recovery are stateless pure
+    maps (one codegen pass per record); the ONLY state is the watermarked
+    windowed aggregate, bounded to ~``watermark`` of open windows per
+    (source, lang) key — the same state story as climate_stream_daily.
+    All sums are exact integer arithmetic, so the streamed result is
+    bit-identical to the same rollup applied in batch to the same rows
+    (asserted in tests, late-data drop included)."""
+    from amazon_climate_data_etl_spark.operators.textops import _WAT_SCHEMA
+
+    m = meta.select(
+        "fetch_ts",
+        F.from_json(F.col("value"), _WAT_SCHEMA).alias("m"),
+    ).select(
+        "fetch_ts",
+        F.regexp_extract(
+            "m.url", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
+        ).alias("source"),
+        F.col("m.lang").alias("lang"),
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.size("m.links").cast("long").alias("n_links"),
+    )
+    return (
+        m.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", "1 hour").alias("w"), "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_links").alias("sum_links"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "source",
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "sum_links",
+        )
+    )

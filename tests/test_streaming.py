@@ -696,3 +696,116 @@ def test_crawl_extract_stream_matches_batch(spark, tmp_path):
     assert all(r.n_email == 1 for r in got.values())
     # the footer IP is boilerplate-dropped before the scrub sees it
     assert all(r.n_ip == 0 for r in got.values())
+
+
+def test_wat_metadata_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """The WAT-metadata rollup streamed file-by-file must equal the same
+    rollup applied in batch to the ON-TIME rows, and a record arriving
+    after the watermark has passed its window must be DROPPED — the
+    bounded-state contract of the continuous crawl-ingestion hop."""
+    import json
+    import os
+
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        run_to_memory_sink,
+        wat_metadata_stream,
+    )
+
+    def line(doc_id, source, lang, n_tokens, n_links, ts):
+        return {
+            "fetch_ts": ts,
+            "value": json.dumps(
+                {
+                    "url": f"http://{source}.example.com/doc/{doc_id}",
+                    "lang": lang,
+                    "n_chars": 10 * n_tokens,
+                    "n_tokens": n_tokens,
+                    "links": [
+                        f"http://{source}.example.com/doc/{doc_id + j + 1}"
+                        for j in range(n_links)
+                    ],
+                }
+            ),
+        }
+
+    on_time = [
+        line(1, "srcA", "en", 10, 2, "2026-08-16 10:05:00"),
+        line(2, "srcA", "en", 20, 1, "2026-08-16 10:40:00"),
+        line(3, "srcA", "pt", 7, 0, "2026-08-16 10:10:00"),
+        line(4, "srcB", "en", 5, 3, "2026-08-16 11:15:00"),
+        line(5, "srcA", "en", 9, 0, "2026-08-16 11:30:00"),
+        # the clock-advancer rides the FIRST batch: pushes the watermark
+        # past 10:xx + 2h once that batch commits
+        line(6, "srcB", "pt", 4, 1, "2026-08-16 14:00:00"),
+        # second-batch filler in the still-open 14:00 window (its window
+        # is never emitted before the source drains)
+        line(8, "srcB", "pt", 2, 0, "2026-08-16 14:05:00"),
+    ]
+    # arrives two batches after the advancer, stamped inside the
+    # long-closed 10:00 window -> must be dropped by the 2h watermark
+    late = line(7, "srcA", "en", 1000, 3, "2026-08-16 10:20:00")
+
+    d = str(tmp_path / "wat_stream")
+    os.makedirs(d)
+    # 3 micro-batches; the file source orders batches by MTIME, and the
+    # operative late-row filter watermark lags the advancer's batch (the
+    # late file is the THIRD batch — same protocol as
+    # test_watermark_drops_late_events)
+    import time
+
+    batches = [on_time[:6], [on_time[6]], [late]]
+    for b, rows in enumerate(batches):
+        with open(os.path.join(d, f"part-{b}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        if b < len(batches) - 1:
+            time.sleep(1.05)
+
+    stream = (
+        spark.readStream.schema("fetch_ts timestamp, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = run_to_memory_sink(
+        wat_metadata_stream(stream), "t_wat_meta", mode="append"
+    )
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    got = {
+        (str(r.hour), r.source, r.lang): (r.n_docs, r.sum_tokens, r.sum_links)
+        for r in spark.table("t_wat_meta").collect()
+    }
+
+    from datetime import datetime
+
+    batch = spark.createDataFrame(
+        [
+            (datetime.strptime(r["fetch_ts"], "%Y-%m-%d %H:%M:%S"), r["value"])
+            for r in on_time
+        ],
+        "fetch_ts timestamp, value string",
+    )
+    from amazon_climate_data_etl_spark.streaming.jobs import (
+        wat_metadata_stream as twin,
+    )
+
+    want_rows = twin(batch).collect()
+    want = {
+        (str(r.hour), r.source, r.lang): (r.n_docs, r.sum_tokens, r.sum_links)
+        for r in want_rows
+    }
+    # append mode emits only windows the watermark has CLOSED: the
+    # 14:00 advancer's own window is still open at source drain, so the
+    # batch twin's row set minus open windows is the expectation
+    closed = {k: v for k, v in want.items() if not k[0].startswith("2026-08-16 14:")}
+    assert got == closed
+    # the late doc's 1000 tokens appear nowhere
+    assert all(v[1] < 1000 for v in got.values())
+    # and the on-time aggregation is hand-checkable
+    assert got[("2026-08-16 10:00:00", "srcA", "en")] == (2, 30, 3)
+    assert got[("2026-08-16 10:00:00", "srcA", "pt")] == (1, 7, 0)
+    assert got[("2026-08-16 11:00:00", "srcB", "en")] == (1, 5, 3)
