@@ -234,3 +234,75 @@ def test_wat_metadata_semantics_and_pushdown(spark, crawl_dir):
     assert rows[("src1", "en")].sum_chars == len(TEXT_B) + len(
         "call me maybe and write soon"
     )
+
+
+def test_wet_conversion_records_roundtrip(spark, crawl_dir, tmp_path):
+    """The WET third of the WARC/WET/WAT trio at the source level:
+    per-doc CONVERSION records (text/plain extracted-text blocks, the
+    Common Crawl WET convention) written through the shared segment
+    writer must round-trip byte-exactly through read_warc's
+    conversion-type pushdown — response records interleaved in the same
+    files never cross the Arrow boundary."""
+    from pyspark.sql import functions as F
+
+    from amazon_climate_data_etl_spark.catalog import load_table
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _write_warc_segments,
+    )
+    from amazon_climate_data_etl_spark.sources.warc_min import read_warc
+
+    d = load_table(spark, crawl_dir, "documents")
+    n_docs = d.count()
+    pages = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int").alias("file_seq"),
+    )
+
+    def make_records(pdf):
+        recs = []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            url = f"http://{source}.example.com/doc/{doc_id}"
+            body = text.encode("utf-8")
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:wet-resp-{doc_id}>",
+                        "WARC-Target-URI": url,
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    "block": b"HTTP/1.1 200 OK\r\n\r\n" + body,
+                }
+            )
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:uuid:wet-conv-{doc_id}>",
+                        "WARC-Target-URI": url,
+                        "Content-Type": "text/plain",
+                    },
+                    "block": body,
+                }
+            )
+        return recs
+
+    sink = str(tmp_path / "wet")
+    total = _write_warc_segments(
+        pages, sink, "wet-", make_records, n_docs, "wet_test"
+    )
+    assert total == len(DOCS)
+
+    got = read_warc(spark, sink, record_types=("conversion",)).collect()
+    assert len(got) == len(DOCS)
+    assert all(r.warc_type == "conversion" for r in got)
+    assert all(r.http_status is None for r in got)  # not an HTTP block
+    assert all(r.record_idx % 2 == 1 for r in got)  # interleave positions
+    texts = {i: t for i, t, _ in DOCS}
+    for r in got:
+        doc_id = int(r.target_uri.rsplit("/", 1)[-1])
+        assert bytes(r.payload).decode("utf-8") == texts[doc_id]
