@@ -188,17 +188,9 @@ CHANGED_SINCE_GREEN = {
     # green r10 rows.)
     # (Expired-and-pruned: r11's audio_energy_segments /
     # video_scene_changes rows-only→hash-checked graduations earned green
-    # r11 rows.)
-    # r13 (review item 2): media_pipeline_profile graduates from rows-only
-    # to hash-checked — the oracle replays the per-kind feature
-    # aggregation and the frames/resize stage profiles in DuckDB SQL over
-    # the committed pure-Python decode sidecar
-    # (fixtures/media_pipeline.parquet, tools/gen_media_sidecars.py). The
-    # avg_entropy aggregation also moved to the portable exact-integer
-    # ppb form (order-independent, oracle-replayable), so both the CHECK
-    # regime and that column's low digits changed; it re-enters the
-    # window to earn its first hash-green row
-    "media_pipeline_profile": 13,
+    # r11 rows; r13's media_pipeline_profile rows-only→hash-checked
+    # graduation — decode-sidecar oracle + portable exact-integer ppb
+    # entropy mean — earned its green r13 row.)
 }
 
 

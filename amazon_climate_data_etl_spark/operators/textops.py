@@ -1744,6 +1744,13 @@ BPE_TOKENIZE_SQL = _build_bpe_sql()
 N_CRAWL_FILES = 16
 CRAWL_RECORDS_PER_FILE = 2048
 
+# URL identity shared by every crawl-family writer/reader (crawl_e2e,
+# wat_metadata_profile, wet_text_e2e, and the streaming WAT twin): pages
+# live at http://{source}.example.com/doc/{doc_id}, and this capture
+# recovers the source. ONE constant so the batch and stream twins cannot
+# silently desync (r13 ADVICE).
+CRAWL_URL_SOURCE_RE = r"^http://(.*)\.example\.com/doc/[0-9]+$"
+
 
 def _crawl_sink(sf_dir: str) -> str:
     from amazon_climate_data_etl_spark.catalog import pid_scoped_store
@@ -1815,7 +1822,8 @@ def _write_warc_segments(
 def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Synthesize and WRITE the crawl: documents → PII-planted text →
     markup → one HTTP response record per doc → member-per-record
-    ``.warc.gz`` files, one per ``doc_id % n_files`` group, written
+    ``.warc.gz`` files, one per ``pmod(xxhash64(doc_id), n_files)`` group
+    (a hash, not a modulo — strided id patterns stay uniform), written
     executor-side via ``applyInPandas`` (the driver never sees a page).
     The file count grows with the corpus (bounded records per file —
     an applyInPandas group arrives as ONE pandas frame, so a fixed count
@@ -1904,9 +1912,7 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.regexp_extract(
-            "target_uri", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
-        ).alias("source"),
+        F.regexp_extract("target_uri", CRAWL_URL_SOURCE_RE, 1).alias("source"),
         "http_status",
         F.decode(F.col("payload"), "UTF-8").alias("html"),
     )
@@ -2155,9 +2161,7 @@ def wat_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = recs.select(
         F.from_json(F.decode(F.col("payload"), "UTF-8"), _WAT_SCHEMA).alias("m")
     ).select(
-        F.regexp_extract(
-            "m.url", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
-        ).alias("source"),
+        F.regexp_extract("m.url", CRAWL_URL_SOURCE_RE, 1).alias("source"),
         F.col("m.lang").alias("lang"),
         F.col("m.n_chars").alias("n_chars"),
         F.col("m.n_tokens").alias("n_tokens"),

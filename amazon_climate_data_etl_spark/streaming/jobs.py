@@ -585,16 +585,17 @@ def wat_metadata_stream(meta: DataFrame, watermark: str = "2 hours") -> DataFram
     All sums are exact integer arithmetic, so the streamed result is
     bit-identical to the same rollup applied in batch to the same rows
     (asserted in tests, late-data drop included)."""
-    from amazon_climate_data_etl_spark.operators.textops import _WAT_SCHEMA
+    from amazon_climate_data_etl_spark.operators.textops import (
+        CRAWL_URL_SOURCE_RE,
+        _WAT_SCHEMA,
+    )
 
     m = meta.select(
         "fetch_ts",
         F.from_json(F.col("value"), _WAT_SCHEMA).alias("m"),
     ).select(
         "fetch_ts",
-        F.regexp_extract(
-            "m.url", r"^http://(.*)\.example\.com/doc/[0-9]+$", 1
-        ).alias("source"),
+        F.regexp_extract("m.url", CRAWL_URL_SOURCE_RE, 1).alias("source"),
         F.col("m.lang").alias("lang"),
         F.col("m.n_tokens").alias("n_tokens"),
         F.size("m.links").cast("long").alias("n_links"),
