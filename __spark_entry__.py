@@ -115,8 +115,13 @@ segments written distributed → read_warc's metadata-type decode-side
 pushdown provably skipping the response blocks → ``from_json`` →
 per-(source, lang) rollup), the driver attestation the r12 review asked
 for. Round 13 also graduated ``media_pipeline_profile`` from rows-only
-to hash-checked (decode-sidecar oracle — see CHANGED_SINCE_GREEN).
-The registry stands at 149, 1 under the cap. Next consolidation
+to hash-checked (decode-sidecar oracle). Round 14 spent the last free
+slot on ``wet_text_e2e`` — the WET/conversion-record certificate
+(write-time extraction → interleaved response+conversion segments →
+conversion-type pushdown read → WET-consumer stats), completing the
+driver-attested WARC/WET/WAT trio through the shared segment writer.
+The registry stands at 150, AT the cap: any further addition funds
+itself through a consolidation merge. Next consolidation
 candidates (pre-agreed shape: same grain over the same scan, every
 operator shape preserved under one oracle), to fund r14+ additions
 beyond one query:

@@ -2218,7 +2218,208 @@ ORDER BY source, lang
 """
 
 
+# --------------------------------------------------------------------------
+# wet_text_e2e (r14): the WET/conversion third of the crawl boundary —
+# crawl_e2e certifies RESPONSE records, wat_metadata_profile certifies
+# METADATA records; this certifies CONVERSION records (Common Crawl's WET
+# convention: text/plain blocks carrying the extracted page text) the
+# same way, completing the driver-attested WARC/WET/WAT trio. The
+# defining WET property is that extraction happens at WRITE time: the
+# boilerplate rules run JVM-side over the synthesized markup BEFORE the
+# segment write, and the conversion block carries the clean text itself.
+# Stub response records are interleaved member-per-record in the same
+# files so the read's record_types=("conversion",) pushdown provably
+# SKIPS them before the Arrow boundary. The read-back side runs the
+# curation stats a WET consumer runs (char/token volume, quality verdict,
+# language ID) plus the text md5; the DuckDB oracle replays only the
+# logical plant → synth → extract → stats chain from documents, so the
+# hash match certifies build_warc → gzip → conversion-type pushdown →
+# text/plain round trip → stats physically.
+# --------------------------------------------------------------------------
+
+
+def _wet_sink(sf_dir: str) -> str:
+    from amazon_climate_data_etl_spark.catalog import pid_scoped_store
+
+    return pid_scoped_store("spark_graft_wet_e2e", sf_dir)
+
+
+def _write_wet_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Synthesize and WRITE the WET-style snapshot: per doc, ONE stub
+    response record AND ONE conversion record whose text/plain block is
+    the boilerplate-extracted clean text of the PII-planted synthesized
+    page (extraction at write time — the WET convention). Same
+    distributed write shape, hashed file assignment, atomic publish,
+    manifest fail-loud, and shared-storage deployment contract as
+    ``_write_crawl_warcs``. Returns (sink dir, conversion-record
+    total)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
+    h = d.select(
+        "doc_id",
+        "source",
+        synth_html(
+            plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
+        ).alias("html"),
+    )
+    # extraction BEFORE the write shuffle: plant/synth/extract are one
+    # map-only codegen stage over the scan; only (doc_id, source, clean)
+    # crosses the file_seq exchange — the markup never ships
+    pages = html_clean_stage(h, carry=("source",)).select(
+        "doc_id",
+        "source",
+        "clean",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
+    )
+
+    def make_records(pdf: pd.DataFrame) -> list:
+        recs = []
+        for doc_id, source, clean in zip(
+            pdf["doc_id"], pdf["source"], pdf["clean"]
+        ):
+            url = f"http://{source}.example.com/doc/{doc_id}"
+            stub = b"<html><body>wet stub</body></html>"
+            block = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Content-Length: " + str(len(stub)).encode() + b"\r\n"
+                b"\r\n" + stub
+            )
+            common = {
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Target-URI": url,
+            }
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:wet-resp-{doc_id}>",
+                        "Content-Type": "application/http; msgtype=response",
+                        **common,
+                    },
+                    "block": block,
+                }
+            )
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:uuid:wet-conv-{doc_id}>",
+                        "Content-Type": "text/plain; charset=utf-8",
+                        **common,
+                    },
+                    "block": clean.encode("utf-8"),
+                }
+            )
+        return recs
+
+    sink = _wet_sink(sf_dir)
+    # the shared writer's manifest counts DOCS per file (= conversion
+    # records here; each doc also carries its stub response record)
+    total = _write_warc_segments(
+        pages, sink, "wet-", make_records, n_docs, "wet_text_e2e"
+    )
+    return sink, total
+
+
+def wet_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the WET/conversion crawl boundary END TO
+    END — extract clean text from the synthesized pages at write time,
+    write real interleaved response+conversion ``.warc.gz`` segments
+    (distributed), read back ONLY the conversion records through
+    ``read_warc``'s decode-side type pushdown (the response blocks never
+    cross the Arrow boundary — this query is the driver attestation of
+    the conversion pushdown), recover page identity from the target URI,
+    and run the WET-consumer curation stats per doc: char/whitespace-token
+    volume, the composite quality score + keep verdict, marker-based
+    language ID, and the round-tripped text's md5 (the bit-exact
+    certificate).
+
+    Scale shape: the write is one shuffle on the hashed file_seq into
+    executor-side file writes (extraction is map-only BEFORE it); the
+    read is binaryFile → one task per segment → map-only decode + stats;
+    the only logical-plan shuffle is the output sort. Nothing driver-side
+    grows with the corpus (one manifest row per file, one guard count)."""
+    from amazon_climate_data_etl_spark.sources.warc_min import read_warc
+
+    sink, n_written = _write_wet_warcs(spark, sf_dir)
+    recs = read_warc(spark, sink, record_types=("conversion",))
+    w = recs.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("target_uri", CRAWL_URL_SOURCE_RE, 1).alias("source"),
+        F.decode(F.col("payload"), "UTF-8").alias("wet"),
+    )
+    q = quality_score(F.col("wet"))
+    stats = w.select(
+        "doc_id",
+        "source",
+        F.length("wet").alias("wet_chars"),
+        token_count(F.col("wet")).alias("wet_tokens"),
+        q.alias("quality"),
+        (q >= 0.5).alias("keep"),
+        lang_guess(F.col("wet")).alias("lang_pred"),
+        F.md5("wet").alias("wet_md5"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # read-back completeness guard, the crawl_e2e contract: a sink the
+    # scan can't reach fails loudly instead of truncating the corpus
+    n_read = stats.count()
+    if n_read != n_written:
+        raise RuntimeError(
+            f"wet_text_e2e: wrote {n_written} conversion records but read "
+            f"back {n_read} — the sink path must be storage every executor "
+            "AND the read_warc scan can reach (shared filesystem / object "
+            "mount)"
+        )
+    return stats.orderBy("doc_id")
+
+
+def _build_wet_text_e2e_sql() -> str:
+    """The oracle replays the LOGICAL chain from documents (plant →
+    synth → extract → stats); matching the engine's from-the-files result
+    hash-certifies the physical conversion-record round trip."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, source, {_pii_planted_sql()} AS ptext FROM documents
+),
+t AS (
+  SELECT doc_id, source, {_tokens_sql('ptext')} AS toks FROM p
+),
+h AS (
+  SELECT doc_id, source,
+         {_synth_html_sql('toks', 'source')} AS html
+  FROM t
+),
+c AS (
+  SELECT doc_id, source,
+         coalesce(
+           array_to_string(
+             list_transform(
+               list_filter(string_split(html, chr(10)), l -> {_is_content_sql('l')}),
+               k -> {_strip_sql('k')}),
+             chr(10)),
+           '') AS wet
+  FROM h
+)
+SELECT doc_id, source,
+       CAST(length(wet) AS INTEGER) AS wet_chars,
+       {token_count_sql('wet')} AS wet_tokens,
+       {quality_score_sql('wet')} AS quality,
+       {quality_score_sql('wet')} >= 0.5 AS keep,
+       {lang_guess_sql('wet')} AS lang_pred,
+       md5(wet) AS wet_md5
+FROM c
+ORDER BY doc_id
+"""
+
+
+WET_TEXT_E2E_SQL = _build_wet_text_e2e_sql()
+
+
 QUERIES = {
+    "wet_text_e2e": wet_text_e2e,
     "wat_metadata_profile": wat_metadata_profile,
     "crawl_e2e": crawl_e2e,
     "html_boilerplate_extract": html_boilerplate_extract,
@@ -2244,6 +2445,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "wet_text_e2e": WET_TEXT_E2E_SQL,
     "wat_metadata_profile": WAT_METADATA_SQL,
     "crawl_e2e": CRAWL_E2E_SQL,
     "html_boilerplate_extract": HTML_EXTRACT_SQL,

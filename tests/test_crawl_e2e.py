@@ -307,3 +307,58 @@ def test_wet_conversion_records_roundtrip(spark, crawl_dir, tmp_path):
     for r in got:
         doc_id = int(r.target_uri.rsplit("/", 1)[-1])
         assert bytes(r.payload).decode("utf-8") == texts[doc_id]
+
+
+def test_wet_text_e2e_semantics(spark, crawl_dir):
+    """The registered WET certificate (r14) on the hand-crafted corpus:
+    written segments must interleave response+conversion member-per-record,
+    the conversion blocks must carry the extracted clean text (write-time
+    extraction — the WET convention), and the query's per-doc stats must
+    agree with an independent pure-Python recomputation over the parsed
+    file bytes (chars, whitespace tokens, md5)."""
+    import hashlib
+    import re
+
+    from amazon_climate_data_etl_spark.operators.textops import (
+        _wet_sink,
+        _write_wet_warcs,
+        wet_text_e2e,
+    )
+    from amazon_climate_data_etl_spark.sources.warc_min import parse_warc
+
+    sink, n_written = _write_wet_warcs(spark, crawl_dir)
+    assert sink == _wet_sink(crawl_dir)
+    assert n_written == len(DOCS)
+    files = sorted(glob.glob(os.path.join(sink, "*.warc.gz")))
+    assert files
+
+    bodies = {}
+    for path in files:
+        recs = parse_warc(open(path, "rb").read())
+        # strict response/conversion interleave, one pair per doc
+        assert [r.warc_type for r in recs] == ["response", "conversion"] * (
+            len(recs) // 2
+        )
+        for r in recs:
+            if r.warc_type == "conversion":
+                assert r.get("Content-Type") == "text/plain; charset=utf-8"
+                doc_id = int(r.get("WARC-Target-URI").rsplit("/", 1)[-1])
+                bodies[doc_id] = r.block.decode("utf-8")
+    assert set(bodies) == {i for i, _, _ in DOCS}
+    # write-time extraction: identical source docs in the same plant class
+    # (0 and 4 share TEXT_A, class 0) produce identical conversion text;
+    # the extraction stripped every tag
+    assert bodies[0] == bodies[4]
+    assert all("<" not in b for b in bodies.values())
+
+    rows = {r.doc_id: r for r in wet_text_e2e(spark, crawl_dir).collect()}
+    assert set(rows) == set(bodies)
+    for doc_id, body in bodies.items():
+        r = rows[doc_id]
+        assert r.wet_chars == len(body)
+        assert r.wet_tokens == len(re.split(r"[ \t\n\x0b\f\r]+", body.strip(" "))) if body.strip(" ") else r.wet_tokens == 0
+        assert r.wet_md5 == hashlib.md5(body.encode("utf-8")).hexdigest()
+        assert r.keep == (r.quality >= 0.5)
+    assert rows[0].source == "src0" and rows[8].source == "src1"
+    # the duplicate pair carries identical certificates
+    assert rows[0].wet_md5 == rows[4].wet_md5

@@ -42,7 +42,7 @@ _DOC_QUERIES = [
     "source_concentration_gini", "zipf_law_fit",
     "dedup_cluster_size_histogram",
     "html_boilerplate_extract", "bpe_tokenize_profile", "pii_scrub_docs",
-    "crawl_e2e", "wat_metadata_profile",
+    "crawl_e2e", "wat_metadata_profile", "wet_text_e2e",
     # dedup
     "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_near_pairs", "dedup_components",

@@ -424,6 +424,11 @@ _PLAN_BOUNDS = {
     # the (source, lang) aggregate + output sort. The WRITE is a separate
     # pre-plan job, exactly as crawl_e2e
     "wat_metadata_profile": (2, 0),
+    # the WET sibling: binaryFile → one task per segment → map-only
+    # conversion decode + stats (the persisted frame); the 1 is the
+    # output sort. Extraction happens at WRITE time inside the pre-plan
+    # segment-write job, so the read plan is the leanest of the trio
+    "wet_text_e2e": (1, 0),
     # the 40-replace merge chain is one map-only codegen stage; same
     # rebalance + sort pair as html_boilerplate_extract
     "bpe_tokenize_profile": (2, 0),
