@@ -119,9 +119,20 @@ to hash-checked (decode-sidecar oracle). Round 14 spent the last free
 slot on ``wet_text_e2e`` — the WET/conversion-record certificate
 (write-time extraction → interleaved response+conversion segments →
 conversion-type pushdown read → WET-consumer stats), completing the
-driver-attested WARC/WET/WAT trio through the shared segment writer.
-The registry stands at 150, AT the cap: any further addition funds
-itself through a consolidation merge. Next consolidation
+driver-attested WARC/WET/WAT trio through the shared segment writer —
+then ran the pre-agreed CDC merge ``corpus_merge_upsert`` +
+``corpus_snapshot_diff`` → ``corpus_cdc_profile`` (same doc_id grain
+over the same documents scan; ONE persisted fingerprint pass now feeds
+both full-outer joins, value preservation pinned in
+test_sinks.py::test_cdc_profile_preserves_predecessors) and spent the
+freed slot on ``bloom_pruned_join`` — the runtime bloom-filter plan
+certificate (InjectRuntimeFilter's ``bloom_filter_agg`` +
+``might_contain`` on the fact side, pinned in
+test_plan_quality.test_bloom_filter_pruning), the row-level runtime
+pruning lever next to DPP and bucketing. The registry stands at 150,
+AT the cap: any further addition funds itself through a consolidation
+merge (remaining pre-agreed candidates: ``doc_quality_scores`` +
+``doc_repetition_scores``; ``vocab_coverage`` + ``zipf_law_fit``). Next consolidation
 candidates (pre-agreed shape: same grain over the same scan, every
 operator shape preserved under one oracle), to fund r14+ additions
 beyond one query:

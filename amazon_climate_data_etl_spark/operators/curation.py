@@ -1288,7 +1288,10 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert accounting over the deterministic target/source split
     (see _merge_frames): per-document action + resulting content
     fingerprint — the CDC audit a versioned corpus pipeline records with
-    every merge commit."""
+    every merge commit. (Registered r10–r13; since the r14 consolidation
+    this is the ``merge`` frame of ``corpus_cdc_profile`` — kept as the
+    merge playbook's value-preservation test surface, see
+    test_sinks.py::test_cdc_profile_preserves_predecessors.)"""
     target, source = _merge_frames(load_table(spark, sf_dir, "documents"))
     return merge_upsert(target, source).orderBy("doc_id")
 
@@ -1349,6 +1352,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-sized, not corpus-sized. Versions are derived deterministically
     from the documents table (v1 drops every 11th-offset-3 doc, v2 drops
     offset-7 and revises every 13th) so the oracle re-derives them.
+    (Registered r10–r13; since the r14 consolidation this is the ``diff``
+    frame of ``corpus_cdc_profile`` — kept as the value-preservation test
+    surface, see test_sinks.py::test_cdc_profile_preserves_predecessors.)
 
     Scale shape: one full-outer join on doc_id comparing 32-char content
     hashes (the text never rides the exchange) — the same plan a
@@ -1402,6 +1408,152 @@ WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
            WHEN v2.doc_id IS NULL THEN 'removed'
            WHEN fp_v1 <> fp_v2 THEN 'changed' END IS NOT NULL
 ORDER BY doc_id
+"""
+
+
+def corpus_cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC WRITE-SIDE audit in one frame — r14 consolidation of the
+    former ``corpus_merge_upsert`` + ``corpus_snapshot_diff``
+    registrations (the pre-agreed merge shape: same doc_id grain over the
+    same documents scan, every operator shape of both preserved under one
+    oracle; funds the ``bloom_pruned_join`` addition at the 150-query
+    registry cap). The ``merge`` frame carries the per-document MERGE
+    action + resulting content fingerprint; the ``diff`` frame the
+    delta-only v1→v2 snapshot changes. ``corpus_read_asof`` remains the
+    separately-registered READ half (physical write_snapshot round trip).
+
+    The merge's whole point at scale: the predecessors each paid a full
+    documents scan + per-row md5 before their joins. Here ONE persisted
+    pass computes every fingerprint variant (base, ' [rev2]' revision,
+    ' [v2]' revision — 3 md5s in one codegen stage over one text read),
+    and all four join sides derive from that narrow (doc_id, 3×32-char)
+    frame: the wide text column is read once and never rides an exchange.
+    Both full-outer joins keep their predecessors' exact shape and CASE
+    semantics (full outers cannot broadcast — see _SMJ_EXEMPT).
+
+    Columns unify as (frame, doc_id, verdict, fp_a, fp_b): merge rows
+    carry verdict = action, fp_a = result_fp, fp_b NULL; diff rows carry
+    verdict = change, fp_a/fp_b = the v1/v2 fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))).alias("fp_rev2"),
+        F.md5(F.concat(F.col("text"), F.lit(" [v2]"))).alias("fp_v2rev"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- merge frame: verbatim merge_upsert semantics over the shared
+    # fingerprint pass (value preservation vs the predecessor is pinned
+    # row-for-row in test_sinks.py) ---
+    t = fps.filter(F.col("doc_id") % 7 != 6).select(
+        F.col("doc_id").alias("t_id"), F.col("fp").alias("t_fp")
+    )
+    s = fps.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("s_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("fp_rev2"))
+        .otherwise(F.col("fp"))
+        .alias("s_fp"),
+        (F.col("doc_id") % 21 == 0).alias("is_delete"),
+    )
+    mj = t.join(s, t["t_id"] == s["s_id"], "full_outer")
+    matched = F.col("t_id").isNotNull() & F.col("s_id").isNotNull()
+    action = (
+        F.when(matched & F.col("is_delete"), F.lit("delete"))
+        .when(matched & (F.col("t_fp") != F.col("s_fp")), F.lit("update"))
+        .when(matched, F.lit("noop"))
+        .when(F.col("t_id").isNull() & ~F.col("is_delete"), F.lit("insert"))
+        .when(F.col("t_id").isNull(), F.lit("noop"))
+        .otherwise(F.lit("keep"))
+    )
+    dead = action.isin("delete") | (F.col("t_id").isNull() & F.col("is_delete"))
+    merge = mj.select(
+        F.lit("merge").alias("frame"),
+        F.coalesce("t_id", "s_id").alias("doc_id"),
+        action.alias("verdict"),
+        F.when(~dead, F.coalesce("s_fp", "t_fp")).alias("fp_a"),
+        F.lit(None).cast("string").alias("fp_b"),
+    )
+
+    # --- diff frame: verbatim corpus_snapshot_diff semantics ---
+    v1 = fps.filter(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").alias("id1"), F.col("fp").alias("fp_v1")
+    )
+    v2 = fps.filter(F.col("doc_id") % 11 != 7).select(
+        F.col("doc_id").alias("id2"),
+        F.when(F.col("doc_id") % 13 == 0, F.col("fp_v2rev"))
+        .otherwise(F.col("fp"))
+        .alias("fp_v2"),
+    )
+    dj = v1.join(v2, v1["id1"] == v2["id2"], "full_outer")
+    change = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("fp_v1") != F.col("fp_v2"), F.lit("changed"))
+    )
+    diff = (
+        dj.select(
+            F.lit("diff").alias("frame"),
+            F.coalesce("id1", "id2").alias("doc_id"),
+            change.alias("verdict"),
+            F.col("fp_v1").alias("fp_a"),
+            F.col("fp_v2").alias("fp_b"),
+        )
+        .filter(F.col("verdict").isNotNull())
+    )
+    return merge.unionByName(diff).orderBy("frame", "doc_id")
+
+
+CDC_PROFILE_SQL = """
+WITH fps AS (
+  SELECT doc_id, md5(text) AS fp,
+         md5(text || ' [rev2]') AS fp_rev2,
+         md5(text || ' [v2]') AS fp_v2rev
+  FROM documents
+),
+target AS (SELECT doc_id, fp AS t_fp FROM fps WHERE doc_id % 7 <> 6),
+source AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN fp_rev2 ELSE fp END AS s_fp,
+         doc_id % 21 = 0 AS is_delete
+  FROM fps WHERE doc_id % 3 = 0
+),
+mj AS (
+  SELECT t.doc_id AS t_id, t.t_fp, s.doc_id AS s_id, s.s_fp, s.is_delete
+  FROM target t FULL OUTER JOIN source s ON t.doc_id = s.doc_id
+),
+mrg AS (
+  SELECT COALESCE(t_id, s_id) AS doc_id,
+         CASE WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND is_delete THEN 'delete'
+              WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND t_fp <> s_fp THEN 'update'
+              WHEN t_id IS NOT NULL AND s_id IS NOT NULL THEN 'noop'
+              WHEN t_id IS NULL AND NOT is_delete THEN 'insert'
+              WHEN t_id IS NULL THEN 'noop'
+              ELSE 'keep' END AS verdict,
+         CASE WHEN (t_id IS NOT NULL AND s_id IS NOT NULL AND is_delete)
+                OR (t_id IS NULL AND is_delete) THEN NULL
+              ELSE COALESCE(s_fp, t_fp) END AS fp_a
+  FROM mj
+),
+v1 AS (SELECT doc_id, fp AS fp_v1 FROM fps WHERE doc_id % 11 <> 3),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN fp_v2rev ELSE fp END AS fp_v2
+  FROM fps WHERE doc_id % 11 <> 7
+),
+dj AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN fp_v1 <> fp_v2 THEN 'changed' END AS verdict,
+         fp_v1, fp_v2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT 'merge' AS frame, doc_id, verdict, fp_a, CAST(NULL AS VARCHAR) AS fp_b
+FROM mrg
+UNION ALL
+SELECT 'diff' AS frame, doc_id, verdict, fp_v1 AS fp_a, fp_v2 AS fp_b
+FROM dj WHERE verdict IS NOT NULL
+ORDER BY frame, doc_id
 """
 
 
@@ -1804,8 +1956,7 @@ URL_DOMAIN_SQL = _build_url_domain_sql()
 
 
 QUERIES = {
-    "corpus_merge_upsert": corpus_merge_upsert,
-    "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_cdc_profile": corpus_cdc_profile,
     "corpus_read_asof": corpus_read_asof,
     "quality_weighted_sample": quality_weighted_sample,
     "source_concentration_gini": source_concentration_gini,
@@ -1825,8 +1976,7 @@ QUERIES = {
 
 ORACLE = {
     "url_domain_profile": URL_DOMAIN_SQL,
-    "corpus_merge_upsert": MERGE_UPSERT_SQL,
-    "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "corpus_cdc_profile": CDC_PROFILE_SQL,
     "corpus_read_asof": READ_ASOF_SQL,
     "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
     "source_concentration_gini": SOURCE_GINI_SQL,

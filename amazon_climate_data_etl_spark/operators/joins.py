@@ -1206,6 +1206,68 @@ ORDER BY o_orderpriority
 """
 
 
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level runtime filtering (r14): the third runtime-pruning lever
+    next to DPP (``dpp_pruned_join``) and storage co-location
+    (``bucketed_join_revenue``). A selective filter on the part dim joins
+    the fact on ``l_partkey`` — NOT a partition key, so DPP cannot prune —
+    and Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    filtered dim's join keys and pushes ``might_contain(xxhash64(
+    l_partkey))`` beneath the fact side's exchange: non-matching fact rows
+    drop BEFORE the join shuffle instead of riding it. At 100 TB this is
+    the difference between shuffling the whole lineitem scan and shuffling
+    the ~fraction that survives the dim filter. The plan contract (bloom
+    actually injected and applied) is pinned in
+    test_plan_quality.test_bloom_filter_pruning.
+
+    Session posture: runs on a cloned session (``newSession`` — shared
+    context, ISOLATED SQLConf, so nothing leaks into the caller's other
+    queries): broadcast is disabled to model the production case the bloom
+    exists for (a dim too large to broadcast but still selective — at
+    fixture scale everything would broadcast and the bloom would be moot),
+    and the application-side scan threshold drops to 0 because the 10 GB
+    default assumes real fact sizes. The shuffle equi-join IS the correct
+    100 TB plan for that case (see _SMJ_EXEMPT)."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    part = (
+        load_table(s, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BLOOM_JOIN_SQL = f"""
+SELECT p_brand,
+       count(*) AS n_items,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-co-located join: the write-once / join-free-forever pattern
     for the case J3's broadcast posture can't cover — BOTH join sides are
@@ -1341,6 +1403,7 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "dpp_pruned_join": dpp_pruned_join,
+    "bloom_pruned_join": bloom_pruned_join,
     "bucketed_join_revenue": bucketed_join_revenue,
     "q10_returned_items": q10_returned_items,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1365,6 +1428,7 @@ ORACLE = {
     "q2_min_cost_supplier": Q2_SQL,
     "q11_important_stock": Q11_SQL,
     "dpp_pruned_join": DPP_JOIN_SQL,
+    "bloom_pruned_join": BLOOM_JOIN_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "q10_returned_items": Q10_SQL,
     "q7_volume_shipping": Q7_SQL,

@@ -51,7 +51,7 @@ _DOC_QUERIES = [
     "duplicate_span_profile",
     # curation
     "doc_chunk_plan",
-    "corpus_merge_upsert", "corpus_snapshot_diff", "corpus_read_asof",
+    "corpus_cdc_profile", "corpus_read_asof",
     "contamination_overlap", "pack_sequences", "stratified_sample_stats",
     "source_mixture_plan", "source_domain_divergence",
     "ngram_logprob_quality", "source_quota_cap",

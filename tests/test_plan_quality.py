@@ -435,11 +435,16 @@ _PLAN_BOUNDS = {
     # plant + detect + redact are one map-only codegen stage; same
     # rebalance + sort pair
     "pii_scrub_docs": (2, 0),
-    # one full-outer doc_id join (2 exchanges) + output sort; map-only
-    # md5/CASE arithmetic — the lakehouse-MERGE shuffle floor
-    "corpus_merge_upsert": (3, 0),
-    # same full-outer shape over the two derived versions
-    "corpus_snapshot_diff": (3, 0),
+    # r14 merge of corpus_merge_upsert + corpus_snapshot_diff: ONE
+    # persisted fingerprint pass (scan + 3 md5s, no exchange) feeds both
+    # full-outer doc_id joins (2 exchanges each — the lakehouse-MERGE
+    # shuffle floor, unchanged from the predecessors) + the union's
+    # output sort; the wide text column never rides an exchange
+    "corpus_cdc_profile": (5, 0),
+    # runtime bloom-filter certificate: shuffle equi-join (2) + brand agg
+    # + output sort + the bloom subquery's own partial/final exchange;
+    # the bloom injection itself is pinned in test_bloom_filter_pruning
+    "bloom_pruned_join": (5, 0),
     # two version-pinned snapshot scans → (version, source)-grain aggs
     # (1 exchange each) + the union's output sort; the snapshot WRITES
     # happen before this plan (write_snapshot jobs, not exchanges here)
@@ -516,8 +521,12 @@ _SMJ_EXEMPT = {
     # MERGE/diff full-outer joins on doc_id: full outers cannot broadcast
     # (both sides preserved), and both sides are corpus-scale by
     # construction — the keyed shuffle join is the correct plan
-    "corpus_merge_upsert",
-    "corpus_snapshot_diff",
+    "corpus_cdc_profile",
+    # the bloom certificate MODELS the can't-broadcast case (a selective
+    # dim too large to broadcast): broadcast is disabled on its cloned
+    # session because a fixture-scale broadcast would erase exactly the
+    # shuffle the runtime bloom filter exists to prune
+    "bloom_pruned_join",
 }
 
 
@@ -654,6 +663,22 @@ def test_dpp_partition_filter(spark, sf_dir):
     the whole table (the TPC-DS date-dim pattern at 100 TB)."""
     plan = I.plan_string(QUERIES["dpp_pruned_join"](spark, sf_dir), "simple")
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_bloom_filter_pruning(spark, sf_dir):
+    """bloom_pruned_join's contract: InjectRuntimeFilter builds a bloom
+    filter from the filtered part dim (``bloom_filter_agg`` subquery) and
+    applies ``might_contain(xxhash64(l_partkey))`` on the FACT side below
+    the join — row-level runtime pruning for the selective dim→fact join
+    DPP can't prune (l_partkey is not a partition key). Non-matching fact
+    rows drop before the join shuffle."""
+    df = QUERIES["bloom_pruned_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    # applied on the FACT side's join key (not the dim's)
+    assert "might_contain" in plan, plan
+    probe = plan[plan.index("might_contain"):][:250]
+    assert "l_partkey" in probe, probe
 
 
 def test_q19_disjunction_pushdown(spark, sf_dir):

@@ -253,3 +253,43 @@ def test_merge_upsert_snapshot_roundtrip(spark, tmp_path):
     assert all(fp[i] == audit[i]["result_fp"] for i in survivors)
     # and v1 is untouched by the merge (immutability)
     assert read_snapshot(spark, base, version=1).count() == target.count()
+
+
+def test_cdc_profile_preserves_predecessors(spark):
+    """corpus_cdc_profile (r14 consolidation) must reproduce BOTH
+    predecessor registrations row-for-row from its single shared
+    fingerprint pass: the 'merge' frame == corpus_merge_upsert
+    (doc_id, action, result_fp) and the 'diff' frame ==
+    corpus_snapshot_diff (doc_id, change, fp_v1, fp_v2) — the
+    value-preservation contract of the merge playbook (the
+    embedding_spectrum_profile precedent)."""
+    from amazon_climate_data_etl_spark.operators.curation import (
+        corpus_cdc_profile,
+        corpus_merge_upsert,
+        corpus_snapshot_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_cdc_profile(spark, sf).collect()
+    merge = [
+        (r["doc_id"], r["verdict"], r["fp_a"])
+        for r in rows
+        if r["frame"] == "merge"
+    ]
+    diff = [
+        (r["doc_id"], r["verdict"], r["fp_a"], r["fp_b"])
+        for r in rows
+        if r["frame"] == "diff"
+    ]
+    assert all(r["fp_b"] is None for r in rows if r["frame"] == "merge")
+    spark.catalog.clearCache()
+    want_merge = [
+        (r["doc_id"], r["action"], r["result_fp"])
+        for r in corpus_merge_upsert(spark, sf).collect()
+    ]
+    want_diff = [
+        (r["doc_id"], r["change"], r["fp_v1"], r["fp_v2"])
+        for r in corpus_snapshot_diff(spark, sf).collect()
+    ]
+    assert merge == want_merge
+    assert diff == want_diff
