@@ -125,7 +125,15 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bruteforce_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
 
 
-def _bruteforce_from(e: DataFrame) -> DataFrame:
+def _ordered(df: DataFrame, ordered: bool) -> DataFrame:
+    """Final presentation sort of the search builders — skipped by the
+    recall panel (``ordered=False``), whose join+aggregate consumer is
+    order-insensitive: each skipped sort is a whole range-partitioning
+    exchange (5 across the panel, r14)."""
+    return df.orderBy("query_id", "rank") if ordered else df
+
+
+def _bruteforce_from(e: DataFrame, ordered: bool = True) -> DataFrame:
     """Composable form over an already-filtered corpus frame (shared by
     ann_recall_eval so the evaluation pays ONE corpus pass).
 
@@ -146,17 +154,22 @@ def _bruteforce_from(e: DataFrame) -> DataFrame:
     # boundary keeps them out of the per-pair expression, so a pair costs
     # one fold (the dot) instead of dot + two norms; cos = dot / (qn·cn)
     # is the identical IEEE sequence to dot / (l2(qe)·l2(ce))
+    l2_emb = _cached_col("l2_embedding", lambda: l2_norm(F.col("embedding")))
+    cos = _cached_col(
+        "cos_qece_normed",
+        lambda: dot_product(F.col("qe"), F.col("ce"))
+        / (F.col("qn") * F.col("cn")),
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        l2_norm(F.col("embedding")).alias("qn"),
+        l2_emb.alias("qn"),
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        l2_norm(F.col("embedding")).alias("cn"),
+        l2_emb.alias("cn"),
     )
-    cos = dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -180,19 +193,16 @@ def _bruteforce_from(e: DataFrame) -> DataFrame:
     pruned = scored.mapInPandas(
         local_topk, schema="query_id long, cand_id long, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id")
-    )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
+    return _ordered(
+        pruned.withColumn("rank", _rank_over("cos"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             "cand_id",
             "rank",
             stable_round(F.col("cos"), 6).alias("cosine"),
-        )
-        .orderBy("query_id", "rank")
+        ),
+        ordered,
     )
 
 
@@ -241,53 +251,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_from(_nonzero(load_table(spark, sf_dir, "embeddings")))
 
 
-def _lsh_from(e: DataFrame) -> DataFrame:
+_LSH_KEY_COLS: list = []
+
+
+def _lsh_from(e: DataFrame, ordered: bool = True) -> DataFrame:
     # both key arrays assemble through ONE F.expr parse each: the
     # 15-struct probe array built struct-by-struct cost ~0.5 s of pure
     # py4j round-trips per panel build (same driver-latency class as the
-    # sign_bucket string path it composes — see functions/vectors.py)
-    idx_keys = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({t} AS tbl, "
-            f"{sign_bucket_spark_sql('embedding', dims)} AS bucket)"
-            for t, dims in _LSH_TABLES
+    # sign_bucket string path it composes — see functions/vectors.py).
+    # The parsed Columns are memoized module-level (r14, _LSH_KEY_COLS):
+    # they are unresolved static expressions, session-independent, and
+    # re-building them cost ~0.1 s of driver latency on every panel build
+    if not _LSH_KEY_COLS:
+        idx_keys = F.expr(
+            "array("
+            + ", ".join(
+                f"struct({t} AS tbl, "
+                f"{sign_bucket_spark_sql('embedding', dims)} AS bucket)"
+                for t, dims in _LSH_TABLES
+            )
+            + ")"
         )
-        + ")"
-    )
+        probe_keys = F.expr(
+            "array("
+            + ", ".join(
+                f"struct({t} AS tbl, "
+                + (
+                    f"({sign_bucket_spark_sql('embedding', dims)} ^ {flip})"
+                    if flip
+                    else sign_bucket_spark_sql("embedding", dims)
+                )
+                + " AS bucket)"
+                for t, dims in _LSH_TABLES
+                for flip in _LSH_FLIPS
+            )
+            + ")"
+        )
+        _LSH_KEY_COLS.append((idx_keys, probe_keys))
+    idx_keys, probe_keys = _LSH_KEY_COLS[0]
     # norms precompute ONCE per corpus/query row (before the explode —
     # the Generate node keeps them out of the per-match expression), so
     # a bucket match costs one fold; see _bruteforce_from
+    l2_emb = _cached_col("l2_embedding", lambda: l2_norm(F.col("embedding")))
+    cos = _cached_col(
+        "cos_qece_normed",
+        lambda: dot_product(F.col("qe"), F.col("ce"))
+        / (F.col("qn") * F.col("cn")),
+    )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        l2_norm(F.col("embedding")).alias("cn"),
+        l2_emb.alias("cn"),
         F.explode(idx_keys).alias("k"),
     ).select("cand_id", "ce", "cn", "k.tbl", "k.bucket")
-    probe_keys = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({t} AS tbl, "
-            + (
-                f"({sign_bucket_spark_sql('embedding', dims)} ^ {flip})"
-                if flip
-                else sign_bucket_spark_sql("embedding", dims)
-            )
-            + " AS bucket)"
-            for t, dims in _LSH_TABLES
-            for flip in _LSH_FLIPS
-        )
-        + ")"
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        l2_norm(F.col("embedding")).alias("qn"),
+        l2_emb.alias("qn"),
         F.explode(probe_keys).alias("k"),
     ).select("query_id", "qe", "qn", "k.tbl", "k.bucket")
-    cos = dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
+    return _ordered(
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn("cos", cos)
@@ -296,7 +319,7 @@ def _lsh_from(e: DataFrame) -> DataFrame:
             F.max("cos").alias("cos"),
             F.min(F.col("tbl") * 16 + F.col("bucket")).alias("bucket"),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", _rank_over("cos"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -304,8 +327,8 @@ def _lsh_from(e: DataFrame) -> DataFrame:
             "rank",
             stable_round(F.col("cos"), 6).alias("cosine"),
             "bucket",
-        )
-        .orderBy("query_id", "rank")
+        ),
+        ordered,
     )
 
 
@@ -358,6 +381,34 @@ def _dot(a, b) -> "F.Column":
     """Left-to-right double fold — bit-identical to the oracle's list_sum."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+# memoized static Column subtrees (r14): unresolved expressions are
+# session-independent and immutable, and the heavy ones here — the
+# aggregate-lambda dot/norm folds and the window rank columns — cost
+# 7–20 ms of py4j chatter EACH on every build. The recall panel assembles
+# five search plans per invocation, so rebuilding them was ~0.2 s of pure
+# driver latency per run (same class as the _LSH_KEY_COLS F.expr memo).
+_COL_CACHE: dict = {}
+
+
+def _cached_col(key: str, build):
+    if key not in _COL_CACHE:
+        _COL_CACHE[key] = build()
+    return _COL_CACHE[key]
+
+
+def _rank_over(value_col: str) -> "F.Column":
+    """row_number in the family's shared total order (value DESC,
+    cand_id ASC) per query — the global-window rank every search uses."""
+    return _cached_col(
+        f"rank_{value_col}",
+        lambda: F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col(value_col).desc(), F.col("cand_id")
+            )
+        ),
     )
 
 
@@ -433,7 +484,13 @@ def _index_state(n: DataFrame) -> tuple[int, list]:
     return nlist, cent_rows
 
 
-def _ivf_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
+def _ivf_from(
+    n: DataFrame,
+    state: tuple[int, list] | None = None,
+    assign: DataFrame | None = None,
+    ordered: bool = True,
+    probes: DataFrame | None = None,
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -468,46 +525,59 @@ def _ivf_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
             )
 
     # fan the Python kernel out across cores: a single-row-group parquet
-    # scan arrives as ONE task and would serialize the assignment
-    assign = rebalance_for_kernel(n).mapInPandas(
-        assign_kernel, schema="cand_id long, ce array<double>, cell long"
-    )
-
-    # probe selection stays JVM-side: N_QUERIES rows × nlist dots is tiny
-    cents = (
-        n.filter(F.col("vec_id") < nlist)
-        .select(
-            F.struct(F.col("vec_id").alias("cid"), F.col("en").alias("cv")).alias("c")
-        )
-        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
-    )
-
-    def cell_scores():
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _dot(F.col("en"), c["cv"]).alias("cos"), (-c["cid"]).alias("ncid")
-            ),
+    # scan arrives as ONE task and would serialize the assignment. The
+    # recall panel injects the assignment slice of its combined kernel
+    # pass instead (_panel_candidates) — same values, one corpus pass
+    # shared with the pq/ivfpq encoders
+    if assign is None:
+        assign = rebalance_for_kernel(n).mapInPandas(
+            assign_kernel, schema="cand_id long, ce array<double>, cell long"
         )
 
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("en").alias("qe"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(cell_scores())), 1, N_PROBE)
-            ).alias("p"),
+    # probe selection stays JVM-side: N_QUERIES rows × nlist dots is tiny.
+    # The recall panel injects a driver-built probes frame instead
+    # (_panel_probes — the same numpy selection _ivfpq_from runs, over
+    # state the driver already holds), skipping the cents aggregate job
+    if probes is None:
+        cents = (
+            n.filter(F.col("vec_id") < nlist)
+            .select(
+                F.struct(
+                    F.col("vec_id").alias("cid"), F.col("en").alias("cv")
+                ).alias("c")
+            )
+            .agg(F.array_sort(F.collect_list("c")).alias("cents"))
         )
-        .select("query_id", "qe", (-F.col("p")["ncid"]).alias("cell"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
+
+        def cell_scores():
+            return F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _dot(F.col("en"), c["cv"]).alias("cos"),
+                    (-c["cid"]).alias("ncid"),
+                ),
+            )
+
+        probes = (
+            n.filter(F.col("vec_id") < N_QUERIES)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("en").alias("qe"),
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(cell_scores())), 1, N_PROBE)
+                ).alias("p"),
+            )
+            .select("query_id", "qe", (-F.col("p")["ncid"]).alias("cell"))
+        )
+    return _ordered(
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("qe"), F.col("ce")))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cos",
+            _cached_col("dot_qe_ce", lambda: _dot(F.col("qe"), F.col("ce"))),
+        )
+        .withColumn("rank", _rank_over("cos"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -515,8 +585,8 @@ def _ivf_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
             "rank",
             stable_round(F.col("cos"), 6).alias("cosine"),
             "cell",
-        )
-        .orderBy("query_id", "rank")
+        ),
+        ordered,
     )
 
 
@@ -635,7 +705,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
+def _pq_from(
+    n: DataFrame,
+    state: tuple[int, list] | None = None,
+    cand_stream: DataFrame | None = None,
+    ordered: bool = True,
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -720,14 +795,14 @@ def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True) if out else empty
 
-    cand_stream = rebalance_for_kernel(n).mapInPandas(
-        encode_score_kernel, schema="query_id long, cand_id long, adc double"
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("cand_id")
-    )
+    # the recall panel injects the unpruned-ADC slice of its combined
+    # kernel pass (_panel_candidates) — same values, one shared corpus pass
+    if cand_stream is None:
+        cand_stream = rebalance_for_kernel(n).mapInPandas(
+            encode_score_kernel, schema="query_id long, cand_id long, adc double"
+        )
     short = (
-        cand_stream.withColumn("srank", F.row_number().over(w_short))
+        cand_stream.withColumn("srank", _rank_over("adc"))
         .filter(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "cand_id", "adc")
     )
@@ -738,13 +813,13 @@ def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
     )
     short_q = short.join(F.broadcast(q), "query_id")
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id")
-    )
-    return (
+    return _ordered(
         n.join(F.broadcast(short_q), n["vec_id"] == short_q["cand_id"])
-        .withColumn("cos", _dot(F.col("qe"), F.col("en")))
-        .withColumn("rank", F.row_number().over(w_final))
+        .withColumn(
+            "cos",
+            _cached_col("dot_qe_en", lambda: _dot(F.col("qe"), F.col("en"))),
+        )
+        .withColumn("rank", _rank_over("cos"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -752,8 +827,8 @@ def _pq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
             "rank",
             stable_round(F.col("cos"), 6).alias("cosine"),
             stable_round(F.col("adc"), 6).alias("adc"),
-        )
-        .orderBy("query_id", "rank")
+        ),
+        ordered,
     )
 
 
@@ -860,7 +935,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_from(_normalized(_nonzero(load_table(spark, sf_dir, "embeddings"))))
 
 
-def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFrame:
+def _ivfpq_from(
+    n: DataFrame,
+    state: tuple[int, list] | None = None,
+    cand_stream: DataFrame | None = None,
+    ordered: bool = True,
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -955,14 +1035,14 @@ def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFram
                 )
             yield pd.concat(out, ignore_index=True) if out else empty
 
-    cand_stream = rebalance_for_kernel(n).mapInPandas(
-        kernel, schema="query_id long, cand_id long, adc double, cell long"
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("cand_id")
-    )
+    # the recall panel injects the cell-pruned-ADC slice of its combined
+    # kernel pass (_panel_candidates) — same values, one shared corpus pass
+    if cand_stream is None:
+        cand_stream = rebalance_for_kernel(n).mapInPandas(
+            kernel, schema="query_id long, cand_id long, adc double, cell long"
+        )
     short = (
-        cand_stream.withColumn("srank", F.row_number().over(w_short))
+        cand_stream.withColumn("srank", _rank_over("adc"))
         .filter(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "cand_id", "adc", "cell")
     )
@@ -970,13 +1050,13 @@ def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFram
         F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
     )
     short_q = short.join(F.broadcast(q), "query_id")
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id")
-    )
-    return (
+    return _ordered(
         n.join(F.broadcast(short_q), n["vec_id"] == short_q["cand_id"])
-        .withColumn("cos", _dot(F.col("qe"), F.col("en")))
-        .withColumn("rank", F.row_number().over(w_final))
+        .withColumn(
+            "cos",
+            _cached_col("dot_qe_en", lambda: _dot(F.col("qe"), F.col("en"))),
+        )
+        .withColumn("rank", _rank_over("cos"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -985,8 +1065,8 @@ def _ivfpq_from(n: DataFrame, state: tuple[int, list] | None = None) -> DataFram
             stable_round(F.col("cos"), 6).alias("cosine"),
             stable_round(F.col("adc"), 6).alias("adc"),
             "cell",
-        )
-        .orderBy("query_id", "rank")
+        ),
+        ordered,
     )
 
 
@@ -1735,6 +1815,186 @@ ORDER BY m.vec_id"""
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+def _panel_candidates(
+    n: DataFrame, state: tuple[int, list]
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """ONE corpus kernel pass for the recall panel's three encoder-based
+    indexes (r14): the standalone builders each run their own
+    ``rebalance_for_kernel → mapInPandas`` corpus pass (ivf assigns
+    cells, pq encodes + ADC-scores, ivfpq does both), so the panel paid
+    the Arrow decode twice-redundantly, the cell scoring twice, and the
+    subspace encoding twice. This kernel computes EN/cells/codes ONCE per
+    batch and emits all three candidate families as one union-typed
+    stream — ``kind`` 'a' (ivf assignment: cand_id, ce, cell), 'p' (pq
+    unpruned-ADC local shortlist: query_id, cand_id, adc), 'q' (ivfpq
+    cell-pruned-ADC local shortlist: + cell). Each family's numpy
+    trajectory is verbatim its standalone builder's (same block sizes,
+    same per-coordinate fold order, same lexsort shortlist), so the
+    sliced streams are value-identical to what _ivf_from/_pq_from/
+    _ivfpq_from build themselves — the panel oracle replays all three
+    searches independently and hash-certifies it.
+
+    The stream persists and is materialized EAGERLY (one count) before
+    the branches are built: AQE schedules the three consumers' first
+    stages concurrently, and a lazily-persisted common parent would race
+    — each branch recomputing the kernel before the cache fills, which
+    is exactly the redundancy this pass removes."""
+    import numpy as np
+    import pandas as pd
+
+    nlist, cent_rows = state
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    CB = C[cids < PQ_KS]
+    q_mask = cids < N_QUERIES
+    q_ids = cids[q_mask]
+    QM = C[q_mask]
+    d = C.shape[1] if C.ndim == 2 and len(C) else 0
+    n_sub = -(-d // PQ_DSUB) if d else 0
+
+    def _fold_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        out = np.zeros((len(A), len(B)))
+        for j in range(B.shape[1] if len(B) else 0):
+            out += A[:, j, None] * B[None, :, j]
+        return out
+
+    # driver-side probe selection + ADC table, verbatim _ivfpq_from
+    qscores = _fold_dots(QM, C)
+    probe_cells: list = []
+    for qi in range(len(QM)):
+        order = np.lexsort((cids, -qscores[qi]))[:N_PROBE]
+        probe_cells.append(cids[order])
+    LUT = np.zeros((len(QM), n_sub, len(CB)))
+    for s in range(n_sub):
+        for j in range(s * PQ_DSUB, min(d, (s + 1) * PQ_DSUB)):
+            LUT[:, s, :] += QM[:, j, None] * CB[None, :, j]
+
+    def kernel(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            EN = np.stack(pdf["en"].values).astype(np.float64, copy=False)
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # coarse cells — shared by the ivf assignment ('a' rows) and
+            # the ivfpq pruning; 256-row blocks, verbatim _ivf_from
+            cells = np.empty(m, dtype=np.int64)
+            for s0 in range(0, m, 256):
+                blk = EN[s0 : s0 + 256]
+                cells[s0 : s0 + 256] = cids[
+                    np.argmax(_fold_dots(blk, C), axis=1)
+                ]
+            yield pd.DataFrame(
+                {
+                    "kind": "a",
+                    "cand_id": pdf["vec_id"],
+                    "ce": pdf["en"],
+                    "cell": cells,
+                    "query_id": np.zeros(m, dtype=np.int64),
+                    "adc": np.zeros(m),
+                }
+            )
+            if len(QM) == 0:
+                continue
+            # subspace codes — shared by the pq and ivfpq ADC, verbatim
+            # _pq_from/_ivfpq_from
+            code_pos = np.empty((m, n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                lo = s * PQ_DSUB
+                scores = np.zeros((m, len(CB)))
+                for j in range(lo, min(d, lo + PQ_DSUB)):
+                    scores += EN[:, j, None] * CB[None, :, j]
+                code_pos[:, s] = np.argmax(scores, axis=1)
+            out = []
+            for qi in range(len(QM)):
+                # 'p': unpruned ADC over the whole batch (_pq_from)
+                adc = np.zeros(m)
+                for s in range(n_sub):
+                    adc += LUT[qi, s, code_pos[:, s]]
+                idx = np.flatnonzero(cand != q_ids[qi])
+                order = np.lexsort((cand[idx], -adc[idx]))[:PQ_SHORTLIST]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.full(len(sel), "p"),
+                            "cand_id": cand[sel],
+                            "ce": [None] * len(sel),
+                            "cell": np.zeros(len(sel), dtype=np.int64),
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "adc": adc[sel],
+                        }
+                    )
+                )
+                # 'q': cell-pruned ADC (_ivfpq_from)
+                pidx = np.flatnonzero(
+                    np.isin(cells, probe_cells[qi]) & (cand != q_ids[qi])
+                )
+                if len(pidx) == 0:
+                    continue
+                padc = np.zeros(len(pidx))
+                for s in range(n_sub):
+                    padc += LUT[qi, s, code_pos[pidx, s]]
+                porder = np.lexsort((cand[pidx], -padc))[:PQ_SHORTLIST]
+                psel = pidx[porder]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.full(len(psel), "q"),
+                            "cand_id": cand[psel],
+                            "ce": [None] * len(psel),
+                            "cell": cells[psel],
+                            "query_id": np.full(len(psel), q_ids[qi]),
+                            "adc": padc[porder],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    stream = (
+        rebalance_for_kernel(n)
+        .mapInPandas(
+            kernel,
+            schema=(
+                "kind string, cand_id long, ce array<double>, cell long, "
+                "query_id long, adc double"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stream.count()  # eager: see docstring (AQE concurrent-consumer race)
+    assign = stream.filter(F.col("kind") == "a").select("cand_id", "ce", "cell")
+    pq_cand = stream.filter(F.col("kind") == "p").select(
+        "query_id", "cand_id", "adc"
+    )
+    ivfpq_cand = stream.filter(F.col("kind") == "q").select(
+        "query_id", "cand_id", "adc", "cell"
+    )
+    # driver-built IVF probes from the state already in hand: the numpy
+    # (cos DESC, cid ASC) top-N_PROBE above IS the JVM chain's selection
+    # (all three representations — JVM fold, numpy fold, oracle list_sum
+    # — are bit-identical, see _ivf_from/_ivfpq_from), and the qe doubles
+    # are the exact collected en values, so injecting this local relation
+    # skips the cents collect_list aggregate job the JVM path pays
+    probe_rows = [
+        (int(q_ids[qi]), [float(x) for x in QM[qi]], int(cell))
+        for qi in range(len(QM))
+        for cell in probe_cells[qi]
+    ]
+    # 4 explicit slices: bare createDataFrame parallelizes the local rows
+    # to defaultParallelism (32 near-empty python tasks), while
+    # coalesce(1) was measured to serialize the python-side row
+    # deserialization into one straggler; a handful of slices keeps the
+    # broadcast build both small and parallel
+    spark = n.sparkSession
+    probes = spark.createDataFrame(
+        spark.sparkContext.parallelize(probe_rows, 4),
+        "query_id long, qe array<double>, cell long",
+    )
+    return assign, pq_cand, ivfpq_cand, probes
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate indexes against the exact baseline —
     the evaluation every ANN deployment runs before trusting an index
@@ -1769,36 +2029,53 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement; the per-kernel rebalance fans out only the
     compute-heavy stages — at the kernel fan-out floor since r10, see
     rebalance_for_kernel — and no-ops on a well-split 100 TB scan
-    anyway. r10 panel executed work: 38 jobs / 62 tasks per run,
-    stamped in BENCH_local.json.)"""
+    anyway. Executed work: 27 jobs / 60 tasks per run since the r14
+    combined-kernel rebuild (r10–r13: 38 / 62), stamped in
+    BENCH_local.json.)
+
+    r14 (verdict item 4): the three encoder-based searches consume ONE
+    combined corpus kernel pass (_panel_candidates — cells, subspace
+    codes, and both ADC candidate families in one Arrow decode), the
+    branch presentation sorts are skipped (ordered=False; the truth
+    join + aggregate are order-insensitive), the IVF probes are a
+    driver-built local relation from the state already in hand, and the
+    recall denominator is an eager count on the persisted truth frame.
+    All value-identical — the oracle replays every search independently
+    and the driver hash-certifies it."""
     c = _normalized(
         _nonzero(load_table(spark, sf_dir, "embeddings")), keep_raw=True
     ).persist()
     e = c.select("vec_id", "embedding")
     n = c.select("vec_id", "en")
     state = _index_state(n)
+    # ONE combined kernel pass feeds all three encoder-based searches
+    # (r14 — see _panel_candidates); lsh/bruteforce stay JVM-side over e.
+    # The panel's branches skip their presentation sorts (ordered=False):
+    # the truth join + method aggregate below are order-insensitive, and
+    # each skipped sort is a range exchange
+    assign, pq_cand, ivfpq_cand, probes = _panel_candidates(n, state)
     exact = (
-        _bruteforce_from(e)
+        _bruteforce_from(e, ordered=False)
         .select("query_id", "cand_id")
         .withColumn("hit", F.lit(1))
         .persist()
     )
     tagged = (
-        _ivf_from(n, state)
+        _ivf_from(n, state, assign=assign, ordered=False, probes=probes)
         .select("query_id", "cand_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
-            _lsh_from(e)
+            _lsh_from(e, ordered=False)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("lsh"))
         )
         .unionByName(
-            _pq_from(n, state)
+            _pq_from(n, state, cand_stream=pq_cand, ordered=False)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("pq"))
         )
         .unionByName(
-            _ivfpq_from(n, state)
+            _ivfpq_from(n, state, cand_stream=ivfpq_cand, ordered=False)
             .select("query_id", "cand_id")
             .withColumn("method", F.lit("ivfpq"))
         )
@@ -1807,7 +2084,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate probes (zero vectors) and small buckets legally shrink
     # the ground truth, and a perfect index must score 1.0 against what
     # the exact search really returned
-    truth_n = exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    # the denominator is a bounded scalar on the PERSISTED truth frame:
+    # counting it eagerly (r14) folds what was a crossJoin(broadcast(agg))
+    # subtree into a literal, and materializes the exact cache before the
+    # final DAG instead of inside it
+    n_truth = exact.count()
     # the truth set is |queries|·k rows at most — bounded by the probe
     # sample at every scale, so it broadcasts (a window output carries no
     # stats and would otherwise fall back to a sort-merge join)
@@ -1818,13 +2099,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
         )
-        .crossJoin(F.broadcast(truth_n))
         .select(
             "method",
             "n_pairs",
             "matched",
             stable_round(
-                F.col("matched").cast("double") / F.col("n_truth"), 4
+                F.col("matched").cast("double") / F.lit(n_truth), 4
             ).alias("recall_at_k"),
         )
         .orderBy("method")

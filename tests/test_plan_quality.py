@@ -213,7 +213,12 @@ _PLAN_BOUNDS = {
     # collect jobs (49 -> 44 executed jobs); the normalized frame stays
     # at scan partitioning (a shared pre-rebalance was measured to force
     # every cheap consumer onto 32 tiny tasks — 474 vs 196)
-    "ann_recall_eval": (22, 11),
+    # r14: the combined _panel_candidates kernel (one corpus pass feeds
+    # ivf/pq/ivfpq), ordered=False branch sorts (−5 range exchanges), the
+    # driver-built probes local relation (−1 cents agg exchange, −1
+    # broadcast), and the eager truth-count fold (−1 crossJoin broadcast)
+    # tightened the composed plan from (22, 11)
+    "ann_recall_eval": (17, 9),
     "ann_ivf_topk": (4, 2),
     # PQ (r8): rebalance + slim shortlist window + rerank window + final
     # sort; the ≤Q·S shortlist (with query vecs) broadcasts back into the
