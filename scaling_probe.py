@@ -23,7 +23,10 @@ Writes SCALING.json at the repo root:
     {"<query>": {"sf0.1_sec": t1, "sf0.5_sec": t5, "ratio": t5/t1}, ...}
 Pass/fail bar (asserted): ratio < 5 for 5× data on every probed query.
 
-r11 adds a 10× epoch (sf1.0-equivalent) for the two families whose scale
+r11 adds a 10× epoch (sf1.0-equivalent; r14 widens it to the crawl
+write-read round trips, whose 5× ratios were the table's worst and whose
+file fan-out growth law — ceil(n_docs / CRAWL_RECORDS_PER_FILE) — only
+engages past 32k docs) for the families whose scale
 story carries the most weight — the dedup chain's label propagation
 (``neardup_keep_corpus``) and the symmetric-delete fuzzy join
 (``fuzzy_join_names``) — recorded as ``sf1.0_sec`` / ``ratio_10x`` on the
@@ -54,7 +57,17 @@ WORK = os.environ.get("SCALING_DIR", "/tmp/spark_graft_sf0.5")
 REPLICAS = 5
 WORK10 = os.environ.get("SCALING_DIR_10X", "/tmp/spark_graft_sf1.0")
 TENX_REPLICAS = 10
-TENX_QUERIES = ("neardup_keep_corpus", "fuzzy_join_names")
+# r14 adds the crawl pair (the r13 table's worst 5× ratios, 1.97/1.88 —
+# both dominated by the fixed-count segment write/read at bench scale;
+# the 10× corpus crosses the CRAWL_RECORDS_PER_FILE growth threshold, so
+# the epoch also exercises the corpus-derived file fan-out: 50k docs →
+# 25 segments > the 16-file floor, per-task member counts stay bounded)
+TENX_QUERIES = (
+    "neardup_keep_corpus",
+    "fuzzy_join_names",
+    "crawl_e2e",
+    "wat_metadata_profile",
+)
 QUERIES = tuple(
     q.strip()
     for q in os.environ.get(
@@ -302,7 +315,10 @@ def main() -> None:
         "data_ratio": float(REPLICAS),
         "bar": "ratio < 5 for 5x data (sub-quadratic)",
         "data_ratio_10x": float(TENX_REPLICAS),
-        "bar_10x": "ratio_10x < 10 for 10x data (dedup chain + fuzzy join)",
+        "bar_10x": (
+            "ratio_10x < 10 for 10x data "
+            "(dedup chain + fuzzy join + crawl trio)"
+        ),
         "load_avg_ambient_at_start": ambient,
         "load_avg_at_exit": [round(x, 2) for x in os.getloadavg()],
         "queries": out,

@@ -454,3 +454,20 @@ def test_fuzzy_join_linear_at_10x(spark, fuzzy_1x, fuzzy_10x):
         "variant equi-join's candidate volume must grow with the pair "
         "structure, never |rows|^2"
     )
+
+
+@pytest.mark.parametrize("name", ["crawl_e2e", "wat_metadata_profile"])
+def test_crawl_trio_linear_at_10x(spark, replica10_dir, name):
+    """r14 (verdict item 5): the crawl write-read round trips carried the
+    5x table's worst ratios (1.97/1.88) — dominated by the fixed-count
+    segment write/read. An order of magnitude must still read linear-ish:
+    the write is one file_seq shuffle into ceil(n/CRAWL_RECORDS_PER_FILE)
+    segment files (corpus-derived fan-out, bounded members per task), the
+    read one task per segment, and everything after is map-only plus
+    doc-grain aggregates. Quadratic anywhere would read ~100x."""
+    r = _ratio(spark, name, _BASE, replica10_dir)
+    assert r <= 10.0, (
+        f"{name}: {r:.2f}x wall at 10x docs — the segment write/read "
+        "round trip must grow with the corpus (file fan-out + member "
+        "counts bounded), never super-linearly"
+    )
