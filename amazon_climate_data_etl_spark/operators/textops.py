@@ -2256,7 +2256,11 @@ def _write_wet_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
-    h = d.select(
+    # rebalance BEFORE the extraction: the write-time plant/synth/extract
+    # chain is the heavy per-row regex/array work (the same contract as
+    # html_boilerplate_extract), and a single-row-group parquet scan
+    # would otherwise run it on one task
+    h = rebalance_for_compute(d).select(
         "doc_id",
         "source",
         synth_html(
@@ -2264,8 +2268,9 @@ def _write_wet_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         ).alias("html"),
     )
     # extraction BEFORE the write shuffle: plant/synth/extract are one
-    # map-only codegen stage over the scan; only (doc_id, source, clean)
-    # crosses the file_seq exchange — the markup never ships
+    # map-only codegen stage over the rebalanced scan; only (doc_id,
+    # source, clean) crosses the file_seq exchange — the markup never
+    # ships
     pages = html_clean_stage(h, carry=("source",)).select(
         "doc_id",
         "source",
