@@ -120,7 +120,17 @@ def rebalance_for_compute(
     both sides of a self-join (each side keeps its own exchange — the
     fuzzy join measured one extra full exchange from exactly this).
     Hash-by-key stays deterministic and reusable; pass a high-cardinality
-    key so the spread is still even. NOTE: ``keys`` only takes effect when
+    key so the spread is still even. r14: every call site now passes the
+    table's natural key, because a KEYLESS round-robin exchange first
+    pays a full-row local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207 so retried map tasks reproduce the same row-to-partition
+    assignment) — measured 1.03 s vs 0.55 s for the sf0.1 lineitem scan
+    task, i.e. the sort roughly DOUBLES the exchange's map-side cost at
+    any scale. Hash-by-key needs no such sort (assignment is already a
+    pure row function), keeps retry determinism, and when the key equals
+    a downstream groupBy/join key the downstream exchange is reused
+    outright (guide §2.4). NOTE: ``keys`` only takes effect when
     the fan-out actually happens — an input already at >= target
     partitions takes the early return with NO exchange at all (which is
     also deterministic: the scan itself is reused). Callers must not rely
@@ -130,12 +140,14 @@ def rebalance_for_compute(
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if os.environ.get("SPARK_GRAFT_REBALANCE_KEYS", "1") == "0":  # A/B aid
+        keys = ()
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 
-def rebalance_for_kernel(df: DataFrame) -> DataFrame:
+def rebalance_for_kernel(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     """``rebalance_for_compute`` for LINEAR Arrow kernels: fan-out floor of
     ``defaultParallelism // 4`` instead of the full core count.
 
@@ -154,7 +166,7 @@ def rebalance_for_kernel(df: DataFrame) -> DataFrame:
     kernels are pure maps feeding keyed joins/windows downstream.
     """
     sc = df.sparkSession.sparkContext
-    return rebalance_for_compute(df, max(2, sc.defaultParallelism // 4))
+    return rebalance_for_compute(df, max(2, sc.defaultParallelism // 4), keys)
 
 
 def load_tables(

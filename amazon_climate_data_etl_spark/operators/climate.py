@@ -194,7 +194,11 @@ MUNICIPALITIES_SQL = f"""
 def synthetic_grid_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the VPD/date expression chain is the per-row cost; spread an
     # under-split scan first (no-op on well-split 100 TB inputs)
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        # l_partkey: in every climate query's pruned column set (it derives
+        # lat/RH/Rs), so the spread key never widens a scan; 20k distinct
+        load_table(spark, sf_dir, "lineitem"), keys=("l_partkey",)
+    )
     li.createOrReplaceTempView("lineitem")
     return spark.sql(GRID_DAILY_SQL)
 

@@ -36,7 +36,9 @@ def join_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enrichment join chain (J3: attach NM_MUN/UF to aggregates,
     process_climate_amazon_annual.py:464-467): revenue per nation via
     lineitem ⋈ supplier ⋈ nation ⋈ region, all dims broadcast."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=('l_suppkey',)
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -77,7 +79,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # rebalance the fact probe: an under-split scan would serialize the
     # broadcast-join map + decimal partials (no-op at 100 TB)
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=("l_orderkey",)
+    )
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,4)")
@@ -122,7 +126,9 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=("l_orderkey",)
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -287,7 +293,7 @@ def nn_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the |probes|×|candidates| blowup parallelizes with the probe side's
     # splits; rebalance the (linear) probe scan so one input file doesn't
     # serialize the whole cross product on a single core
-    c = rebalance_for_compute(c)
+    c = rebalance_for_compute(c, keys=("c_custkey",))
     return (
         c.crossJoin(F.broadcast(s))
         .groupBy("c_custkey")
@@ -513,7 +519,9 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     A large×large interval join would instead bucketize both sides to a
     common grid and equi-join on bucket — the same candidates→verify
     shape as grid_snap_join."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=('l_extendedprice',)
+    )
     bands = spark.createDataFrame(
         list(PRICE_BANDS), schema="band string, lo double, hi double"
     )
@@ -622,7 +630,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
-        rebalance_for_compute(li).groupBy("l_orderkey")
+        rebalance_for_compute(li, keys=("l_orderkey",)).groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
         .filter(F.col("qty") > _Q18_QTY_THRESHOLD)
     )
@@ -672,7 +680,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-group agg. Revenue sums are exact decimals; the year is the
     only date part."""
     pair = ("NATION_1", "NATION_2")
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=("l_orderkey",)
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -747,7 +757,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded — bit-stable without interval arithmetic. Part, supplier,
     nation, region broadcast; customer joins on custkey (grows with SF,
     no hint), and orders ⋈ lineitem is the other fact exchange."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=("l_orderkey",)
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -831,7 +843,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     profit = l_extendedprice·(1-l_discount) − 0.6·p_retailprice·l_quantity,
     every term exact decimal; the only double is the final rounded sum."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=("l_orderkey",)
+    )
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
@@ -892,7 +906,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     pairs = (
-        rebalance_for_compute(li)
+        rebalance_for_compute(li, keys=("l_partkey", "l_suppkey"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
@@ -985,7 +999,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     q20); supplier attributes re-attach by broadcast. Costs are exact
     decimal mins, so the min-cost tie set replays identically in the
     oracle."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=('l_partkey',)
+    )
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") < 15)
     )
@@ -1071,7 +1087,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and broadcasts back as a 1-row scalar; the threshold compares
     the SAME double expression shape in both engines. Output order is
     value-desc with the partkey tiebreak."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem"), keys=('l_partkey',)
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(

@@ -56,7 +56,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on well-split 100 TB inputs (catalog.rebalance_for_compute)
     return (
         rebalance_for_compute(
-            li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+            li.filter(F.col("l_shipdate") <= F.lit("2002-09-02")),
+            # key chosen INSIDE q1's column set so the scan stays 7-column
+            # pruned (test_q1_column_pruning); 2,500 distinct dates spread
+            # 78x the partition count
+            keys=("l_shipdate",),
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -307,11 +311,20 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/mean/stddev/min/max per measure, as one row per measure.
 
     Quartiles are served by ``quantiles`` below; stddev uses the exact
-    decimal-sum formulation for cross-engine determinism. The rebalanced
-    scan is SHARED by the three measure branches (ReuseExchange dedupes
-    the identical exchange subtree), so the table is read and shuffled
-    once, and each branch's decimal partials run at full parallelism."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    decimal-sum formulation for cross-engine determinism. The scan is
+    projected to exactly the three measure columns BEFORE the keyed
+    rebalance (r14): column pruning used to specialize each branch's
+    subtree to its own 1-column scan, which made the three exchanges
+    non-identical — three scans, three shuffles. Pinning the projection
+    makes the exchange subtree identical across branches, so ReuseExchange
+    now dedupes it: ONE scan + ONE (deterministic, keyed) shuffle feeds
+    all three decimal-partial branches at full parallelism."""
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        keys=("l_quantity", "l_extendedprice", "l_discount"),
+    )
 
     def stats(col: str):
         c = F.col(col)
@@ -715,7 +728,11 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF); the only exchanges are the pre-Expand rebalance
     (fan-out parallelism for an under-split scan — no-op at 100 TB) and
     the 4-group aggregate."""
-    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
+    li = rebalance_for_compute(
+        # key inside the unpivot's pruned set (l_orderkey is projected away
+        # by the final agg, so keying on it would widen the scan)
+        load_table(spark, sf_dir, "lineitem"), keys=("l_extendedprice",)
+    )
     long = li.unpivot(
         ids=["l_orderkey"],
         values=list(_UNPIVOT_MEASURES),
