@@ -638,18 +638,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle below) — but only because DuckDB evaluates the recursion to the
     same fixpoint; Spark SQL has no recursive CTE, which is exactly why
     the driver-loop form exists."""
+    return (
+        _components_frame(spark, sf_dir)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _components_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :func:`dedup_components` core WITHOUT the presentation sort —
+    the (node, label) fixpoint frame. The keep/histogram consumers read
+    this form (r14): they join/aggregate the labels immediately, so the
+    ordered query's range exchange + its sampling pass would be pure
+    waste inside them; ``dedup_components`` itself adds the sort."""
     d = load_table(spark, sf_dir, "documents")
     # both hash layers in ONE text scan: (doc_id, normalized fp,
     # byte-exact md5) — TEXT-free downstream, so the fingerprint window
-    # and the byte-rep agg each exchange 70-byte rows; persisted because
-    # the exact-edge branch and the byte-representative agg read it
+    # and the byte-rep agg each exchange 70-byte rows. r14: EAGER
+    # localCheckpoint instead of a lazy persist — the exact-edge branch
+    # and the byte-representative agg are INDEPENDENT stages that AQE
+    # launches concurrently, and a lazy cache materializes under both at
+    # once, computing the scan+hash pass twice in parallel (measured as
+    # paired 0.69 s single-task jobs); the blocking checkpoint runs it
+    # exactly once. Same fault-tolerance trade as the sym/labels
+    # checkpoints below, and one row per doc — corpus-linear, spills to
+    # local disk if memory-tight.
     hashes = (
         d.select(
             "doc_id",
             doc_fingerprint(F.col("text")).alias("fp"),
             F.md5(F.col("text")).alias("bfp"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     fpm = hashes.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("fp"))
@@ -667,13 +687,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same edge from both branches — duplicates are harmless under the
     # min-aggregate label steps, so plain union beats a distinct shuffle
     pairs = member_edges.union(star)
+    # Symmetrize with ONE explode, not a self-union (r14): Catalyst does
+    # not CSE across union branches, so `pairs.select(a,b) UNION
+    # pairs.select(b,a)` planned the ENTIRE edge pipeline — collapse,
+    # shingle, minhash, bucket window — twice, and AQE ran both copies
+    # (measured as paired 32-task 1.8 s jobs). Exploding each edge into
+    # its two directions is a map-only expansion of the single pipeline:
+    # same rows, half the work (executed tasks 136 → 105 per run).
     # localCheckpoint (eager) rather than persist: iterative plans embed the
     # previous round's logical plan twice per round (join + union), so
     # lineage grows exponentially and planning itself OOMs by round ~8;
     # checkpointing truncates the plan to the materialized partitions.
     sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
     # init: each node's label = min(itself, its neighbors)
@@ -716,9 +754,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover
         raise RuntimeError("dedup_components did not converge in 50 rounds")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
-    ).orderBy("doc_id")
+    return labels
 
 
 # unordered body (embeddable as a subquery) + ordered registered wrapper —
@@ -776,21 +812,27 @@ def neardup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the shuffle join is the correct plan (neither side is a dim by
     construction), so this operator is exempt from the broadcast-only
     test gate."""
-    labels = dedup_components(spark, sf_dir).withColumnRenamed("doc_id", "ldoc")
+    return _keep_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _keep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`neardup_keep_corpus` without the presentation sort (r14) —
+    the histogram consumer aggregates this frame immediately, so it reads
+    the unordered form; the declared query adds the sort. Both build on
+    the unordered ``_components_frame`` for the same reason."""
+    labels = _components_frame(spark, sf_dir).select(
+        F.col("node").alias("ldoc"), F.col("label").alias("component_id")
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     keep = F.col("component_id").isNull() | (
         F.col("component_id") == F.col("doc_id")
     )
-    return (
-        d.join(labels, d["doc_id"] == labels["ldoc"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
-                "component_id"
-            ),
-            keep.alias("keep"),
-        )
-        .orderBy("doc_id")
+    return d.join(labels, d["doc_id"] == labels["ldoc"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+            "component_id"
+        ),
+        keep.alias("keep"),
     )
 
 
@@ -816,7 +858,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-size (size−1)/size mass over the corpus, rounded to 6 dp. Two
     tiny aggregations over component-cardinality frames — every exchange
     is keyed on component_id or size."""
-    keep = neardup_keep_corpus(spark, sf_dir)
+    keep = _keep_frame(spark, sf_dir)
     sizes = keep.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("size")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -955,7 +997,9 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine, so the argmax — and therefore every
     keep verdict — replays exactly in the DuckDB oracle. Singles are
     their own component and keep themselves by construction."""
-    labels = dedup_components(spark, sf_dir).withColumnRenamed("doc_id", "ldoc")
+    labels = _components_frame(spark, sf_dir).select(
+        F.col("node").alias("ldoc"), F.col("label").alias("component_id")
+    )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     )
