@@ -591,9 +591,15 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=[f.name for f in SCENE_CHANGES_SCHEMA.fields]
             )
 
+    # persist the per-item profile BEFORE the output sort (r14): the
+    # pipeline up to here is map-only — no exchange — so the global
+    # sort's range-sampling pass would otherwise re-execute the entire
+    # container/frame decode a second time (measured 1.74 -> 0.96 s).
+    # One short row per item, so the cache is profile-sized at any scale.
     return (
         media.filter(F.col("kind") == "video")
         .mapInPandas(worker, schema=SCENE_CHANGES_SCHEMA)
+        .persist()
         .orderBy("media_id")
     )
 
@@ -614,7 +620,14 @@ def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pruned before Python), profile output is one short row per item; the
     only exchange is the output sort."""
     media = synthetic_media(spark, n=media_count_for(sf_dir), kinds=("audio",))
-    return audio_energy_segments_stage(media, fake=False).orderBy("media_id")
+    # persist before the sort: map-only pipeline, so the range-sampling
+    # pass would re-run the WAV decode (see video_scene_changes; measured
+    # 1.85 -> 1.04 s). Profile-sized cache (one row per item).
+    return (
+        audio_energy_segments_stage(media, fake=False)
+        .persist()
+        .orderBy("media_id")
+    )
 
 
 FRAMES_SCHEMA = T.StructType(
