@@ -1086,9 +1086,29 @@ def _incremental_verdicts(
     plan: exact fp probe, corpus-representative LSH probe, Jaccard
     verify, per-delta best match, three-way verdict. ``persist=False``
     for streaming micro-batches, whose tiny shingle frames are cheaper to
-    recompute than to cache-manage across triggers."""
-    dfp = delta.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
-    cfp = corpus.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    recompute than to cache-manage across triggers.
+
+    r14: BOTH hash layers (normalized fp for the exact probe, byte md5
+    for the representative collapse) come from ONE flagged delta∪corpus
+    scan, checkpointed in the batch form — the previous shape hashed the
+    corpus once for the fp probe and AGAIN inside ``_rep_docs``, and the
+    exact probe's two lazy branches re-evaluated their scans
+    independently (the same concurrent-materialization class as
+    ``_components_frame``'s hashes). One text pass now feeds the exact
+    probe, the collapse, and the verdict spine."""
+    flagged = delta.select(
+        "doc_id", "text", F.lit(True).alias("is_new")
+    ).unionByName(corpus.select("doc_id", "text", F.lit(False).alias("is_new")))
+    hashes = flagged.select(
+        "doc_id",
+        "is_new",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.col("text")).alias("bfp"),
+    )
+    if persist:
+        hashes = hashes.localCheckpoint()
+    dfp = hashes.filter(F.col("is_new")).select("doc_id", "fp")
+    cfp = hashes.filter(~F.col("is_new")).select("doc_id", "fp")
     exact = (
         dfp.alias("n")
         .join(cfp.alias("o"), "fp")
@@ -1096,11 +1116,19 @@ def _incremental_verdicts(
         .agg(F.min(F.col("o.doc_id")).alias("exact_of"))
     )
     # byte-exact collapse BEFORE shingling: the expensive tokenize→shingle
-    # pass runs over representatives only (_rep_docs), and both the sig
-    # probe and the Jaccard verify read the collapsed shingle frame —
-    # every corpus_id that can reach a verdict is a representative
+    # pass runs over representatives only (one doc per corpus md5(text)
+    # group — the _rep_docs contract, read off the shared hash frame),
+    # and both the sig probe and the Jaccard verify read the collapsed
+    # shingle frame — every corpus_id that can reach a verdict is a
+    # representative
+    breps = (
+        hashes.filter(~F.col("is_new"))
+        .groupBy("bfp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    rep_docs = corpus.join(breps.select("doc_id"), "doc_id", "left_semi")
     sh_d = _shingle_frame(delta)
-    sh_c = _shingle_frame(_rep_docs(corpus))
+    sh_c = _shingle_frame(rep_docs)
     if persist:
         sh_d = sh_d.persist(StorageLevel.MEMORY_AND_DISK)
         sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
