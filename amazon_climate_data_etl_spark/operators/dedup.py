@@ -537,18 +537,31 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The doc lists ride THROUGH the print-pair join as collect_list arrays,
     so the fingerprint aggregation subtree is evaluated once — not once per
-    re-join of the fingerprint table (measured 3× the cost)."""
-    groups = (
-        _simhash_frame(spark, sf_dir)
-        .groupBy("simhash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-    )
-    a = groups.select(F.col("simhash").alias("fp_a"), F.col("docs").alias("docs_a"))
+    re-join of the fingerprint table (measured 3× the cost).
+
+    r14: the streamed side is the PER-DOC print map, not the group frame.
+    The earlier group×group form AQE-coalesced the ~877-row aggregate to
+    one partition, and its double explode — millions of pair rows, most
+    of them from a few giant print groups — serialized on that single
+    task (1.47 s of a 3.4 s query); hashing the GROUPS across cores
+    cannot fix it either, because one giant group's explode is itself the
+    hot key. Streaming (doc, print) rows against the broadcast group
+    frame spreads the blowup by DOCUMENT (uniform by construction): each
+    a-row explodes only its matched groups' docs_b lists, so a giant
+    group's output is produced by all of its members' tasks in parallel.
+    Pair semantics are identical: for fp_a < fp_b each (da, db) meets
+    exactly once at da's row; within a group, da < db keeps one copy.
+    The shared print frame is persisted — it feeds both the stream side
+    and the broadcast group build (one vote-agg evaluation)."""
+    fp = _simhash_frame(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    groups = fp.groupBy("simhash").agg(F.collect_list("doc_id").alias("docs"))
+    a = fp.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("fp_a")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("da"))
     b = groups.select(F.col("simhash").alias("fp_b"), F.col("docs").alias("docs_b"))
     ham = F.expr("bit_count(fp_a ^ fp_b)")
     return (
         a.join(F.broadcast(b), (F.col("fp_a") <= F.col("fp_b")) & (ham <= 3))
-        .select("fp_a", "fp_b", F.explode("docs_a").alias("da"), "docs_b")
         .select("fp_a", "fp_b", "da", F.explode("docs_b").alias("db"))
         # fp_a < fp_b: every (da,db) combo appears exactly once, order
         # normalized below; fp_a = fp_b: keep da < db so in-group pairs
