@@ -120,17 +120,25 @@ def rebalance_for_compute(
     both sides of a self-join (each side keeps its own exchange — the
     fuzzy join measured one extra full exchange from exactly this).
     Hash-by-key stays deterministic and reusable; pass a high-cardinality
-    key so the spread is still even. r14: every call site now passes the
-    table's natural key, because a KEYLESS round-robin exchange first
-    pays a full-row local sort of its input
+    key so the spread is still even.
+
+    r14 keying rule, from alternating-arm measurement: a KEYLESS
+    round-robin exchange first pays a full-row local sort of its input
     (``spark.sql.execution.sortBeforeRepartition``, on by default since
     SPARK-23207 so retried map tasks reproduce the same row-to-partition
-    assignment) — measured 1.03 s vs 0.55 s for the sf0.1 lineitem scan
-    task, i.e. the sort roughly DOUBLES the exchange's map-side cost at
-    any scale. Hash-by-key needs no such sort (assignment is already a
-    pure row function), keeps retry determinism, and when the key equals
-    a downstream groupBy/join key the downstream exchange is reused
-    outright (guide §2.4). NOTE: ``keys`` only takes effect when
+    assignment), while hash-by-key needs no sort but spreads only
+    binomially (a 5k-row table over 32 partitions lands ±10% uneven).
+    So the choice is row-count-dependent:
+    - BIG scans (lineitem, 600k rows): the avoided sort dominates — KEY
+      them (1.03 → 0.55 s for the scan task; q1 2.18 → 1.22 s, and when
+      the key equals a downstream groupBy/join key the downstream
+      exchange is reused outright, q18 1.84 → 0.96 s).
+    - SMALL tables with HEAVY per-row downstream (documents 5k rows
+      before tokenize/shingle/decode, embeddings 2k rows before numpy
+      kernels): round-robin's PERFECT balance beats the trivial sort —
+      keyless (documents-family A/B total 7.06 vs 8.81 s median keyed;
+      ngram_jaccard_pairs 1.45 vs 2.22). ``SPARK_GRAFT_REBALANCE_KEYS=0``
+      forces the keyless arm for A/B reproduction. NOTE: ``keys`` only takes effect when
     the fan-out actually happens — an input already at >= target
     partitions takes the early return with NO exchange at all (which is
     also deterministic: the scan itself is reused). Callers must not rely

@@ -124,7 +124,7 @@ def _shingle_frame(df: DataFrame) -> DataFrame:
     (P8). Tokenize+shingle is the expensive stage: rebalance the doc scan
     so it fans out."""
     return (
-        rebalance_for_compute(df, keys=("doc_id",))
+        rebalance_for_compute(df)
         .select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -476,9 +476,7 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct tokens only (set semantics) so the vote is portable. At 64 bits
     you'd swap md5 nibbles for xxhash64 bit tests — same plan shape: explode
     → 16 conditional sums → pack. One shuffle on doc_id."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(ascii_lower(F.col("text"))))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -926,9 +924,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join does |shingle-universe|·O(|sources|²) work in the worst
     case, never |docs|². Totals are a tiny per-source agg broadcast back
     onto the matrix."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     per = (
         d.select(
             "source",
@@ -1294,7 +1290,7 @@ def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division in both engines."""
     d = load_table(spark, sf_dir, "documents")
     t = (
-        rebalance_for_compute(d, keys=("doc_id",))
+        rebalance_for_compute(d)
         .select("doc_id", tokens(F.trim(F.col("text"))).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -293,7 +293,7 @@ def nn_join_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the |probes|×|candidates| blowup parallelizes with the probe side's
     # splits; rebalance the (linear) probe scan so one input file doesn't
     # serialize the whole cross product on a single core
-    c = rebalance_for_compute(c, keys=("c_custkey",))
+    c = rebalance_for_compute(c)
     return (
         c.crossJoin(F.broadcast(s))
         .groupBy("c_custkey")

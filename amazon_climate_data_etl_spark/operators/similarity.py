@@ -530,7 +530,7 @@ def _ivf_from(
     # pass instead (_panel_candidates) — same values, one corpus pass
     # shared with the pq/ivfpq encoders
     if assign is None:
-        assign = rebalance_for_kernel(n, keys=("vec_id",)).mapInPandas(
+        assign = rebalance_for_kernel(n).mapInPandas(
             assign_kernel, schema="cand_id long, ce array<double>, cell long"
         )
 
@@ -798,7 +798,7 @@ def _pq_from(
     # the recall panel injects the unpruned-ADC slice of its combined
     # kernel pass (_panel_candidates) — same values, one shared corpus pass
     if cand_stream is None:
-        cand_stream = rebalance_for_kernel(n, keys=("vec_id",)).mapInPandas(
+        cand_stream = rebalance_for_kernel(n).mapInPandas(
             encode_score_kernel, schema="query_id long, cand_id long, adc double"
         )
     short = (
@@ -1038,7 +1038,7 @@ def _ivfpq_from(
     # the recall panel injects the cell-pruned-ADC slice of its combined
     # kernel pass (_panel_candidates) — same values, one shared corpus pass
     if cand_stream is None:
-        cand_stream = rebalance_for_kernel(n, keys=("vec_id",)).mapInPandas(
+        cand_stream = rebalance_for_kernel(n).mapInPandas(
             kernel, schema="query_id long, cand_id long, adc double, cell long"
         )
     short = (
@@ -1235,7 +1235,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-bucket pair scoring parallelizes with the stream side's
     # partitioning (the other side broadcasts); rebalance so one input
     # split doesn't serialize the O(n²/B) stage on a single core
-    normed = rebalance_for_compute(normed, keys=("vec_id",))
+    normed = rebalance_for_compute(normed)
     rhs = normed.select(
         F.col("vec_id").alias("vec_b"), F.col("en").alias("ebn"), "bucket"
     )
@@ -1953,7 +1953,7 @@ def _panel_candidates(
                 yield pd.concat(out, ignore_index=True)
 
     stream = (
-        rebalance_for_kernel(n, keys=("vec_id",))
+        rebalance_for_kernel(n)
         .mapInPandas(
             kernel,
             schema=(

@@ -45,9 +45,7 @@ def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same scan; merged, the corpus is read and regex-tokenized
     ONCE for both counter families.) One rebalanced scan (the BPE regex
     is the per-row cost) + one tiny-key aggregate, no Python."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     ws = token_count(F.col("text"))
     bpe = bpe_token_count(F.col("text"))
     return (
@@ -144,9 +142,7 @@ def doc_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     would serialize it (no-op at 100 TB)."""
     from amazon_climate_data_etl_spark.operators.dedup import _simhash_frame
 
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     md = d.select(
         "doc_id",
         doc_fingerprint(F.col("text")).alias("fp"),
@@ -265,9 +261,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance so the Arrow batches fan out across Python workers — a
     # single-partition input would stream every batch through ONE worker
     # process (no-op on well-split 100 TB inputs)
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     return (
         d.filter(F.length("text") >= _RK_K)
         .select("doc_id", rk(F.col("text")).alias("fp"))
@@ -374,9 +368,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tfidf_top_terms' job). The pre-map rebalance spreads an
     under-split scan across cores (no-op at 100 TB) — the per-row array
     expressions dominate, not the scan."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
     big = 1 << 30
@@ -770,7 +762,7 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
     bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
     pairs = (
-        rebalance_for_compute(d, keys=("doc_id",))
+        rebalance_for_compute(d)
         .select(F.explode(bigrams).alias("bg"))
         .select(F.col("bg.a").alias("u"), F.col("bg.b").alias("v"))
         .filter(
@@ -910,7 +902,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.arrays_zip(toks.alias("a"), F.slice(toks, 2, 1 << 30).alias("b"))
     bigrams = F.slice(z, 1, F.greatest(n - 1, F.lit(0)))
     pairs = (
-        rebalance_for_compute(d, keys=("doc_id",))
+        rebalance_for_compute(d)
         .select(F.explode(bigrams).alias("bg"))
         .select(F.col("bg.a").alias("w1"), F.col("bg.b").alias("w2"))
         .filter(
@@ -1088,7 +1080,7 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(ascii_lower(F.col("text")))
     counts = (
-        rebalance_for_compute(d, keys=("doc_id",))
+        rebalance_for_compute(d)
         .select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1312,9 +1304,7 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every document. Scale shape: one rebalanced scan (the per-row
     regex/array work dominates — same contract as lang_token_profile),
     map-only extraction, sort-only output exchange."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     h = d.select("doc_id", synth_html(F.col("text"), F.col("source")).alias("html"))
     return html_extract_stage(h).orderBy("doc_id")
 
@@ -1507,9 +1497,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and redact them with the generic stage. Scale shape: one rebalanced
     scan (regex chain is the per-row cost), map-only, sort-only output
     exchange — the same contract as html_boilerplate_extract."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     planted = d.select(
         "doc_id", plant_pii(F.col("text"), F.col("doc_id")).alias("text")
     )
@@ -1633,9 +1621,7 @@ def bpe_tokenize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation certificate, same pattern as html's clean_md5). Scale
     shape: one rebalanced scan (the replace chain is the per-row cost),
     map-only, sort-only output exchange — zero Python, zero joins."""
-    d = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
-    )
+    d = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     # the 40-replace chain and the pre-tokenize regex are materialized
     # through intermediate projections (the html_extract_stage finding:
     # repeated non-cheap expressions re-evaluate per consuming column —
@@ -2274,7 +2260,7 @@ def _write_wet_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     # chain is the heavy per-row regex/array work (the same contract as
     # html_boilerplate_extract), and a single-row-group parquet scan
     # would otherwise run it on one task
-    h = rebalance_for_compute(d, keys=("doc_id",)).select(
+    h = rebalance_for_compute(d).select(
         "doc_id",
         "source",
         synth_html(
