@@ -72,8 +72,16 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contamination state is O(|distinct train shingles|) and the shuffle
     key is uniform, so no document pair and no skewed key ever crosses the
     wire. At 100 TB the train side would also carry a bloom filter pushed
-    to the eval scan; the join shape is already the scalable one."""
-    sh = _shingle_frame(load_table(spark, sf_dir, "documents"))
+    to the eval scan; the join shape is already the scalable one.
+
+    The shingle frame is persisted (r14): the train-distinct branch and
+    the eval-probe branch have different top exchanges, so neither
+    exchange reuse nor CSE dedupes them and the tokenize→shingle pass ran
+    twice (paired scan jobs in the profile; 3.16 → 2.2–2.5 s A/B). Same
+    discipline as ngram_jaccard_pairs' shared shingle frame."""
+    sh = _shingle_frame(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ex = sh.select(
         "doc_id", F.explode("sh").alias("shingle"), _split_col().alias("split")
     )
