@@ -207,6 +207,22 @@ CHANGED_SINCE_GREEN = {
     # r11 rows; r13's media_pipeline_profile rows-only→hash-checked
     # graduation — decode-sidecar oracle + portable exact-integer ppb
     # entropy mean — earned its green r13 row.)
+    #
+    # r15 (per the r14 verdict item 9): conservative re-attestation
+    # listing for the operators the r14/r15 optimization rounds REWROTE
+    # (plan-shape only — the local parity suite re-proves bit-exactness
+    # every run, and simhash_near_pairs already re-earned a green r14
+    # row on the r14 rewrite — but these queries' cores changed enough
+    # that a fresh driver hash row is cheap insurance, so they lead the
+    # r15 window):
+    "incremental_dedup": 15,
+    "dedup_components": 15,
+    "neardup_keep_corpus": 15,
+    "neardup_keep_best_quality": 15,
+    "dedup_cluster_size_histogram": 15,
+    "simhash_near_pairs": 15,
+    "climate_annual": 15,
+    "climate_monthly": 15,
 }
 
 

@@ -13,9 +13,12 @@ scan (SURVEY.md §4 — the reference's hand-written clip/column-open logic,
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_KEYS_OVERRIDE_LOGGED = False
 
 TABLES = (
     "region",
@@ -149,13 +152,27 @@ def rebalance_for_compute(
     if df.rdd.getNumPartitions() >= target:
         return df
     if os.environ.get("SPARK_GRAFT_REBALANCE_KEYS", "1") == "0":  # A/B aid
+        global _KEYS_OVERRIDE_LOGGED
+        if not _KEYS_OVERRIDE_LOGGED:  # once per process: a stray env var
+            # silently changing every plan's shape must be diagnosable
+            print(
+                "[catalog] SPARK_GRAFT_REBALANCE_KEYS=0: keyless round-robin "
+                "rebalance forced for A/B",
+                file=sys.stderr,
+            )
+            _KEYS_OVERRIDE_LOGGED = True
         keys = ()
     if keys:
+        # Guard: hash-by-key spreads over at most |distinct key values|
+        # partitions, so keys need cardinality ≫ target (the call sites
+        # use ≥2.5k-distinct natural columns against a ≤ core-count
+        # target). If that ever tightens, the early return above already
+        # covers the 100 TB case — well-split scans never reach here.
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 
-def rebalance_for_kernel(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+def rebalance_for_kernel(df: DataFrame) -> DataFrame:
     """``rebalance_for_compute`` for LINEAR Arrow kernels: fan-out floor of
     ``defaultParallelism // 4`` instead of the full core count.
 
@@ -172,9 +189,12 @@ def rebalance_for_kernel(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame
     per-task cost. No-op on well-split inputs (a 100 TB scan arrives with
     thousands of splits), and results are partition-independent: the
     kernels are pure maps feeding keyed joins/windows downstream.
+    (Keyless by design: every call site is a small-table heavy-kernel
+    fan-out, exactly the r14 row-count rule's round-robin side; a ``keys``
+    passthrough sat here unused through r14 and was dropped — r14 ADVICE.)
     """
     sc = df.sparkSession.sparkContext
-    return rebalance_for_compute(df, max(2, sc.defaultParallelism // 4), keys)
+    return rebalance_for_compute(df, max(2, sc.defaultParallelism // 4))
 
 
 def load_tables(

@@ -905,8 +905,16 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # r15: keyless again. r14 keyed this rebalance by the group keys
+    # (batch commit, no per-query A/B); the paired closes then read
+    # 0.47 s -> 1.51 s and a 4-pass A/B isolated the keyed exchange as
+    # the whole delta (keyed 1.6-1.9 s vs round-robin 0.75-0.80 s,
+    # stable). The filtered 1997 slice is a SMALL heavy-downstream frame
+    # feeding a persisted multi-consumer aggregate — the r14 row-count
+    # rule's round-robin side, like the documents family; q18/q3, where
+    # keying won, are single-chain aggregates over the full scan.
     pairs = (
-        rebalance_for_compute(li, keys=("l_partkey", "l_suppkey"))
+        rebalance_for_compute(li)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
@@ -999,9 +1007,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     q20); supplier attributes re-attach by broadcast. Costs are exact
     decimal mins, so the min-cost tie set replays identically in the
     oracle."""
-    li = rebalance_for_compute(
-        load_table(spark, sf_dir, "lineitem"), keys=('l_partkey',)
-    )
+    # r15: keyless again (see q20 — same persisted-multi-consumer-agg
+    # shape; close-to-close read 0.476 -> 0.677 under the r14 keying)
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") < 15)
     )
@@ -1087,9 +1095,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and broadcasts back as a 1-row scalar; the threshold compares
     the SAME double expression shape in both engines. Output order is
     value-desc with the partkey tiebreak."""
-    li = rebalance_for_compute(
-        load_table(spark, sf_dir, "lineitem"), keys=('l_partkey',)
-    )
+    # r15: keyless again (see q20 — same persisted-multi-consumer-agg
+    # shape; keyed measured 0.93-1.09 s vs keyless 0.55 s over 4 passes)
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(

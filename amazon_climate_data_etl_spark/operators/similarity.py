@@ -1816,8 +1816,8 @@ SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def _panel_candidates(
-    n: DataFrame, state: tuple[int, list]
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    n: DataFrame, state: tuple[int, list], eager: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """ONE corpus kernel pass for the recall panel's three encoder-based
     indexes (r14): the standalone builders each run their own
     ``rebalance_for_kernel → mapInPandas`` corpus pass (ivf assigns
@@ -1838,7 +1838,12 @@ def _panel_candidates(
     the branches are built: AQE schedules the three consumers' first
     stages concurrently, and a lazily-persisted common parent would race
     — each branch recomputing the kernel before the cache fills, which
-    is exactly the redundancy this pass removes."""
+    is exactly the redundancy this pass removes. ``eager=False`` skips
+    the count and hands the materialization to the caller (the recall
+    panel runs it CONCURRENTLY with the exact-truth materialization,
+    §2.6 — both read the already-warm normalized cache, so the two
+    independent jobs back-fill each other's task tails); the stream
+    frame rides along as the first element either way."""
     import numpy as np
     import pandas as pd
 
@@ -1963,7 +1968,8 @@ def _panel_candidates(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    stream.count()  # eager: see docstring (AQE concurrent-consumer race)
+    if eager:
+        stream.count()  # see docstring (AQE concurrent-consumer race)
     assign = stream.filter(F.col("kind") == "a").select("cand_id", "ce", "cell")
     pq_cand = stream.filter(F.col("kind") == "p").select(
         "query_id", "cand_id", "adc"
@@ -1992,7 +1998,7 @@ def _panel_candidates(
         spark.sparkContext.parallelize(probe_rows, 4),
         "query_id long, qe array<double>, cell long",
     )
-    return assign, pq_cand, ivfpq_cand, probes
+    return stream, assign, pq_cand, ivfpq_cand, probes
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,7 +2059,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The panel's branches skip their presentation sorts (ordered=False):
     # the truth join + method aggregate below are order-insensitive, and
     # each skipped sort is a range exchange
-    assign, pq_cand, ivfpq_cand, probes = _panel_candidates(n, state)
+    stream, assign, pq_cand, ivfpq_cand, probes = _panel_candidates(
+        n, state, eager=False
+    )
     exact = (
         _bruteforce_from(e, ordered=False)
         .select("query_id", "cand_id")
@@ -2087,8 +2095,21 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the denominator is a bounded scalar on the PERSISTED truth frame:
     # counting it eagerly (r14) folds what was a crossJoin(broadcast(agg))
     # subtree into a literal, and materializes the exact cache before the
-    # final DAG instead of inside it
-    n_truth = exact.count()
+    # final DAG instead of inside it.
+    # r15 (§2.6): the truth materialization and the combined kernel-pass
+    # materialization are INDEPENDENT jobs over the same warm normalized
+    # cache (n.count() inside _index_state filled it), so they run
+    # concurrently from a 2-thread pool — the second job's tasks
+    # back-fill the executor slots the first job's tail frees, instead
+    # of the two serializing driver-side. Results are unchanged: each
+    # thread only materializes a persisted frame and returns a count.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_future = pool.submit(exact.count)
+        stream_future = pool.submit(stream.count)
+        n_truth = truth_future.result()
+        stream_future.result()
     # the truth set is |queries|·k rows at most — bounded by the probe
     # sample at every scale, so it broadcasts (a window output carries no
     # stats and would otherwise fall back to a sort-merge join)

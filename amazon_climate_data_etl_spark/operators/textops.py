@@ -1765,6 +1765,8 @@ def _write_warc_segments(
     make_records,
     n_docs: int,
     label: str,
+    derive_after_shuffle: dict | None = None,
+    drop_after_shuffle: tuple = (),
 ) -> int:
     """Shared distributed ``.warc.gz`` segment writer (r13 — factored out
     of ``_write_crawl_warcs`` so the crawl and WAT paths cannot diverge
@@ -1816,8 +1818,23 @@ def _write_warc_segments(
     n_files = max(
         N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE)
     )
+    shuffled = pages.repartition(n_files, "file_seq")
+    # r15: heavy per-page derivations (PII plant + HTML synth — a chain
+    # of regex/concat passes over the text) are applied ABOVE this
+    # exchange when the caller asks: below it they run inside the SCAN
+    # task (profiled: a 0.8 s single-task job at sf0.1 — a single-row-
+    # group parquet scans as one task), above it they run on the
+    # n_files-way write fan-out. The exchange then also carries the raw
+    # text instead of the larger marked-up page. Spark does not push
+    # projections back down through a repartition, so the placement is
+    # stable (asserted against the plan in test_plan_quality).
+    if derive_after_shuffle:
+        for name, col in derive_after_shuffle.items():
+            shuffled = shuffled.withColumn(name, col)
+    if drop_after_shuffle:
+        shuffled = shuffled.drop(*drop_after_shuffle)
     manifest = (
-        pages.repartition(n_files, "file_seq")
+        shuffled
         .groupBy("file_seq")
         .applyInPandas(write_group, "file_seq int, n_docs long")
         .collect()  # bounded: one row per file — this IS the write action
@@ -1851,12 +1868,15 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     n_files = max(N_CRAWL_FILES, -(-n_docs // CRAWL_RECORDS_PER_FILE))
+    # r15: the PII plant + markup synth (regex-heavy) moved ABOVE the
+    # file_seq exchange (derive_after_shuffle) — below it they executed
+    # inside the one-task parquet scan (profiled 0.8 s serial at sf0.1);
+    # above it they run n_files-wide, and the shuffle carries the raw
+    # text instead of the larger marked-up page.
     pages = d.select(
         "doc_id",
         "source",
-        synth_html(
-            plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
-        ).alias("html"),
+        "text",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_files)).cast("int").alias("file_seq"),
     )
 
@@ -1890,7 +1910,13 @@ def _write_crawl_warcs(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 
     sink = _crawl_sink(sf_dir)
     total = _write_warc_segments(
-        pages, sink, "crawl-", make_records, n_docs, "crawl_e2e"
+        pages, sink, "crawl-", make_records, n_docs, "crawl_e2e",
+        derive_after_shuffle={
+            "html": synth_html(
+                plant_pii(F.col("text"), F.col("doc_id")), F.col("source")
+            )
+        },
+        drop_after_shuffle=("text",),
     )
     return sink, total
 

@@ -41,7 +41,13 @@ Env knobs (driver contract):
 
 Also writes the complete per-query timing set to ``BENCH_local.json`` at the
 repo root (the driver records only the stdout tail, which truncates long
-query maps).
+query maps). r15: the printed line carries ONLY the contract keys plus the
+runs/sweeps/stat stamps; the isolated pairs, per-sweep maps, per-query COLD
+walls (the untimed warm-up's wall — the honest single-shot cost of queries
+whose operators persist intermediates), ambient context and the salted race
+live in ``BENCH_local.json`` alone, keeping the stdout payload as small as
+the contract allows so the driver can parse it (r14 verdict items 2 & 6;
+nothing removed or renamed from the ``queries`` map).
 
 Each query is executed to completion with a ``noop``-format write: the full
 physical plan runs (scan → shuffle → agg/join) but no rows are shipped to
@@ -92,14 +98,22 @@ def _quiesce(spark, cooldown: float) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def _time_query(spark, fn, sf_dir: str, repeat: int) -> float:
+def _time_query(spark, fn, sf_dir: str, repeat: int) -> tuple[float, float]:
+    """(median of timed reps, cold warm-up wall). The warm-up runs with no
+    operator persists populated (the harness clears the cache between
+    queries), so its wall is the honest COLD cost of a query whose
+    operators ``persist()`` branch-point intermediates — the timed reps
+    then serve those frames from cache (r14 verdict item 6: report both,
+    so persisted and unpersisted queries stay comparable)."""
+    t0 = time.perf_counter()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+    cold = time.perf_counter() - t0
     samples = []
     for _ in range(repeat):
         t0 = time.perf_counter()
         _run_to_completion(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 3)
+    return round(statistics.median(samples), 3), round(cold, 3)
 
 
 def _max_job_id(spark) -> int:
@@ -173,23 +187,32 @@ def main() -> None:
     cooldown = float(os.environ.get("BENCH_COOLDOWN", "0"))
     n_sweeps = max(1, int(os.environ.get("BENCH_SWEEPS", "1")))
     sweep_maps: list[dict[str, float]] = []
+    cold_maps: list[dict[str, float]] = []
     sweeps_ambient: list[list[float]] = []
     for _ in range(n_sweeps):
         # ambient at the START of each sweep: a sweep that began quiet but
         # aged into a noisy window is visible in the artifact
         sweeps_ambient.append([round(x, 2) for x in os.getloadavg()])
         tm: dict[str, float] = {}
+        cm: dict[str, float] = {}
         for name in sorted(queries):
             _quiesce(spark, cooldown)
             # per-query warm-up (inside _time_query): populates codegen/
             # broadcast/file-listing caches so the timed runs measure
-            # steady-state plan cost
-            tm[name] = _time_query(spark, queries[name], sf_dir, repeat)
+            # steady-state plan cost; its wall rides along as the COLD
+            # number (r14 verdict item 6)
+            tm[name], cm[name] = _time_query(
+                spark, queries[name], sf_dir, repeat
+            )
         sweep_maps.append(tm)
+        cold_maps.append(cm)
     # per-query MIN across sweeps (min-of-medians): the noise-floor
     # estimator the round-close protocol commits (r12 review item 4)
     timings: dict[str, float] = {
         name: min(m[name] for m in sweep_maps) for name in sorted(queries)
+    }
+    colds: dict[str, float] = {
+        name: min(m[name] for m in cold_maps) for name in sorted(queries)
     }
 
     # isolated re-measurement of the slowest queries: sweep medians can
@@ -272,7 +295,7 @@ def main() -> None:
         # 2 reps (after the warm-up inside _time_query): enough to spot a
         # 2x sweep artifact without doubling the harness wall-time
         watermark = _max_job_id(spark)
-        iso = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
+        iso, iso_cold = _time_query(spark, queries[name], sf_dir, min(repeat, 2))
         djobs, dtasks = _executed_work_since(spark, watermark)
         # executed work per single run (warm-up + min(repeat,2) timed runs
         # between the snapshots): the load-independent companion number —
@@ -285,6 +308,7 @@ def main() -> None:
         isolated[name] = {
             "sweep": timings[name],
             "isolated": iso,
+            "cold": iso_cold,
             "jobs": round(djobs / runs),
             "tasks": round(dtasks / runs),
             "jobs_raw": djobs,
@@ -326,9 +350,9 @@ def main() -> None:
             naive = agg(fact.join(build, fact["k"] == build["bk"]))
             fast = agg(salted_equi_join(fact, build, "k", "bk", ("v",)))
             _quiesce(spark, max(cooldown, 0.5))
-            t_naive = _time_query(spark, lambda *_: naive, sf_dir, 3)
+            t_naive, _ = _time_query(spark, lambda *_: naive, sf_dir, 3)
             _quiesce(spark, max(cooldown, 0.5))
-            t_fast = _time_query(spark, lambda *_: fast, sf_dir, 3)
+            t_fast, _ = _time_query(spark, lambda *_: fast, sf_dir, 3)
             salted_race = {
                 "naive": t_naive,
                 "salted": t_fast,
@@ -341,6 +365,15 @@ def main() -> None:
                 else:
                     spark.conf.set(k, v)
 
+    # The PRINTED line carries exactly the contract keys (+ the three
+    # small methodology stamps): the driver captures only a bounded stdout
+    # tail, and r10–r13's artifacts all failed driver-side parsing because
+    # the isolated/ambient detail pushed the one-line payload past the
+    # capture window (r14 verdict item 2). Everything else — isolated
+    # pairs, per-sweep maps, cold walls, ambient context, the salted
+    # race — rides ONLY in the durable BENCH_local.json. Nothing is
+    # dropped from the artifact set; the printed line just stays as close
+    # to parseable-from-a-tail as a 150-query map can be.
     payload = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
@@ -350,36 +383,47 @@ def main() -> None:
         "runs": repeat,
         "sweeps": n_sweeps,
         "stat": "median" if n_sweeps == 1 else "min-of-medians",
-        # per-sweep context: totals expose the sweep-to-sweep environmental
-        # band the min collapses; ambient is sampled at each sweep's start
-        "sweep_totals": [
-            round(sum(m.values()), 3) for m in sweep_maps
-        ],
-        "sweeps_ambient": sweeps_ambient,
-        # ambient contention context: observed ~45% total inflation when the
-        # 5-min load average sat at ~5 on this 32-core box — lets a round-
-        # over-round diff discount noisy windows instead of misreading them
-        "load_avg_ambient_at_start": ambient,
-        "load_avg_at_exit": [round(x, 2) for x in os.getloadavg()],
     }
+    durable = dict(payload)
+    durable.update(
+        {
+            # per-sweep context: totals expose the sweep-to-sweep
+            # environmental band the min collapses; ambient is sampled at
+            # each sweep's start
+            "sweep_totals": [round(sum(m.values()), 3) for m in sweep_maps],
+            "sweeps_ambient": sweeps_ambient,
+            # ambient contention context: observed ~45% total inflation
+            # when the 5-min load average sat at ~5 on this 32-core box —
+            # lets a round-over-round diff discount noisy windows instead
+            # of misreading them
+            "load_avg_ambient_at_start": ambient,
+            "load_avg_at_exit": [round(x, 2) for x in os.getloadavg()],
+            # COLD per query = the untimed warm-up's wall (min across
+            # sweeps, like the medians): the honest single-shot cost for
+            # queries whose operators persist() intermediates that the
+            # timed reps then read back from cache (r14 verdict item 6 —
+            # addition-only; the contract map above is unchanged)
+            "queries_cold": dict(
+                sorted(colds.items(), key=lambda kv: -kv[1])
+            ),
+        }
+    )
     if isolated:
-        payload["isolated"] = isolated
+        durable["isolated"] = isolated
     if salted_race:
-        payload["salted_race"] = salted_race
-    # The driver keeps only the stdout TAIL, which truncates ~28 queries'
-    # timings per round; persist the complete result in-repo (slowest
-    # first, so a truncated human glance still sees the hot spots) so
-    # every round can diff all queries. Subset runs (BENCH_QUERIES) skip
-    # the write — they must not clobber the full-coverage artifact.
+        durable["salted_race"] = salted_race
+    # Persist the complete result in-repo (slowest first, so a truncated
+    # human glance still sees the hot spots) so every round can diff all
+    # queries. Subset runs (BENCH_QUERIES) skip the write — they must not
+    # clobber the full-coverage artifact.
     if not subset:
-        durable = dict(payload)
         durable["queries"] = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])
         )
         if n_sweeps > 1:
-            # full per-sweep maps ride in the durable artifact only (the
-            # stdout line stays tail-truncation-friendly): every paired
-            # close is auditable query-by-query, not just via the min
+            # full per-sweep maps ride in the durable artifact only:
+            # every paired close is auditable query-by-query, not just
+            # via the min
             durable["queries_per_sweep"] = sweep_maps
         with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
             json.dump(durable, f, indent=1)

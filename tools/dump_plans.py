@@ -36,7 +36,7 @@ def main() -> None:
     names = sys.argv[2:]
     suffix = os.environ.get("PLAN_SUFFIX", tag.split("_")[-1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", tag if "/" not in tag else tag)
+    out_dir = os.path.join(REPO, "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     entry = _load_entry()
     qmap = entry.queries()
